@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4): hash aggregate, distinct aggs,
+  * stats, percentiles, min_by/max_by, collect, rollup/cube, pivot,
+  * table fingerprint. Declarative groupBy/agg only — Catalyst plans
+  * partial→final hash aggregation with map-side combine, which is the
+  * scalable shape for a 100 TB fact table (the shuffle carries one row per
+  * group per partition, not the data).
+  *
+  * Determinism: every double reduction goes through Det.dsum/davg (decimal
+  * detour) so results are addition-order-insensitive and hash-match the
+  * DuckDB oracle (SURVEY §7.3).
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // A1/A3: TPC-H Q1 shape — the flagship. Filter is pushed to the parquet
+    // scan; the agg is a two-phase HashAggregate on 6 groups.
+    "a1_pricing_summary" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+            * (lit(1d) + col("l_tax")), 6).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A2/A9: collect_list/collect_set → ObjectHashAggregate; array_sort for
+    // cross-engine determinism (collect order is partition-order-dependent).
+    "a2_collect_sorted" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("keys"),
+             array_sort(collect_set(col("o_orderstatus"))).as("statuses"))
+        .orderBy("o_orderpriority")),
+
+    // A4: exact distinct aggregates (expand + two-phase plan).
+    "a4_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // A5: approx_count_distinct (HLL++) — sketch differs from DuckDB's, so
+    // no oracle entry (rows-only check); correctness asserted in ScalaTest
+    // against exact counts with rsd tolerance.
+    "a5_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
+    // A6: stats aggs. stddev/var/corr/covar have identical definitions in
+    // both engines; computed on identical doubles they differ only in
+    // summation order → round(4) collapses that (values are O(1e0..1e5)).
+    "a6_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+             round(var_pop(col("l_discount")), 8).as("var_disc"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+             round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"))
+        .orderBy("l_returnflag")),
+
+    // A7: exact percentiles/median (interpolating, matches quantile_cont).
+    "a7_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(round(median(col("o_totalprice")), 4).as("med_price"),
+             round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+             round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("o_orderstatus")),
+
+    // A8: min_by/max_by — "latest/argmax-wins", the sync-merge primitive.
+    // o_totalprice is a continuous random double → tie-free in practice;
+    // ties would still be deterministic per-engine but could diverge, so
+    // sync ops proper (Y4/Y5) use row_number with full tie-breaks instead.
+    "a8_minby_maxby" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+             min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+             Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")),
+
+    // A10: rollup with grouping() — subtotal lattice in one pass.
+    "a10_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"),
+             grouping(col("l_returnflag")).as("g_rf"),
+             grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+                 col("g_rf"), col("g_ls"))),
+
+    // A10: cube — full lattice.
+    "a10_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    // A11: pivot with a FIXED value list (deterministic schema); the oracle
+    // uses the equivalent manual sum(CASE …) — SURVEY §7.3 dialect map.
+    "a11_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(Det.dsum(col("value")))
+        .orderBy("user_id")),
+
+    // A12: order-insensitive table fingerprint — sync validation digest.
+    // Row hash = first 15 hex digits of md5 of a canonical string form,
+    // summed as int64. Both engines share md5 + hex→int machinery.
+    "a12_fingerprint" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowStr = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string"))
+      // mod 1e9 per row so the int64 sum cannot overflow (Spark wraps
+      // silently; DuckDB widens to int128 — divergence without the mod).
+      o.agg(
+        sum(pmod(conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long"),
+                 lit(1000000000L))).as("digest"),
+        count(lit(1)).as("n_rows"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Det.Sql.dsum("l_quantity")} AS sum_qty,
+         |  ${Det.Sql.dsum("l_extendedprice")} AS sum_base_price,
+         |  ${Det.Sql.dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+         |  ${Det.Sql.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+         |  ${Det.Sql.davg("l_quantity")} AS avg_qty,
+         |  ${Det.Sql.davg("l_extendedprice")} AS avg_price,
+         |  ${Det.Sql.davg("l_discount", 6)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_collect_sorted" ->
+      """SELECT o_orderpriority,
+        |  list(o_orderkey ORDER BY o_orderkey) AS keys,
+        |  list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+        |FROM orders WHERE o_totalprice > 250000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a4_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a6_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_pop(l_discount), 8) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a7_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(median(o_totalprice), 4) AS med_price,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a8_minby_maxby" ->
+      s"""SELECT o_orderpriority,
+         |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+         |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "a10_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${Det.Sql.dsum("l_quantity")} AS sum_qty,
+         |  CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "a11_pivot" ->
+      s"""SELECT user_id,
+         |  ${Det.Sql.dsum("CASE WHEN event_type = 'view' THEN value END")} AS view,
+         |  ${Det.Sql.dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+         |  ${Det.Sql.dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+         |  ${Det.Sql.dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+         |  ${Det.Sql.dsum("CASE WHEN event_type = 'error' THEN value END")} AS error
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a12_fingerprint" ->
+      """SELECT
+        |  CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+        |    o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))), 1, 15)) AS BIGINT)
+        |    % 1000000000) AS BIGINT) AS digest,
+        |  COUNT(*) AS n_rows
+        |FROM orders""".stripMargin
+  )
+}

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8): string, date/time, math,
+  * array (incl. higher-order), map, JSON, hash/binary, null-handling.
+  * One query per family, each exercising several functions — all built-in
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd; no UDFs in hot
+  * paths, SURVEY §2.12 X1 rule).
+  *
+  * Dialect pairs used in the oracle SQL (SURVEY §7.3 dialect map):
+  * split↔string_split, size↔len, transform↔list_transform,
+  * aggregate↔list_sum∘list_transform∘list_zip, get_json_object↔json_extract_string,
+  * sha2(·,256)↔sha256, dayofweek↔dayofweek+1, date_trunc returns DATE in
+  * DuckDB (cast back), ceil/floor return DOUBLE in DuckDB (cast to BIGINT).
+  */
+object Functions {
+
+  val queries: Map[String, Q] = Map(
+
+    // F1: string family over documents.text (ASCII, space-separated words).
+    "f1_string" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_len"),
+        upper(substring(col("text"), 1, 10)).as("head_up"),
+        concat_ws("::", col("lang"), col("source")).as("tag"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        regexp_replace(substring(col("text"), 1, 50), "[aeiou]", "").as("devowel"),
+        instr(col("text"), "join").as("join_pos"),
+        col("text").like("%merge%").as("has_merge"),
+        regexp_extract(col("text"), "(join|merge|scan)", 1).as("first_op"),
+        levenshtein(col("lang"), lit("en")).as("lang_dist"),
+        reverse(col("lang")).as("gnal"),
+        repeat(col("lang"), 3).as("lang3"),
+        translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
+        size(split(col("text"), " ")).as("n_tokens"))),
+
+    // F2: date/time family over orders dates + events timestamps.
+    "f2_datetime" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        // DATE-typed results are cast to string/timestamp at the boundary —
+        // DATE cells round-trip differently through pandas (SURVEY §7.3).
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        add_months(col("o_orderdate"), 3).cast("string").as("plus3mo"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch_sec"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .cast("string").as("mstart_date"))),
+
+    // F3: math family. sqrt is IEEE-exact; exp/ln/log10/pow rounded (libm
+    // vs StrictMath can differ in the last ulp).
+    "f3_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_quantity") / 10).as("qty_ceil"),
+        floor(col("l_quantity") / 10).as("qty_floor"),
+        round(sqrt(col("l_extendedprice")), 8).as("price_sqrt"),
+        round(exp(col("l_discount")), 8).as("disc_exp"),
+        round(log(col("l_extendedprice")), 8).as("price_ln"),
+        round(log10(col("l_extendedprice")), 8).as("price_log10"),
+        round(pow(col("l_tax"), 2), 10).as("tax_sq"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        signum(col("l_extendedprice") - lit(30000)).as("price_sign"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_discount") * 100).as("l"))),
+
+    // F4: array + higher-order family over embeddings (the LLM-pipeline
+    // vector type). Fold order in `aggregate` is array order — same
+    // sequential order as DuckDB's list_sum, and cast to double first.
+    "f4_array_higher_order" -> ((s, d) => {
+      val emb = col("embedding")
+      val dbl = transform(emb, x => x.cast("double"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        size(emb).as("dim"),
+        element_at(emb, 1).as("e1"),
+        slice(emb, 1, 4).as("head4"),
+        round(aggregate(dbl, lit(0d), (acc, x) => acc + x * x), 6).as("norm_sq"),
+        round(aggregate(dbl, lit(0d), (acc, x) => acc + x), 6).as("vec_sum"),
+        exists(dbl, _ > 0.9).as("has_big"),
+        forall(dbl, _ > -1d).as("all_gt_neg1"),
+        size(filter(dbl, _ > 0d)).as("n_pos"),
+        sort_array(slice(emb, 1, 4), asc = false).as("head4_desc"),
+        sequence(lit(1), col("label") + 1).as("label_seq"))
+    }),
+
+    // F5: map family — built via map_from_arrays, emitted as sorted
+    // keys/values arrays (parquet map cells compare awkwardly; SURVEY §7.3
+    // says prefer array/struct shapes at the oracle boundary).
+    "f5_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("qty"), lit("price")),
+        array(col("l_quantity"), col("l_extendedprice")))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          map_keys(m).as("ks"),
+          map_values(m).as("vs"),
+          element_at(m, "qty").as("qty_back"),
+          size(map_concat(m, map(lit("tax"), col("l_tax")))).as("n_entries"))
+    }),
+
+    // F6: JSON family over events.props (shape {"k": <int>}).
+    "f6_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+        (from_json(col("props"), lit("k INT")).getField("k") * 2).as("k_doubled"),
+        to_json(struct(col("user_id").as("u"), col("event_type").as("t"))).as("packed"))),
+
+    // F7: hash/binary family — md5/sha256/base64 agree across engines;
+    // input capped at 40 chars so no MIME line-wrap ambiguity for base64.
+    "f7_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"),
+        base64(substring(col("text"), 1, 40).cast("binary")).as("head_b64"),
+        length(col("text").cast("binary")).as("n_bytes"))),
+
+    // F7b: Spark-native hashes (xxhash64, murmur3, crc32) — seeds/algos
+    // differ from DuckDB so no oracle (rows-only); ScalaTest pins values.
+    "f7b_native_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        xxhash64(col("text")).as("xx64"),
+        hash(col("text")).as("murmur3"),
+        crc32(col("text").cast("binary")).as("crc"))),
+
+    // F8: null handling — nulls manufactured via nullif, then repaired.
+    "f8_null" -> ((s, d) => {
+      val v = nullif(col("value"), lit(0d))
+      Tables.events(s, d).select(
+        col("event_id"),
+        coalesce(v, lit(-1d)).as("v_or_neg1"),
+        isnull(nullif(col("event_type"), lit("error"))).as("is_error"),
+        nvl(nullif(col("event_type"), lit("view")), lit("nonview")).as("type_nvl"),
+        when(col("value") > 100, col("value")).otherwise(lit(null)).cast("double").as("big_or_null"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_string" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_len,
+        |  upper(substr(text, 1, 10)) AS head_up,
+        |  concat_ws('::', lang, source) AS tag,
+        |  lpad(lang, 5, '_') AS lang_pad,
+        |  regexp_replace(substr(text, 1, 50), '[aeiou]', '', 'g') AS devowel,
+        |  CAST(instr(text, 'join') AS INTEGER) AS join_pos,
+        |  text LIKE '%merge%' AS has_merge,
+        |  COALESCE(regexp_extract(text, '(join|merge|scan)', 1), '') AS first_op,
+        |  CAST(levenshtein(lang, 'en') AS INTEGER) AS lang_dist,
+        |  reverse(lang) AS gnal,
+        |  repeat(lang, 3) AS lang3,
+        |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "f2_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
+        |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR) AS mstart_date
+        |FROM orders""".stripMargin,
+
+    "f3_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS price_r1,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_floor,
+        |  round(sqrt(l_extendedprice), 8) AS price_sqrt,
+        |  round(exp(l_discount), 8) AS disc_exp,
+        |  round(ln(l_extendedprice), 8) AS price_ln,
+        |  round(log10(l_extendedprice), 8) AS price_log10,
+        |  round(pow(l_tax, 2), 10) AS tax_sq,
+        |  ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+        |  CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_quantity, l_discount * 100) AS l
+        |FROM lineitem""".stripMargin,
+
+    "f4_array_higher_order" ->
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS e1,
+        |  embedding[1:4] AS head4,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS norm_sq,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
+        |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.9)) > 0 AS has_big,
+        |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> NOT (x > -1.0))) = 0 AS all_gt_neg1,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS INTEGER) AS n_pos,
+        |  list_sort(embedding[1:4], 'DESC') AS head4_desc,
+        |  range(1, label + 2) AS label_seq
+        |FROM embeddings""".stripMargin,
+
+    "f5_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ['qty', 'price'] AS ks,
+        |  [l_quantity, l_extendedprice] AS vs,
+        |  l_quantity AS qty_back,
+        |  3 AS n_entries
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+
+    "f6_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+        |  to_json({'u': user_id, 't': event_type})::VARCHAR AS packed
+        |FROM events""".stripMargin,
+
+    "f7_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256,
+        |  base64(CAST(substr(text, 1, 40) AS BLOB)) AS head_b64,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "f8_null" ->
+      """SELECT event_id,
+        |  COALESCE(NULLIF(value, 0.0), -1.0) AS v_or_neg1,
+        |  NULLIF(event_type, 'error') IS NULL AS is_error,
+        |  COALESCE(NULLIF(event_type, 'view'), 'nonview') AS type_nvl,
+        |  CASE WHEN value > 100 THEN value END AS big_or_null
+        |FROM events""".stripMargin
+  )
+}

@@ -1,0 +1,358 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11, driver-mandated):
+  * exact + near-duplicate dedup (shingle-Jaccard, MinHash+LSH), similarity
+  * search (brute-force cosine top-k and hyperplane-LSH ANN), text analysis
+  * (term frequency, quality scoring, language-ID heuristic, fingerprints).
+  *
+  * Scale design (100 TB corpus):
+  *  - All shingling/hashing is per-row expression work — embarrassingly
+  *    parallel, no shuffle until the bucket/candidate join.
+  *  - Near-dup candidate generation is bucketed (LSH bands / (lang, source,
+  *    length-bucket) blocks) so the pair space is per-bucket quadratic, not
+  *    global quadratic — the standard MinHash-LSH shape.
+  *  - Brute-force cosine bounds the query side (broadcast) so the corpus
+  *    side streams: one pass, no shuffle of the corpus.
+  *  - Everything is built-in expressions (codegen); no UDFs.
+  */
+object LlmPipeline {
+
+  private val toksExpr: Column =
+    filter(split(lower(col("text")), " +"), t => t =!= "")
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH, shared verbatim
+    * between the Spark literals and the oracle SQL (seeded LCG, 6 dp).
+    */
+  val Dim = 64
+  val NPlanes = 8
+  val planes: Array[Array[Double]] = {
+    var x = 0x5DEECE66DL
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val v = (x >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+      math.rint((v * 2 - 1) * 1e6) / 1e6
+    }
+    Array.fill(NPlanes, Dim)(next())
+  }
+  private def planeLit(p: Array[Double]): Column = array(p.map(lit(_)).toSeq: _*)
+  private def planeSql(p: Array[Double]): String =
+    p.map(v => f"$v%.6f").mkString("[", ", ", "]::DOUBLE[]")
+
+  private val embD: Column = transform(col("embedding"), _.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
+
+  val queries: Map[String, Q] = Map(
+
+    // L1: exact dedup via content hash — group on md5(text), keep the
+    // smallest doc_id as representative (deterministic survivor policy).
+    "l1_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc_id"))),
+
+    // L2a: near-dup detection — blocked shingle-set Jaccard. Blocks =
+    // (lang, source, n_chars/50): candidate pairs are per-block quadratic
+    // (the LSH-free baseline; L2b is the sub-quadratic path).
+    "l2a_shingle_jaccard" -> ((s, d) => {
+      val sh = array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5))))
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 50).cast("int").as("lenb"), sh.as("sh"))
+      val a = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), col("lang"), col("source"),
+                col("lenb"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+                          col("lenb"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source", "lenb"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+                size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") > 0.12)
+    }),
+
+    // L2b: MinHash + LSH banding — signature = min over shingles of
+    // xxhash64(shingle ⊕ seed) per seed; 8 seeds → 4 bands of 2 rows.
+    // Bucket-join candidates only. xxhash64 has no DuckDB twin → rows-only
+    // here; the algebra (sig length, band grouping) is pinned in ScalaTest.
+    "l2b_minhash_lsh" -> ((s, d) => {
+      // Shape matters at scale: tokenize ONCE per doc (posexplode), build
+      // 3-gram shingles with lead() windows, then ONE codegen'd
+      // hash-aggregate computes all 8 minhash lanes (min(xxhash64(sh⊕seed))).
+      // An array-lambda formulation re-inlines the whole split() pipeline
+      // into every element_at (CollapseProject + interpreted higher-order
+      // fns) — measured 100×+ slower at sf0.1.
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toksExpr))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+        // concat_ws skips the trailing NULL leads: tail shingles shorten,
+        // deterministically, matching a clamped 3-gram window.
+        .select(col("doc_id"), concat_ws(" ", col("tok"),
+          lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
+        .groupBy("doc_id")
+        .agg(min(xxhash64(concat(col("sh"), lit("seed0")))).as("m0"),
+          (1 until 8).map(i =>
+            min(xxhash64(concat(col("sh"), lit(s"seed$i")))).as(s"m$i")): _*)
+      val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until 4).map(b => xxhash64(concat_ws(",",
+          col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      bands.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .filter(col("bucket_size") > 1)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(col("bucket_size") * (col("bucket_size") - 1) / 2).as("n_cand_pairs"))
+        .orderBy("band")
+    }),
+
+    // L3: brute-force cosine top-k — bounded query side is broadcast; the
+    // corpus streams through one pass (no corpus shuffle at 100 TB).
+    "l3_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), embD.as("qv"))
+      val c = e.select(col("vec_id").as("cid"), embD.as("cv"))
+      val cos = dot(col("qv"), col("cv")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+      val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid").asc)
+      c.join(broadcast(q), col("cid") =!= col("qid"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("cos_raw"), 6).as("cos"), col("rn"))
+    }),
+
+    // L4: ANN via random-hyperplane sign-LSH — 8-bit bucket key, candidates
+    // share the bucket, exact re-rank inside. Deterministic literal planes.
+    "l4_lsh_ann" -> ((s, d) => {
+      val bucket = concat(
+        (0 until NPlanes).map(i =>
+          (dot(embD, planeLit(planes(i))) >= 0).cast("int").cast("string")): _*)
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), embD.as("v"), bucket.as("bucket"))
+      // re-alias bucket so the self-join sides carry distinct exprIds
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("bucket").as("bucket"))
+      val cos = dot(col("qv"), col("v")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))
+      val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id").asc)
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("match_id"),
+                round(col("cos_raw"), 6).as("cos"))
+    }),
+
+    // L5a: term frequency with stopword filter — top-20 terms.
+    "l5a_term_freq" -> ((s, d) => {
+      // NB: not array_except — that dedups within a doc and would skew counts.
+      Tables.documents(s, d)
+        .select(explode(filter(toksExpr,
+          t => !t.isin("the", "a", "of", "and", "to"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)
+    }),
+
+    // L5b: document quality scoring — length/token/stopword ratios.
+    // All-integer numerators/denominators → exact double division.
+    "l5b_doc_quality" -> ((s, d) => {
+      val toks = toksExpr
+      val nStop = size(filter(toks,
+        t => t.isin("the", "a", "of", "and", "to")))
+      val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(length(col("text")) / size(toks), 6).as("avg_tok_len"),
+        round(nStop / size(toks), 6).as("stop_ratio"),
+        round(nAlpha / length(col("text")), 6).as("alpha_ratio"),
+        (size(toks).between(5, 120) && (nStop / size(toks)) > 0.05)
+          .as("quality_pass"))
+    }),
+
+    // L5c: language-ID heuristic — marker-token votes with deterministic
+    // precedence (en > de > es > fr > unknown) on ties.
+    "l5c_langid" -> ((s, d) => {
+      val toks = toksExpr
+      def score(ws: String*) = size(filter(toks, t => t.isin(ws: _*)))
+      val en = score("the", "and", "of"); val de = score("der", "die", "das", "und")
+      val es = score("el", "la", "de", "y"); val fr = score("le", "la", "et", "les")
+      val m = greatest(en, de, es, fr)
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+        when(m === 0, "unknown")
+          .when(en === m, "en").when(de === m, "de")
+          .when(es === m, "es").otherwise("fr").as("lang_guess"))
+    }),
+
+    // L5d: document fingerprints — order-insensitive md5 signature over the
+    // sorted distinct token set + order-SENSITIVE rolling polynomial hash
+    // (init = first token value, DuckDB list_reduce semantics).
+    "l5d_fingerprint" -> ((s, d) => {
+      val toks = toksExpr
+      val sig = md5(concat_ws(" ", array_sort(array_distinct(toks))))
+      val vals = transform(toks, t => (length(t) * 131 + ascii(t)).cast("long"))
+      val rolling = aggregate(
+        slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+        element_at(vals, 1),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000000L)))
+      Tables.documents(s, d).select(
+        col("doc_id"), sig.as("sig_md5"), rolling.as("rolling_hash"))
+    }),
+
+    // L6: multimodal columns — embeddings joined to documents (vector +
+    // text + scalars through one shuffle), then per-label centroid via
+    // posexplode/regroup (the distributed vector-mean shape).
+    "l6_vector_centroid" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      // Exact cross-engine mean: floor(v·2^30) is an exact int64 for float
+      // inputs (24-bit mantissa · 2^30 < 2^53), so the sum is
+      // order-insensitive; a decimal cast would tie-break differently
+      // between engines on floats landing exactly on a decimal boundary.
+      e.join(docs, e("vec_id") === docs("doc_id"))
+        .select(col("label"), col("lang"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).as("pos1"))
+        .agg(sum(floor(col("col").cast("double") * lit(1073741824d))).as("s"),
+             count(lit(1)).as("n"))
+        .select(col("label"), col("pos1"),
+                (col("s").cast("double") / lit(1073741824d) / col("n")).as("mean_val"),
+                col("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+        |  min(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "l2a_shingle_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 50 AS INTEGER) AS lenb,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+        | AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.12""".stripMargin,
+
+    "l3_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS cid,
+         |    ${dotSql("qv", "v")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_raw
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> qid)
+         |SELECT qid, cid, round(cos_raw, 6) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid ASC) AS INTEGER) AS rn
+         |FROM scored
+         |QUALIFY rn <= 3""".stripMargin,
+
+    "l4_lsh_ann" -> {
+      val bucketSql = (0 until NPlanes).map(i =>
+        s"CAST(CAST(${dotSql("v", planeSql(planes(i)))} >= 0 AS INTEGER) AS VARCHAR)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT qid, b.vec_id AS match_id,
+         |    ${dotSql("qv", "v")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_raw
+         |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> qid)
+         |SELECT qid, match_id, round(cos_raw, 6) AS cos
+         |FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, match_id ASC) = 1""".stripMargin
+    },
+
+    "l5a_term_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+        |    t -> t <> '' AND NOT list_contains(['the','a','of','and','to'], t))) AS term
+        |  FROM documents)
+        |SELECT term, COUNT(*) AS n FROM toks
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "l5b_doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(toks) AS nt,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS ns,
+        |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS na
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(nt AS INTEGER) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / nt, 6) AS avg_tok_len,
+        |  round(CAST(ns AS DOUBLE) / nt, 6) AS stop_ratio,
+        |  round(CAST(na AS DOUBLE) / length(text), 6) AS alpha_ratio,
+        |  (nt BETWEEN 5 AND 120) AND (CAST(ns AS DOUBLE) / nt > 0.05) AS quality_pass
+        |FROM m""".stripMargin,
+
+    "l5c_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS INTEGER) AS s_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y'], x))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les'], x))) AS INTEGER) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM sc""".stripMargin,
+
+    "l5d_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS sig_md5,
+        |  list_reduce(list_transform(toks, x -> CAST(length(x) * 131 + ascii(x) AS BIGINT)),
+        |    (acc, x) -> ((acc * 31 + x) % 1000000000 + 1000000000) % 1000000000) AS rolling_hash
+        |FROM t""".stripMargin,
+
+    "l6_vector_centroid" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos1,
+        |  CAST(SUM(CAST(floor(embedding[CAST(i AS INTEGER)]::DOUBLE * 1073741824) AS BIGINT))
+        |       AS DOUBLE) / 1073741824 / COUNT(*) AS mean_val,
+        |  COUNT(*) AS n
+        |FROM embeddings JOIN documents ON vec_id = doc_id, range(1, 65) t(i)
+        |GROUP BY label, i""".stripMargin
+  )
+}

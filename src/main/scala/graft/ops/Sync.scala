@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Table-sync composite operators (SURVEY.md §2.9) — the reference's
+  * capability core re-expressed Spark-first. The reference is an MS-SQL
+  * table-sync utility (BASELINE.md; source unavailable, SURVEY §0), so the
+  * operators are: snapshot copy, snapshot diff, change-log apply
+  * (latest-wins), upsert/merge, sync validation, SCD2 history.
+  *
+  * The "source" table is a deterministic mutation of `orders` (deletes:
+  * key%10=0, updates: key%7=0, inserts: key%13=0 re-keyed +10M) built with
+  * the same expressions in Spark and in the oracle CTE, so every operator
+  * is fully hash-checked against DuckDB.
+  *
+  * Scale design: every operator is a single equi-shuffle on the PK (join or
+  * window), no driver-side state; at 100 TB the diff/upsert are plain
+  * sort-merge joins that AQE can skew-split, and the change-log apply is a
+  * window over one shuffle — the same shapes Spark uses for TB-scale MERGE.
+  */
+object Sync {
+
+  /** Deterministic mutated view of orders — the sync "source" side. */
+  def sourceView(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val kept = o.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("F")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000d)
+          .otherwise(col("o_totalprice")))
+    val inserted = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("O"))
+    kept.unionByName(inserted)
+  }
+
+  /** Same mutation as a DuckDB CTE (keep in lockstep with sourceView). */
+  val sourceCte: String =
+    """src AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |)""".stripMargin
+
+  /** Cross-engine row hash over the sync-relevant columns. */
+  private def rowHash(prefix: String => org.apache.spark.sql.Column) =
+    md5(concat_ws("|",
+      prefix("o_custkey"), prefix("o_orderstatus"),
+      prefix("o_totalprice").cast("decimal(18,2)").cast("string"),
+      prefix("o_orderpriority")))
+
+  private val rowHashSql = (a: String) =>
+    s"md5(concat_ws('|', $a.o_custkey, $a.o_orderstatus, " +
+    s"CAST(CAST($a.o_totalprice AS DECIMAL(18,2)) AS VARCHAR), $a.o_orderpriority))"
+
+  val queries: Map[String, Q] = Map(
+
+    // Y1: schema introspection — StructType surfaced as rows (JDBC-side
+    // introspection is exercised in SyncJdbcSuite; no DB in this env).
+    "y1_schema_introspect" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).schema.fields
+        .map(f => (f.name, f.dataType.simpleString, f.nullable)).toSeq
+        .toDF("col_name", "data_type", "nullable")
+    }),
+
+    // Y2: full snapshot copy (scan → sink pass-through).
+    "y2_snapshot_copy" -> ((s, d) => Tables.nation(s, d)),
+
+    // Y3: snapshot diff — full-outer join on PK, classify I/D/U/S by
+    // presence + row-hash. THE sync primitive when change tracking is off.
+    "y3_snapshot_diff" -> ((s, d) => {
+      val tgt = Tables.orders(s, d).select(
+        col("o_orderkey").as("t_key"), rowHash(c => col(c)).as("t_hash"))
+      val src = sourceView(s, d).select(
+        col("o_orderkey").as("s_key"), rowHash(c => col(c)).as("s_hash"))
+      src.join(tgt, col("s_key") === col("t_key"), "full_outer")
+        .select(
+          coalesce(col("s_key"), col("t_key")).as("o_orderkey"),
+          when(col("t_key").isNull, "I")
+            .when(col("s_key").isNull, "D")
+            .when(col("s_hash") =!= col("t_hash"), "U")
+            .otherwise("S").as("op"))
+    }),
+
+    // Y4: change-log apply, latest-wins — events as the change stream:
+    // final state per user_id = the row with max (ts, event_id).
+    "y4_changelog_apply" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+                col("value").as("last_value"), col("ts").as("last_ts"))
+    }),
+
+    // Y5: batch upsert/merge — source overrides target on PK, target rows
+    // without a source match survive (no implicit delete).
+    "y5_upsert_merge" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val src = sourceView(s, d)
+      val tgtOnly = Tables.orders(s, d)
+        .join(src.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      src.select(cols.map(col): _*)
+        .unionByName(tgtOnly.select(cols.map(col): _*))
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(18,2)").cast("double"))
+    }),
+
+    // Y6: sync validation — row count, exact column sums, order-insensitive
+    // digest for each side; equal rows ⇒ in sync (here they differ: drift).
+    "y6_sync_validate" -> ((s, d) => {
+      def summarize(df: DataFrame, side: String) = df.agg(
+        lit(side).as("side"),
+        count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("sum_price"),
+        sum(pmod(conv(substring(rowHash(c => col(c)), 1, 15), 16, 10).cast("long"),
+                 lit(1000000000L))).as("digest"))
+      summarize(Tables.orders(s, d), "target")
+        .unionByName(summarize(sourceView(s, d), "source"))
+    }),
+
+    // Y7: SCD2 — change rows become effective-dated versions per key:
+    // valid_from = ts, valid_to = next change's ts, open row = current.
+    "y7_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                col("ts").as("valid_from"),
+                lead(col("ts"), 1).over(w).as("valid_to"),
+                lead(col("ts"), 1).over(w).isNull.as("is_current"))
+    })
+  )
+
+  private val evCte =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+  val oracle: Map[String, String] = Map(
+    "y2_snapshot_copy" -> "SELECT * FROM nation",
+
+    "y3_snapshot_diff" ->
+      s"""WITH $sourceCte,
+         |t AS (SELECT o_orderkey AS t_key, ${rowHashSql("orders")} AS t_hash FROM orders),
+         |s AS (SELECT o_orderkey AS s_key, ${rowHashSql("src")} AS s_hash FROM src)
+         |SELECT COALESCE(s_key, t_key) AS o_orderkey,
+         |  CASE WHEN t_key IS NULL THEN 'I'
+         |       WHEN s_key IS NULL THEN 'D'
+         |       WHEN s_hash <> t_hash THEN 'U'
+         |       ELSE 'S' END AS op
+         |FROM s FULL OUTER JOIN t ON s_key = t_key""".stripMargin,
+
+    "y4_changelog_apply" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+         |FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "y5_upsert_merge" ->
+      s"""WITH $sourceCte
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         |FROM (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+         |  UNION ALL
+         |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+         |) t""".stripMargin,
+
+    "y6_sync_validate" ->
+      s"""WITH $sourceCte
+         |SELECT 'target' AS side, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(CAST(concat('0x', substr(${rowHashSql("orders")}, 1, 15)) AS BIGINT)
+         |    % 1000000000) AS BIGINT) AS digest
+         |FROM orders
+         |UNION ALL
+         |SELECT 'source' AS side, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
+         |    % 1000000000) AS BIGINT) AS digest
+         |FROM src""".stripMargin,
+
+    "y7_scd2" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_id, event_type,
+         |  ts AS valid_from,
+         |  lead(ts, 1) OVER w AS valid_to,
+         |  lead(ts, 1) OVER w IS NULL AS is_current
+         |FROM ev
+         |WHERE event_type IN ('signup', 'purchase', 'error')
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  )
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window functions (SURVEY.md §2.5): ranking, lag/lead, running frames,
+  * range frames, first/last over frames. All windows shuffle once on the
+  * partition key and sort within partitions — at 100 TB that is one
+  * exchange per distinct (partitionBy, orderBy) pair, and Catalyst
+  * collapses windows sharing a spec into a single WindowExec.
+  *
+  * Determinism rule (SURVEY §7.3): every orderBy carries a unique tie-break
+  * (event_id / o_orderkey), so rank/lag/frames agree with the oracle.
+  */
+object Windows {
+
+  // events with µs timestamps on the Spark side (parquet ns is truncated on
+  // read); oracle CTE casts identically — see the `ev` CTE in each SQL.
+  private val evSql =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events"
+
+  val queries: Map[String, Q] = Map(
+
+    // W1: ranking family over one shared window spec.
+    "w1_ranking" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    }),
+
+    // W2: lag/lead — inter-event gaps per user (sessionization primitive).
+    "w2_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"),
+        lead(col("event_id"), 1, -1L).over(w).as("next_event"),
+        (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+          .as("gap_sec"))
+    }),
+
+    // W3: running aggregates over row frames (cumulative + trailing-3).
+    "w3_running_frames" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val trail = ord.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(28,4)")).over(cum).cast("double").as("run_sum"),
+        count(lit(1)).over(cum).as("run_n"),
+        max(col("value")).over(trail).as("max3"),
+        min(col("value")).over(trail).as("min3"))
+    }),
+
+    // W4: RANGE frame over a numeric (epoch-seconds) order key — trailing
+    // 1-hour window per user, value-based not row-based.
+    "w4_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(
+          col("event_id"), col("user_id"), col("ts_sec"),
+          sum(col("value").cast("decimal(28,4)")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+    }),
+
+    // W5: first/last value over frames + nth via ordered aggregation.
+    "w5_first_last" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first_value(col("event_type")).over(ord).as("first_type"),
+        last_value(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(ord).as("second_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_ranking" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
+    "w2_lag_lead" ->
+      s"""WITH ev AS ($evSql)
+         |SELECT event_id, user_id, ts,
+         |  lag(ts, 1) OVER w AS prev_ts,
+         |  lead(event_id, 1, -1) OVER w AS next_event,
+         |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "w3_running_frames" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER cum AS DOUBLE) AS run_sum,
+        |  COUNT(*) OVER cum AS run_n,
+        |  MAX(value) OVER trail AS max3,
+        |  MIN(value) OVER trail AS min3
+        |FROM ev
+        |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       trail AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w4_range_frame" ->
+      """WITH ev AS (SELECT event_id, user_id, value,
+        |              CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+        |            FROM events)
+        |SELECT event_id, user_id, ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w5_first_last" ->
+      s"""WITH ev AS ($evSql)
+         |SELECT event_id, user_id,
+         |  first_value(event_type) OVER ord AS first_type,
+         |  last_value(event_type) OVER full_w AS last_type,
+         |  nth_value(event_type, 2) OVER ord AS second_type
+         |FROM ev
+         |WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |       full_w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+  )
+}
