@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.10 T1–T8). Builders are
+  * source-agnostic: they take any streaming (or batch — the expressions are
+  * identical) DataFrame with the events schema
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  * value double)` and return the transformed streaming plan. Sources
+  * (S8: rate/file/MemoryStream) and sinks (S9: memory/parquet/foreachBatch)
+  * are bound by the caller; StreamingSuite drives every builder through
+  * MemoryStream → MemorySink micro-batches, the only oracle available for
+  * watermark semantics (DuckDB cannot run a micro-batch pipeline).
+  *
+  * Scale notes: all stateful ops key their state by a bounded-cardinality
+  * key (window×type, user), and every builder takes a watermark so state
+  * is evicted — the difference between a pipeline that runs for a day and
+  * one that runs for a year at 100 TB/day.
+  */
+/** Mutable-state buffer for StreamOps.sessionize (top-level: encoder
+  * codegen cannot reach a private nested case class). */
+final case class SessionBuf(n: Int, first: Long, last: Long, total: Double)
+
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** T1+T4: watermarked tumbling window aggregate (append mode → a window
+    * emits once, when the watermark passes its end; later rows drop).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** T2: sliding windows (1 hour every 15 minutes). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("user_id"), col("n"))
+
+  /** T3: session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"), col("session_value"))
+
+  /** T5: streaming dedup on event_id, state bounded by the watermark —
+    * the exactly-once-ish ingest guard for sync pipelines.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T6: stream-stream join — purchases enriched with the user's views in
+    * the preceding hour; both sides watermarked, join time-bounded (state
+    * on both sides is evictable — unbounded joins never GC).
+    */
+  def purchaseViewJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
+  final case class SessionSummary(user_id: Long, n_events: Int,
+                                  first_ts: Timestamp, last_ts: Timestamp,
+                                  total_value: Double)
+
+  /** T7: arbitrary stateful processing — sessionization via
+    * flatMapGroupsWithState with event-time timeout: a session summary is
+    * emitted only when the watermark passes last_ts + gap (session closed).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(SessionSummary(user, b.n,
+              new Timestamp(b.first), new Timestamp(b.last), b.total))
+          } else {
+            // batch rows are unordered: fold min/max, split on gap later —
+            // simplification: one open session per user, extended by any
+            // row within gap of the current [first, last] envelope.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var buf = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              buf match {
+                case Some(b) if t - b.last <= gapMs =>
+                  buf = Some(SessionBuf(b.n + 1, b.first, math.max(b.last, t),
+                    b.total + e.value))
+                case Some(b) =>
+                  closed += SessionSummary(user, b.n, new Timestamp(b.first),
+                    new Timestamp(b.last), b.total)
+                  buf = Some(SessionBuf(1, t, t, e.value))
+                case None =>
+                  buf = Some(SessionBuf(1, t, t, e.value))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** T8+Y5: streaming upsert — foreachBatch applies each micro-batch to a
+    * mutable target (latest-wins per PK). On a cluster the same shape
+    * drives a JDBC MERGE (graft.sources.JdbcSync) or a lakehouse upsert.
+    */
+  def upsertSink(changes: DataFrame,
+                 target: scala.collection.concurrent.Map[Long, (String, Double)]) =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // deterministic latest-wins WITHIN the batch before applying
+        batch.groupBy(col("user_id"))
+          .agg(max_by(struct(col("event_type"), col("value")),
+                      struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("m.event_type"), col("m.value"))
+          .collect().foreach { r =>
+            target.put(r.getLong(0), (r.getString(1), r.getDouble(2)))
+          }
+      }
+}

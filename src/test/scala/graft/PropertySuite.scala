@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws (SURVEY §5.3) — cheap to state, strong against
+  * regressions. ScalaCheck generators driven with fixed seeds (the
+  * scalatest-plus bridge isn't in the offline cache), each case runs
+  * through the real engine.
+  */
+class PropertySuite extends AnyFunSuite with SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val smallInts = Gen.listOfN(30, Gen.choose(0, 8))
+
+  test("exceptAll(a, a) is empty; |a exceptAll b| = |a| - |a ∩multiset b|") {
+    val spark0 = spark
+    import spark0.implicits._
+    samples(Gen.zip(smallInts, smallInts), 5).foreach { case (xs, ys) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      assert(a.exceptAll(a).count() == 0)
+      val inter = xs.groupBy(identity).map { case (k, v) =>
+        math.min(v.size, ys.count(_ == k)) }.sum
+      assert(a.exceptAll(b).count() == xs.size - inter)
+    }
+  }
+
+  test("unionAll cardinality adds; union-distinct equals distinct of concat") {
+    val spark0 = spark
+    import spark0.implicits._
+    samples(Gen.zip(smallInts, smallInts), 5).foreach { case (xs, ys) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      assert(a.unionAll(b).count() == xs.size + ys.size)
+      assert(a.union(b).distinct().count() == (xs ++ ys).distinct.size)
+    }
+  }
+
+  test("top-k via orderBy/limit equals sorted prefix") {
+    val spark0 = spark
+    import spark0.implicits._
+    samples(Gen.listOfN(40, Gen.choose(-1000, 1000)), 5).foreach { xs =>
+      val df = xs.zipWithIndex.toDF("v", "id")
+      val k = 5
+      val topk = df.orderBy(col("v").desc, col("id").asc).limit(k)
+        .collect().map(_.getInt(0)).toSeq
+      val expected = xs.zipWithIndex.sortBy { case (v, i) => (-v, i) }
+        .take(k).map(_._1)
+      assert(topk == expected)
+    }
+  }
+
+  test("Y3 diff partitions keys: I/D/U/S counts add up to each side") {
+    val s = spark
+    val diff = graft.ops.Sync.queries("y3_snapshot_diff")(s, "/root/testdata/sf0.001")
+      .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTgt = graft.ops.Tables.orders(s, "/root/testdata/sf0.001").count()
+    val nSrc = graft.ops.Sync.sourceView(s, "/root/testdata/sf0.001").count()
+    // every target key is D, U or S; every source key is I, U or S
+    assert(diff.getOrElse("D", 0L) + diff.getOrElse("U", 0L) + diff.getOrElse("S", 0L) == nTgt)
+    assert(diff.getOrElse("I", 0L) + diff.getOrElse("U", 0L) + diff.getOrElse("S", 0L) == nSrc)
+  }
+
+  test("cosine similarity is symmetric and bounded on random vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-1.0, 1.0)).suchThat(_.exists(_ != 0))
+    samples(Gen.zip(vecGen, vecGen), 5).foreach { case (u, v) =>
+      val df = Seq((u, v)).toDF("u", "v")
+      def dot(a: String, b: String) =
+        aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+      val row = df.select(
+        (dot("u", "v") / (sqrt(dot("u", "u")) * sqrt(dot("v", "v")))).as("c1"),
+        (dot("v", "u") / (sqrt(dot("v", "v")) * sqrt(dot("u", "u")))).as("c2"))
+        .collect()(0)
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(0) >= -1.0 - 1e-9 && row.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("shingle Jaccard is 1 on identical texts, in [0,1] always") {
+    val spark0 = spark
+    import spark0.implicits._
+    val txt = Gen.listOfN(20, Gen.alphaLowerChar).map(_.mkString)
+    samples(Gen.zip(txt, txt), 5).foreach { case (t1, t2) =>
+      val df = Seq((t1, t2), (t1, t1)).toDF("a", "b")
+      def sh(c: String) = array_distinct(transform(
+        sequence(lit(1), greatest(length(col(c)) - 4, lit(1))),
+        i => col(c).substr(i, lit(5))))
+      val js = df.select((size(array_intersect(sh("a"), sh("b"))) /
+        size(array_union(sh("a"), sh("b")))).as("j")).collect().map(_.getDouble(0))
+      js.foreach(j => assert(j >= 0.0 && j <= 1.0))
+      assert(js(1) == 1.0) // identical texts
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** T1–T8 (SURVEY §2.10) driven through MemoryStream micro-batches — the
+  * only way to observe watermark/late-data/state semantics (no SQL oracle
+  * can run a stream).
+  */
+class StreamingSuite extends AnyFunSuite with SparkFixture {
+  import StreamOps._
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def ts(min: Int) = new Timestamp(T0 + min * 60000L)
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double) =
+    Event(id, ts(min), user, typ, v)
+
+  private def runToSink(name: String)(build: MemoryStream[Event] => org.apache.spark.sql.DataFrame,
+                                      batches: Seq[Seq[Event]],
+                                      mode: OutputMode = OutputMode.Append()) = {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val src = MemoryStream[Event]
+    val q = build(src).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("T1+T4 tumbling window emits on watermark pass; late row dropped") {
+    val rows = runToSink("t1")(
+      s => tumblingCounts(s.toDF()),
+      Seq(
+        Seq(ev(1, 10, 1, "view", 1.0), ev(2, 20, 1, "view", 2.0)),
+        // watermark = max(ts) - 10min; 100min pushes it past the 0:00-1:00 end
+        Seq(ev(3, 100, 1, "click", 1.0)),
+        // late arrival inside the already-closed hour-0 window → dropped
+        Seq(ev(4, 30, 1, "view", 99.0)),
+        Seq(ev(5, 200, 1, "click", 1.0))))
+    val hour0 = rows.filter(_.getAs[Timestamp]("wstart").getTime == T0)
+    assert(hour0.length == 1)
+    assert(hour0.head.getAs[Long]("n") == 2)          // late row NOT counted
+    assert(hour0.head.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("T2 sliding windows: each event lands in 4 overlapping windows") {
+    val rows = runToSink("t2")(
+      s => slidingCounts(s.toDF()),
+      Seq(Seq(ev(1, 40, 7, "view", 1.0)), Seq(ev(2, 300, 7, "view", 1.0))))
+    val forUser = rows.filter(r => r.getAs[Long]("user_id") == 7 &&
+      r.getAs[Timestamp]("wstart").getTime <= T0 + 40 * 60000L)
+    assert(forUser.map(_.getAs[Long]("n")).sum == 4)
+  }
+
+  test("T3 session window merges events within gap, splits across it") {
+    val rows = runToSink("t3")(
+      s => sessionCounts(s.toDF()),
+      Seq(
+        Seq(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 2.0),
+            ev(3, 70, 1, "view", 4.0)), // 60min gap > 30min → new session
+        Seq(ev(4, 300, 1, "click", 0.0)))) // advance watermark, close both
+    val sessions = rows.filter(_.getAs[Long]("user_id") == 1)
+      .map(r => (r.getAs[Timestamp]("session_start").getTime - T0) / 60000L ->
+        r.getAs[Long]("n_events")).toMap
+    assert(sessions(0L) == 2 && sessions(70L) == 1)
+  }
+
+  test("T5 dedupWithinWatermark drops replayed event_ids") {
+    val rows = runToSink("t5")(
+      s => dedupWithinWatermark(s.toDF()),
+      Seq(
+        Seq(ev(1, 10, 1, "view", 1.0), ev(1, 10, 1, "view", 1.0)),
+        Seq(ev(1, 11, 1, "view", 1.0), ev(2, 12, 1, "click", 2.0))))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("T6 stream-stream join binds purchases to prior-hour views only") {
+    val rows = runToSink("t6")(
+      s => purchaseViewJoin(s.toDF()),
+      Seq(
+        Seq(ev(10, 0, 1, "view", 0.0),   // 100 min before purchase → outside 1h
+            ev(11, 80, 1, "view", 0.0),  // 20 min before → inside
+            ev(12, 100, 1, "purchase", 5.0),
+            ev(13, 110, 1, "view", 0.0)), // after purchase → excluded
+        Seq(ev(14, 400, 1, "click", 0.0))))
+    assert(rows.map(_.getAs[Long]("v_id")).toSeq == Seq(11L))
+  }
+
+  test("T7 flatMapGroupsWithState emits session summary on event-time timeout") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = runToSink("t7")(
+      s => StreamOps.sessionize(s.toDS()).toDF(),
+      Seq(
+        Seq(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 2.5)),
+        Seq(ev(3, 120, 2, "view", 1.0)),   // watermark → 110min: closes user 1
+        Seq(ev(4, 300, 2, "view", 1.0))))  // closes user 2's first session
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1)
+    assert(u1.length == 1)
+    assert(u1.head.getAs[Int]("n_events") == 2)
+    assert(u1.head.getAs[Double]("total_value") == 3.5)
+  }
+
+  test("T8+Y5 foreachBatch upsert: latest-wins per user across batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    val target = scala.collection.concurrent.TrieMap[Long, (String, Double)](
+      99L -> ("seed", 0.0)) // pre-existing target row survives (no delete)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.upsertSink(src.toDF(), target).start()
+    try {
+      src.addData(ev(1, 0, 1, "view", 1.0), ev(2, 5, 1, "click", 2.0))
+      q.processAllAvailable()
+      src.addData(ev(3, 10, 1, "purchase", 7.0), ev(4, 10, 2, "signup", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(target(1L) == ("purchase", 7.0))
+    assert(target(2L) == ("signup", 0.5))
+    assert(target(99L) == ("seed", 0.0))
+  }
+}
