@@ -9,34 +9,31 @@ object ScratchTiming {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.CosineSim.register(spark)
     val d = "/root/testdata/sf0.1"
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val r = f
       println(f"T $name: ${(System.nanoTime()-t0)/1e9}%.2f s ($r)")
     }
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    t("warmup") { docs.count() }
-    // current form: lambda filter inside explode
-    val toks = filter(split(lower(col("text")), " +"), t => t =!= "")
-    t("l5a-lambda") {
-      docs.select(explode(filter(toks, t => !t.isin("the","a","of","and","to"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(20).count()
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    t("warmup") { e.count() }
+    val q = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val joined = c.join(broadcast(q), col("cid") =!= col("qid"))
+    def dot(a: String, b: String) = {
+      val ad = transform(col(a), _.cast("double"))
+      val bd = transform(col(b), _.cast("double"))
+      aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
     }
-    // relational form: explode plain split, then WHERE
-    t("l5a-relational") {
-      docs.select(explode(split(lower(col("text")), " +")).as("term"))
-        .where(col("term") =!= "" && !col("term").isin("the","a","of","and","to"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(20).count()
-    }
-    t("l5a-explode-only") {
-      docs.select(explode(split(lower(col("text")), " +")).as("term")).count()
-    }
-    t("l5a-lambda2") {
-      docs.select(explode(filter(toks, t => !t.isin("the","a","of","and","to"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term").asc).limit(20).count()
+    val composed = dot("qv", "cv") / (sqrt(dot("qv", "qv")) * sqrt(dot("cv", "cv")))
+    for (i <- 1 to 2) {
+      t(s"cos-composed$i") {
+        joined.select(sum(composed)).collect()(0).getDouble(0).round
+      }
+      t(s"cos-native$i") {
+        joined.select(sum(expr("cosine_sim(qv, cv)"))).collect()(0).getDouble(0).round
+      }
     }
     spark.stop()
   }

@@ -118,17 +118,18 @@ object LlmPipeline {
     }),
 
     // L3: brute-force cosine top-k — bounded query side is broadcast; the
-    // corpus streams through one pass (no corpus shuffle at 100 TB).
+    // corpus streams through one pass (no corpus shuffle at 100 TB). The
+    // scoring loop is the native codegen'd CosineSim expression (X2);
+    // numerically identical to the aggregate(zip_with(…)) composition.
     "l3_cosine_topk" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), embD.as("qv"))
-      val c = e.select(col("vec_id").as("cid"), embD.as("cv"))
-      val cos = dot(col("qv"), col("cv")) /
-        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("cid").asc)
       c.join(broadcast(q), col("cid") =!= col("qid"))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", expr("cosine_sim(qv, cv)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), round(col("cos_raw"), 6).as("cos"), col("rn"))
@@ -137,21 +138,20 @@ object LlmPipeline {
     // L4: ANN via random-hyperplane sign-LSH — 8-bit bucket key, candidates
     // share the bucket, exact re-rank inside. Deterministic literal planes.
     "l4_lsh_ann" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
       val bucket = concat(
         (0 until NPlanes).map(i =>
           (dot(embD, planeLit(planes(i))) >= 0).cast("int").cast("string")): _*)
       val e = Tables.embeddings(s, d).select(
-        col("vec_id"), embD.as("v"), bucket.as("bucket"))
+        col("vec_id"), col("embedding").as("v"), bucket.as("bucket"))
       // re-alias bucket so the self-join sides carry distinct exprIds
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
                 col("bucket").as("bucket"))
-      val cos = dot(col("qv"), col("v")) /
-        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))
       val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id").asc)
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id").as("match_id"),

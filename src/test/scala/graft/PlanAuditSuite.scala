@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (the 100 TB story, SURVEY §4): these lock the plan
+  * shapes that make the engine scale — filter pushdown to parquet, column
+  * pruning, broadcast star joins, top-k without a global sort, codegen'd
+  * similarity scoring. A regression here is a silent 10-100× at scale even
+  * if results stay correct.
+  */
+class PlanAuditSuite extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("P2: filters reach the parquet scan (PushedFilters non-empty)") {
+    val p = plan("p2_filter_pushdown")
+    // plan string truncates the filter list — presence of pushed IsNotNull/
+    // range filters is the signal (empty pushdown renders "PushedFilters: []")
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"))
+  }
+
+  test("P1: column pruning — scan reads only referenced lineitem columns") {
+    val df = SparkEntry.queries("p1_project_compute")(spark, sf)
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanSchema.contains("l_orderkey"))
+    assert(!scanSchema.contains("l_shipdate"), "unused column not pruned from scan")
+  }
+
+  test("J1: star join broadcasts the dimension (no fact shuffle)") {
+    val p = plan("j1_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("J2: fact-fact join is sort-merge (co-partitioned shuffle)") {
+    assert(plan("j2_sortmerge_join").contains("SortMergeJoin"))
+  }
+
+  test("O4: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("o4_topk_global")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("L3: similarity scoring is inside WholeStageCodegen with broadcast queries") {
+    val p = plan("l3_cosine_topk")
+    assert(p.contains("cosine_sim") || p.contains("cosinesim"),
+      s"native expression missing from plan")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+  }
+
+  test("A1: aggregate is two-phase hash (partial before shuffle)") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.split("HashAggregate").length >= 3, "expected partial+final HashAggregate")
+  }
+
+  test("Y3: snapshot diff is a single full-outer sort-merge join on the PK") {
+    val p = plan("y3_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"))
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    val back = spark.read.parquet(out).filter(col("order_year") === 1997)
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [") &&
+           scan.contains("order_year"), "partition pruning not applied")
+    assert(back.count() == o.filter(year(col("o_orderdate")) === 1997).count())
+  }
+}
