@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       Functions.queries ++ Sync.queries ++ LlmPipeline.queries ++
-      Streaming.queries ++ Multimodal.queries
+      Streaming.queries ++ Multimodal.queries ++ Sources.queries ++
+      SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       Functions.oracle ++ Sync.oracle ++ LlmPipeline.oracle ++
-      Streaming.oracle ++ Multimodal.oracle
+      Streaming.oracle ++ Multimodal.oracle ++ Sources.oracle ++
+      SqlQueries.oracle
 }

@@ -123,6 +123,21 @@ object Aggregates {
         .agg(Det.dsum(col("value")))
         .orderBy("user_id")),
 
+    // A13: salted two-phase aggregation — the skew pattern: 5 hot keys
+    // (event_type) would each land on one reducer; salting fans each key
+    // over 16 partial groups, then a cheap second phase folds the partials.
+    // Decimal partials keep the two-phase sum exactly equal to a direct sum.
+    "a13_salted_skew_agg" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+        .agg(sum(col("value").cast("decimal(28,4)")).as("ps"),
+             count(lit(1)).as("pn"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("ps")).cast("double").as("sum_value"),
+             sum(col("pn")).as("n"))
+        .orderBy("event_type")
+    }),
+
     // A12: order-insensitive table fingerprint — sync validation digest.
     // Row hash = first 15 hex digits of md5 of a canonical string form,
     // summed as int64. Both engines share md5 + hex→int machinery.
@@ -213,6 +228,11 @@ object Aggregates {
          |  ${Det.Sql.dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
          |  ${Det.Sql.dsum("CASE WHEN event_type = 'error' THEN value END")} AS error
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "a13_salted_skew_agg" ->
+      s"""SELECT event_type, ${Det.Sql.dsum("value", 4)} AS sum_value,
+         |  COUNT(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a12_fingerprint" ->
       """SELECT

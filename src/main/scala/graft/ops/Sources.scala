@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** File sources beyond parquet (SURVEY §2.1 S2/S3/S7): CSV and JSON scans
+  * with EXPLICIT schemas (schema inference is nondeterministic across
+  * engines and banned in production paths — SURVEY §1.1), demonstrated as
+  * lossless round-trips whose aggregates the oracle checks against the
+  * original parquet; plus the range/values source.
+  */
+object Sources {
+
+  private def stage(sub: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stage", sub)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // S2: CSV sink + scan (header, explicit schema) — round-trip equality
+    // proven by aggregating the re-read data against the parquet oracle.
+    "s2_csv_roundtrip" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val out = stage("nation_csv")
+      n.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(n.schema).option("header", "true").csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("n_nationkey")).cast("long").as("sum_key"),
+             min(col("n_name")).as("min_name"),
+             max(col("n_name")).as("max_name"))
+    }),
+
+    // S3: JSON lines sink + scan (explicit schema incl. timestamp).
+    "s3_json_roundtrip" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val out = stage("orders_json")
+      o.write.mode("overwrite").json(out)
+      s.read.schema(o.schema).json(out)
+        .agg(count(lit(1)).as("n_rows"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             max(col("o_orderdate")).cast("timestamp").as("max_date"),
+             min(col("o_orderkey")).as("min_key"))
+    }),
+
+    // S7: range source — synthetic keys without any input table.
+    "s7_range" -> ((s, _) =>
+      s.range(0, 100000)
+        .select(col("id"), (col("id") % 97).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .orderBy("bucket"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s2_csv_roundtrip" ->
+      """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+        |  MIN(n_name) AS min_name, MAX(n_name) AS max_name
+        |FROM nation""".stripMargin,
+
+    "s3_json_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  MAX(o_orderdate) AS max_date, MIN(o_orderkey) AS min_key
+         |FROM orders""".stripMargin,
+
+    "s7_range" ->
+      """SELECT id % 97 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(id) AS BIGINT) AS sum_id
+        |FROM range(0, 100000) t(id)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point (SURVEY §3.2 entry point 3): the same engine surface
+  * through `spark.sql` — ANTLR parse → analyze → optimize. Includes the
+  * subquery forms Catalyst decorrelates into semi/anti/scalar joins
+  * (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery), which the
+  * DataFrame API cannot express directly.
+  */
+object SqlQueries {
+
+  private val tables =
+    Seq("orders", "customer", "lineitem", "nation", "region", "supplier", "part")
+
+  private def sql(s: SparkSession, d: String, text: String): DataFrame = {
+    tables.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(text)
+  }
+
+  // Q3-shape: revenue of urgent orders by building segment — join, agg,
+  // top-k. Identical text runs on DuckDB (dialect-shared subset).
+  private val q3 =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  private val existsQ =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // correlated scalar subquery: orders 1.5x above their customer's exact
+  // (decimal) average — the average is order-insensitive so both engines
+  // compare against the identical double.
+  private val scalarQ =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
+    "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
+    "sql_scalar_subquery" -> ((s, d) => sql(s, d, scalarQ))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_q3_topk" -> q3,
+    "sql_exists_subquery" -> existsQ,
+    "sql_scalar_subquery" -> scalarQ
+  )
+}
