@@ -117,6 +117,66 @@ object LlmPipeline {
         .orderBy("band")
     }),
 
+    // L2c: SimHash near-dup — 64-bit signature: bit i is the sign of the
+    // weighted vote Σ_tokens (bit_i(xxhash64(tok)) ? +1 : -1). Relational
+    // shape: one explode + one hash-aggregate with 64 sum lanes; candidate
+    // pairs share a 16-bit band and have hamming distance ≤ 6 (bit_count
+    // of xor). xxhash64 has no DuckDB twin → rows-only; SimHashSuite pins
+    // the algebra (identical docs ⇒ distance 0, one-word edit ⇒ small).
+    "l2c_simhash" -> ((s, d) => {
+      val votes = (0 until 64).map(i =>
+        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+          .as(s"v$i"))
+      val sig = (0 until 64).map(i =>
+        when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toksExpr).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+      // band on 16-bit chunks → candidates → exact hamming re-check
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+        col("band"), col("chunk"))
+      val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+        col("band"), col("chunk"))
+      a.join(b, Seq("band", "chunk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .groupBy()
+        .agg(count(lit(1)).as("n_neardup_pairs"),
+             coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+    }),
+
+    // L7: embedding-cosine near-dup dedup — LSH bucket candidates, exact
+    // cosine > τ ⇒ the higher vec_id is a duplicate of the lower.
+    "l7_embedding_dedup" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val bucket = concat(
+        (0 until NPlanes).map(i =>
+          (dot(embD, planeLit(planes(i))) >= 0).cast("int").cast("string")): _*)
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding").as("v"), bucket.as("bucket"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("bucket").as("bucket"))
+      val dups = e.join(a, Seq("bucket"))
+        .filter(col("id_a") < col("vec_id"))
+        .filter(expr("cosine_sim(va, v)") > 0.4)
+        .select(col("vec_id").as("dup_id")).distinct()
+      Tables.embeddings(s, d)
+        .join(dups, col("vec_id") === col("dup_id"), "left_anti")
+        .agg(count(lit(1)).as("n_survivors"),
+             sum(col("vec_id")).as("survivor_key_sum"))
+    }),
+
     // L3: brute-force cosine top-k — bounded query side is broadcast; the
     // corpus streams through one pass (no corpus shuffle at 100 TB). The
     // scoring loop is the native codegen'd CosineSim expression (X2);
@@ -288,6 +348,24 @@ object LlmPipeline {
          |SELECT qid, match_id, round(cos_raw, 6) AS cos
          |FROM cand
          |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, match_id ASC) = 1""".stripMargin
+    },
+
+    "l7_embedding_dedup" -> {
+      val bucketSql = (0 until NPlanes).map(i =>
+        s"CAST(CAST(${dotSql("v", planeSql(planes(i)))} >= 0 AS INTEGER) AS VARCHAR)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+         |dups AS (
+         |  SELECT DISTINCT hi.vec_id AS dup_id
+         |  FROM b lo JOIN b hi USING (bucket)
+         |  WHERE lo.vec_id < hi.vec_id
+         |    AND ${dotSql("lo.v", "hi.v")} /
+         |        (sqrt(${dotSql("lo.v", "lo.v")}) * sqrt(${dotSql("hi.v", "hi.v")})) > 0.4)
+         |SELECT COUNT(*) AS n_survivors,
+         |  CAST(SUM(vec_id) AS BIGINT) AS survivor_key_sum
+         |FROM embeddings
+         |WHERE vec_id NOT IN (SELECT dup_id FROM dups)""".stripMargin
     },
 
     "l5a_term_freq" ->

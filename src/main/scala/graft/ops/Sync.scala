@@ -146,6 +146,15 @@ object Sync {
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
   val oracle: Map[String, String] = Map(
+    // Y1's oracle is the EXPECTED schema as literals — introspection is
+    // checked against the pinned contract, not against itself.
+    "y1_schema_introspect" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', 'bigint', true), ('o_custkey', 'bigint', true),
+        |  ('o_orderstatus', 'string', true), ('o_totalprice', 'double', true),
+        |  ('o_orderdate', 'timestamp_ntz', true), ('o_orderpriority', 'string', true)
+        |) t(col_name, data_type, nullable)""".stripMargin,
+
     "y2_snapshot_copy" -> "SELECT * FROM nation",
 
     "y3_snapshot_diff" ->

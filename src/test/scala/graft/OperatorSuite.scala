@@ -136,6 +136,13 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     viaUdaf.foreach { case (k, v) => assert(math.abs(v - viaExplode(k)) < 1e-9) }
   }
 
+  test("L2c simhash: identical docs collide at hamming 0 through the full query") {
+    val out = graft.ops.LlmPipeline.queries("l2c_simhash")(spark, sf).collect()(0)
+    // sf0.001 corpus has verbatim-duplicate token streams → pairs exist
+    assert(out.getAs[Long]("n_neardup_pairs") > 0)
+    assert(out.getAs[Int]("min_hamming") >= 0)
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(
