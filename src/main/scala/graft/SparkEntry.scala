@@ -15,8 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       Functions.queries ++ Sync.queries ++ LlmPipeline.queries ++
-      Streaming.queries ++ Multimodal.queries ++ Sources.queries ++
-      SqlQueries.queries
+      Streaming.queries ++ Multimodal.queries ++ Multimodal.queries2 ++
+      Sources.queries ++ SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

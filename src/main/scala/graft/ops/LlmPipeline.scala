@@ -262,6 +262,29 @@ object LlmPipeline {
           .when(es === m, "es").otherwise("fr").as("lang_guess"))
     }),
 
+    // L5e: TF-IDF — tf from one explode+agg, df regrouped from the SAME
+    // (doc,term) pairs (no second scan), idf = ln((N+1)/(df+1)); top-3
+    // terms per sampled doc. Counts are integers → identical doubles feed
+    // ln() on both engines; round(6) absorbs the last-ulp libm delta.
+    "l5e_tfidf" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(filter(toksExpr,
+          t => !t.isin("the", "a", "of", "and", "to"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+        .filter(col("doc_id") % 100 === 0)
+        .withColumn("tfidf",
+          col("tf") * log((col("n_docs") + 1) / (col("dfreq") + 1)))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+                col("dfreq"), round(col("tfidf"), 6).as("tfidf"), col("rn"))
+    }),
+
     // L5d: document fingerprints — order-insensitive md5 signature over the
     // sorted distinct token set + order-SENSITIVE rolling polynomial hash
     // (init = first token value, DuckDB list_reduce semantics).
@@ -413,6 +436,25 @@ object LlmPipeline {
         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
         |       ELSE 'fr' END AS lang_guess
         |FROM sc""".stripMargin,
+
+    "l5e_tfidf" ->
+      """WITH pairs AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+        |    t -> t <> '' AND NOT list_contains(['the','a','of','and','to'], t))) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+        |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, dfreq,
+        |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (dfreq + 1)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+        |  WHERE doc_id % 100 = 0)
+        |SELECT doc_id, term, tf, dfreq, round(tfidf, 6) AS tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rn
+        |FROM scored
+        |QUALIFY rn <= 3""".stripMargin,
 
     "l5d_fingerprint" ->
       """WITH t AS (

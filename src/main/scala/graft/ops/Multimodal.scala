@@ -48,6 +48,31 @@ object Multimodal {
     })
   )
 
+  /** STUB media metadata: a real pipeline would read container headers;
+    * here duration/dims derive deterministically from n_chars so the
+    * partitioning/explode plumbing is real and oracle-checkable.
+    */
+  val queries2: Map[String, Q] = Map(
+    // M2: frame sampling — one row per sampled frame (every 5th of
+    // n_frames = n_chars/10), the explode shape a video pipeline uses;
+    // then a resize stub computing target dims with aspect preserved.
+    "m2_frame_sample" -> ((s, d) => {
+      val nFrames = (col("n_chars") / lit(10)).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), nFrames.as("n_frames"),
+          (col("n_chars") % 1280).cast("int").as("src_w"),
+          (col("n_chars") % 720 + 1).cast("int").as("src_h"))
+        .select(col("doc_id"), col("lang"), col("src_w"), col("src_h"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"),
+          // resize stub: fit into 224x224 preserving aspect (integer math)
+          least(lit(224), col("src_w")).as("out_w"),
+          greatest(lit(1), (least(lit(224), col("src_w")) * col("src_h") /
+            greatest(col("src_w"), lit(1))).cast("int")).as("out_h"))
+        .groupBy(col("doc_id"), col("out_w"), col("out_h"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("last_frame"))
+    })
+  )
+
   val oracle: Map[String, String] = Map(
     // ASCII text ⇒ byte i == ascii(char i); n_chars ≥ 47 so head has 16.
     "m1_multimodal_features" ->
@@ -56,6 +81,24 @@ object Multimodal {
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
         |  CAST(list_sum(list_transform(range(1, 17),
         |    i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) % 251 AS BIGINT) AS head_sum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars // 10 AS INTEGER) AS n_frames,
+        |    CAST(n_chars % 1280 AS INTEGER) AS src_w,
+        |    CAST(n_chars % 720 + 1 AS INTEGER) AS src_h
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT doc_id, src_w, src_h,
+        |    CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
+        |  FROM f)
+        |SELECT doc_id,
+        |  least(224, src_w) AS out_w,
+        |  greatest(1, CAST(least(224, src_w) * src_h // greatest(src_w, 1) AS INTEGER)) AS out_h,
+        |  COUNT(*) AS n_sampled, MAX(frame_idx) AS last_frame
+        |FROM sampled
+        |GROUP BY doc_id, out_w, out_h""".stripMargin
   )
 }

@@ -49,15 +49,26 @@ object SqlQueries {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // explicit GROUPING SETS lattice (A10's third form) — shared text.
+  private val groupingSetsQ =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_s,
+      |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_p
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, g_s, g_p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
     "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
-    "sql_scalar_subquery" -> ((s, d) => sql(s, d, scalarQ))
+    "sql_scalar_subquery" -> ((s, d) => sql(s, d, scalarQ)),
+    "sql_grouping_sets" -> ((s, d) => sql(s, d, groupingSetsQ))
   )
 
   val oracle: Map[String, String] = Map(
     "sql_q3_topk" -> q3,
     "sql_exists_subquery" -> existsQ,
-    "sql_scalar_subquery" -> scalarQ
+    "sql_scalar_subquery" -> scalarQ,
+    "sql_grouping_sets" -> groupingSetsQ
   )
 }
