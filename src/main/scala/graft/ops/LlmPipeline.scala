@@ -218,6 +218,37 @@ object LlmPipeline {
                 round(col("cos_raw"), 6).as("cos"))
     }),
 
+    // L4b: IVF-style ANN — codebook = 16 corpus vectors (an "IVF trained
+    // on a sample" stand-in that keeps both engines reading identical
+    // float data), every vector assigned to its nearest cell by cosine,
+    // queries probe their own cell only (nprobe=1), exact re-rank inside.
+    // At 100 TB: assignment is one broadcast crossJoin pass, the search
+    // touches 1/16th of the corpus per query.
+    "l4b_ivf_ann" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val codebook = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(codebook))
+        .withColumn("c_cos", expr("cosine_sim(v, cv)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("cell"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("match_id"),
+                round(col("cos_raw"), 6).as("cos"))
+    }),
+
     // L5a: term frequency with stopword filter — top-20 terms.
     "l5a_term_freq" -> ((s, d) => {
       // NB: not array_except — that dedups within a doc and would skew counts.
@@ -372,6 +403,29 @@ object LlmPipeline {
          |FROM cand
          |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, match_id ASC) = 1""".stripMargin
     },
+
+    "l4b_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, v, cent_id AS cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${dotSql("v", "cv")} /
+         |        (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")})) DESC,
+         |      cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb
+         |  QUALIFY arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned
+         |      WHERE vec_id >= 16 AND vec_id < 24)
+         |SELECT qid, a.vec_id AS match_id,
+         |  round(${dotSql("qv", "a.v")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})), 6) AS cos
+         |FROM assigned a JOIN q USING (cell)
+         |WHERE a.vec_id <> qid
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |  ${dotSql("qv", "a.v")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
+         |  a.vec_id ASC) = 1""".stripMargin,
 
     "l7_embedding_dedup" -> {
       val bucketSql = (0 until NPlanes).map(i =>

@@ -143,6 +143,26 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(out.getAs[Int]("min_hamming") >= 0)
   }
 
+  test("L4b IVF ANN: one match per query, never better than brute force") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.functions.CosineSim.register(spark)
+    val ivf = graft.ops.LlmPipeline.queries("l4b_ivf_ann")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ivf.size == 8 && ivf.keySet == (16L until 24L).toSet)
+    // brute-force best per query bounds the IVF result from above
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val best = e.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), expr("cosine_sim(qv, embedding)").as("c"))
+      .groupBy("qid").agg(max("c").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (k, v) =>
+      assert(v <= best(k) + 1e-6 && v >= -1.0 && v <= 1.0)
+    }
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(
