@@ -162,7 +162,8 @@ object LlmPipeline {
       graft.functions.CosineSim.register(s)
       val bucket = concat(
         (0 until NPlanes).map(i =>
-          (dot(embD, planeLit(planes(i))) >= 0).cast("int").cast("string")): _*)
+          (call_function("dot_product", col("embedding"), planeLit(planes(i))) >= 0)
+            .cast("int").cast("string")): _*)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").as("v"), bucket.as("bucket"))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
@@ -201,7 +202,8 @@ object LlmPipeline {
       graft.functions.CosineSim.register(s)
       val bucket = concat(
         (0 until NPlanes).map(i =>
-          (dot(embD, planeLit(planes(i))) >= 0).cast("int").cast("string")): _*)
+          (call_function("dot_product", col("embedding"), planeLit(planes(i))) >= 0)
+            .cast("int").cast("string")): _*)
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding").as("v"), bucket.as("bucket"))
       // re-alias bucket so the self-join sides carry distinct exprIds

@@ -129,6 +129,26 @@ object Sync {
         .unionByName(summarize(sourceView(s, d), "source"))
     }),
 
+    // Y8: incremental change-tracking apply — the reference's
+    // CHANGETABLE(CHANGES t, @version) shape: state as of a version
+    // cutoff + only-newer changes applied on top. LAW: the result equals
+    // the full recompute (y4), which is exactly what the oracle checks.
+    "y8_incremental_apply" -> ((s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame) = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+                col("value").as("last_value"), col("ts").as("last_ts"))
+      val baseline = latest(ev.filter(col("ts") <= cutoff))     // old state
+      val changes  = latest(ev.filter(col("ts") > cutoff))      // new changes
+      // latest-wins merge: change rows override baseline rows on the PK
+      changes.unionByName(
+        baseline.join(changes.select("user_id"), Seq("user_id"), "left_anti"))
+    }),
+
     // Y7: SCD2 — change rows become effective-dated versions per key:
     // valid_from = ts, valid_to = next change's ts, open row = current.
     "y7_scd2" -> ((s, d) => {
@@ -198,6 +218,13 @@ object Sync {
          |  CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
          |    % 1000000000) AS BIGINT) AS digest
          |FROM src""".stripMargin,
+
+    // the incremental apply must equal the full latest-per-key recompute
+    "y8_incremental_apply" ->
+      s"""WITH $evCte
+         |SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+         |FROM ev
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
     "y7_scd2" ->
       s"""WITH $evCte
