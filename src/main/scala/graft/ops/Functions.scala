@@ -55,6 +55,17 @@ object Functions {
         make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
           .cast("string").as("mstart_date"))),
 
+    // F2b: sub-day datetime family over event timestamps (µs precision).
+    "f2b_time_of_day" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        hour(col("ts")).as("hh"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("ss"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("minute_str"),
+        timestamp_seconds(col("ts").cast("long")).as("ts_floor_sec"),
+        (col("ts").cast("long") % 86400).as("sec_of_day"))),
+
     // F3: math family. sqrt is IEEE-exact; exp/ln/log10/pow rounded (libm
     // vs StrictMath can differ in the last ulp).
     "f3_math" -> ((s, d) =>
@@ -183,6 +194,17 @@ object Functions {
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
         |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR) AS mstart_date
         |FROM orders""".stripMargin,
+
+    "f2b_time_of_day" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id,
+        |  CAST(hour(ts) AS INTEGER) AS hh,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(second(ts) AS INTEGER) AS ss,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS minute_str,
+        |  CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS ts_floor_sec,
+        |  CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sec_of_day
+        |FROM ev""".stripMargin,
 
     "f3_math" ->
       """SELECT l_orderkey, l_linenumber,
