@@ -138,6 +138,19 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // A11b: unpivot/melt — the inverse of pivot: wide per-status columns
+    // back to (key, status, value) rows via stack().
+    "a11b_unpivot" -> ((s, d) => {
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(Det.dsum(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("open_amt"),
+             Det.dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("filled_amt"),
+             Det.dsum(when(col("o_orderstatus") === "P", col("o_totalprice"))).as("pending_amt"))
+      wide.select(col("o_custkey"), expr(
+        "stack(3, 'O', open_amt, 'F', filled_amt, 'P', pending_amt) AS (status, amt)"))
+        .filter(col("amt").isNotNull)
+    }),
+
     // A12: order-insensitive table fingerprint — sync validation digest.
     // Row hash = first 15 hex digits of md5 of a canonical string form,
     // summed as int64. Both engines share md5 + hex→int machinery.
@@ -233,6 +246,19 @@ object Aggregates {
       s"""SELECT event_type, ${Det.Sql.dsum("value", 4)} AS sum_value,
          |  COUNT(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a11b_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT o_custkey,
+         |    ${Det.Sql.dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS open_amt,
+         |    ${Det.Sql.dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS filled_amt,
+         |    ${Det.Sql.dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS pending_amt
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_custkey, status, amt FROM (
+         |  SELECT o_custkey, 'O' AS status, open_amt AS amt FROM wide
+         |  UNION ALL SELECT o_custkey, 'F', filled_amt FROM wide
+         |  UNION ALL SELECT o_custkey, 'P', pending_amt FROM wide
+         |) t WHERE amt IS NOT NULL""".stripMargin,
 
     "a12_fingerprint" ->
       """SELECT

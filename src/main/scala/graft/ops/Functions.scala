@@ -36,6 +36,16 @@ object Functions {
         translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
         size(split(col("text"), " ")).as("n_tokens"))),
 
+    // F1b: regex family — extract_all, count-via-len, split_part, rlike.
+    "f1b_regex" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit("(join|scan|merge)"), lit(1)).as("ops_found"),
+        size(regexp_extract_all(col("text"), lit("(join|scan|merge)"), lit(1))).as("n_ops"),
+        split_part(col("text"), lit(" "), lit(1)).as("first_word"),
+        split_part(col("text"), lit(" "), lit(3)).as("third_word"),
+        col("text").rlike("(fast|slow) (key|row)").as("has_pattern"))),
+
     // F2: date/time family over orders dates + events timestamps.
     "f2_datetime" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -194,6 +204,15 @@ object Functions {
         |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
         |  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR) AS mstart_date
         |FROM orders""".stripMargin,
+
+    "f1b_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract_all(text, '(join|scan|merge)', 1) AS ops_found,
+        |  CAST(len(regexp_extract_all(text, '(join|scan|merge)', 1)) AS INTEGER) AS n_ops,
+        |  split_part(text, ' ', 1) AS first_word,
+        |  split_part(text, ' ', 3) AS third_word,
+        |  regexp_matches(text, '(fast|slow) (key|row)') AS has_pattern
+        |FROM documents""".stripMargin,
 
     "f2b_time_of_day" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)

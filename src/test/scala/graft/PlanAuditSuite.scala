@@ -68,6 +68,21 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"))
   }
 
+  test("W1: six window functions over one spec collapse into a single Window operator") {
+    val p = plan("w1_ranking")
+    assert(p.split("\\bWindow\\b").length - 1 <= 2,
+      s"expected one Window exec (plus possible header mention):\n$p")
+  }
+
+  test("X4: typed flatMap generates rows like a UDTF") {
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Seq(("a b", 1), ("c", 2)).toDF("s", "k").as[(String, Int)]
+      .flatMap { case (s, k) => s.split(" ").map(w => (w, k)) }
+      .collect().toSet
+    assert(out == Set(("a", 1), ("b", 1), ("c", 2)))
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val o = Tables.orders(spark, sf)
