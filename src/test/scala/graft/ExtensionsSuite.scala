@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions is wired into the fixture session builder — these
+  * queries must resolve WITHOUT any manual CosineSim.register call.
+  */
+class ExtensionsSuite extends AnyFunSuite with SparkFixture {
+
+  test("cosine_sim resolves through SparkSessionExtensions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val r = Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS c").collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("dot_product rejects wrong element types with a clear error") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = intercept[Exception] {
+      Seq((Seq(1f), Seq(1f))).toDF("a", "b")
+        .selectExpr("dot_product(a, b)").collect()
+    }
+    assert(e.getMessage.contains("dot_product expects"))
+  }
+}

@@ -14,6 +14,9 @@ object SparkFixture {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the SparkSessionExtensions path: cosine_sim/dot_product resolve in
+    // every suite without manual registration (ExtensionsSuite asserts it)
+    .withExtensions(new graft.functions.GraftExtensions().apply(_))
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -108,6 +108,19 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(u1.head.getAs[Double]("total_value") == 3.5)
   }
 
+  test("S8 rate-micro-batch source drives a deterministic pipeline") {
+    val df = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 10).option("numPartitions", 2)
+      .load() // schema: (timestamp, value)
+    val q = df.selectExpr("value % 3 AS k")
+      .writeStream.format("memory").queryName("s8_rate")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val n = spark.table("s8_rate").count()
+    assert(n >= 10, s"expected at least one 10-row micro-batch, got $n")
+  }
+
   test("T8+Y5 foreachBatch upsert: latest-wins per user across batches") {
     val spark0 = spark
     import spark0.implicits._
