@@ -62,22 +62,32 @@ object LlmPipeline {
     // (lang, source, n_chars/50): candidate pairs are per-block quadratic
     // (the LSH-free baseline; L2b is the sub-quadratic path).
     "l2a_shingle_jaccard" -> ((s, d) => {
+      // Relational Jaccard: explode distinct shingles once per doc, count
+      // shared shingles with a codegen'd equi-join + hash-agg, and derive
+      // |A∪B| = |A|+|B|-|A∩B| from precomputed set sizes. The array form
+      // (array_intersect per candidate pair) is interpreted and rebuilds
+      // both shingle sets per pair — this shape shuffles once and scales.
       val sh = array_distinct(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5))))
-      val docs = Tables.documents(s, d).select(
+      val exploded = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
-        (col("n_chars") / 50).cast("int").as("lenb"), sh.as("sh"))
-      val a = docs.filter(col("doc_id") % 10 === 0)
+        (col("n_chars") / 50).cast("int").as("lenb"), explode(sh).as("sh"))
+      val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = exploded.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
-                col("lenb"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("source"),
-                          col("lenb"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "source", "lenb"))
+                col("lenb"), col("sh"))
+      val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
+                              col("source"), col("lenb"), col("sh"))
+      val inter = a.join(b, Seq("lang", "source", "lenb", "sh"))
         .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-                size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
+            .as("jaccard"))
         .filter(col("jaccard") > 0.12)
     }),
 
