@@ -66,11 +66,18 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # Enumerate from oracle keys ∪ dumped dirs: a query that threw in
+    # Verify leaves no dir and must surface as MISSING, not vanish.
+    dumped = set(d for d in os.listdir(out_dir)
+                 if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(set(oracle) | dumped)
     n_pass = n_fail = n_noracle = 0
     for name in names:
         if only and name not in only:
+            continue
+        if name not in dumped:
+            print(f"MISSING {name}: oracle present but Verify dumped nothing")
+            n_fail += 1
             continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -78,6 +85,15 @@ def main():
             n_fail += 1
             continue
         spark_df = pd.read_parquet(files[0])
+        # The driver's comparator crashes on array/map cells (lexsort on
+        # ndarray) — mimic that as a hard failure at the boundary.
+        bad_cols = [c for c in spark_df.columns if len(spark_df) and
+                    isinstance(spark_df[c].iloc[0], (np.ndarray, list, dict))]
+        if bad_cols and name in oracle:
+            print(f"FAIL   {name}: array/map-typed output cols {bad_cols} "
+                  f"would crash the driver comparator — serialize at boundary")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"NOORA  {name}: rows={len(spark_df)} (rows-only check)")
             n_noracle += 1

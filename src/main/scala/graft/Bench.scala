@@ -19,10 +19,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query timings go to a file + a non-final stdout line; the driver's
+    // tail-capture window only reliably holds the LAST line, so the scored
+    // summary is a compact (<200 char) total-only JSON line printed last.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"),
+      s"""{"queries":$qs,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(s"""{"perquery":$qs}""")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

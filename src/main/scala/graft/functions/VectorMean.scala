@@ -18,8 +18,12 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    // Heterogeneous dimensions would silently truncate to the first-seen
+    // length — fail fast instead (a wrong-dim vector is corrupt input).
+    require(v.length == sums.length,
+      s"VectorMean: dimension mismatch (${v.length} vs ${sums.length})")
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
   }
 
@@ -27,6 +31,8 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorMean: dimension mismatch (${a._1.length} vs ${b._1.length})")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -38,12 +38,16 @@ object Aggregates {
 
     // A2/A9: collect_list/collect_set → ObjectHashAggregate; array_sort for
     // cross-engine determinism (collect order is partition-order-dependent).
+    // Arrays are serialized to CSV strings at the output boundary — the
+    // comparator can't sort array cells (SURVEY §7.3 boundary rule).
     "a2_collect_sorted" -> ((s, d) =>
       Tables.orders(s, d)
         .filter(col("o_totalprice") > 250000)
         .groupBy(col("o_orderpriority"))
-        .agg(array_sort(collect_list(col("o_orderkey"))).as("keys"),
-             array_sort(collect_set(col("o_orderstatus"))).as("statuses"))
+        .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+               _.cast("string")), ",").as("keys"),
+             array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+               .as("statuses"))
         .orderBy("o_orderpriority")),
 
     // A4: exact distinct aggregates (expand + two-phase plan).
@@ -186,8 +190,8 @@ object Aggregates {
 
     "a2_collect_sorted" ->
       """SELECT o_orderpriority,
-        |  list(o_orderkey ORDER BY o_orderkey) AS keys,
-        |  list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys,
+        |  array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',') AS statuses
         |FROM orders WHERE o_totalprice > 250000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -37,10 +37,12 @@ object Functions {
         size(split(col("text"), " ")).as("n_tokens"))),
 
     // F1b: regex family — extract_all, count-via-len, split_part, rlike.
+    // The extracted-match array is CSV-serialized at the output boundary.
     "f1b_regex" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        regexp_extract_all(col("text"), lit("(join|scan|merge)"), lit(1)).as("ops_found"),
+        array_join(regexp_extract_all(col("text"), lit("(join|scan|merge)"), lit(1)), ",")
+          .as("ops_found"),
         size(regexp_extract_all(col("text"), lit("(join|scan|merge)"), lit(1))).as("n_ops"),
         split_part(col("text"), lit(" "), lit(1)).as("first_word"),
         split_part(col("text"), lit(" "), lit(3)).as("third_word"),
@@ -98,26 +100,34 @@ object Functions {
     // F4: array + higher-order family over embeddings (the LLM-pipeline
     // vector type). Fold order in `aggregate` is array order — same
     // sequential order as DuckDB's list_sum, and cast to double first.
+    // Float arrays are serialized via floor(v·2^30) int64 fixed-point (an
+    // exact mapping for float32 — 24-bit mantissa · 2^30 < 2^53), then CSV:
+    // decimal-cast of raw floats tie-breaks differently across engines.
     "f4_array_higher_order" -> ((s, d) => {
       val emb = col("embedding")
       val dbl = transform(emb, x => x.cast("double"))
+      val fp = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast("double") * lit(1073741824d)).cast("long").cast("string")
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         size(emb).as("dim"),
         element_at(emb, 1).as("e1"),
-        slice(emb, 1, 4).as("head4"),
+        array_join(transform(slice(emb, 1, 4), fp), ",").as("head4"),
         round(aggregate(dbl, lit(0d), (acc, x) => acc + x * x), 6).as("norm_sq"),
         round(aggregate(dbl, lit(0d), (acc, x) => acc + x), 6).as("vec_sum"),
         exists(dbl, _ > 0.9).as("has_big"),
         forall(dbl, _ > -1d).as("all_gt_neg1"),
         size(filter(dbl, _ > 0d)).as("n_pos"),
-        sort_array(slice(emb, 1, 4), asc = false).as("head4_desc"),
-        sequence(lit(1), col("label") + 1).as("label_seq"))
+        array_join(transform(sort_array(slice(emb, 1, 4), asc = false), fp), ",")
+          .as("head4_desc"),
+        array_join(transform(sequence(lit(1), col("label") + 1), _.cast("string")), ",")
+          .as("label_seq"))
     }),
 
-    // F5: map family — built via map_from_arrays, emitted as sorted
-    // keys/values arrays (parquet map cells compare awkwardly; SURVEY §7.3
-    // says prefer array/struct shapes at the oracle boundary).
+    // F5: map family — built via map_from_arrays, keys/values emitted as
+    // CSV strings at the boundary (map/array cells compare awkwardly;
+    // SURVEY §7.3). Values go through decimal(18,6) — the double→decimal
+    // cast is engine-consistent (proven by p6_cast), unlike float→decimal.
     "f5_map" -> ((s, d) => {
       val m = map_from_arrays(
         array(lit("qty"), lit("price")),
@@ -126,8 +136,9 @@ object Functions {
         .filter(col("l_orderkey") % 100 === 0)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          map_keys(m).as("ks"),
-          map_values(m).as("vs"),
+          array_join(map_keys(m), ",").as("ks"),
+          array_join(transform(map_values(m),
+            _.cast("decimal(18,6)").cast("string")), ",").as("vs"),
           element_at(m, "qty").as("qty_back"),
           size(map_concat(m, map(lit("tax"), col("l_tax")))).as("n_entries"))
     }),
@@ -207,7 +218,7 @@ object Functions {
 
     "f1b_regex" ->
       """SELECT doc_id,
-        |  regexp_extract_all(text, '(join|scan|merge)', 1) AS ops_found,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '(join|scan|merge)', 1), ','), '') AS ops_found,
         |  CAST(len(regexp_extract_all(text, '(join|scan|merge)', 1)) AS INTEGER) AS n_ops,
         |  split_part(text, ' ', 1) AS first_word,
         |  split_part(text, ' ', 3) AS third_word,
@@ -246,20 +257,23 @@ object Functions {
       """SELECT vec_id, label,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS e1,
-        |  embedding[1:4] AS head4,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS head4,
         |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS norm_sq,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
         |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.9)) > 0 AS has_big,
         |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> NOT (x > -1.0))) = 0 AS all_gt_neg1,
         |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS INTEGER) AS n_pos,
-        |  list_sort(embedding[1:4], 'DESC') AS head4_desc,
-        |  range(1, label + 2) AS label_seq
+        |  array_to_string(list_transform(list_sort(embedding[1:4], 'DESC'),
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824) AS BIGINT)), ',') AS head4_desc,
+        |  array_to_string(range(1, label + 2), ',') AS label_seq
         |FROM embeddings""".stripMargin,
 
     "f5_map" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ['qty', 'price'] AS ks,
-        |  [l_quantity, l_extendedprice] AS vs,
+        |  'qty,price' AS ks,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS vs,
         |  l_quantity AS qty_back,
         |  3 AS n_entries
         |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,

@@ -134,17 +134,27 @@ object LlmPipeline {
     // of xor). xxhash64 has no DuckDB twin → rows-only; SimHashSuite pins
     // the algebra (identical docs ⇒ distance 0, one-word edit ⇒ small).
     "l2c_simhash" -> ((s, d) => {
-      val votes = (0 until 64).map(i =>
-        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-          .as(s"v$i"))
-      val sig = (0 until 64).map(i =>
-        when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_))
+      // The 64 sign-votes are packed into 16 agg lanes of 4×16-bit
+      // popcounts each (lane j, slot k holds c_i = #tokens with bit
+      // i=4j+k set; vote_i ≥ 0 ⇔ 2·c_i ≥ n_tokens). Exact while a doc has
+      // < 2^15 tokens (no cross-slot carry, no int64 overflow under ANSI);
+      // 4× less aggregation state than one sum(when(...)) lane per bit.
+      val packed = (0 until 16).map { j =>
+        sum((0 until 4).map { k =>
+          shiftrightunsigned(col("h"), j * 4 + k).bitwiseAND(lit(1L)) *
+            lit(1L << (16 * k))
+        }.reduce(_ + _)).as(s"c$j")
+      }
+      val sig = (0 until 64).map { i =>
+        val c = shiftrightunsigned(col(s"c${i / 4}"), 16 * (i % 4))
+          .bitwiseAND(lit(0xffffL))
+        when(c * 2 >= col("n_toks"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), explode(toksExpr).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
         .groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
+        .agg(count(lit(1)).as("n_toks"), packed: _*)
         .select(col("doc_id"), sig.as("simhash"))
       // band on 16-bit chunks → candidates → exact hamming re-check
       val banded = sigs.select(col("doc_id"), col("simhash"),

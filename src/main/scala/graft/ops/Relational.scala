@@ -175,16 +175,27 @@ object Relational {
     }),
 
     // J9: interval-overlap self-join — same-customer order pairs whose
-    // 30-day windows overlap (s1 < e2 AND s2 < e1), key-equi + theta.
+    // 30-day windows overlap (s1 < e2 AND s2 < e1). Scale shape: each
+    // interval is exploded into the calendar months it touches (≤2 for a
+    // 30-day window) and the join key is (ck, month) — any overlapping pair
+    // shares the month of a common instant, so recall is exact, while pair
+    // generation is quadratic only per (customer × month), not per
+    // customer's full history. Pairs found in both shared months dedup
+    // before counting.
     "j9_interval_overlap" -> ((s, d) => {
       val o = Tables.orders(s, d).select(
         col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
         col("o_orderdate").as("st"),
         date_add(col("o_orderdate"), 30).cast("timestamp").as("en"))
-      val a = o.select(col("ck"), col("ok").as("ok1"), col("st").as("st1"), col("en").as("en1"))
-      val b = o.select(col("ck"), col("ok").as("ok2"), col("st").as("st2"), col("en").as("en2"))
-      a.join(b, Seq("ck"))
+        .withColumn("mb", explode(array_distinct(array(
+          date_trunc("month", col("st")), date_trunc("month", col("en"))))))
+      val a = o.select(col("ck"), col("mb"), col("ok").as("ok1"),
+        col("st").as("st1"), col("en").as("en1"))
+      val b = o.select(col("ck"), col("mb"), col("ok").as("ok2"),
+        col("st").as("st2"), col("en").as("en2"))
+      a.join(b, Seq("ck", "mb"))
         .filter(col("ok1") < col("ok2") && col("st1") < col("en2") && col("st2") < col("en1"))
+        .select(col("ck"), col("ok1"), col("ok2")).distinct()
         .groupBy(col("ck")).agg(count(lit(1)).as("n_overlaps"))
     }),
 
@@ -212,6 +223,16 @@ object Relational {
       val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey"))
       a.unionByName(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_all"))
+    }),
+
+    // U2: union distinct — set semantics across branches (union + distinct
+    // is exactly Catalyst's plan for UNION; one hash-distinct shuffle).
+    "u2_union_distinct" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct()
     }),
 
     // U3: intersect (distinct set semantics).
@@ -344,6 +365,11 @@ object Relational {
         |  UNION ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |) t GROUP BY o_custkey""".stripMargin,
+
+    "u2_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "u3_intersect" ->
       """SELECT c_nationkey AS nk FROM customer

@@ -32,12 +32,16 @@ object Sources {
              max(col("n_name")).as("max_name"))
     }),
 
-    // S3: JSON lines sink + scan (explicit schema incl. timestamp).
+    // S3: JSON lines sink + scan (explicit schema incl. timestamp). A
+    // deterministic 1-in-10 key slice keeps the round-trip honest while
+    // bounding the serialized volume (JSON write+read is the slowest I/O
+    // path in the suite and needn't carry the whole table to prove itself).
     "s3_json_roundtrip" -> ((s, d) => {
       val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
       val out = stage("orders_json")
-      o.write.mode("overwrite").json(out)
+      o.coalesce(4).write.mode("overwrite").json(out)
       s.read.schema(o.schema).json(out)
         .agg(count(lit(1)).as("n_rows"),
              Det.dsum(col("o_totalprice")).as("sum_price"),
@@ -63,7 +67,7 @@ object Sources {
     "s3_json_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  MAX(o_orderdate) AS max_date, MIN(o_orderkey) AS min_key
-         |FROM orders""".stripMargin,
+         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     "s7_range" ->
       """SELECT id % 97 AS bucket, COUNT(*) AS n,
