@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY.md §2.10 T1–T8). Builders are
@@ -132,21 +134,108 @@ object StreamOps {
       }
   }
 
-  /** T8+Y5: streaming upsert — foreachBatch applies each micro-batch to a
-    * mutable target (latest-wins per PK). On a cluster the same shape
-    * drives a JDBC MERGE (graft.sources.JdbcSync) or a lakehouse upsert.
+  /** T8+Y5: streaming upsert — each micro-batch is reduced to a
+    * deterministic latest-wins row per PK, then MERGEd into the JDBC
+    * target from the EXECUTORS (foreachPartition) — nothing is collected
+    * to the driver, so the sink scales with the cluster like any batch
+    * JDBC write. The MERGE text is Derby/DB2 dialect (the embedded test
+    * DB); MS-SQL swaps the USING clause, the shape is identical.
     */
-  def upsertSink(changes: DataFrame,
-                 target: scala.collection.concurrent.Map[Long, (String, Double)]) =
+  def upsertToJdbc(changes: DataFrame, url: String, table: String,
+                   driver: String) =
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // deterministic latest-wins WITHIN the batch before applying
-        batch.groupBy(col("user_id"))
+        val latest = batch.groupBy(col("user_id"))
           .agg(max_by(struct(col("event_type"), col("value")),
                       struct(col("ts"), col("event_id"))).as("m"))
-          .select(col("user_id"), col("m.event_type"), col("m.value"))
-          .collect().foreach { r =>
-            target.put(r.getLong(0), (r.getString(1), r.getDouble(2)))
+          .select(col("user_id"), col("m.event_type").as("event_type"),
+                  col("m.value").as("val"))
+        latest.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.hasNext) {
+            Class.forName(driver)
+            val conn = java.sql.DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val ps = conn.prepareStatement(
+                s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON t.user_id = ? " +
+                "WHEN MATCHED THEN UPDATE SET event_type = ?, val = ? " +
+                "WHEN NOT MATCHED THEN INSERT (user_id, event_type, val) " +
+                "VALUES (?, ?, ?)")
+              rows.foreach { r =>
+                ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+                ps.setDouble(3, r.getDouble(2)); ps.setLong(4, r.getLong(0))
+                ps.setString(5, r.getString(1)); ps.setDouble(6, r.getDouble(2))
+                ps.addBatch()
+              }
+              ps.executeBatch()
+              conn.commit()
+            } finally conn.close()
           }
+        }
       }
+
+  /** T7 (Spark 4 successor API): the same sessionization as [[sessionize]]
+    * but via `transformWithState` — ValueState + event-time timers
+    * (requires the RocksDB state store provider). A timer at last+gap
+    * fires when the watermark passes it and emits the closed session;
+    * extending a session re-registers the timer.
+    */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var session: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionBuf]("session",
+        Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var buf = if (session.exists()) Option(session.get()) else None
+      // drop the stale timer before extending; re-registered below
+      buf.foreach(b => getHandle.deleteTimer(b.last + gapMs))
+      val closed = Seq.newBuilder[SessionSummary]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        buf match {
+          case Some(b) if t - b.last <= gapMs =>
+            buf = Some(SessionBuf(b.n + 1, b.first, math.max(b.last, t),
+              b.total + e.value))
+          case Some(b) =>
+            closed += SessionSummary(user, b.n, new Timestamp(b.first),
+              new Timestamp(b.last), b.total)
+            buf = Some(SessionBuf(1, t, t, e.value))
+          case None =>
+            buf = Some(SessionBuf(1, t, t, e.value))
+        }
+      }
+      buf.foreach { b =>
+        session.update(b)
+        getHandle.registerTimer(b.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (session.exists()) {
+        val b = session.get()
+        // a stale timer (session extended after registration) fires early:
+        // only close when this timer is the session's current one
+        if (info.getExpiryTimeInMs() >= b.last + gapMs) {
+          session.clear()
+          Iterator.single(SessionSummary(user, b.n, new Timestamp(b.first),
+            new Timestamp(b.last), b.total))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                    watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

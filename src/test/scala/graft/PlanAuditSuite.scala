@@ -83,6 +83,58 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(out == Set(("a", 1), ("b", 1), ("c", 2)))
   }
 
+  test("O2: sortWithinPartitions is a local sort — no exchange added") {
+    val df = Tables.orders(spark, sf)
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("o_orderdate"))
+    val p = df.queryExecution.executedPlan.toString
+    // Sort renders as "Sort [keys], <global>, <limit>" — false = local sort
+    assert(p.contains("Sort [") && p.contains("], false, 0"),
+      s"expected a partition-local sort:\n$p")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"the local sort must not add an exchange beyond the repartition:\n$p")
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true in final plan)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // detection = size > max(threshold, 5×median); one hot key holds
+      // ~97% of rows so lowering the floor lets the 4-partition local
+      // shuffle expose it exactly as a 100 TB hot key would
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 194000, 0L).otherwise(col("id") % 97).as("k"),
+                col("id").as("v"))
+      val right = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // NB: the post-join agg must NOT require hashpartitioning on the join
+      // key (a global agg is fine) — AQE refuses to split skewed partitions
+      // when a downstream operator relies on the join's output partitioning.
+      val joined = left.join(right.hint("merge"), Seq("k"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      joined.collect() // AQE finalizes the plan only on execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val o = Tables.orders(spark, sf)

@@ -121,22 +121,57 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(n >= 10, s"expected at least one 10-row micro-batch, got $n")
   }
 
-  test("T8+Y5 foreachBatch upsert: latest-wins per user across batches") {
+  test("T8+Y5 foreachBatch upsert MERGEs into JDBC target (Derby), no driver collect") {
     val spark0 = spark
     import spark0.implicits._
-    val target = scala.collection.concurrent.TrieMap[Long, (String, Double)](
-      99L -> ("seed", 0.0)) // pre-existing target row survives (no delete)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_upsert").resolve("db")
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE upsert_t (user_id BIGINT PRIMARY KEY, " +
+      "event_type VARCHAR(32), val DOUBLE)")
+    conn.createStatement().execute( // pre-existing row survives (no delete)
+      "INSERT INTO upsert_t VALUES (99, 'seed', 0.0)")
+    conn.close()
     val src = MemoryStream[Event]
-    val q = StreamOps.upsertSink(src.toDF(), target).start()
+    val q = StreamOps.upsertToJdbc(src.toDF(), url, "upsert_t", driver).start()
     try {
       src.addData(ev(1, 0, 1, "view", 1.0), ev(2, 5, 1, "click", 2.0))
       q.processAllAvailable()
       src.addData(ev(3, 10, 1, "purchase", 7.0), ev(4, 10, 2, "signup", 0.5))
       q.processAllAvailable()
     } finally q.stop()
-    assert(target(1L) == ("purchase", 7.0))
-    assert(target(2L) == ("signup", 0.5))
-    assert(target(99L) == ("seed", 0.0))
+    val back = spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> "upsert_t", "driver" -> driver))
+      .load().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(back(1L) == ("purchase", 7.0)) // latest-wins across batches
+    assert(back(2L) == ("signup", 0.5))
+    assert(back(99L) == ("seed", 0.0))
+  }
+
+  test("T7b transformWithState sessionize (RocksDB state store, event-time timers)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = runToSink("t7b")(
+        s => StreamOps.sessionizeTws(s.toDS()).toDF(),
+        Seq(
+          Seq(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 2.5)),
+          Seq(ev(3, 120, 2, "view", 1.0)),   // watermark 110min: closes user 1
+          Seq(ev(4, 300, 2, "view", 1.0))))  // closes user 2's first session
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1)
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Int]("n_events") == 2)
+      assert(u1.head.getAs[Double]("total_value") == 3.5)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
