@@ -12,33 +12,32 @@ object ScratchTiming {
     val d = "/root/testdata/sf0.1"
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val r = f
-      println(f"T $name: ${(System.nanoTime()-t0)/1e9}%.2f s ($r)")
+      println(f"T $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
     val docs = spark.read.parquet(s"$d/documents.parquet")
     t("warmup") { docs.count() }
+
+    // l2a stage profile: where do the ~4s go?
     val sh = array_distinct(transform(
       sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
       i => col("text").substr(i, lit(5))))
-    def oldForm() = {
-      val ds = docs.select(col("doc_id"), col("lang"), col("source"),
-        (col("n_chars") / 50).cast("int").as("lenb"), sh.as("sh"))
-      val a = ds.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("id_a"), col("lang"), col("source"),
-                col("lenb"), col("sh").as("sh_a"))
-      val b = ds.select(col("doc_id").as("id_b"), col("lang"), col("source"),
-                        col("lenb"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "source", "lenb"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-                size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
-        .filter(col("jaccard") > 0.12)
-    }
-    def newForm() = graft.ops.LlmPipeline.queries("l2a_shingle_jaccard")(spark, d)
+    val exploded = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("n_chars") / 50).cast("int").as("lenb"), explode(sh).as("sh"))
     for (i <- 1 to 3) {
-      t(s"l2a-array$i") { oldForm().count() }
-      t(s"l2a-relational$i") { newForm().count() }
+      t(s"explode-only$i") { exploded.count() }
+      t(s"sizes$i") { exploded.groupBy("doc_id").agg(count(lit(1))).count() }
+      t(s"full-l2a$i") {
+        graft.ops.LlmPipeline.queries("l2a_shingle_jaccard")(spark, d).count()
+      }
     }
+    val q = graft.ops.LlmPipeline.queries("l2a_shingle_jaccard")(spark, d)
+    q.count()
+    val p = q.queryExecution.executedPlan.toString
+    println("PLANSTATS reused=" + (p.split("ReusedExchange").length - 1) +
+      " exch=" + (p.split("Exchange hashpartitioning").length - 1) +
+      " scans=" + (p.split("FileScan parquet").length - 1) +
+      " gen=" + (p.split("Generate explode").length - 1))
     spark.stop()
   }
 }

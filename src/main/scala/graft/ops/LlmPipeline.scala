@@ -62,29 +62,40 @@ object LlmPipeline {
     // (lang, source, n_chars/50): candidate pairs are per-block quadratic
     // (the LSH-free baseline; L2b is the sub-quadratic path).
     "l2a_shingle_jaccard" -> ((s, d) => {
-      // Relational Jaccard: explode distinct shingles once per doc, count
-      // shared shingles with a codegen'd equi-join + hash-agg, and derive
-      // |A∪B| = |A|+|B|-|A∩B| from precomputed set sizes. The array form
-      // (array_intersect per candidate pair) is interpreted and rebuilds
-      // both shingle sets per pair — this shape shuffles once and scales.
-      val sh = array_distinct(transform(
-        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-        i => col("text").substr(i, lit(5))))
-      val exploded = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), col("source"),
-        (col("n_chars") / 50).cast("int").as("lenb"), explode(sh).as("sh"))
-      val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = exploded.filter(col("doc_id") % 10 === 0)
+      // Relational Jaccard: count shared shingles with a codegen'd
+      // equi-join + hash-agg and derive |A∪B| = |A|+|B|-|A∩B| from per-doc
+      // set sizes. The array form (array_intersect per candidate pair) is
+      // interpreted and rebuilds both shingle sets per pair. Shape notes
+      // (each measured, see round-2 ScratchTiming):
+      //  - shingling is a codegen'd generator (explode positions + substr),
+      //    not an interpreted transform(sequence(...)) array lambda;
+      //  - the per-doc shingle SET and its size come from ONE collect_set
+      //    aggregation, exploded with `sz` attached — a separate `sizes`
+      //    subplan would recompute the corpus pipeline once per reference
+      //    (ReuseExchange can't kick in: the a-side pushdown changes the
+      //    subplan), turning 1.1 corpus passes into 3.1.
+      val docSh = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") / 50).cast("int").as("lenb"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))))
+            .as("p"))
+        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
+          col("text").substr(col("p"), lit(5)).as("sh"))
+        .groupBy("doc_id", "lang", "source", "lenb")
+        .agg(collect_set(col("sh")).as("shs"))
+        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
+          size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+      val a = docSh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
-                col("lenb"), col("sh"))
-      val b = exploded.select(col("doc_id").as("id_b"), col("lang"),
-                              col("source"), col("lenb"), col("sh"))
-      val inter = a.join(b, Seq("lang", "source", "lenb", "sh"))
+                col("lenb"), col("sz").as("sz_a"), col("sh"))
+      val b = docSh.select(col("doc_id").as("id_b"), col("lang"),
+                           col("source"), col("lenb"), col("sz").as("sz_b"),
+                           col("sh"))
+      a.join(b, Seq("lang", "source", "lenb", "sh"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_inter"),
+             min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
         .select(col("id_a"), col("id_b"),
           round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
             .as("jaccard"))
@@ -104,8 +115,12 @@ object LlmPipeline {
       // fns) — measured 100×+ slower at sf0.1.
       val w = Window.partitionBy("doc_id").orderBy("p")
       val sig = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toksExpr))
+        // codegen tokenizer: posexplode(split) + relational empty filter
+        // (an interpreted filter() lambda inside the generator costs a
+        // boxed lambda call per token); p keeps gaps, order is unchanged.
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " +")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+        .where(col("tok") =!= "")
         // concat_ws skips the trailing NULL leads: tail shingles shorten,
         // deterministically, matching a clamped 3-gram window.
         .select(col("doc_id"), concat_ws(" ", col("tok"),
@@ -151,7 +166,8 @@ object LlmPipeline {
         when(c * 2 >= col("n_toks"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
       val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toksExpr).as("tok"))
+        .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("tok"))
+        .where(col("tok") =!= "")
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), packed: _*)
@@ -274,9 +290,11 @@ object LlmPipeline {
     // L5a: term frequency with stopword filter — top-20 terms.
     "l5a_term_freq" -> ((s, d) => {
       // NB: not array_except — that dedups within a doc and would skew counts.
+      // Codegen tokenizer: explode(split) + relational WHERE, no lambda.
       Tables.documents(s, d)
-        .select(explode(filter(toksExpr,
-          t => !t.isin("the", "a", "of", "and", "to"))).as("term"))
+        .select(explode(split(lower(col("text")), " +")).as("term"))
+        .where(col("term") =!= "" &&
+               !col("term").isin("the", "a", "of", "and", "to"))
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)
@@ -321,8 +339,9 @@ object LlmPipeline {
     // ln() on both engines; round(6) absorbs the last-ulp libm delta.
     "l5e_tfidf" -> ((s, d) => {
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(filter(toksExpr,
-          t => !t.isin("the", "a", "of", "and", "to"))).as("term"))
+        .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("term"))
+        .where(col("term") =!= "" &&
+               !col("term").isin("the", "a", "of", "and", "to"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))

@@ -135,18 +135,19 @@ object Sync {
     // the full recompute (y4), which is exactly what the oracle checks.
     "y8_incremental_apply" -> ((s, d) => {
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
-      val ev = Tables.events(s, d)
-      val w = Window.partitionBy("user_id")
+      // One full-data shuffle: latest row per (user, side) where side
+      // says baseline (ts ≤ cutoff) vs change (ts > cutoff); then change
+      // overrides baseline via a second, ≤2-rows-per-user window — instead
+      // of two full window passes plus an anti-join over the same scan.
+      val w1 = Window.partitionBy("user_id", "is_new")
         .orderBy(col("ts").desc, col("event_id").desc)
-      def latest(df: DataFrame) = df
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val w2 = Window.partitionBy("user_id").orderBy(col("is_new").desc)
+      Tables.events(s, d)
+        .withColumn("is_new", col("ts") > cutoff)
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .withColumn("pick", row_number().over(w2)).filter(col("pick") === 1)
         .select(col("user_id"), col("event_type").as("last_type"),
                 col("value").as("last_value"), col("ts").as("last_ts"))
-      val baseline = latest(ev.filter(col("ts") <= cutoff))     // old state
-      val changes  = latest(ev.filter(col("ts") > cutoff))      // new changes
-      // latest-wins merge: change rows override baseline rows on the PK
-      changes.unionByName(
-        baseline.join(changes.select("user_id"), Seq("user_id"), "left_anti"))
     }),
 
     // Y7: SCD2 — change rows become effective-dated versions per key:
