@@ -192,6 +192,46 @@ object LlmPipeline {
              coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     }),
 
+    // L2d: near-dup via word-2-gram Jaccard — same relational shape as
+    // l2a (blocked equi-join + hash-agg) but over word n-grams built with
+    // the l2b posexplode+lead pipeline (full bigrams only; word 3-grams
+    // are near-disjoint on this corpus). Word n-grams are the token-level
+    // dedup family (char shingles = l2a, minhash = l2b, simhash = l2c,
+    // embedding = l7).
+    "l2d_ngram_jaccard" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") / 50).cast("int").as("lenb"),
+          posexplode(split(lower(col("text")), " +")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
+          col("tok"), lead("tok", 1).over(w).as("t1"))
+        .where(col("t1").isNotNull) // full bigrams only
+        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
+          concat_ws(" ", col("tok"), col("t1")).as("g"))
+        .groupBy("doc_id", "lang", "source", "lenb")
+        .agg(collect_set(col("g")).as("gs"))
+        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
+          size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+      val a = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"), col("lang"), col("source"),
+                col("lenb"), col("sz").as("sz_a"), col("g"))
+      val b = grams.select(col("doc_id").as("id_b"), col("lang"),
+                           col("source"), col("lenb"), col("sz").as("sz_b"),
+                           col("g"))
+      a.join(b, Seq("lang", "source", "lenb", "g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_inter"),
+             min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") > 0.04)
+    }),
+
     // L7: embedding-cosine near-dup dedup — LSH bucket candidates, exact
     // cosine > τ ⇒ the higher vec_id is a duplicate of the lower.
     "l7_embedding_dedup" -> ((s, d) => {
@@ -357,6 +397,21 @@ object LlmPipeline {
                 col("dfreq"), round(col("tfidf"), 6).as("tfidf"), col("rn"))
     }),
 
+    // L5f: token counting — whitespace tokens vs a BPE-ish regex
+    // tokenization (letter runs | digit runs | single non-alnum), the
+    // standard pre-training cost estimate; chars-per-token as the ratio.
+    "l5f_token_count" -> ((s, d) => {
+      val bpe = regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+      val ws = filter(split(lower(col("text")), " +"), t => t =!= "")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(ws).as("n_ws_tokens"),
+        size(bpe).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"),
+        round(length(col("text")) / size(bpe), 6).as("chars_per_bpe_token"))
+    }),
+
     // L5d: document fingerprints — order-insensitive md5 signature over the
     // sorted distinct token set + order-SENSITIVE rolling polynomial hash
     // (init = first token value, DuckDB list_reduce semantics).
@@ -414,6 +469,36 @@ object LlmPipeline {
         | AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.12""".stripMargin,
+
+    "l2d_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 50 AS INTEGER) AS lenb,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source, lenb,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks), 1)),
+        |      i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |                     toks[CAST(i AS INTEGER) + 1]))) AS gs
+        |  FROM docs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+        | AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+        |WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |            (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) > 0.04""".stripMargin,
+
+    "l5f_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)), 6) AS chars_per_bpe_token
+        |FROM documents""".stripMargin,
 
     "l3_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
