@@ -21,6 +21,7 @@ object Verify {
     // wall time several-fold. Outputs are per-query directories, fully
     // independent; Spark sessions are thread-safe for concurrent actions.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -29,12 +30,19 @@ object Verify {
             try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             catch { case e: Throwable =>
+              failed.add(name)
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
         })
       }
     tasks.foreach(_.get())
     pool.shutdown()
+    // summary so a thrown query can't silently vanish from the gate
+    // (selfcheck also reports oracle keys with no dump as MISSING)
+    if (!failed.isEmpty)
+      System.err.println(
+        s"[verify] SUMMARY: ${failed.size} failed: " +
+        String.join(",", failed))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

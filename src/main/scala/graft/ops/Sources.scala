@@ -49,6 +49,26 @@ object Sources {
              min(col("o_orderkey")).as("min_key"))
     }),
 
+    // S10: schema evolution across parquet snapshots — a later snapshot
+    // adds a column; mergeSchema=true unifies the footprints and the old
+    // snapshot's rows surface NULL for the new column (the sync-side
+    // answer to schema drift between source extracts).
+    "s10_schema_evolution" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val out = stage("orders_evolve")
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/snap=1")
+      o.filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$out/snap=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/snap=1", s"$out/snap=2")
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("o_orderstatus")).as("n_with_status"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             min(col("o_orderkey")).as("min_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -68,6 +88,19 @@ object Sources {
       s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  MAX(o_orderdate) AS max_date, MIN(o_orderkey) AS min_key
          |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+
+    "s10_schema_evolution" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice, o_orderstatus
+         |  FROM orders WHERE o_orderkey % 3 = 1)
+         |SELECT COUNT(*) AS n_rows,
+         |  COUNT(o_orderstatus) AS n_with_status,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key
+         |FROM merged""".stripMargin,
 
     "s7_range" ->
       """SELECT id % 97 AS bucket, COUNT(*) AS n,
