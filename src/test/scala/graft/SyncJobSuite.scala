@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Sync, Tables}
+import graft.sync.SyncJob
+import graft.sync.SyncJob.SyncConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Utility-level lifecycle (SURVEY §3.1): diff → apply → validate composed
+  * by SyncJob, checked against independently-derivable expectations from
+  * the deterministic sourceView mutation (drop %10, mutate %7, insert %13).
+  */
+class SyncJobSuite extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val cfg = SyncConfig(
+    keyCols = Seq("o_orderkey"),
+    compareCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority"))
+
+  test("incremental run: report matches the sourceView mutation law") {
+    val target = Tables.orders(spark, sf)
+    val source = Sync.sourceView(spark, sf)
+    val (result, r) = SyncJob.run(source, target, cfg)
+
+    val n = target.count()
+    val nDropped = target.filter(col("o_orderkey") % 10 === 0).count()
+    val nInserted = target.filter(col("o_orderkey") % 13 === 0).count()
+    // mutated rows: %7, still present in source (not %10-dropped)
+    val nMutated = target
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+      // mutation is a no-op for rows already 'F' with... always changes
+      // o_totalprice (+1000), so every such row is an update
+      .count()
+
+    assert(r.nInsert == nInserted)
+    assert(r.nUpdate == nMutated)
+    assert(r.nDelete == nDropped)
+    assert(r.nSame == n - nDropped - nMutated)
+    // incremental: target-only rows survive
+    assert(r.resultRows == source.count() + nDropped)
+    assert(r.validated)
+    // applied rows equal source rows on every mutated key
+    val mism = result.as("r").join(source.as("s"), Seq("o_orderkey"))
+      .filter(col("r.o_totalprice") =!= col("s.o_totalprice")).count()
+    assert(mism == 0)
+  }
+
+  test("full run (deleteMissing): result is exactly the source") {
+    val target = Tables.orders(spark, sf)
+    val source = Sync.sourceView(spark, sf)
+    val (result, r) = SyncJob.run(source, target, cfg.copy(deleteMissing = true))
+    assert(r.resultRows == source.count())
+    assert(r.validated)
+    assert(result.exceptAll(source).isEmpty && source.exceptAll(result).isEmpty)
+  }
+
+  test("composite-key diff classifies on the full key") {
+    val spark0 = spark
+    import spark0.implicits._
+    val t = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("k1", "k2", "v")
+    val s = Seq((1L, 1L, "a"), (1L, 2L, "B"), (3L, 1L, "d"))
+      .toDF("k1", "k2", "v")
+    val c = SyncConfig(Seq("k1", "k2"), Seq("v"))
+    val ops = SyncJob.diff(s, t, c)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(ops((1L, 1L)) == "S")
+    assert(ops((1L, 2L)) == "U")
+    assert(ops((2L, 1L)) == "D")
+    assert(ops((3L, 1L)) == "I")
+  }
+}
