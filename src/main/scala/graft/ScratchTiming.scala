@@ -31,13 +31,17 @@ object ScratchTiming {
         graft.ops.LlmPipeline.queries("l2a_shingle_jaccard")(spark, d).count()
       }
     }
-    val q = graft.ops.LlmPipeline.queries("l2a_shingle_jaccard")(spark, d)
-    q.count()
-    val p = q.queryExecution.executedPlan.toString
-    println("PLANSTATS reused=" + (p.split("ReusedExchange").length - 1) +
-      " exch=" + (p.split("Exchange hashpartitioning").length - 1) +
-      " scans=" + (p.split("FileScan parquet").length - 1) +
-      " gen=" + (p.split("Generate explode").length - 1))
+    for (name <- Seq("l2a_shingle_jaccard", "l2c_simhash", "l2d_ngram_jaccard",
+                     "l7_embedding_dedup");
+         i <- 1 to 3) {
+      val q = graft.ops.LlmPipeline.queries(name)(spark, d)
+      t(s"$name$i") { q.count() }
+      val p = q.queryExecution.executedPlan.toString
+      println(s"PLANSTATS $name reused=" + (p.split("ReusedExchange").length - 1) +
+        " exch=" + (p.split("Exchange hashpartitioning").length - 1) +
+        " scans=" + (p.split("FileScan parquet").length - 1) +
+        " agg=" + (p.split("HashAggregate").length - 1))
+    }
     spark.stop()
   }
 }

@@ -172,11 +172,17 @@ object LlmPipeline {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), packed: _*)
         .select(col("doc_id"), sig.as("simhash"))
-      // band on 16-bit chunks → candidates → exact hamming re-check
+      // band on 16-bit chunks → candidates → exact hamming re-check.
+      // The explicit repartition on the join key puts an identical
+      // exchange under BOTH self-join sides, so ReuseExchange computes
+      // the whole signature pipeline ONCE (without it, the broadcast
+      // join re-runs the explode+16-lane agg per side); the exchanged
+      // data is tiny (4 band rows per doc).
       val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+        .repartition(col("band"), col("chunk"))
       val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
         col("band"), col("chunk"))
       val b = banded.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
