@@ -216,6 +216,22 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // O5b: the same top-3-per-customer through the bounded TopKByPrice
+    // aggregator (map-side ≤k buffer per group — the shuffle carries at
+    // most k rows per group per partition instead of every row; see
+    // functions/TopK.scala). Same oracle semantics as O5.
+    "o5b_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKByPrice(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Ranked])
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.key").as("o_orderkey"),
+                col("col.price").as("o_totalprice"),
+                (col("pos") + 1).cast("int").as("rn"))
+    }),
+
     // U1+U2: union all / union distinct via unionByName.
     "u1_union" -> ((s, d) => {
       val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -365,6 +381,13 @@ object Relational {
         |  UNION ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |) t GROUP BY o_custkey""".stripMargin,
+
+    "o5b_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
 
     "u2_union_distinct" ->
       """SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -96,4 +96,20 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
       assert(js(1) == 1.0) // identical texts
     }
   }
+
+  test("TopKByPrice ≡ sort-and-take-k for any insert/merge split") {
+    import graft.functions.{Ranked, TopKByPrice}
+    val agg = new TopKByPrice(3)
+    val rows = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 99L)).map { case (p, k) =>
+        Ranked(p.toDouble, k) })
+    samples(Gen.zip(rows, Gen.choose(0, 25)), 10).foreach { case (vs, cut) =>
+      // duplicates are kept, like row_number keeps duplicate rows
+      val expected = vs.sortBy(r => (-r.price, r.key)).take(3)
+      val (l, r) = vs.splitAt(cut % (vs.size + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"merged=$merged expected=$expected")
+    }
+  }
 }
