@@ -48,6 +48,20 @@ object Functions {
         split_part(col("text"), lit(" "), lit(3)).as("third_word"),
         col("text").rlike("(fast|slow) (key|row)").as("has_pattern"))),
 
+    // F1c: more string family — ascii/char, printf-style formatting,
+    // left/right, contains/startsWith/endsWith predicates.
+    "f1c_string_extra" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        ascii(col("lang")).as("lang_ascii"),
+        expr("char(ascii(lang) + 1)").as("next_char"),
+        format_string("%s:%05d", col("lang"), col("doc_id")).as("tag_fmt"),
+        expr("left(text, 8)").as("head8"),
+        expr("right(text, 6)").as("tail6"),
+        col("text").contains("data").as("has_data"),
+        col("text").startsWith("the").as("starts_the"),
+        col("text").endsWith("s").as("ends_s"))),
+
     // F2: date/time family over orders dates + events timestamps.
     "f2_datetime" -> ((s, d) =>
       Tables.orders(s, d).select(
@@ -199,6 +213,18 @@ object Functions {
         |  repeat(lang, 3) AS lang3,
         |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "f1c_string_extra" ->
+      """SELECT doc_id,
+        |  CAST(ascii(lang) AS INTEGER) AS lang_ascii,
+        |  chr(ascii(lang) + 1) AS next_char,
+        |  printf('%s:%05d', lang, doc_id) AS tag_fmt,
+        |  left(text, 8) AS head8,
+        |  right(text, 6) AS tail6,
+        |  contains(text, 'data') AS has_data,
+        |  starts_with(text, 'the') AS starts_the,
+        |  text LIKE '%s' AS ends_s
         |FROM documents""".stripMargin,
 
     "f2_datetime" ->

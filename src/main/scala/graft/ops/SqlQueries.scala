@@ -31,6 +31,26 @@ object SqlQueries {
       |ORDER BY revenue DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
+  // Q5-shape: local-supplier revenue per nation within one region and a
+  // one-year window — the 6-table star Catalyst has to join-order well
+  // (region/nation broadcast, the c_nationkey = s_nationkey theta ties
+  // customer to supplier). Shared dialect text.
+  private val q5 =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
   private val existsQ =
     """SELECT c_custkey, c_name
       |FROM customer
@@ -60,6 +80,7 @@ object SqlQueries {
 
   val queries: Map[String, Q] = Map(
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
+    "sql_q5_local_supplier" -> ((s, d) => sql(s, d, q5)),
     "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
     "sql_scalar_subquery" -> ((s, d) => sql(s, d, scalarQ)),
     "sql_grouping_sets" -> ((s, d) => sql(s, d, groupingSetsQ))
@@ -67,6 +88,7 @@ object SqlQueries {
 
   val oracle: Map[String, String] = Map(
     "sql_q3_topk" -> q3,
+    "sql_q5_local_supplier" -> q5,
     "sql_exists_subquery" -> existsQ,
     "sql_scalar_subquery" -> scalarQ,
     "sql_grouping_sets" -> groupingSetsQ
