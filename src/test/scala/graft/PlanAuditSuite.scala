@@ -83,6 +83,21 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(out == Set(("a", 1), ("b", 1), ("c", 2)))
   }
 
+  test("Q5: the 6-table star broadcasts every dimension (≤1 sort-merge join)") {
+    val p = plan("sql_q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      s"at most the lineitem⋈orders join may shuffle:\n$p")
+  }
+
+  test("O5b: bounded top-k aggregator plans partial+final (map-side k-buffer)") {
+    val p = plan("o5b_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregator should plan an object/sort aggregate:\n$p")
+    assert(p.split("Aggregate").length >= 3,
+      s"expected partial+final aggregate phases:\n$p")
+  }
+
   test("O2: sortWithinPartitions is a local sort — no exchange added") {
     val df = Tables.orders(spark, sf)
       .repartition(4, col("o_custkey"))
