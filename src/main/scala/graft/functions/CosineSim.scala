@@ -136,9 +136,37 @@ object CosineSim {
   }
 }
 
+/** Injected optimizer rule (the SURVEY §2.12 Rule[LogicalPlan] path):
+  * `x RLIKE 'lit'` with a metacharacter-free literal pattern is exactly
+  * substring containment (Java-regex find() semantics are unanchored and
+  * NULL-propagating, same as Contains) — rewrite it to the codegen'd
+  * string Contains, skipping regex compilation/matching per row. Catalyst
+  * ships LikeSimplification for LIKE but nothing for RLIKE, and text
+  * pipelines emit literal rlike filters constantly (quality/langid
+  * marker scans). Conservative guard: ASCII letters/digits/space/_ only.
+  */
+object SimplifyLiteralRLike extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.expressions.{Contains, Literal, RLike}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def metaFree(p: String): Boolean =
+    p.nonEmpty && p.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == ' ' || c == '_')
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case RLike(l, Literal(p: UTF8String, _)) if metaFree(p.toString) =>
+        Contains(l, Literal(p, org.apache.spark.sql.types.StringType))
+    }
+}
+
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes `cosine_sim` AND `dot_product` available in every session of the
-  * JVM — the same pair CosineSim.register installs per-session.
+  * JVM — the same pair CosineSim.register installs per-session — and
+  * installs the SimplifyLiteralRLike optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -148,5 +176,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectOptimizerRule(_ => SimplifyLiteralRLike)
   }
 }

@@ -69,6 +69,16 @@ object SqlQueries {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // NOT IN subquery — Catalyst plans a null-aware anti-join (NAAJ): one
+  // NULL in the subquery legally empties the result, a semantics
+  // difference from NOT EXISTS that both engines implement identically.
+  private val notInQ =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   // explicit GROUPING SETS lattice (A10's third form) — shared text.
   private val groupingSetsQ =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -82,6 +92,7 @@ object SqlQueries {
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
     "sql_q5_local_supplier" -> ((s, d) => sql(s, d, q5)),
     "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
+    "sql_not_in_subquery" -> ((s, d) => sql(s, d, notInQ)),
     "sql_scalar_subquery" -> ((s, d) => sql(s, d, scalarQ)),
     "sql_grouping_sets" -> ((s, d) => sql(s, d, groupingSetsQ))
   )
@@ -90,6 +101,7 @@ object SqlQueries {
     "sql_q3_topk" -> q3,
     "sql_q5_local_supplier" -> q5,
     "sql_exists_subquery" -> existsQ,
+    "sql_not_in_subquery" -> notInQ,
     "sql_scalar_subquery" -> scalarQ,
     "sql_grouping_sets" -> groupingSetsQ
   )
