@@ -55,6 +55,29 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(result.exceptAll(source).isEmpty && source.exceptAll(result).isEmpty)
   }
 
+  test("lifecycle over JDBC endpoints: Derby target catches up to the source") {
+    import graft.sources.JdbcSync._
+    import org.apache.spark.sql.SaveMode
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_syncjob").resolve("db")
+    val jcfg = JdbcConfig(url = s"jdbc:derby:$dbPath;create=true",
+      table = "ORDERS_TGT", driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    // target DB starts as the stale snapshot; source is the mutated view
+    writeTable(Tables.orders(spark, sf).select(cols.map(col): _*),
+      jcfg, SaveMode.Overwrite)
+    val source = Sync.sourceView(spark, sf).select(cols.map(col): _*)
+    val target = readTable(spark, jcfg, None)
+    val c = SyncConfig(Seq("o_orderkey"), cols.tail, deleteMissing = true)
+    val (result, r) = SyncJob.run(source, target, c)
+    assert(r.validated && r.nUpdate > 0 && r.nInsert > 0 && r.nDelete > 0)
+    // write the applied state back over JDBC and re-diff: fully in sync
+    writeTable(result, jcfg, SaveMode.Overwrite)
+    val refreshed = readTable(spark, jcfg, None)
+    val post = SyncJob.diff(source, refreshed, c)
+    assert(post.filter(col("op") =!= "S").isEmpty)
+  }
+
   test("composite-key diff classifies on the full key") {
     val spark0 = spark
     import spark0.implicits._
