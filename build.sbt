@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must go RAW to stdout: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks line-oriented JSON
+// consumers of Bench/Verify output. showSuccess drops the trailing
+// "[success] Total time" line so Bench's summary JSON is the LAST line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

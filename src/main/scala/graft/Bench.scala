@@ -26,20 +26,27 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = pass(); val p2 = pass()
-    // min; any -1 failure sentinel wins the min and stays visible
-    val results = p1.map { case (k, v1) => k -> math.min(v1, p2.getOrElse(k, -1.0)) }
+    // min over SUCCEEDED passes only: a query that ran clean in one pass
+    // keeps its valid timing even if the other pass threw; a query that
+    // failed both passes stays a visible -1 sentinel but is EXCLUDED from
+    // the summed total (a failure must not lower the reported seconds).
+    val results = p1.map { case (k, v1) =>
+      val ok = Seq(v1, p2.getOrElse(k, -1.0)).filter(_ >= 0.0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val failed = results.count(_._2 < 0.0)
     // Per-query timings go to a file + a non-final stdout line; the driver's
     // tail-capture window only reliably holds the LAST line, so the scored
     // summary is a compact (<200 char) total-only JSON line printed last.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0.0).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"),
       s"""{"queries":$qs,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"perquery":$qs}""")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
   }
 }

@@ -158,7 +158,13 @@ object SimplifyLiteralRLike extends org.apache.spark.sql.catalyst.rules.Rule[
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case RLike(l, Literal(p: UTF8String, _)) if metaFree(p.toString) =>
+      // Guard on the DEFAULT (UTF8_BINARY) string collation: RLike always
+      // matches with binary semantics, but Contains is collation-aware in
+      // Spark 4 — under e.g. UTF8_LCASE the rewrite would change results
+      // ('FAST' contains 'fast' but does not rlike 'fast').
+      case RLike(l, Literal(p: UTF8String, _))
+          if metaFree(p.toString) &&
+            l.dataType == org.apache.spark.sql.types.StringType =>
         Contains(l, Literal(p, org.apache.spark.sql.types.StringType))
     }
 }

@@ -176,19 +176,23 @@ object Relational {
 
     // J9: interval-overlap self-join — same-customer order pairs whose
     // 30-day windows overlap (s1 < e2 AND s2 < e1). Scale shape: each
-    // interval is exploded into the calendar months it touches (≤2 for a
-    // 30-day window) and the join key is (ck, month) — any overlapping pair
-    // shares the month of a common instant, so recall is exact, while pair
+    // interval is exploded into EVERY calendar month it touches
+    // (sequence(trunc(st)..trunc(en), 1 month) — not just the endpoint
+    // months, which would drop pairs whose only common month is a middle
+    // month once the width exceeds ~2 months) and the join key is
+    // (ck, month) — any overlapping pair shares the month of a common
+    // instant, so recall is exact for any interval width, while pair
     // generation is quadratic only per (customer × month), not per
-    // customer's full history. Pairs found in both shared months dedup
+    // customer's full history. Pairs found in several shared months dedup
     // before counting.
     "j9_interval_overlap" -> ((s, d) => {
       val o = Tables.orders(s, d).select(
         col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
         col("o_orderdate").as("st"),
         date_add(col("o_orderdate"), 30).cast("timestamp").as("en"))
-        .withColumn("mb", explode(array_distinct(array(
-          date_trunc("month", col("st")), date_trunc("month", col("en"))))))
+        .withColumn("mb", explode(sequence(
+          date_trunc("month", col("st")), date_trunc("month", col("en")),
+          expr("interval 1 month"))))
       val a = o.select(col("ck"), col("mb"), col("ok").as("ok1"),
         col("st").as("st1"), col("en").as("en1"))
       val b = o.select(col("ck"), col("mb"), col("ok").as("ok2"),

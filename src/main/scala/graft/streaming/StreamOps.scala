@@ -142,7 +142,13 @@ object StreamOps {
     * DB); MS-SQL swaps the USING clause, the shape is identical.
     */
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
-                   driver: String) =
+                   driver: String) = {
+    // The table name is interpolated into the MERGE text (identifiers
+    // cannot be bound as JDBC parameters), so validate it as a plain
+    // [schema.]identifier — rejects injection and names that would need
+    // dialect quoting.
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"upsertToJdbc: invalid table identifier '$table'")
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = batch.groupBy(col("user_id"))
@@ -173,6 +179,7 @@ object StreamOps {
           }
         }
       }
+  }
 
   /** T7 (Spark 4 successor API): the same sessionization as [[sessionize]]
     * but via `transformWithState` — ValueState + event-time timers

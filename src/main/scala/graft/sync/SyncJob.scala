@@ -34,12 +34,18 @@ object SyncJob {
       nInsert: Long, nUpdate: Long, nDelete: Long, nSame: Long,
       resultRows: Long, validated: Boolean)
 
-  /** Order-insensitive per-row digest over the compare columns; NULL cells
-    * get a sentinel so (NULL,"x") and ("x",NULL) digest differently.
+  /** Per-row digest over the compare columns. Hashes the row STRUCTURALLY
+    * (JSON-serialized struct, null fields kept) rather than via a
+    * delimiter-joined string: with concat_ws("|", ...) the rows
+    * ("a|b","c") and ("a","b|c") collide across column boundaries, so a
+    * changed row silently classifies as Same and validate() (same digest)
+    * cannot catch the drift. JSON quoting/escaping makes every cell
+    * boundary unambiguous, and keeping null fields keeps (NULL,"x")
+    * distinct from ("x",NULL).
     */
   def rowDigest(cols: Seq[String]): Column =
-    md5(concat_ws("|", cols.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    md5(to_json(struct(cols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
 
   /** Y3 generalized: classify every key as I(nsert), D(elete), U(pdate) or
     * S(ame) — one full-outer sort-merge join on the PK.
