@@ -451,10 +451,137 @@ object LlmPipeline {
         .select(col("label"), col("pos1"),
                 (col("s").cast("double") / lit(1073741824d) / col("n")).as("mean_val"),
                 col("n"))
+    }),
+
+    // L8: dedup-GROUP resolution — the step after near-dup pair detection
+    // that an actual dedup pipeline needs: near-duplicate is not
+    // transitive (A~B, B~C but A≁C), so pairs must be closed into
+    // connected components and one canonical doc kept per component.
+    //
+    // Edges: md5-based MinHash banding over word-bigram sets — per band b,
+    // sig_b = min(md5("b|" + bigram)); docs in the same (lang, source)
+    // agreeing on any band's minimum are an edge. md5 is engine-portable,
+    // so unlike the xxhash64 signatures of l2b this LSH is fully
+    // oracle-checkable in DuckDB.
+    //
+    // Components: iterative min-label propagation — comp(v) := min over
+    // N(v)∪{v} of comp — until a fixpoint. Each round is ONE shuffle join
+    // on the vertex id plus a hash-agg; rounds = graph diameter (dup
+    // chains are shallow; capped at 25). `localCheckpoint` after every
+    // round truncates the growing lineage so round k does not replan
+    // rounds 1..k-1 — without it the plan doubles each iteration. At
+    // 100 TB the same loop holds (edges ≪ corpus: only docs sharing a
+    // band minimum); if dup chains were deep, the large-star/small-star
+    // variant (Kiveris et al., "Connected Components in MapReduce and
+    // Beyond") cuts rounds to O(log n) with the identical per-round
+    // join+agg shape.
+    "l8_dup_groups" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(split(lower(col("text")), " +")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+        .where(col("tok") =!= "")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("tok"), lead("tok", 1).over(w).as("t1"))
+        .where(col("t1").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws(" ", col("tok"), col("t1")).as("g"))
+        .distinct()
+      val nBands = 4
+      val sigAggs = (0 until nBands).map(b =>
+        min(md5(concat(lit(s"$b|"), col("g")))).as(s"sig$b"))
+      val sigs = grams.groupBy("doc_id", "lang", "source")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+      val bandSig = sigs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val x = bandSig.select(col("doc_id").as("u"), col("lang"),
+        col("source"), col("band"), col("sig"))
+      val y = bandSig.select(col("doc_id").as("v"), col("lang"),
+        col("source"), col("band"), col("sig"))
+      val e0 = x.join(y, Seq("lang", "source", "band", "sig"))
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val comp = connectedComponents(e0)
+      comp.join(comp.groupBy("comp").agg(count(lit(1)).as("comp_size")), "comp")
+        .select(col("id").as("doc_id"), col("comp").as("dup_group"),
+          col("comp_size"))
     })
   )
 
+  /** Connected components by iterative min-label propagation (the l8
+    * engine, public for reuse on any pair table). Input: undirected edges
+    * as columns (u, v), one row per pair, either orientation. Output:
+    * (id, comp) for every vertex appearing in an edge, comp = the minimum
+    * id reachable from it.
+    *
+    * Each round is one shuffle join on the vertex id + one hash-agg;
+    * rounds = graph diameter (dup chains are shallow in practice; capped).
+    * `localCheckpoint` truncates lineage each round so round k doesn't
+    * replan rounds 1..k-1. For deep graphs the large-star/small-star
+    * variant (Kiveris et al., MapReduce CC) gets O(log n) rounds with the
+    * same per-round shape.
+    */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+                          maxIters: Int = 25): org.apache.spark.sql.DataFrame = {
+    val e0 = pairs.select(col("u"), col("v"))
+    val edges = e0.unionByName(
+        e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var comp = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(comp, edges("u") === comp("id"))
+        .select(edges("v").as("id"), col("comp"))
+      val next = comp.unionByName(prop)
+        .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
+      changed = next.join(comp.withColumnRenamed("comp", "old"), "id")
+        .where(col("comp") =!= col("old")).count()
+      comp = next
+      iter += 1
+    }
+    comp
+  }
+
   val oracle: Map[String, String] = Map(
+    // Transitive closure via recursive CTE: min reachable id = component.
+    "l8_dup_groups" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(toks), 1)),
+        |      i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |                     toks[CAST(i AS INTEGER) + 1])))) AS g
+        |  FROM docs),
+        |sig AS (
+        |  SELECT doc_id, lang, source, b.band AS band,
+        |         min(md5(concat(CAST(b.band AS VARCHAR), '|', g))) AS sig
+        |  FROM g, (VALUES (0),(1),(2),(3)) b(band)
+        |  GROUP BY doc_id, lang, source, b.band),
+        |e0 AS (
+        |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        |  FROM sig x JOIN sig y ON x.lang = y.lang AND x.source = y.source
+        |   AND x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+        |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT rc.id, e.v FROM reach rc JOIN edges e ON e.u = rc.r),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT c.id AS doc_id, c.comp AS dup_group, s.comp_size
+        |FROM comp c JOIN (SELECT comp, COUNT(*) AS comp_size
+        |                  FROM comp GROUP BY comp) s USING (comp)""".stripMargin,
+
     "l1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
         |  min(doc_id) AS rep_doc_id

@@ -184,6 +184,34 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(r.getLong(0) == r2.getLong(0) && r.getInt(1) == r2.getInt(1))
   }
 
+  test("L8 connected components: chain merges transitively, clique and isolate stay apart") {
+    val spark0 = spark
+    import spark0.implicits._
+    // path 1-2-3-4-5 (diameter 4: exercises >1 propagation round),
+    // triangle 10-11-12, disjoint pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("u", "v")
+    val comp = LlmPipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert((10L to 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 10)
+  }
+
+  test("L8 dup groups: every group is labeled by its own minimum member") {
+    val rows = SparkEntry.queries("l8_dup_groups")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(_.getLong(1))
+    byGroup.foreach { case (g, members) =>
+      assert(members.map(_.getLong(0)).min == g, s"group $g not labeled by min member")
+      assert(members.forall(_.getLong(2) == members.length),
+        s"comp_size mismatch in group $g")
+      assert(members.length >= 2, s"singleton group $g should not appear")
+    }
+  }
+
   test("JDBC option builders carry partitioning and batching") {
     import graft.sources.JdbcSync._
     val cfg = JdbcConfig("jdbc:sqlserver://host;database=db", "dbo.orders", "u", "p")

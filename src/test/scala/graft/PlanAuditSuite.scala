@@ -150,6 +150,36 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB story for fact-fact joins with a selective dim filter:
+    // InjectRuntimeFilter builds a bloom filter from the filtered creation
+    // side and pushes might_contain() into the fact scan, so most fact
+    // rows die before the shuffle. Thresholds are tuned for real scans
+    // (app side > 10 GB); lower them so the sf0.001 local join exposes
+    // exactly the plan a 100 TB run would get.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val o = Tables.orders(spark, sf)
