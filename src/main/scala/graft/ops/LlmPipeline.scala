@@ -453,6 +453,80 @@ object LlmPipeline {
                 col("n"))
     }),
 
+    // L5g: text cleaning/normalization — stopword removal + whitespace
+    // collapse, the standard pre-tokenization scrub. Pure per-row
+    // regexp_replace chain: codegen'd, embarrassingly parallel, no shuffle.
+    "l5g_clean" -> ((s, d) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "\\b(a|the)\\b", " "),
+        " +", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        cleaned.as("clean_text"),
+        size(toksExpr).as("n_toks_before"),
+        size(filter(split(cleaned, " "), t => t =!= "")).as("n_toks_after"))
+    }),
+
+    // L5h: context-window chunking — overlapping token windows (size 32,
+    // stride 24), the "split documents into training sequences" op. One
+    // generator per doc (explode over chunk starts) + array slice; chunk
+    // count ~ n_toks/stride so output scales linearly with corpus tokens,
+    // and nothing shuffles.
+    "l5h_chunk" -> ((s, d) => {
+      val toks = toksExpr
+      val n = size(toks)
+      val nChunks = when(n <= 32, lit(1L))
+        .otherwise(ceil((n - 32).cast("double") / 24.0).cast("long") + 1L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), (col("chunk_id") * 24 + 1).cast("int"), lit(32)).as("ch"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ch")).as("n_toks"),
+          concat_ws(" ", col("ch")).as("chunk_text"))
+    }),
+
+    // L5i: sample packing — assign docs to fixed-budget (2048-token)
+    // training bins, greedy in doc_id order per language: pack_id =
+    // floor(exclusive-running-token-count / budget). ONE window scan per
+    // lang partition (the shuffle key), no driver state — the standard
+    // streaming-packing shape; at 100 TB each lang partition packs
+    // independently.
+    "l5i_pack" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toksExpr).as("n_toks"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          floor(col("cum_before").cast("double") / 2048.0).cast("long")
+            .as("pack_id"))
+    }),
+
+    // L9: int8 scalar quantization of embeddings — max-abs per-vector
+    // scale, codes = floor(v·127/scale + ½) (explicit floor form so both
+    // engines share tie semantics bit-for-bit), plus reconstruction error.
+    // Per-row array lambdas only: linear scan, no shuffle; codes are
+    // emitted comma-joined (the array-output driver boundary).
+    "l9_quantize" -> ((s, d) => {
+      val e = embD
+      val scale = array_max(transform(e, v => abs(v)))
+      val codes = transform(e, v =>
+        coalesce(floor(v * 127.0 / nullif(scale, lit(0d)) + 0.5), lit(0d))
+          .cast("int"))
+      val recon = zip_with(codes, e,
+        (c, v) => abs(c.cast("double") * scale / 127.0 - v))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(scale, 6).as("scale6"),
+        concat_ws(",", transform(codes, _.cast("string"))).as("codes"),
+        round(array_max(recon), 6).as("max_abs_err6"))
+    }),
+
     // L8: dedup-GROUP resolution — the step after near-dup pair detection
     // that an actual dedup pipeline needs: near-duplicate is not
     // transitive (A~B, B~C but A≁C), so pairs must be closed into
@@ -549,6 +623,68 @@ object LlmPipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    "l5g_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '\b(a|the)\b', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+        |    t -> t <> '')) AS INTEGER) AS n_toks_before,
+        |  CAST(len(list_filter(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '\b(a|the)\b', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), t -> t <> '')) AS INTEGER) AS n_toks_after
+        |FROM documents""".stripMargin,
+
+    "l5h_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nc
+        |  FROM t)
+        |SELECT doc_id, ci.chunk_id AS chunk_id,
+        |  CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+        |       AS INTEGER) AS n_toks,
+        |  array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+        |                  ' ') AS chunk_text
+        |FROM c, LATERAL unnest(range(0, nc)) ci(chunk_id)""".stripMargin,
+
+    "l5i_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+        |      t -> t <> '')) AS INTEGER) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id, lang, n_toks,
+        |  CAST(floor(COALESCE(SUM(n_toks) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2048.0) AS BIGINT) AS pack_id
+        |FROM t""".stripMargin,
+
+    "l9_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, emb,
+        |    list_max(list_transform(emb, v -> abs(v))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, emb, scale,
+        |    list_transform(emb, v -> CAST(COALESCE(
+        |      floor(v * 127.0 / nullif(scale, 0) + 0.5), 0) AS INTEGER)) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  round(scale, 6) AS scale6,
+        |  array_to_string(codes, ',') AS codes,
+        |  round(list_max(list_transform(range(1, len(emb) + 1),
+        |    i -> abs(codes[CAST(i AS INTEGER)] * scale / 127.0 -
+        |             emb[CAST(i AS INTEGER)]))), 6) AS max_abs_err6
+        |FROM q""".stripMargin,
+
     // Transitive closure via recursive CTE: min reachable id = component.
     "l8_dup_groups" ->
       """WITH RECURSIVE docs AS (

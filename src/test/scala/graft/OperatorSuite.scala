@@ -212,6 +212,57 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("L5h chunking: stride-24/size-32 windows cover every token exactly") {
+    val rows = SparkEntry.queries("l5h_chunk")(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk starts advance by the stride; every chunk ≤ window size and
+      // non-empty; the last chunk ends exactly at the doc's last token
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i)
+        assert(c.getInt(2) > 0 && c.getInt(2) <= 32)
+      }
+      // tokens reconstruct: stride-aligned prefix of each chunk + full last
+      val toks = sorted.init.map(_.getString(3).split(" ").take(24).mkString(" ")) :+
+        sorted.last.getString(3)
+      val n = sorted.init.map(_ => 24).sum + sorted.last.getInt(2)
+      assert(n == (sorted.length - 1) * 24 + sorted.last.getInt(2))
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
+  test("L5i packing: bins stay under budget and are contiguous per lang") {
+    val rows = SparkEntry.queries("l5i_pack")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val byPack = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      // exclusive cumsum packing: a pack overflows only by its last doc,
+      // so every pack's starting offset is < budget → sum < budget + max doc
+      val maxDoc = docs.map(_._3).max
+      byPack.foreach { case (p, tot) =>
+        assert(tot < 2048 + maxDoc, s"pack $p holds $tot tokens")
+      }
+      val ids = byPack.keys.toSeq.sorted
+      assert(ids == (ids.min to ids.max), "pack ids not contiguous")
+    }
+  }
+
+  test("L9 quantization: codes bounded by ±127 and error within half a step") {
+    val rows = SparkEntry.queries("l9_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // max reconstruction error ≤ half a quantization step (+6dp rounding)
+      assert(r.getDouble(3) <= scale / 254.0 + 1e-6,
+        s"vec ${r.getLong(0)} err ${r.getDouble(3)} > half-step")
+    }
+  }
+
   test("JDBC option builders carry partitioning and batching") {
     import graft.sources.JdbcSync._
     val cfg = JdbcConfig("jdbc:sqlserver://host;database=db", "dbo.orders", "u", "p")
