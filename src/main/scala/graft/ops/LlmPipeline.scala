@@ -605,18 +605,34 @@ object LlmPipeline {
     val edges = e0.unionByName(
         e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var comp = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Seed comp(v) = min(v, neighbors) — the first propagation round is
+    // fused into the seeding aggregation instead of a separate iteration.
+    var comp = edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(comp, edges("u") === comp("id"))
+      // One round = neighbor-min propagation + a pointer jump
+      // (comp[comp[v]]). Both only decrease labels toward the same
+      // fixpoint (per-component min), and the jump collapses label trees
+      // in O(log diameter) rounds instead of O(diameter). The old label
+      // rides along as the flagged union branch, so convergence needs no
+      // extra join — one hash-agg answers both "new label" and "changed".
+      val viaEdge = edges.join(comp, edges("u") === comp("id"))
         .select(edges("v").as("id"), col("comp"))
-      val next = comp.unionByName(prop)
-        .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
-      changed = next.join(comp.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") =!= col("old")).count()
-      comp = next
+      val c2 = comp.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val viaJump = comp.join(c2, comp("comp") === c2("cid"))
+        .select(comp("id"), c2("ccomp").as("comp"))
+      val next = comp.select(col("id"), col("comp"), lit(1).as("own"))
+        .unionByName(viaEdge.withColumn("own", lit(0)))
+        .unionByName(viaJump.withColumn("own", lit(0)))
+        .groupBy("id")
+        .agg(min(col("comp")).as("nc"),
+             min(when(col("own") === 1, col("comp"))).as("oc"))
+        .localCheckpoint()
+      changed = next.where(col("nc") =!= col("oc")).count()
+      comp = next.select(col("id"), col("nc").as("comp"))
       iter += 1
     }
     comp
