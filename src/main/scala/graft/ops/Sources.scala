@@ -69,6 +69,23 @@ object Sources {
              min(col("o_orderkey")).as("min_key"))
     }),
 
+    // S11: ORC sink + scan — the columnar alternative to parquet that
+    // warehouse extracts commonly arrive in; predicate pushdown and
+    // column pruning work the same way. Round-trip proven by aggregating
+    // the re-read data against the parquet oracle.
+    "s11_orc_roundtrip" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val out = stage("orders_orc")
+      o.coalesce(4).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .agg(count(lit(1)).as("n_rows"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             sum(col("o_custkey")).cast("long").as("sum_cust"),
+             min(col("o_orderkey")).as("min_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -79,6 +96,11 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_orc_roundtrip" ->
+      s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, MIN(o_orderkey) AS min_key
+         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
     "s2_csv_roundtrip" ->
       """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
         |  MIN(n_name) AS min_name, MAX(n_name) AS max_name

@@ -88,8 +88,25 @@ object SqlQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, g_s, g_p""".stripMargin
 
+  // Q18-shape: large-quantity orders — IN over an aggregated-HAVING
+  // subquery, which Catalyst plans as a left-semi join against the
+  // aggregate (the fact table is scanned twice but shuffles on the same
+  // key both times, so AQE reuses the exchange). Shared dialect text.
+  private val q18 =
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  SUM(l_quantity) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 350)
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
+    "sql_q18_large_orders" -> ((s, d) => sql(s, d, q18)),
     "sql_q5_local_supplier" -> ((s, d) => sql(s, d, q5)),
     "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
     "sql_not_in_subquery" -> ((s, d) => sql(s, d, notInQ)),
@@ -99,6 +116,7 @@ object SqlQueries {
 
   val oracle: Map[String, String] = Map(
     "sql_q3_topk" -> q3,
+    "sql_q18_large_orders" -> q18,
     "sql_q5_local_supplier" -> q5,
     "sql_exists_subquery" -> existsQ,
     "sql_not_in_subquery" -> notInQ,

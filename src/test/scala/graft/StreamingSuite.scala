@@ -93,6 +93,22 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("v_id")).toSeq == Seq(11L))
   }
 
+  test("T6b stream-static join enriches events from a batch dimension") {
+    // The dimension-enrich shape: the static side is re-read per micro-batch
+    // (no state store involved), so broadcast applies exactly as in batch.
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val rows = runToSink("t6b")(
+      s => s.toDF().join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+        .select($"event_id", $"user_id", $"tier"),
+      Seq(Seq(ev(1, 1, 1, "view", 1.0), ev(2, 2, 2, "view", 1.0),
+              ev(3, 3, 7, "view", 1.0))))
+    val byId = rows.map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(byId(1L).contains("gold") && byId(2L).contains("basic"))
+    assert(byId(3L).isEmpty, "unmatched user must keep the row with null tier")
+  }
+
   test("T7 flatMapGroupsWithState emits session summary on event-time timeout") {
     val spark0 = spark
     import spark0.implicits._
