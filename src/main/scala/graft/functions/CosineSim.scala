@@ -183,5 +183,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectOptimizerRule(_ => SimplifyLiteralRLike)
+    ext.injectPlannerStrategy(_ => graft.plans.BoundedTopKStrategy)
   }
 }

@@ -236,6 +236,16 @@ object Relational {
                 (col("pos") + 1).cast("int").as("rn"))
     }),
 
+    // O5c: the same top-3-per-customer through the full custom-operator
+    // path — BoundedTopKPlan logical node → BoundedTopKStrategy →
+    // BoundedTopKExec (one k-slot min-heap per group after the clustered
+    // exchange; no partition sort, O(groups×k) memory; see
+    // plans/BoundedTopK.scala). Same result set as O5 minus the rank.
+    "o5c_topk_exec" -> ((s, d) =>
+      graft.plans.BoundedTopK.perGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)),
+
     // U1+U2: union all / union distinct via unionByName.
     "u1_union" -> ((s, d) => {
       val a = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -392,6 +402,14 @@ object Relational {
         |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
         |FROM orders
         |QUALIFY rn <= 3""".stripMargin,
+
+    "o5c_topk_exec" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
 
     "u2_union_distinct" ->
       """SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'

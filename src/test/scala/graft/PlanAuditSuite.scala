@@ -150,6 +150,21 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("O5c: custom strategy plans BoundedTopKExec behind a clustered exchange") {
+    val df = SparkEntry.queries("o5c_topk_exec")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BoundedTopK"), s"custom operator not planned:\n$p")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "requiredChildDistribution must insert the group-key exchange")
+    assert(!p.contains("Sort "), "bounded top-k must not sort partitions")
+    // and it agrees with the window-function form at sf0.001
+    val viaWindow = SparkEntry.queries("o5_topk_per_group")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val viaExec = df.collect().map(_.toSeq).toSet
+    assert(viaExec == viaWindow)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB story for fact-fact joins with a selective dim filter:
     // InjectRuntimeFilter builds a bloom filter from the filtered creation
