@@ -86,6 +86,24 @@ object Sources {
              min(col("o_orderkey")).as("min_key"))
     }),
 
+    // S12: date-partitioned parquet sink + pruned scan — the layout a
+    // 100 TB fact table actually lives in. The read filter on the
+    // partition column prunes directories before any file I/O
+    // (PartitionFilters in the scan, pinned in PlanAuditSuite); the
+    // aggregate proves the pruned slice is exactly the oracle's filter.
+    "s12_partitioned_sink" -> ((s, d) => {
+      val out = stage("orders_by_year")
+      Tables.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("order_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("order_year") === 1997)
+        .agg(count(lit(1)).as("n_rows"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -100,6 +118,11 @@ object Sources {
       s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, MIN(o_orderkey) AS min_key
          |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+
+    "s12_partitioned_sink" ->
+      s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997""".stripMargin,
 
     "s2_csv_roundtrip" ->
       """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,

@@ -263,6 +263,30 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("S3 malformed JSON: PERMISSIVE captures the bad line, DROPMALFORMED drops it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.writeString(dir.resolve("part.json"),
+      """{"a": 1, "b": "x"}
+        |{"a": 2, "b": "y"}
+        |{"a": oops not json
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val permissive = spark.read.schema(schema).json(dir.toString).cache()
+    try {
+      assert(permissive.count() == 3)
+      val bad = permissive.collect().filter(_.getString(2) != null)
+      assert(bad.length == 1 && bad.head.getString(2).contains("oops"))
+      val dropped = spark.read
+        .schema(org.apache.spark.sql.types.StructType(schema.fields.take(2)))
+        .option("mode", "DROPMALFORMED").json(dir.toString)
+      assert(dropped.count() == 2)
+    } finally permissive.unpersist()
+  }
+
   test("JDBC option builders carry partitioning and batching") {
     import graft.sources.JdbcSync._
     val cfg = JdbcConfig("jdbc:sqlserver://host;database=db", "dbo.orders", "u", "p")
