@@ -166,6 +166,20 @@ object Functions {
         (from_json(col("props"), lit("k INT")).getField("k") * 2).as("k_doubled"),
         to_json(struct(col("user_id").as("u"), col("event_type").as("t"))).as("packed"))),
 
+    // F9: VARIANT semi-structured path (Spark 4) — parse once into the
+    // binary variant encoding, then typed variant_get extraction. Same
+    // oracle semantics as the string-JSON route in F6, but the scan-side
+    // representation is the shredded binary form a 100 TB semi-structured
+    // column should use (parse once, extract many, no per-access reparse).
+    "f9_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          (expr("variant_get(v, '$.k', 'int')") * 2).as("k_doubled"))),
+
     // F7: hash/binary family — md5/sha256/base64 agree across engines;
     // input capped at 40 chars so no MIME line-wrap ambiguity for base64.
     "f7_hash" -> ((s, d) =>
@@ -310,6 +324,13 @@ object Functions {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
         |  to_json({'u': user_id, 't': event_type})::VARCHAR AS packed
+        |FROM events""".stripMargin,
+
+    "f9_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
         |FROM events""".stripMargin,
 
     "f7_hash" ->
