@@ -624,13 +624,17 @@ object LlmPipeline {
       val c2 = comp.select(col("id").as("cid"), col("comp").as("ccomp"))
       val viaJump = comp.join(c2, comp("comp") === c2("cid"))
         .select(comp("id"), c2("ccomp").as("comp"))
+      // LAZY checkpoint: the convergence count below is the first action,
+      // so it materializes the checkpoint and answers "changed" in ONE
+      // job — an eager checkpoint would cost a second blocking job per
+      // round (round latency, not data volume, dominates this loop).
       val next = comp.select(col("id"), col("comp"), lit(1).as("own"))
         .unionByName(viaEdge.withColumn("own", lit(0)))
         .unionByName(viaJump.withColumn("own", lit(0)))
         .groupBy("id")
         .agg(min(col("comp")).as("nc"),
              min(when(col("own") === 1, col("comp"))).as("oc"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.where(col("nc") =!= col("oc")).count()
       comp = next.select(col("id"), col("nc").as("comp"))
       iter += 1
