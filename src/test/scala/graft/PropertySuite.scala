@@ -97,6 +97,51 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("connectedComponents ≡ driver-side union-find on random graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    val edgeGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)).suchThat(e => e._1 != e._2))
+    samples(edgeGen, 5).foreach { edges =>
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // union-find roots are not guaranteed minimal per component; remap
+      val minOfRoot = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val want = expected.map { case (v, r) => v -> minOfRoot(r) }
+      val got = graft.ops.LlmPipeline
+        .connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("BoundedTopKExec ≡ sort-based top-k per group on random data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 4L), Gen.choose(0L, 999L), Gen.choose(0, 20)))
+    samples(rowGen, 5).foreach { raw =>
+      val rows = raw.map { case (g, id, v) => (g, id, v.toDouble) }
+        .distinct // unique (g,id) pairs keep the tie-break total
+      val df = rows.toDF("g", "id", "v")
+      val got = graft.plans.BoundedTopK.perGroup(df, Seq("g"), "v", "id", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = rows.groupBy(_._1).values.flatMap(
+        _.sortBy(r => (-r._3, r._2)).take(3)).toSet
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("TopKByPrice ≡ sort-and-take-k for any insert/merge split") {
     import graft.functions.{Ranked, TopKByPrice}
     val agg = new TopKByPrice(3)
