@@ -636,6 +636,9 @@ object LlmPipeline {
              min(when(col("own") === 1, col("comp"))).as("oc"))
         .localCheckpoint(false)
       changed = next.where(col("nc") =!= col("oc")).count()
+      // reassigning comp drops the only reference to the previous round's
+      // checkpoint blocks; the ContextCleaner reclaims them asynchronously,
+      // so live storage stays at edges + two label tables, not one per round
       comp = next.select(col("id"), col("nc").as("comp"))
       iter += 1
     }

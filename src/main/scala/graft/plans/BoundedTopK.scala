@@ -46,7 +46,11 @@ object BoundedTopKStrategy extends SparkStrategy {
 
 /** Keeps, per group, the k rows with the largest (orderCol, -tieCol) —
   * i.e. orderCol descending with tieCol ascending as the deterministic
-  * tie-break. Both must evaluate to non-null numerics.
+  * tie-break. orderCol must be cast to DoubleType and tieCol to LongType
+  * by the caller (perGroup does this), so any numeric — including
+  * DecimalType, which is not a java.lang.Number — arrives as a plain
+  * Double/Long. Rows where either evaluates to null are excluded, like a
+  * WHERE-pruned top-k (a null can't rank deterministically).
   */
 final case class BoundedTopKExec(
     groupCols: Seq[Expression],
@@ -83,9 +87,10 @@ final case class BoundedTopKExec(
       val heaps = mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[(Double, Long, InternalRow)]]()
       iter.foreach { row =>
         val v = ordBound.eval(row)
-        if (v != null) {
-          val d = v.asInstanceOf[Number].doubleValue()
-          val t = tieBound.eval(row).asInstanceOf[Number].longValue()
+        val tv = tieBound.eval(row)
+        if (v != null && tv != null) {
+          val d = v.asInstanceOf[Double]
+          val t = tv.asInstanceOf[Long]
           val heap = heaps.getOrElse(keyProj(row), null) match {
             case null =>
               val h = mutable.PriorityQueue.empty[(Double, Long, InternalRow)](ord.reverse)
@@ -122,7 +127,11 @@ object BoundedTopK {
     if (!spark.experimental.extraStrategies.contains(BoundedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ BoundedTopKStrategy
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
-      BoundedTopKPlan(groupCols.map(attr), attr(orderCol), attr(tieCol), k, analyzed))
+      BoundedTopKPlan(groupCols.map(attr),
+        Cast(attr(orderCol), DoubleType), Cast(attr(tieCol), LongType),
+        k, analyzed))
   }
 }

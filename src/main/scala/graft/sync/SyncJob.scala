@@ -44,7 +44,13 @@ object SyncJob {
     * distinct from ("x",NULL).
     */
   def rowDigest(cols: Seq[String]): Column =
-    md5(to_json(struct(cols.map(col): _*),
+    // positional aliases (c0, c1, …) keep the digest independent of
+    // attribute-name casing, which can differ between sides of a sync
+    // (e.g. an unquoted-DDL JDBC table surfacing O_CUSTKEY vs parquet's
+    // o_custkey); both sides pass the same compareCols order, so equal
+    // rows stay equal under any source naming
+    md5(to_json(struct(cols.zipWithIndex.map {
+      case (c, i) => col(c).as(s"c$i") }: _*),
       Map("ignoreNullFields" -> "false")))
 
   /** Y3 generalized: classify every key as I(nsert), D(elete), U(pdate) or
