@@ -90,8 +90,10 @@ object SqlQueries {
 
   // Q18-shape: large-quantity orders — IN over an aggregated-HAVING
   // subquery, which Catalyst plans as a left-semi join against the
-  // aggregate (the fact table is scanned twice but shuffles on the same
-  // key both times, so AQE reuses the exchange). Shared dialect text.
+  // aggregate. The HAVING output is tiny (selective threshold), so the
+  // semi side broadcasts (verified in PLANS.md); at scales where it
+  // doesn't, both lineitem branches shuffle on l_orderkey and qualify
+  // for exchange reuse. Shared dialect text.
   private val q18 =
     """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
       |  SUM(l_quantity) AS sum_qty

@@ -165,6 +165,23 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(viaExec == viaWindow)
   }
 
+  test("O5c: BoundedTopK coerces decimal order columns and skips null ties") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 10L, "1.10"), (1L, 11L, "3.30"), (1L, 12L, "2.20"),
+                 (1L, 13L, "4.40"), (2L, 20L, "5.50"))
+      .toDF("g", "id", "s")
+      .select(col("g"), col("id"), col("s").cast("decimal(15,2)").as("v"))
+    val top = graft.plans.BoundedTopK.perGroup(df, Seq("g"), "v", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top == Set((1L, 13L), (1L, 11L), (2L, 20L)))
+    val withNulls = Seq((1L, 1L, Some(2.0)), (1L, 2L, None), (1L, 3L, Some(1.0)))
+      .toDF("g", "id", "v")
+    val t2 = graft.plans.BoundedTopK.perGroup(withNulls, Seq("g"), "v", "id", 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(t2 == Set(1L, 3L), "null order value must be excluded, not crash")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB story for fact-fact joins with a selective dim filter:
     // InjectRuntimeFilter builds a bloom filter from the filtered creation
