@@ -155,6 +155,20 @@ object Aggregates {
         .filter(col("amt").isNotNull)
     }),
 
+    // A14: boolean/conditional aggregate family — count_if, bool_and/or,
+    // every/any semantics; the data-quality assertion primitives
+    // (count violations, "all rows satisfy", "any row satisfies").
+    "a14_bool_aggs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          count_if(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+            .as("n_recent"))
+        .orderBy("o_orderstatus")),
+
     // A12: order-insensitive table fingerprint — sync validation digest.
     // Row hash = first 15 hex digits of md5 of a canonical string form,
     // summed as int64. Both engines share md5 + hex→int machinery.
@@ -173,6 +187,13 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "a14_bool_aggs" ->
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(count_if(o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS BIGINT) AS n_recent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${Det.Sql.dsum("l_quantity")} AS sum_qty,

@@ -46,6 +46,19 @@ object Windows {
           .as("gap_sec"))
     }),
 
+    // W6: IGNORE NULLS navigation — last-observation-carried-forward, the
+    // gap-filling idiom for sparse sensor/metric streams: zeros are
+    // nulled out, then the running last non-null value fills forward.
+    "w6_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        nullif(col("value"), lit(0.0)).as("v_or_null"),
+        last(nullif(col("value"), lit(0.0)), ignoreNulls = true)
+          .over(w).as("v_filled"))
+    }),
+
     // W3: running aggregates over row frames (cumulative + trailing-3).
     "w3_running_frames" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -104,6 +117,15 @@ object Windows {
          |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
          |FROM ev
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "w6_ignore_nulls" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+        |SELECT event_id, user_id,
+        |  NULLIF(value, 0.0) AS v_or_null,
+        |  last_value(NULLIF(value, 0.0) IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM ev""".stripMargin,
 
     "w3_running_frames" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
