@@ -203,6 +203,28 @@ object Relational {
         .groupBy(col("ck")).agg(count(lit(1)).as("n_overlaps"))
     }),
 
+    // J10: blocked fuzzy join — entity resolution by edit distance, the
+    // sync-tool answer to "same customer, typo'd key". All-pairs
+    // levenshtein is O(n²·L²) and impossible at scale; blocking on
+    // (nation, id-prefix) bounds the pair space per block and a sampled
+    // probe side bounds it globally, the standard ER blocking shape.
+    // Distance ≤ 2 within a block = candidate match.
+    "j10_fuzzy_block_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"),
+        substring(col("c_name"), 10, 5).as("blk"))
+      val probe = c.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("key_a"), col("c_nationkey"),
+                col("blk"), col("c_name").as("name_a"))
+      val cand = c.select(col("c_custkey").as("key_b"), col("c_nationkey"),
+                          col("blk"), col("c_name").as("name_b"))
+      probe.join(cand, Seq("c_nationkey", "blk"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+                levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 2)
+    }),
+
     // O1+O3+O4: global top-k — TakeOrderedAndProject, no full sort at scale.
     "o4_topk_global" -> ((s, d) =>
       Tables.orders(s, d)
@@ -280,6 +302,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j10_fuzzy_block_join" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_name,
+        |                  substr(c_name, 10, 5) AS blk FROM customer)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        | AND a.c_custkey < b.c_custkey AND a.c_custkey % 20 = 0
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     "p1_project_compute" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price,
