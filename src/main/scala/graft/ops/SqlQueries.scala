@@ -106,8 +106,44 @@ object SqlQueries {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
+  // Q10-shape: top returned-item revenue per customer — 4-table star with
+  // a selective fact predicate, agg, top-20. Dimension joins broadcast;
+  // the returnflag filter pushes to the lineitem scan.
+  private val q10 =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  // Q7-shape: shipping volume between two nations by year — the
+  // supplier-nation × customer-nation cross-filter plus a date-derived
+  // group key, the classic "both directions" bi-national join.
+  private val q7 =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_lines
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      |GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM o_orderdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
+    "sql_q7_volume_shipping" -> ((s, d) => sql(s, d, q7)),
+    "sql_q10_returned_topk" -> ((s, d) => sql(s, d, q10)),
     "sql_q18_large_orders" -> ((s, d) => sql(s, d, q18)),
     "sql_q5_local_supplier" -> ((s, d) => sql(s, d, q5)),
     "sql_exists_subquery" -> ((s, d) => sql(s, d, existsQ)),
@@ -118,6 +154,8 @@ object SqlQueries {
 
   val oracle: Map[String, String] = Map(
     "sql_q3_topk" -> q3,
+    "sql_q7_volume_shipping" -> q7,
+    "sql_q10_returned_topk" -> q10,
     "sql_q18_large_orders" -> q18,
     "sql_q5_local_supplier" -> q5,
     "sql_exists_subquery" -> existsQ,
