@@ -85,6 +85,12 @@ object LlmPipeline {
         .agg(collect_set(col("sh")).as("shs"))
         .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
           size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+        // materialize ONCE: the probe-side doc_id filter below would
+        // otherwise push through any shared exchange and differentiate
+        // the two subplans (ReuseExchange can't fire — measured in round
+        // 2), so both join sides would recompute the whole shingle
+        // pipeline; the checkpoint pins ~1 corpus pass instead of ~2
+        .localCheckpoint()
       val a = docSh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("sh"))
@@ -221,6 +227,9 @@ object LlmPipeline {
         .agg(collect_set(col("g")).as("gs"))
         .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
           size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+        // same single-materialization rationale as l2a: the probe-side
+        // filter would otherwise force a second bigram pipeline pass
+        .localCheckpoint()
       val a = grams.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("g"))
