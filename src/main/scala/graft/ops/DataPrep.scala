@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data preparation operators beyond the SURVEY §2.11 core —
+  * the screening/planning steps a 100 TB corpus pipeline runs between
+  * dedup (L1/L2) and packing (L5i):
+  *
+  *  - l5j_repetition: Gopher-style within-document repetition signals
+  *    (distinct-token ratio, top-token fraction, duplicate-bigram
+  *    fraction). Two hash-aggs keyed on doc_id — embarrassingly parallel,
+  *    no cross-document state.
+  *  - l10_contamination: benchmark-contamination screen — word 5-gram
+  *    overlap of every training doc against a held-out eval set. The
+  *    eval side is tiny by construction (benchmarks are ~1e3..1e6 docs),
+  *    so its distinct-gram set broadcasts and the corpus side streams
+  *    one pass; per-doc hash-agg, no corpus self-join.
+  *  - l11_split: deterministic content-hash train/val/test split
+  *    (md5-prefix bucket), the reproducible-split idiom — a pure per-row
+  *    expression, then one small agg; rerunnable on any subset with
+  *    identical assignment.
+  *  - l12_domain_mix: domain-mixture plan — per-source token shares and
+  *    the sampling rate that equalizes the mixture under a uniform
+  *    target budget. Two tiny aggs + a broadcast scalar.
+  *  - a15_approx_top_k: Spark 4's approx_top_k sketch aggregate in its
+  *    exact regime (maxItemsTracked ≥ |domain|) so the DuckDB group-by
+  *    oracle hash-matches; the sketch path (partial/merge across
+  *    partitions) is still what executes.
+  */
+object DataPrep {
+
+  /** Codegen tokenizer shared by the doc-level ops: posexplode(split) +
+    * relational empty-filter (no interpreted lambda), position kept for
+    * window-ordered n-gram building.
+    */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " +")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .where(col("tok") =!= "")
+
+  val queries: Map[String, Q] = Map(
+
+    // L5j: repetition signals (the Gopher/C4 quality-filter family).
+    // All ratios are integer-count divisions → exact doubles both engines.
+    "l5j_repetition" -> ((s, d) => {
+      val t = tokens(s, d)
+      val tokStats = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+             max(col("c")).as("max_tok"))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val bg = t.select(col("doc_id"),
+          concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("g"),
+          lead("tok", 1).over(w).as("t1"))
+        .where(col("t1").isNotNull)
+      val bgStats = bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), count_distinct(col("g")).as("n_bg_d"))
+      val dupF = (col("n_bg") - col("n_bg_d")) / col("n_bg")
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          round(col("n_distinct") / col("n_toks"), 6).as("distinct_ratio"),
+          round(col("max_tok") / col("n_toks"), 6).as("top_tok_frac"),
+          coalesce(round(dupF, 6), lit(0.0)).as("dup_bigram_frac"),
+          (col("max_tok") / col("n_toks") > 0.2 ||
+            coalesce(dupF, lit(0.0)) > 0.4).as("repetitive"))
+    }),
+
+    // L10: benchmark contamination — docs sharing word 5-grams with the
+    // held-out eval set (doc_id % 97 == 0 stands in for the benchmark).
+    // distinct per-doc grams → LEFT broadcast-join against the eval gram
+    // set → per-doc hit fraction.
+    "l10_contamination" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val g5 = tokens(s, d).select(col("doc_id"),
+          concat_ws(" ", col("tok"), lead("tok", 1).over(w),
+            lead("tok", 2).over(w), lead("tok", 3).over(w),
+            lead("tok", 4).over(w)).as("g"),
+          lead("tok", 4).over(w).as("t4"))
+        .where(col("t4").isNotNull) // full 5-grams only
+        .select(col("doc_id"), col("g")).distinct()
+      val bench = g5.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      g5.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit") / col("n_grams"), 6).as("contam_frac"),
+          (col("n_hit") / col("n_grams") > 0.5).as("contaminated"))
+    }),
+
+    // L11: deterministic content-hash split — bucket = first 16 bits of
+    // md5(text) mod 100 → 80/10/10. Identical assignment in both engines
+    // (and across reruns/subsets — the property that matters in prod).
+    "l11_split" -> ((s, d) => {
+      val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+      val sp = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+      Tables.documents(s, d)
+        .groupBy(col("lang"), sp.as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+             min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // L12: domain-mixture plan — per-source char share and the sampling
+    // rate that moves the mixture to a uniform per-source budget
+    // (total/20). The only non-scan work is two 20-row aggs.
+    "l12_domain_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val tot = per.agg(sum(col("n_chars")).as("total_chars"))
+      val rate = least(lit(1.0), (col("total_chars") / lit(20.0)) / col("n_chars"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("n_chars") / col("total_chars"), 6).as("share"),
+          round(rate, 6).as("sample_rate"),
+          floor(rate * col("n_chars")).cast("long").as("expected_chars"))
+    }),
+
+    // A15: approx_top_k (Spark 4 frequent-items sketch). maxItemsTracked
+    // (1000) ≥ |o_orderpriority domain| (5) ⇒ counts are exact, so the
+    // exact GROUP BY oracle matches while the partial/merge sketch path
+    // is what actually executes. Output re-sorted: item order inside the
+    // sketch result is not contractual.
+    "a15_approx_top_k" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(expr("approx_top_k(o_orderpriority, 5, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item").asc))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l5j_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+        |       COUNT(*) AS n_distinct, MAX(c) AS max_tok FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |       i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |                      toks[CAST(i AS INTEGER) + 1]))) AS g
+        |       FROM t),
+        |bs AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT g) AS n_bg_d
+        |       FROM bg GROUP BY doc_id)
+        |SELECT ts.doc_id AS doc_id, n_toks,
+        |  round(CAST(n_distinct AS DOUBLE) / n_toks, 6) AS distinct_ratio,
+        |  round(CAST(max_tok AS DOUBLE) / n_toks, 6) AS top_tok_frac,
+        |  COALESCE(round(CAST(n_bg - n_bg_d AS DOUBLE) / n_bg, 6), 0.0)
+        |    AS dup_bigram_frac,
+        |  (CAST(max_tok AS DOUBLE) / n_toks > 0.2 OR
+        |   COALESCE(CAST(n_bg - n_bg_d AS DOUBLE) / n_bg, 0.0) > 0.4) AS repetitive
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
+
+    "l10_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - 3, 1)),
+        |        i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |             toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2],
+        |             toks[CAST(i AS INTEGER) + 3], toks[CAST(i AS INTEGER) + 4]))))
+        |        AS g
+        |      FROM t),
+        |bench AS (SELECT DISTINCT g AS bg FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(SUM(CASE WHEN bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS contam_frac,
+        |  (CAST(SUM(CASE WHEN bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*) > 0.5) AS contaminated
+        |FROM g LEFT JOIN bench ON g.g = bench.bg
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id""".stripMargin,
+
+    "l11_split" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 80
+        |           THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc_id
+        |FROM t GROUP BY lang, split""".stripMargin,
+
+    "l12_domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM per)
+        |SELECT source, n_docs, n_chars,
+        |  round(CAST(n_chars AS DOUBLE) / total_chars, 6) AS share,
+        |  round(least(1.0, (total_chars / 20.0) / n_chars), 6) AS sample_rate,
+        |  CAST(floor(least(1.0, (total_chars / 20.0) / n_chars) * n_chars) AS BIGINT)
+        |    AS expected_chars
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    "a15_approx_top_k" ->
+      """SELECT o_orderpriority AS item, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY cnt DESC, item ASC""".stripMargin
+  )
+}

@@ -140,7 +140,52 @@ object SqlQueries {
       |GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM o_orderdate)
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  // Q4-shape: order-priority checking — a correlated EXISTS whose inner
+  // predicate is NON-equi (l_shipdate > o_orderdate): Catalyst must carry
+  // the extra condition into the decorrelated left-semi join, a different
+  // rewrite path from the pure equality EXISTS above.
+  private val q4 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // Q22-shape: customers with above-average balance and no high-value
+  // orders — an uncorrelated scalar subquery (one broadcast scalar)
+  // combined with a correlated NOT EXISTS (anti join) in the same WHERE.
+  // (Every customer in this corpus has ≥1 order, so the classic "no
+  // orders at all" form would be vacuously empty; the totalprice
+  // predicate keeps the anti join doing real work.)
+  private val q22 =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // Q16-shape (adapted: lineitem stands in for partsupp, which the corpus
+  // lacks): distinct-supplier counts per part attribute with a NOT IN
+  // exclusion — anti join feeding a COUNT(DISTINCT) aggregate.
+  private val q16 =
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_size >= 5
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q4_priority_exists" -> ((s, d) => sql(s, d, q4)),
+    "sql_q16_supplier_cnt" -> ((s, d) => sql(s, d, q16)),
+    "sql_q22_no_orders" -> ((s, d) => sql(s, d, q22)),
     "sql_q3_topk" -> ((s, d) => sql(s, d, q3)),
     "sql_q7_volume_shipping" -> ((s, d) => sql(s, d, q7)),
     "sql_q10_returned_topk" -> ((s, d) => sql(s, d, q10)),
@@ -153,6 +198,9 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q4_priority_exists" -> q4,
+    "sql_q16_supplier_cnt" -> q16,
+    "sql_q22_no_orders" -> q22,
     "sql_q3_topk" -> q3,
     "sql_q7_volume_shipping" -> q7,
     "sql_q10_returned_topk" -> q10,
