@@ -22,8 +22,11 @@ object ScratchTiming {
       else Seq("l2a_shingle_jaccard", "l2c_simhash", "l2d_ngram_jaccard",
                "l7_embedding_dedup")
     for (name <- names; i <- 1 to 3) {
-      val q = SparkEntry.queries(name)(spark, d)
-      t(s"$name$i") { q.count() }
+      // builder invocation INSIDE the timer: some builders do eager work
+      // (localCheckpoint materialization, the CC iteration loop), which a
+      // build-then-time split would silently exclude — Bench times both.
+      var q: org.apache.spark.sql.DataFrame = null
+      t(s"$name$i") { q = SparkEntry.queries(name)(spark, d); q.count() }
       if (i == 1) {
         val p = q.queryExecution.executedPlan.toString
         println(s"PLANSTATS $name" +

@@ -570,7 +570,10 @@ object LlmPipeline {
         .where(col("t1").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"),
           concat_ws(" ", col("tok"), col("t1")).as("g"))
-        .distinct()
+      // no distinct: min(md5(...)) is duplicate-insensitive, so deduping
+      // the gram table first would only add a full shuffle of the largest
+      // intermediate (the oracle's list_distinct is likewise a no-op on
+      // the per-band minimum)
       val nBands = 4
       val sigAggs = (0 until nBands).map(b =>
         min(md5(concat(lit(s"$b|"), col("g")))).as(s"sig$b"))
@@ -610,41 +613,72 @@ object LlmPipeline {
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
                           maxIters: Int = 25): org.apache.spark.sql.DataFrame = {
+    // duplicate edges are tolerated (min-label propagation is idempotent
+    // over them), so no distinct pass: callers that pass u<v pairs — like
+    // l8 — produce no dups from the orientation union anyway.
+    // Pre-partitioned on u before the checkpoint: the materialized RDD
+    // keeps that outputPartitioning, so the per-round join against comp
+    // (hash-partitioned on id by its aggregate) needs NO edge-side
+    // exchange in any round.
     val e0 = pairs.select(col("u"), col("v"))
     val edges = e0.unionByName(
         e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .repartition(col("u"))
+      .localCheckpoint()
     // Seed comp(v) = min(v, neighbors) — the first propagation round is
     // fused into the seeding aggregation instead of a separate iteration.
     var comp = edges.select(col("u").as("id"), col("v").as("comp"))
       .unionByName(edges.select(col("u").as("id"), col("u").as("comp")))
       .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
     var changed = 1L
     var iter = 0
+    // NB: AQE stays ON here — measured 8-10× slower with it disabled:
+    // the loop's tiny joins rely on AQE's runtime broadcast conversion,
+    // and the static plan falls back to 32-partition sort-merge joins
+    // whose fixed stage latency dwarfs the data.
+    // One propagation step = neighbor-min + a pointer jump (comp[comp[v]]).
+    // Both only decrease labels toward the same fixpoint (per-component
+    // min), and the jump collapses label trees in O(log diameter) steps
+    // instead of O(diameter).
+    //
+    // Steps are composed LAZILY in supersteps of `stepsPerCheck`: on a
+    // small-diameter graph each round's cost is job-scheduling latency,
+    // not data volume (measured ~0.5 s/round for a 5k-vertex graph at 32
+    // partitions), so running k steps per checkpoint+convergence-count
+    // cuts the action count — and the wall time — by ~k at the price of
+    // at most k-1 no-op steps after the fixpoint.
+    val stepsPerCheck = 3
     while (changed > 0 && iter < maxIters) {
-      // One round = neighbor-min propagation + a pointer jump
-      // (comp[comp[v]]). Both only decrease labels toward the same
-      // fixpoint (per-component min), and the jump collapses label trees
-      // in O(log diameter) rounds instead of O(diameter). The old label
-      // rides along as the flagged union branch, so convergence needs no
-      // extra join — one hash-agg answers both "new label" and "changed".
-      val viaEdge = edges.join(comp, edges("u") === comp("id"))
-        .select(edges("v").as("id"), col("comp"))
-      val c2 = comp.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val viaJump = comp.join(c2, comp("comp") === c2("cid"))
-        .select(comp("id"), c2("ccomp").as("comp"))
+      var cur = comp
+      for (_ <- 0 until stepsPerCheck) {
+        val viaEdge = edges.join(cur, edges("u") === cur("id"))
+          .select(edges("v").as("id"), col("comp"))
+        val c2 = cur.select(col("id").as("cid"), col("comp").as("ccomp"))
+        val viaJump = cur.join(c2, cur("comp") === c2("cid"))
+          .select(cur("id"), c2("ccomp").as("comp"))
+        cur = cur.unionByName(viaEdge).unionByName(viaJump)
+          .groupBy("id").agg(min(col("comp")).as("comp"))
+      }
       // LAZY checkpoint: the convergence count below is the first action,
       // so it materializes the checkpoint and answers "changed" in ONE
       // job — an eager checkpoint would cost a second blocking job per
-      // round (round latency, not data volume, dominates this loop).
+      // superstep. The superstep-start label rides along as the flagged
+      // union branch, so convergence needs no extra join: one hash-agg
+      // answers both "new label" and "changed".
       val next = comp.select(col("id"), col("comp"), lit(1).as("own"))
-        .unionByName(viaEdge.withColumn("own", lit(0)))
-        .unionByName(viaJump.withColumn("own", lit(0)))
+        .unionByName(cur.withColumn("own", lit(0)))
         .groupBy("id")
         .agg(min(col("comp")).as("nc"),
              min(when(col("own") === 1, col("comp"))).as("oc"))
         .localCheckpoint(false)
       changed = next.where(col("nc") =!= col("oc")).count()
+      if (dbg) {
+        System.err.println(
+          f"[cc] superstep $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       // reassigning comp drops the only reference to the previous round's
       // checkpoint blocks; the ContextCleaner reclaims them asynchronously,
       // so live storage stays at edges + two label tables, not one per round
