@@ -67,6 +67,26 @@ object Aggregates {
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
              approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
 
+    // A16: mergeable HLL sketches (Spark 4 DataSketches surface) — the
+    // re-aggregation pattern 100 TB rollups live on: sketch once at the
+    // fine grain (nation), then hll_union partial sketches upward
+    // (region) WITHOUT rescanning the fact table. No DuckDB twin for the
+    // sketch bytes → rows-only; the estimate-vs-exact tolerance and the
+    // union ≡ direct-sketch law are pinned in OperatorSuite.
+    "a16_hll_union" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+      perNation
+        .groupBy("n_regionkey")
+        .agg(expr("hll_union_agg(sk)").as("rsk"), count(lit(1)).as("n_nations"))
+        .select(col("n_regionkey"), col("n_nations"),
+          expr("hll_sketch_estimate(rsk)").as("approx_customers"))
+        .orderBy("n_regionkey")
+    }),
+
     // A6: stats aggs. stddev/var/corr/covar have identical definitions in
     // both engines; computed on identical doubles they differ only in
     // summation order → round(4) collapses that (values are O(1e0..1e5)).

@@ -74,6 +74,13 @@ object LlmPipeline {
       //    subplan would recompute the corpus pipeline once per reference
       //    (ReuseExchange can't kick in: the a-side pushdown changes the
       //    subplan), turning 1.1 corpus passes into 3.1.
+      // Per-doc shingle sets come from ONE collect_set aggregation,
+      // exploded with `sz` attached. Measured against the "cleaner"
+      // relational alternative (5-col distinct + post-pair size joins):
+      // the distinct shuffles the same rows with a wide high-entropy key
+      // and gets no map-side reduction, landing ~1.5× slower — the
+      // object agg wins because one doc-keyed shuffle does set-build,
+      // size, and re-expansion in a single exchange.
       val docSh = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           (col("n_chars") / 50).cast("int").as("lenb"), col("text"),
@@ -229,6 +236,7 @@ object LlmPipeline {
           size(col("gs")).as("sz"), explode(col("gs")).as("g"))
         // same single-materialization rationale as l2a: the probe-side
         // filter would otherwise force a second bigram pipeline pass
+        // (and the same measured collect_set-over-distinct choice)
         .localCheckpoint()
       val a = grams.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),

@@ -16,9 +16,9 @@ class ContractSuite extends AnyFunSuite with SparkFixture {
 
   test("rows-only queries are the known, justified set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64/HLL sketches have no DuckDB twin (SURVEY §2 A5/L2b/L2c/F7b)
-    assert(rowsOnly == Set("a5_approx_distinct", "f7b_native_hash",
-      "l2b_minhash_lsh", "l2c_simhash"),
+    // xxhash64/HLL sketches have no DuckDB twin (SURVEY §2 A5/A16/L2b/L2c/F7b)
+    assert(rowsOnly == Set("a5_approx_distinct", "a16_hll_union",
+      "f7b_native_hash", "l2b_minhash_lsh", "l2c_simhash"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

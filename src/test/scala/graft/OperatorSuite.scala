@@ -302,4 +302,22 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     val wo = writeOptions(cfg, batchSize = 5000)
     assert(wo("batchsize") == "5000" && wo("url").startsWith("jdbc:sqlserver"))
   }
+
+  test("A16 HLL: union of per-nation sketches ≡ direct region sketch, near exact") {
+    val out = SparkEntry.queries("a16_hll_union")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val direct = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))").as("est"),
+           countDistinct(col("c_custkey")).as("exact"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    direct.foreach { case (region, est, exact) =>
+      // merging partial sketches must equal sketching the union directly
+      assert(out(region) == est, s"union≠direct for region $region")
+      // lgK=14 ⇒ rsd ~0.8%; corpus regions are tiny, so allow 2%
+      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.02).toLong),
+        s"estimate $est too far from exact $exact in region $region")
+    }
+  }
 }
