@@ -223,4 +223,19 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
            scan.contains("order_year"), "partition pruning not applied")
     assert(back.count() == o.filter(year(col("o_orderdate")) === 1997).count())
   }
+
+  test("L10: contamination screen broadcasts the eval gram set (corpus streams)") {
+    val p = plan("l10_contamination")
+    assert(p.contains("BroadcastHashJoin"), "eval-set join must broadcast")
+    assert(p.contains("LeftOuter"), "must be a left join (misses count as 0 hits)")
+  }
+
+  test("A16: HLL rollup is partial+merge sketch aggregation, fact scanned once") {
+    val p = plan("a16_hll_union")
+    assert(p.contains("hll_sketch_agg"), "sketch aggregate missing")
+    assert(p.contains("hll_union_agg"), "merge aggregate missing")
+    val customerScans = p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("customer"))
+    assert(customerScans == 1, s"customer must be scanned once, saw $customerScans")
+  }
 }
