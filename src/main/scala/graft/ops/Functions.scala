@@ -180,6 +180,17 @@ object Functions {
           expr("variant_get(v, '$.k', 'string')").as("k_str"),
           (expr("variant_get(v, '$.k', 'int')") * 2).as("k_doubled"))),
 
+    // F10: ordered string aggregation — Spark 4 listagg WITHIN GROUP;
+    // DuckDB's string_agg(... ORDER BY) is the exact twin. Names are
+    // unique within a segment, so the explicit ordering pins the output
+    // byte-for-byte in both engines.
+    "f10_listagg" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy("c_mktsegment")
+        .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+               .as("names"),
+             count(lit(1)).as("n"))),
+
     // F7: hash/binary family — md5/sha256/base64 agree across engines;
     // input capped at 40 chars so no MIME line-wrap ambiguity for base64.
     "f7_hash" -> ((s, d) =>
@@ -332,6 +343,13 @@ object Functions {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
         |FROM events""".stripMargin,
+
+    "f10_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "f7_hash" ->
       """SELECT doc_id,
