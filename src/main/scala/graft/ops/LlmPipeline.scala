@@ -587,18 +587,24 @@ object LlmPipeline {
         min(md5(concat(lit(s"$b|"), col("g")))).as(s"sig$b"))
       val sigs = grams.groupBy("doc_id", "lang", "source")
         .agg(sigAggs.head, sigAggs.tail: _*)
+      // STAR edges, not pairwise: connecting every bucket member to the
+      // bucket's minimum doc gives the same connectivity as the full
+      // within-bucket clique with Σ(k-1) edges instead of Σk(k-1)/2 — a
+      // hot LSH bucket of 10k docs emits 10k edges, not 50M. (The DuckDB
+      // oracle keeps the pairwise form; components are identical.)
+      // bandSig is checkpointed so the rep aggregation and the member
+      // join don't each recompute the gram→signature pipeline.
       val bandSig = sigs.select(col("doc_id"), col("lang"), col("source"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val x = bandSig.select(col("doc_id").as("u"), col("lang"),
-        col("source"), col("band"), col("sig"))
-      val y = bandSig.select(col("doc_id").as("v"), col("lang"),
-        col("source"), col("band"), col("sig"))
-      val e0 = x.join(y, Seq("lang", "source", "band", "sig"))
-        .where(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .localCheckpoint()
+      val reps = bandSig.groupBy("lang", "source", "band", "sig")
+        .agg(min(col("doc_id")).as("u"))
+      val e0 = bandSig.join(reps, Seq("lang", "source", "band", "sig"))
+        .where(col("doc_id") =!= col("u"))
+        .select(col("u"), col("doc_id").as("v")).distinct()
       val comp = connectedComponents(e0)
       comp.join(comp.groupBy("comp").agg(count(lit(1)).as("comp_size")), "comp")
         .select(col("id").as("doc_id"), col("comp").as("dup_group"),
