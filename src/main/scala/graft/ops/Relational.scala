@@ -225,6 +225,27 @@ object Relational {
         .filter(col("dist") <= 2)
     }),
 
+    // J11: explicit key-salted join — the manual skew weapon when AQE's
+    // skew split can't help (e.g. a single hot key inside one partition
+    // of a shuffle join). The skewed fact side gets salt = hash(key) % K;
+    // the dim side is replicated K ways, so the hot key's rows spread
+    // over K tasks. Salt never reaches the result, so the oracle is the
+    // plain join — identical output, different (skew-proof) physical
+    // distribution. a13 is the aggregation twin of this pattern.
+    "j11_salted_skew_join" -> ((s, d) => {
+      val k = 8
+      val fact = Tables.orders(s, d).withColumn(
+        "salt", pmod(xxhash64(col("o_orderkey")), lit(k)).cast("int"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(k - 1))).as("salt"))
+      fact.join(dim,
+          col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     // O1+O3+O4: global top-k — TakeOrderedAndProject, no full sort at scale.
     "o4_topk_global" -> ((s, d) =>
       Tables.orders(s, d)
@@ -311,6 +332,14 @@ object Relational {
         |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
         | AND a.c_custkey < b.c_custkey AND a.c_custkey % 20 = 0
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // salt is internal to the physical plan; the logical result is the
+    // plain customer⋈orders rollup
+    "j11_salted_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "p1_project_compute" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS disc_price,
