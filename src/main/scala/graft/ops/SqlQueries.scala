@@ -182,7 +182,24 @@ object SqlQueries {
       |GROUP BY p_brand, p_type
       |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin
 
+  // Recursive CTE (Spark 4 UnionLoop): reachability over the implicit
+  // binary tree parent(k) = floor(k/2), anchored at customer 1 — per-depth
+  // rollup of the subtree. The floor/CAST form sidesteps the int-division
+  // dialect gap (Spark `div` vs DuckDB `//`); identical text runs on both.
+  private val recursiveQ =
+    """WITH RECURSIVE anc(custkey, depth) AS (
+      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, a.depth + 1
+      |  FROM customer c JOIN anc a
+      |    ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = a.custkey
+      |  WHERE a.depth < 12)
+      |SELECT depth, COUNT(*) AS n_nodes,
+      |  min(custkey) AS min_key, max(custkey) AS max_key
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive_cte" -> ((s, d) => sql(s, d, recursiveQ)),
     "sql_q4_priority_exists" -> ((s, d) => sql(s, d, q4)),
     "sql_q16_supplier_cnt" -> ((s, d) => sql(s, d, q16)),
     "sql_q22_no_orders" -> ((s, d) => sql(s, d, q22)),
@@ -198,6 +215,7 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveQ,
     "sql_q4_priority_exists" -> q4,
     "sql_q16_supplier_cnt" -> q16,
     "sql_q22_no_orders" -> q22,
