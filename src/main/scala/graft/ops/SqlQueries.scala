@@ -198,7 +198,33 @@ object SqlQueries {
       |  min(custkey) AS min_key, max(custkey) AS max_key
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
 
+  // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+  // the analyzer inlines the body into the plan — codegen'd expression,
+  // zero call overhead — so the oracle is simply the inlined expression.
+  private val sqlUdfQ =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val sqlUdfOracle =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "x8_sql_udf" -> ((s, d) => {
+      val df = sql(s, d, "SELECT 1") // registers the temp views
+      df.sparkSession.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, disc DOUBLE)
+          |RETURNS DOUBLE RETURN p * (1.0 - disc)""".stripMargin)
+      s.sql(sqlUdfQ)
+    }),
     "sql_recursive_cte" -> ((s, d) => sql(s, d, recursiveQ)),
     "sql_q4_priority_exists" -> ((s, d) => sql(s, d, q4)),
     "sql_q16_supplier_cnt" -> ((s, d) => sql(s, d, q16)),
@@ -215,6 +241,7 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x8_sql_udf" -> sqlUdfOracle,
     "sql_recursive_cte" -> recursiveQ,
     "sql_q4_priority_exists" -> q4,
     "sql_q16_supplier_cnt" -> q16,
