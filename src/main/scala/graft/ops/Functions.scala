@@ -180,6 +180,22 @@ object Functions {
           expr("variant_get(v, '$.k', 'string')").as("k_str"),
           (expr("variant_get(v, '$.k', 'int')") * 2).as("k_doubled"))),
 
+    // F11: ANSI-safe try_* arithmetic — this engine runs ANSI mode ON
+    // (1/0, OOB element_at, and bad casts all THROW), so try_divide/
+    // try_mod/try_element_at/try_cast are the user-facing way to get
+    // NULL-on-error. DuckDB's plain operators already return NULL for
+    // /0, %0, OOB list index, and try_cast — exact twins.
+    "f11_try_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT))")
+          .as("qty_per_prev"),
+        expr("try_mod(CAST(l_quantity AS BIGINT), CAST(l_linenumber - 1 AS BIGINT))")
+          .as("qty_mod_prev"),
+        expr("try_element_at(array(l_returnflag, l_linestatus), l_linenumber)")
+          .as("flag_at"),
+        expr("try_cast(l_returnflag AS INT)").as("rf_int"))),
+
     // F10: ordered string aggregation — Spark 4 listagg WITHIN GROUP;
     // DuckDB's string_agg(... ORDER BY) is the exact twin. Names are
     // unique within a segment, so the explicit ordering pins the output
@@ -343,6 +359,14 @@ object Functions {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
         |FROM events""".stripMargin,
+
+    "f11_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) / (l_linenumber - 1) AS qty_per_prev,
+        |  CAST(l_quantity AS BIGINT) % (l_linenumber - 1) AS qty_mod_prev,
+        |  list_extract([l_returnflag, l_linestatus], l_linenumber) AS flag_at,
+        |  try_cast(l_returnflag AS INTEGER) AS rf_int
+        |FROM lineitem""".stripMargin,
 
     "f10_listagg" ->
       """SELECT c_mktsegment,
