@@ -293,6 +293,29 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     } finally permissive.unpersist()
   }
 
+  test("S2 malformed CSV: PERMISSIVE nulls bad cells, DROPMALFORMED drops, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("part.csv"),
+      """a,b
+        |1,x
+        |2,y
+        |notanint,z
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+    def read(mode: String) = spark.read.schema(schema)
+      .option("header", "true").option("mode", mode).csv(dir.toString)
+    val permissive = read("PERMISSIVE").collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(r => r.isNullAt(0)) == 1, "bad cell must null out")
+    // count() prunes every column, so the parser never converts the bad
+    // cell and nothing registers as malformed — the assertion must
+    // materialize the columns for DROPMALFORMED to bite
+    assert(read("DROPMALFORMED").collect().length == 2)
+    intercept[org.apache.spark.SparkException](read("FAILFAST").collect())
+  }
+
   test("JDBC option builders carry partitioning and batching") {
     import graft.sources.JdbcSync._
     val cfg = JdbcConfig("jdbc:sqlserver://host;database=db", "dbo.orders", "u", "p")
