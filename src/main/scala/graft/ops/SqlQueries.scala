@@ -193,7 +193,7 @@ object SqlQueries {
       |  SELECT c.c_custkey, a.depth + 1
       |  FROM customer c JOIN anc a
       |    ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = a.custkey
-      |  WHERE a.depth < 12)
+      |  WHERE a.depth < 8)
       |SELECT depth, COUNT(*) AS n_nodes,
       |  min(custkey) AS min_key, max(custkey) AS max_key
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
