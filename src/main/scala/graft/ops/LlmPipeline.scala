@@ -73,14 +73,12 @@ object LlmPipeline {
       //    aggregation, exploded with `sz` attached — a separate `sizes`
       //    subplan would recompute the corpus pipeline once per reference
       //    (ReuseExchange can't kick in: the a-side pushdown changes the
-      //    subplan), turning 1.1 corpus passes into 3.1.
-      // Per-doc shingle sets come from ONE collect_set aggregation,
-      // exploded with `sz` attached. Measured against the "cleaner"
-      // relational alternative (5-col distinct + post-pair size joins):
-      // the distinct shuffles the same rows with a wide high-entropy key
-      // and gets no map-side reduction, landing ~1.5× slower — the
-      // object agg wins because one doc-keyed shuffle does set-build,
-      // size, and re-expansion in a single exchange.
+      //    subplan), turning 1.1 corpus passes into 3.1. Also measured
+      //    against the relational alternative (5-col distinct +
+      //    post-pair size joins): the distinct shuffles the same rows
+      //    with a wide high-entropy key and gets no map-side reduction,
+      //    landing ~1.5× slower — one doc-keyed object-agg shuffle does
+      //    set-build, size, and re-expansion in a single exchange.
       val docSh = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           (col("n_chars") / 50).cast("int").as("lenb"), col("text"),
