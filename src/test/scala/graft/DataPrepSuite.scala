@@ -60,6 +60,21 @@ class DataPrepSuite extends AnyFunSuite with SparkFixture {
     assert(again == out, "content-hash split must be stable")
   }
 
+  test("L11 split: assignment is subset-independent (the prod re-run property)") {
+    // the same doc must land in the same split whether the job sees the
+    // whole corpus or any slice of it — that is what makes a hash split
+    // reproducible across incremental runs
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+    val sp = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), sp.as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = assign(Tables.documents(spark, sf))
+    val slice = assign(Tables.documents(spark, sf).filter(col("doc_id") % 3 === 1))
+    assert(slice.nonEmpty)
+    slice.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved splits") }
+  }
+
   test("L12 domain mix: shares sum to 1, expected never exceeds available") {
     val rows = DataPrep.queries("l12_domain_mix")(spark, sf).collect()
     val shareSum = rows.map(_.getDouble(3)).sum
