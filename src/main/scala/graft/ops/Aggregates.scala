@@ -59,31 +59,46 @@ object Aggregates {
              count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // A5: approx_count_distinct (HLL++) — sketch differs from DuckDB's, so
-    // no oracle entry (rows-only check); correctness asserted in ScalaTest
-    // against exact counts with rsd tolerance.
+    // A5: approx_count_distinct (HLL++) — the raw estimate differs from
+    // DuckDB's HLL, so the SCORED output is engine-portable: the exact
+    // distinct counts plus a tolerance verdict on each engine's own
+    // estimate (rsd 0.02 ⇒ |est/exact − 1| < 0.06 ≈ 3σ; both engines
+    // measured ≲2% off on this data). The HLL++ sketch still executes in
+    // this plan; the raw estimate's rsd bound is pinned in OperatorSuite.
     "a5_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+             approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        .select(col("exact_orders"), col("exact_parts"),
+          (abs(col("ao") / col("exact_orders") - 1) < 0.06).as("approx_orders_ok"),
+          (abs(col("ap") / col("exact_parts") - 1) < 0.06).as("approx_parts_ok"))),
 
     // A16: mergeable HLL sketches (Spark 4 DataSketches surface) — the
     // re-aggregation pattern 100 TB rollups live on: sketch once at the
     // fine grain (nation), then hll_union partial sketches upward
-    // (region) WITHOUT rescanning the fact table. No DuckDB twin for the
-    // sketch bytes → rows-only; the estimate-vs-exact tolerance and the
-    // union ≡ direct-sketch law are pinned in OperatorSuite.
+    // (region) WITHOUT rescanning the fact table. The sketch bytes have
+    // no DuckDB twin, so the SCORED output is portable: the exact
+    // per-region distinct (customers partition by nation, so the sum of
+    // per-nation distincts IS the per-region distinct — same single agg
+    // pass) plus a tolerance verdict on the unioned estimate (lgK=14 ⇒
+    // rsd ≈ 0.8%; 5% bound). The oracle verdict uses DuckDB's own HLL
+    // the same way. union ≡ direct-sketch law stays pinned in ScalaTest.
     "a16_hll_union" -> ((s, d) => {
       val perNation = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_regionkey", "n_name")
-        .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+        .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"),
+             countDistinct(col("c_custkey")).as("nd"))
       perNation
         .groupBy("n_regionkey")
-        .agg(expr("hll_union_agg(sk)").as("rsk"), count(lit(1)).as("n_nations"))
-        .select(col("n_regionkey"), col("n_nations"),
-          expr("hll_sketch_estimate(rsk)").as("approx_customers"))
+        .agg(expr("hll_union_agg(sk)").as("rsk"), count(lit(1)).as("n_nations"),
+             sum(col("nd")).as("exact_customers"))
+        .select(col("n_regionkey"), col("n_nations"), col("exact_customers"),
+          (abs(expr("hll_sketch_estimate(rsk)") / col("exact_customers") - 1) < 0.05)
+            .as("union_est_ok"))
         .orderBy("n_regionkey")
     }),
 
@@ -207,6 +222,40 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // The verdict columns compare DuckDB's own HLL estimate against the
+    // exact count with the same tolerance the Spark side applies to its
+    // HLL++ estimate — both engines' sketches sit ≲2% off on this data,
+    // so both sides deterministically produce true.
+    "a5_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+        |      / count(DISTINCT l_orderkey) - 1) < 0.06 AS approx_orders_ok,
+        |  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+        |      / count(DISTINCT l_partkey) - 1) < 0.06 AS approx_parts_ok
+        |FROM lineitem""".stripMargin,
+
+    "a16_hll_union" ->
+      """WITH cn AS (
+        |  SELECT c_custkey, n_regionkey, n_name
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |pn AS (
+        |  SELECT n_regionkey, n_name, count(DISTINCT c_custkey) AS nd
+        |  FROM cn GROUP BY n_regionkey, n_name),
+        |est AS (
+        |  SELECT n_regionkey,
+        |    count(DISTINCT c_custkey) AS exact_customers,
+        |    approx_count_distinct(c_custkey) AS approx_customers
+        |  FROM cn GROUP BY n_regionkey)
+        |SELECT p.n_regionkey, p.n_nations,
+        |  CAST(e.exact_customers AS BIGINT) AS exact_customers,
+        |  abs(CAST(e.approx_customers AS DOUBLE) / e.exact_customers - 1) < 0.05
+        |    AS union_est_ok
+        |FROM (SELECT n_regionkey, count(*) AS n_nations FROM pn
+        |      GROUP BY n_regionkey) p
+        |JOIN est e USING (n_regionkey)
+        |ORDER BY n_regionkey""".stripMargin,
+
     "a14_bool_aggs" ->
       """SELECT o_orderstatus,
         |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,

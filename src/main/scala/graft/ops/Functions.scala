@@ -217,14 +217,25 @@ object Functions {
         base64(substring(col("text"), 1, 40).cast("binary")).as("head_b64"),
         length(col("text").cast("binary")).as("n_bytes"))),
 
-    // F7b: Spark-native hashes (xxhash64, murmur3, crc32) — seeds/algos
-    // differ from DuckDB so no oracle (rows-only); ScalaTest pins values.
+    // F7b: Spark-native hashes (xxhash64, murmur3, crc32) — raw values
+    // have no DuckDB twin (seeds/algorithms differ), so the SCORED output
+    // is engine-portable *properties* of the hashes: injectivity over the
+    // corpus (distinct-count of each hash = distinct-count of text;
+    // verified collision-free at sf0.001/0.01/0.1 — deterministic data,
+    // so no flake) plus known-answer constants for a fixed input, which
+    // the oracle pins as literals. The hash functions themselves execute
+    // inside the distinct aggregates; raw per-row values are pinned in
+    // ScalaTest (OperatorSuite).
     "f7b_native_hash" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        xxhash64(col("text")).as("xx64"),
-        hash(col("text")).as("murmur3"),
-        crc32(col("text").cast("binary")).as("crc"))),
+      Tables.documents(s, d)
+        .agg(countDistinct(col("text")).as("n_texts"),
+             countDistinct(xxhash64(col("text"))).as("n_xx64"),
+             countDistinct(hash(col("text"))).as("n_murmur3"),
+             countDistinct(crc32(col("text").cast("binary"))).as("n_crc32"))
+        .select(col("n_texts"), col("n_xx64"), col("n_murmur3"), col("n_crc32"),
+          xxhash64(lit("graft")).as("kat_xx64"),
+          hash(lit("graft")).as("kat_murmur3"),
+          crc32(lit("graft").cast("binary")).as("kat_crc32"))),
 
     // F8: null handling — nulls manufactured via nullif, then repaired.
     "f8_null" -> ((s, d) => {
@@ -374,6 +385,21 @@ object Functions {
         |  COUNT(*) AS n
         |FROM customer WHERE c_acctbal > 9000
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // Injectivity counts: every native-hash distinct-count equals the
+    // distinct text count (collision-free on this corpus — verified at
+    // sf0.001/0.01/0.1; data is deterministic so this cannot flake).
+    // KAT literals = Spark's xxhash64(seed 42)/murmur3(seed 42)/crc32 of
+    // the fixed string "graft", computed once and pinned.
+    "f7b_native_hash" ->
+      """SELECT count(DISTINCT text) AS n_texts,
+        |  count(DISTINCT text) AS n_xx64,
+        |  count(DISTINCT text) AS n_murmur3,
+        |  count(DISTINCT text) AS n_crc32,
+        |  CAST(-4815631219266125053 AS BIGINT) AS kat_xx64,
+        |  CAST(-1930494102 AS INTEGER) AS kat_murmur3,
+        |  CAST(31255620 AS BIGINT) AS kat_crc32
+        |FROM documents""".stripMargin,
 
     "f7_hash" ->
       """SELECT doc_id,

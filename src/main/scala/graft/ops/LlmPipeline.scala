@@ -42,6 +42,23 @@ object LlmPipeline {
   private def planeSql(p: Array[Double]): String =
     p.map(v => f"$v%.6f").mkString("[", ", ", "]::DOUBLE[]")
 
+  /** Universal-hash MinHash lane constants (l2b): p = 2³¹−1 (prime);
+    * (aᵢ, bᵢ) from the same seeded LCG as `planes`, embedded as literals
+    * in both dialects so Spark and the DuckDB oracle compute identical
+    * signatures. aᵢ ∈ [1, p−1], bᵢ ∈ [0, p−1].
+    */
+  val MinHashP = 2147483647L
+  val (minHashA, minHashB): (Array[Long], Array[Long]) = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(m: Long): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 3) % m
+    }
+    val a = Array.fill(NPlanes)(next(MinHashP - 1) + 1)
+    val b = Array.fill(NPlanes)(next(MinHashP))
+    (a, b)
+  }
+
   private val embD: Column = transform(col("embedding"), _.cast("double"))
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
@@ -113,18 +130,24 @@ object LlmPipeline {
         .filter(col("jaccard") > 0.12)
     }),
 
-    // L2b: MinHash + LSH banding — signature = min over shingles of
-    // xxhash64(shingle ⊕ seed) per seed; 8 seeds → 4 bands of 2 rows.
-    // Bucket-join candidates only. xxhash64 has no DuckDB twin → rows-only
-    // here; the algebra (sig length, band grouping) is pinned in ScalaTest.
+    // L2b: MinHash + LSH banding — classic universal-hash MinHash:
+    // base hash h(sh) = first 60 bits of md5(sh) (engine-portable:
+    // Spark conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)), then
+    // lane i's signature = min over shingles of (h%p)·aᵢ + bᵢ mod p with
+    // p = 2³¹−1 and literal (aᵢ,bᵢ) shared with the oracle. 8 lanes →
+    // 4 bands of 2 rows; bucket-join candidates only. One md5 per
+    // shingle total (not per lane) — the lanes are 3 integer ops each.
+    // No overflow under ANSI: (p−1)·aᵢ < 2⁶² fits a long.
     "l2b_minhash_lsh" -> ((s, d) => {
       // Shape matters at scale: tokenize ONCE per doc (posexplode), build
       // 3-gram shingles with lead() windows, then ONE codegen'd
-      // hash-aggregate computes all 8 minhash lanes (min(xxhash64(sh⊕seed))).
-      // An array-lambda formulation re-inlines the whole split() pipeline
-      // into every element_at (CollapseProject + interpreted higher-order
-      // fns) — measured 100×+ slower at sf0.1.
+      // hash-aggregate computes all 8 minhash lanes. An array-lambda
+      // formulation re-inlines the whole split() pipeline into every
+      // element_at (CollapseProject + interpreted higher-order fns) —
+      // measured 100×+ slower at sf0.1.
       val w = Window.partitionBy("doc_id").orderBy("p")
+      val h = (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+        % MinHashP).as("h")
       val sig = Tables.documents(s, d)
         // codegen tokenizer: posexplode(split) + relational empty filter
         // (an interpreted filter() lambda inside the generator costs a
@@ -136,42 +159,48 @@ object LlmPipeline {
         // deterministically, matching a clamped 3-gram window.
         .select(col("doc_id"), concat_ws(" ", col("tok"),
           lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
+        .select(col("doc_id"), h)
         .groupBy("doc_id")
-        .agg(min(xxhash64(concat(col("sh"), lit("seed0")))).as("m0"),
+        .agg(min((col("h") * minHashA(0) + minHashB(0)) % MinHashP).as("m0"),
           (1 until 8).map(i =>
-            min(xxhash64(concat(col("sh"), lit(s"seed$i")))).as(s"m$i")): _*)
+            min((col("h") * minHashA(i) + minHashB(i)) % MinHashP)
+              .as(s"m$i")): _*)
       val bands = sig.select(col("doc_id"), posexplode(array(
-        (0 until 4).map(b => xxhash64(concat_ws(",",
-          col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b)))): _*)))
+        (0 until 4).map(b => md5(concat_ws(",",
+          col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       bands.groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("bucket_size"))
         .filter(col("bucket_size") > 1)
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_buckets"),
-             sum(col("bucket_size") * (col("bucket_size") - 1) / 2).as("n_cand_pairs"))
+             sum((col("bucket_size") * (col("bucket_size") - 1) / 2)
+               .cast("long")).as("n_cand_pairs"))
         .orderBy("band")
     }),
 
-    // L2c: SimHash near-dup — 64-bit signature: bit i is the sign of the
-    // weighted vote Σ_tokens (bit_i(xxhash64(tok)) ? +1 : -1). Relational
-    // shape: one explode + one hash-aggregate with 64 sum lanes; candidate
-    // pairs share a 16-bit band and have hamming distance ≤ 6 (bit_count
-    // of xor). xxhash64 has no DuckDB twin → rows-only; SimHashSuite pins
-    // the algebra (identical docs ⇒ distance 0, one-word edit ⇒ small).
+    // L2c: SimHash near-dup — 60-bit signature: bit i is the sign of the
+    // weighted vote Σ_tokens (bit_i(h(tok)) ? +1 : -1), where h(tok) =
+    // first 60 bits of md5(tok) — engine-portable (Spark conv(hex,16,10)
+    // ≡ DuckDB CAST('0x'||hex AS BIGINT)), so the whole query is
+    // oracle-checkable. Relational shape: one explode + one
+    // hash-aggregate with 15 packed sum lanes; candidate pairs share a
+    // 15-bit band and have hamming distance ≤ 6 (bit_count of xor).
+    // SimHash algebra (identical docs ⇒ distance 0, one-word edit ⇒
+    // small) stays pinned in ScalaTest.
     "l2c_simhash" -> ((s, d) => {
-      // The 64 sign-votes are packed into 16 agg lanes of 4×16-bit
+      // The 60 sign-votes are packed into 15 agg lanes of 4×16-bit
       // popcounts each (lane j, slot k holds c_i = #tokens with bit
       // i=4j+k set; vote_i ≥ 0 ⇔ 2·c_i ≥ n_tokens). Exact while a doc has
       // < 2^15 tokens (no cross-slot carry, no int64 overflow under ANSI);
       // 4× less aggregation state than one sum(when(...)) lane per bit.
-      val packed = (0 until 16).map { j =>
+      val packed = (0 until 15).map { j =>
         sum((0 until 4).map { k =>
           shiftrightunsigned(col("h"), j * 4 + k).bitwiseAND(lit(1L)) *
             lit(1L << (16 * k))
         }.reduce(_ + _)).as(s"c$j")
       }
-      val sig = (0 until 64).map { i =>
+      val sig = (0 until 60).map { i =>
         val c = shiftrightunsigned(col(s"c${i / 4}"), 16 * (i % 4))
           .bitwiseAND(lit(0xffffL))
         when(c * 2 >= col("n_toks"), lit(1L << i)).otherwise(lit(0L))
@@ -179,11 +208,12 @@ object LlmPipeline {
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " +")).as("tok"))
         .where(col("tok") =!= "")
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), packed: _*)
         .select(col("doc_id"), sig.as("simhash"))
-      // band on 16-bit chunks → candidates → exact hamming re-check.
+      // band on 15-bit chunks → candidates → exact hamming re-check.
       // The explicit repartition on the join key puts an identical
       // exchange under BOTH self-join sides, so ReuseExchange computes
       // the whole signature pipeline ONCE (without it, the broadcast
@@ -191,7 +221,7 @@ object LlmPipeline {
       // data is tiny (4 band rows per doc).
       val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+          shiftrightunsigned(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
         .repartition(col("band"), col("chunk"))
       val a = banded.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
@@ -701,6 +731,83 @@ object LlmPipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // Same 60-bit md5 base hash, same (aᵢ,bᵢ) lane constants, same band
+    // digest as the Spark side — signatures match bit-for-bit.
+    "l2b_minhash_lsh" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min((h * ${minHashA(i)} + ${minHashB(i)}) % $MinHashP) AS m$i")
+        .mkString(",\n  ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, " +
+          s"m${2 * b + 1}, '$b')) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+         |                   toks[CAST(i AS INTEGER) + 1],
+         |                   toks[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM docs),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $MinHashP AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |  $lanes
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel),
+         |buckets AS (
+         |  SELECT band, band_hash, count(*) AS bucket_size
+         |  FROM bands GROUP BY band, band_hash HAVING count(*) > 1)
+         |SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets,
+         |  CAST(sum(bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+    },
+
+    // Same 60-bit per-token hash and majority-vote bit algebra as the
+    // Spark side (which packs the 60 popcounts into 15 lanes — pure
+    // aggregation-state compression; the votes are identical).
+    "l2c_simhash" -> {
+      val cs = (0 until 60).map(i =>
+        s"CAST(SUM((h >> $i) & 1) AS BIGINT) AS c$i").mkString(",\n    ")
+      val sigTerms = (0 until 60).map(i =>
+        s"(CASE WHEN 2 * c$i >= n_toks THEN CAST(${1L << i} AS BIGINT) " +
+          "ELSE 0 END)").mkString(" +\n    ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         |h AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |  FROM tok),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_toks,
+         |    $cs
+         |  FROM h GROUP BY doc_id),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $sigTerms AS simhash
+         |  FROM cnt),
+         |banded AS (
+         |  SELECT doc_id, simhash, b.band AS band,
+         |    (simhash >> (b.band * 15)) & 32767 AS chunk
+         |  FROM sigs, (VALUES (0),(1),(2),(3)) b(band)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    bit_count(xor(a.simhash, b2.simhash)) AS hamming
+         |  FROM banded a JOIN banded b2 ON a.band = b2.band
+         |    AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+         |SELECT count(*) AS n_neardup_pairs,
+         |  CAST(coalesce(min(hamming), -1) AS INTEGER) AS min_hamming
+         |FROM pairs WHERE hamming <= 6""".stripMargin
+    },
+
     "l5g_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),

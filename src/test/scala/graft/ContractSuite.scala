@@ -14,12 +14,12 @@ class ContractSuite extends AnyFunSuite with SparkFixture {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("rows-only queries are the known, justified set") {
+  test("every query has an oracle (zero rows-only entries)") {
+    // Round 4: the former rows-only set (a5/a16/f7b/l2b/l2c) was made
+    // oracle-checkable via engine-portable outputs (exact counts +
+    // tolerance verdicts, md5/conv-derived hashes) — keep it that way.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64/HLL sketches have no DuckDB twin (SURVEY §2 A5/A16/L2b/L2c/F7b)
-    assert(rowsOnly == Set("a5_approx_distinct", "a16_hll_union",
-      "f7b_native_hash", "l2b_minhash_lsh", "l2c_simhash"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"queries without oracle SQL: $rowsOnly")
   }
 
   test("every query analyzes against the sf0.001 corpus (no execution)") {

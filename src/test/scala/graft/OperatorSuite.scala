@@ -108,13 +108,16 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     docs.createOrReplaceTempView("t_l2b")
     val toks = filter(split(lower(col("text")), " +"), t => t =!= "")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("p")
+    val P = LlmPipeline.MinHashP
     val sig = docs.select(col("doc_id"), posexplode(toks))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
       .select(col("doc_id"), concat_ws(" ", col("tok"),
         lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % P).as("h"))
       .groupBy("doc_id")
-      .agg(min(xxhash64(concat(col("sh"), lit("seed0")))).as("m0"),
-           min(xxhash64(concat(col("sh"), lit("seed1")))).as("m1"))
+      .agg(min((col("h") * LlmPipeline.minHashA(0) + LlmPipeline.minHashB(0)) % P).as("m0"),
+           min((col("h") * LlmPipeline.minHashA(1) + LlmPipeline.minHashB(1)) % P).as("m1"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sig(1L) == sig(2L))     // identical docs → identical signature
     assert(sig(1L) != sig(3L))     // different doc → different signature
@@ -327,20 +330,31 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
   }
 
   test("A16 HLL: union of per-nation sketches ≡ direct region sketch, near exact") {
-    val out = SparkEntry.queries("a16_hll_union")(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
-    val direct = Tables.customer(spark, sf)
+    // the union≡direct law on the raw estimates (the scored query outputs
+    // the portable exact count + verdict, so rebuild the union here)
+    val cn = Tables.customer(spark, sf)
       .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+    val union = cn.groupBy("n_regionkey", "n_name")
+      .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
       .groupBy("n_regionkey")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("uest"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = cn.groupBy("n_regionkey")
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 14))").as("est"),
            countDistinct(col("c_custkey")).as("exact"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     direct.foreach { case (region, est, exact) =>
       // merging partial sketches must equal sketching the union directly
-      assert(out(region) == est, s"union≠direct for region $region")
+      assert(union(region) == est, s"union≠direct for region $region")
       // lgK=14 ⇒ rsd ~0.8%; corpus regions are tiny, so allow 2%
       assert(math.abs(est - exact) <= math.max(1L, (exact * 0.02).toLong),
         s"estimate $est too far from exact $exact in region $region")
     }
+    // and the scored query's verdict + exact columns hold
+    val out = SparkEntry.queries("a16_hll_union")(spark, sf).collect()
+    assert(out.forall(_.getAs[Boolean]("union_est_ok")))
+    val exactByRegion = direct.map(t => t._1 -> t._3).toMap
+    out.foreach(r => assert(r.getAs[Long]("exact_customers") ==
+      exactByRegion(r.getAs[Int]("n_regionkey"))))
   }
 }
