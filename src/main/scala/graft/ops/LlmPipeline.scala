@@ -578,10 +578,10 @@ object LlmPipeline {
     // connected components and one canonical doc kept per component.
     //
     // Edges: md5-based MinHash banding over word-bigram sets — per band b,
-    // sig_b = min(md5("b|" + bigram)); docs in the same (lang, source)
-    // agreeing on any band's minimum are an edge. md5 is engine-portable,
-    // so unlike the xxhash64 signatures of l2b this LSH is fully
-    // oracle-checkable in DuckDB.
+    // sig_b = min over bigrams of (h·a_b + b_b mod p), h = first 60 bits
+    // of md5(bigram) (the l2b universal-hash scheme); docs in the same
+    // (lang, source) agreeing on any band's minimum are an edge. md5 is
+    // engine-portable, so this LSH is fully oracle-checkable in DuckDB.
     //
     // Components: iterative min-label propagation — comp(v) := min over
     // N(v)∪{v} of comp — until a fixpoint. Each round is ONE shuffle join
@@ -606,14 +606,19 @@ object LlmPipeline {
         .where(col("t1").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"),
           concat_ws(" ", col("tok"), col("t1")).as("g"))
-      // no distinct: min(md5(...)) is duplicate-insensitive, so deduping
+      // no distinct: min-per-band is duplicate-insensitive, so deduping
       // the gram table first would only add a full shuffle of the largest
       // intermediate (the oracle's list_distinct is likewise a no-op on
-      // the per-band minimum)
+      // the per-band minimum). ONE md5 per gram, then a universal-hash
+      // lane per band (same (aᵢ,bᵢ) family as l2b) — 4× less digest work
+      // than an md5 per (band, gram).
       val nBands = 4
+      val hG = (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+        % MinHashP).as("h")
       val sigAggs = (0 until nBands).map(b =>
-        min(md5(concat(lit(s"$b|"), col("g")))).as(s"sig$b"))
-      val sigs = grams.groupBy("doc_id", "lang", "source")
+        min((col("h") * minHashA(b) + minHashB(b)) % MinHashP).as(s"sig$b"))
+      val sigs = grams.select(col("doc_id"), col("lang"), col("source"), hG)
+        .groupBy("doc_id", "lang", "source")
         .agg(sigAggs.head, sigAggs.tail: _*)
       // STAR edges, not pairwise: connecting every bucket member to the
       // bucket's minimum doc gives the same connectivity as the full
@@ -621,13 +626,15 @@ object LlmPipeline {
       // hot LSH bucket of 10k docs emits 10k edges, not 50M. (The DuckDB
       // oracle keeps the pairwise form; components are identical.)
       // bandSig is checkpointed so the rep aggregation and the member
-      // join don't each recompute the gram→signature pipeline.
+      // join don't each recompute the gram→signature pipeline; LAZY, so
+      // its materialization folds into the CC loop's first blocking job
+      // instead of costing a separate one.
       val bandSig = sigs.select(col("doc_id"), col("lang"), col("source"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("bs.band").as("band"), col("bs.sig").as("sig"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val reps = bandSig.groupBy("lang", "source", "band", "sig")
         .agg(min(col("doc_id")).as("u"))
       val e0 = bandSig.join(reps, Seq("lang", "source", "band", "sig"))
@@ -646,88 +653,94 @@ object LlmPipeline {
     * (id, comp) for every vertex appearing in an edge, comp = the minimum
     * id reachable from it.
     *
-    * Each round is one shuffle join on the vertex id + one hash-agg;
-    * rounds = graph diameter (dup chains are shallow in practice; capped).
-    * `localCheckpoint` truncates lineage each round so round k doesn't
-    * replan rounds 1..k-1. For deep graphs the large-star/small-star
-    * variant (Kiveris et al., MapReduce CC) gets O(log n) rounds with the
-    * same per-round shape.
+    * Each propagation step is one neighbor-min pass + one pointer jump
+    * (comp[comp[v]]); both only decrease labels toward the per-component
+    * min and the jump gives O(log n)-ish convergence (measured ~log₂ n
+    * steps on LSH dup graphs). The kernel runs on partitioner-aligned
+    * RDDs rather than DataFrames — this is the one genuinely iterative
+    * imperative loop in the library, and the DataFrame form was measured
+    * planning-bound, not data-bound: each lazily-composed superstep cost
+    * ~1 s of Catalyst/AQE replanning at test scale regardless of row
+    * count (and the plan tree grows 3^k with the steps composed). With a
+    * fixed HashPartitioner the edge⋈labels join is NARROW in every round
+    * (edges never reshuffle), each step is exactly two tiny shuffles
+    * (jump re-key + min-combine), and there is nothing to replan.
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
                           maxIters: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
     // duplicate edges are tolerated (min-label propagation is idempotent
     // over them), so no distinct pass: callers that pass u<v pairs — like
     // l8 — produce no dups from the orientation union anyway.
-    // Pre-partitioned on u before the checkpoint: the materialized RDD
-    // keeps that outputPartitioning, so the per-round join against comp
-    // (hash-partitioned on id by its aggregate) needs NO edge-side
-    // exchange in any round.
-    val e0 = pairs.select(col("u"), col("v"))
-    val edges = e0.unionByName(
-        e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .localCheckpoint()
+    val raw = pairs.select(col("u"), col("v")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+    val e0 = raw.partitionBy(new HashPartitioner(sessionParts))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Right-size the loop's fixed partitioning ONCE from the materialized
+    // count: the iteration is stage-latency bound locally, and 32
+    // near-empty tasks per step swamp the data cost at test scale, while
+    // ~200k rows/partition keeps partitions far under executor memory at
+    // cluster scale (a 100 TB edge set keeps the session's partition
+    // count and skips the re-layout).
+    val nEdges = e0.count()
+    val nParts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + 199999L) / 200000L)).toInt
+    val part = new HashPartitioner(nParts)
+    val edges = if (nParts == sessionParts) e0 else {
+      val r = e0.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      r.count(); e0.unpersist(blocking = false); r
+    }
     // Seed comp(v) = min(v, neighbors) — the first propagation round is
-    // fused into the seeding aggregation instead of a separate iteration.
-    var comp = edges.select(col("u").as("id"), col("v").as("comp"))
-      .unionByName(edges.select(col("u").as("id"), col("u").as("comp")))
-      .groupBy("id").agg(min(col("comp")).as("comp")).localCheckpoint()
+    // fused into the seeding combine instead of a separate iteration.
+    var comp = edges
+      .flatMap { case (u, v) => Iterator((u, v), (u, u)) }
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     var changed = 1L
     var iter = 0
-    // NB: AQE stays ON here — measured 8-10× slower with it disabled:
-    // the loop's tiny joins rely on AQE's runtime broadcast conversion,
-    // and the static plan falls back to 32-partition sort-merge joins
-    // whose fixed stage latency dwarfs the data.
-    // One propagation step = neighbor-min + a pointer jump (comp[comp[v]]).
-    // Both only decrease labels toward the same fixpoint (per-component
-    // min), and the jump collapses label trees in O(log diameter) steps
-    // instead of O(diameter).
-    //
-    // Steps are composed LAZILY in supersteps of `stepsPerCheck`: on a
-    // small-diameter graph each round's cost is job-scheduling latency,
-    // not data volume (measured ~0.5 s/round for a 5k-vertex graph at 32
-    // partitions), so running k steps per checkpoint+convergence-count
-    // cuts the action count — and the wall time — by ~k at the price of
-    // at most k-1 no-op steps after the fixpoint.
-    val stepsPerCheck = 3
+    // Convergence is only CHECKED every `stepsPerCheck` steps: each check
+    // is a blocking count, and at most k-1 no-op steps run past the
+    // fixpoint — the same superstep amortization the DataFrame loop used.
+    val stepsPerCheck = 4
+    var prev: org.apache.spark.rdd.RDD[(Long, Long)] = null
     while (changed > 0 && iter < maxIters) {
       var cur = comp
       for (_ <- 0 until stepsPerCheck) {
-        val viaEdge = edges.join(cur, edges("u") === cur("id"))
-          .select(edges("v").as("id"), col("comp"))
-        val c2 = cur.select(col("id").as("cid"), col("comp").as("ccomp"))
-        val viaJump = cur.join(c2, cur("comp") === c2("cid"))
-          .select(cur("id"), c2("ccomp").as("comp"))
-        cur = cur.unionByName(viaEdge).unionByName(viaJump)
-          .groupBy("id").agg(min(col("comp")).as("comp"))
+        // narrow on both sides: edges and cur share `part`
+        val viaEdge = edges.join(cur, part)
+          .map { case (_, (v, c)) => (v, c) }
+        // pointer jump: re-key labels by their own label, look the label's
+        // label up (comp values are vertex ids, so the inner join covers
+        // every id with a ≤ label — no explicit `cur` branch needed)
+        val viaJump = cur.map { case (id, c) => (c, id) }
+          .join(cur, part)
+          .map { case (_, (id, cc)) => (id, cc) }
+        cur = viaEdge.union(viaJump).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       }
-      // LAZY checkpoint: the convergence count below is the first action,
-      // so it materializes the checkpoint and answers "changed" in ONE
-      // job — an eager checkpoint would cost a second blocking job per
-      // superstep. The superstep-start label rides along as the flagged
-      // union branch, so convergence needs no extra join: one hash-agg
-      // answers both "new label" and "changed".
-      val next = comp.select(col("id"), col("comp"), lit(1).as("own"))
-        .unionByName(cur.withColumn("own", lit(0)))
-        .groupBy("id")
-        .agg(min(col("comp")).as("nc"),
-             min(when(col("own") === 1, col("comp"))).as("oc"))
-        .localCheckpoint(false)
-      changed = next.where(col("nc") =!= col("oc")).count()
+      val next = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      // both sides share `part` → narrow join; the count materializes the
+      // persisted superstep result and answers "changed" in one job
+      changed = next.join(comp, part)
+        .filter { case (_, (a, b)) => a != b }.count()
       if (dbg) {
         System.err.println(
           f"[cc] superstep $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
         t0 = System.nanoTime()
       }
-      // reassigning comp drops the only reference to the previous round's
-      // checkpoint blocks; the ContextCleaner reclaims them asynchronously,
-      // so live storage stays at edges + two label tables, not one per round
-      comp = next.select(col("id"), col("nc").as("comp"))
+      // drop the superstep-before-last: `next` is materialized, so the
+      // lineage back through `comp` never recomputes; live storage stays
+      // at edges + two label tables regardless of round count
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = comp
+      comp = next
       iter += 1
     }
-    comp
+    spark.createDataFrame(comp).toDF("id", "comp")
   }
 
   val oracle: Map[String, String] = Map(
@@ -871,8 +884,10 @@ object LlmPipeline {
         |FROM q""".stripMargin,
 
     // Transitive closure via recursive CTE: min reachable id = component.
-    "l8_dup_groups" ->
-      """WITH RECURSIVE docs AS (
+    "l8_dup_groups" -> {
+      val laneRows = (0 until 4).map(b =>
+        s"($b, ${minHashA(b)}, ${minHashB(b)})").mkString(",")
+      s"""WITH RECURSIVE docs AS (
         |  SELECT doc_id, lang, source,
         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
         |  FROM documents),
@@ -884,11 +899,12 @@ object LlmPipeline {
         |                     toks[CAST(i AS INTEGER) + 1])))) AS g
         |  FROM docs),
         |sig AS (
-        |  SELECT doc_id, lang, source, b.band AS band,
-        |         min(md5(concat(CAST(b.band AS VARCHAR), '|', g))) AS sig
-        |  FROM g, (VALUES (0),(1),(2),(3)) b(band)
-        |  GROUP BY doc_id, lang, source, b.band),
-        |e0 AS (
+        |  SELECT doc_id, lang, source, bb.band AS band,
+        |         min((CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+        |              % $MinHashP * bb.la + bb.lb) % $MinHashP) AS sig
+        |  FROM g, (VALUES $laneRows) bb(band, la, lb)
+        |  GROUP BY doc_id, lang, source, bb.band),""".stripMargin + "\n" +
+      """e0 AS (
         |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
         |  FROM sig x JOIN sig y ON x.lang = y.lang AND x.source = y.source
         |   AND x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
@@ -901,7 +917,8 @@ object LlmPipeline {
         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         |SELECT c.id AS doc_id, c.comp AS dup_group, s.comp_size
         |FROM comp c JOIN (SELECT comp, COUNT(*) AS comp_size
-        |                  FROM comp GROUP BY comp) s USING (comp)""".stripMargin,
+        |                  FROM comp GROUP BY comp) s USING (comp)""".stripMargin
+    },
 
     "l1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
