@@ -85,6 +85,21 @@ object Windows {
           count(lit(1)).over(w).as("hour_n"))
     }),
 
+    // W4b: RANGE frame with an INTERVAL bound directly on the timestamp
+    // key — the time-series dialect of W4 (no epoch-seconds detour). The
+    // Scala Window API only takes long offsets, so the frame is declared
+    // through the SQL window syntax; same trailing-hour semantics,
+    // inclusive on both ends, peers included (RANGE).
+    "w4b_range_interval" -> ((s, d) => {
+      val over = "OVER (PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)"
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"),
+        expr(s"CAST(SUM(CAST(value AS DECIMAL(28,4))) $over AS DOUBLE)")
+          .as("hour_sum"),
+        expr(s"COUNT(1) $over").as("hour_n"))
+    }),
+
     // W5: first/last value over frames + nth via ordered aggregation.
     "w5_first_last" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -150,6 +165,17 @@ object Windows {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w4b_range_interval" ->
+      """WITH ev AS (SELECT event_id, user_id, value,
+        |              CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "w5_first_last" ->
       s"""WITH ev AS ($evSql)

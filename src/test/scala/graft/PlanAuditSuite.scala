@@ -224,6 +224,51 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(back.count() == o.filter(year(col("o_orderdate")) === 1997).count())
   }
 
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // The 100 TB date-partitioned read path: fact partitioned on
+    // order_year joined to a dim filtered on a non-join column — static
+    // pruning can't help (the year set is only known at runtime), so
+    // PlanDynamicPruningFilters must turn the broadcast dim into a
+    // dynamicpruningexpression inside the fact scan's PartitionFilters.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sf).withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(s"$dir/fact")
+    spark.range(1992, 1999).select(col("id").as("dim_year"),
+        when(col("id") === 1997, "target").otherwise("other").as("tag"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "target")
+    val j = fact.join(dim, fact("order_year") === dim("dim_year"))
+      .agg(count(lit(1)).as("n"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning not planned:\n$p")
+    // and the pruned result is still correct
+    val n = j.collect()(0).getLong(0)
+    assert(n == fact.filter(col("order_year") === 1997).count())
+  }
+
+  test("X1: the same predicate reaches PushedFilters as a built-in, not as a udf()") {
+    // why the library bans UDFs from hot paths: a udf() cannot become a
+    // parquet row-group filter, so at 100 TB every row-group is read
+    // before the predicate runs. Identical semantics, opposite scans.
+    graft.functions.UdfDemo.register(spark)
+    val o = Tables.orders(spark, sf)
+    val builtin = o.filter(col("o_totalprice") > 400000d)
+    val viaUdf = o.filter(
+      graft.functions.UdfDemo.gtUdf(col("o_totalprice"), lit(400000d)))
+    val pBuiltin = builtin.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    val pUdf = viaUdf.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(pBuiltin.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"built-in comparison must reach PushedFilters:\n$pBuiltin")
+    assert(pUdf.contains("PushedFilters: []"),
+      s"udf() must NOT reach PushedFilters (that's the point):\n$pUdf")
+    // same answer either way — only the plan differs
+    assert(builtin.count() == viaUdf.count())
+  }
+
   test("L10: contamination screen broadcasts the eval gram set (corpus streams)") {
     val p = plan("l10_contamination")
     assert(p.contains("BroadcastHashJoin"), "eval-set join must broadcast")

@@ -137,6 +137,36 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(n >= 10, s"expected at least one 10-row micro-batch, got $n")
   }
 
+  test("S9 parquet file sink + checkpoint recovers exactly-once across a restart") {
+    // The durability story a real pipeline needs (SURVEY §2.10 T8): a
+    // file-source → parquet-sink query with a checkpointLocation is
+    // stopped cold, new input arrives while it is down, and a RESTARTED
+    // query (same checkpoint) must emit exactly the missed rows — no
+    // replays of batch 1, no losses.
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.mode("append").json(in)
+    def start() = spark.readStream.schema("id LONG, s STRING").json(in)
+      .withColumn("twice", org.apache.spark.sql.functions.col("id") * 2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // input lands while the query is down
+    Seq((3L, "c")).toDF("id", "s").coalesce(1).write.mode("append").json(in)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("twice"))
+    assert(rows.length == 3, s"exactly-once violated: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> 2L, 2L -> 4L, 3L -> 6L))
+  }
+
   test("T8+Y5 foreachBatch upsert MERGEs into JDBC target (Derby), no driver collect") {
     val spark0 = spark
     import spark0.implicits._
