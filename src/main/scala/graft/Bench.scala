@@ -11,6 +11,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // STATIC conf, must be set before the session exists. Default 100
+      // entries thrash across this suite (~120 queries × several generated
+      // classes each), so pass 2 recompiles every WholeStageCodegen body
+      // and the per-query minimum measures Janino, not the plan. A warm
+      // long-running cluster keeps its codegen cache; size it to fit.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -105,19 +105,24 @@ object LlmPipeline {
           col("text").substr(col("p"), lit(5)).as("sh"))
         .groupBy("doc_id", "lang", "source", "lenb")
         .agg(collect_set(col("sh")).as("shs"))
-        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
-          size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
         // materialize ONCE: the probe-side doc_id filter below would
         // otherwise push through any shared exchange and differentiate
         // the two subplans (ReuseExchange can't fire — measured in round
         // 2), so both join sides would recompute the whole shingle
-        // pipeline; the checkpoint pins ~1 corpus pass instead of ~2
+        // pipeline; the checkpoint pins ~1 corpus pass instead of ~2.
+        // Checkpoint the PER-DOC ARRAY form (one row per doc), not the
+        // re-exploded shingle rows: same information, ~200× fewer rows to
+        // serialize — the per-side explode below is cheap codegen'd CPU
+        // over the cached arrays (measured: checkpoint-after-explode was
+        // the single biggest cost of this query).
         .localCheckpoint()
-      val a = docSh
+      val docSh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
+        col("lenb"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
+      val a = docSh2
         .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("sh"))
-      val b = docSh.select(col("doc_id").as("id_b"), col("lang"),
+      val b = docSh2.select(col("doc_id").as("id_b"), col("lang"),
                            col("source"), col("lenb"), col("sz").as("sz_b"),
                            col("sh"))
       a.join(b, Seq("lang", "source", "lenb", "sh"))
@@ -261,17 +266,18 @@ object LlmPipeline {
           concat_ws(" ", col("tok"), col("t1")).as("g"))
         .groupBy("doc_id", "lang", "source", "lenb")
         .agg(collect_set(col("g")).as("gs"))
-        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
-          size(col("gs")).as("sz"), explode(col("gs")).as("g"))
         // same single-materialization rationale as l2a: the probe-side
         // filter would otherwise force a second bigram pipeline pass
-        // (and the same measured collect_set-over-distinct choice)
+        // (and the same measured collect_set-over-distinct choice);
+        // checkpoint the per-doc array rows, explode per side (see l2a)
         .localCheckpoint()
-      val a = grams
+      val grams2 = grams.select(col("doc_id"), col("lang"), col("source"),
+        col("lenb"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+      val a = grams2
         .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
         .select(col("doc_id").as("id_a"), col("lang"), col("source"),
                 col("lenb"), col("sz").as("sz_a"), col("g"))
-      val b = grams.select(col("doc_id").as("id_b"), col("lang"),
+      val b = grams2.select(col("doc_id").as("id_b"), col("lang"),
                            col("source"), col("lenb"), col("sz").as("sz_b"),
                            col("g"))
       a.join(b, Seq("lang", "source", "lenb", "g"))
