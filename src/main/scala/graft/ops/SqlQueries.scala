@@ -193,7 +193,11 @@ object SqlQueries {
       |  SELECT c.c_custkey, a.depth + 1
       |  FROM customer c JOIN anc a
       |    ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = a.custkey
-      |  WHERE a.depth < 8)
+      |  -- c_custkey < 1024 is implied by the tree shape (root 1, child
+      |  -- keys 2a/2a+1, depth <= 8 => keys < 512) but gives the per-
+      |  -- iteration parquet scan a static pushed filter: every UnionLoop
+      |  -- step prunes row groups instead of rescanning the full table
+      |  WHERE a.depth < 8 AND c.c_custkey < 1024)
       |SELECT depth, COUNT(*) AS n_nodes,
       |  min(custkey) AS min_key, max(custkey) AS max_key
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
