@@ -221,7 +221,27 @@ object SqlQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // LATERAL correlated subquery (comma-join dialect shared with DuckDB):
+  // top-2 orders per customer by price. Catalyst decorrelates the
+  // ORDER BY ... LIMIT inner query (DecorrelateInnerQuery) into a
+  // partition-ranked window join — the SQL spelling of O5 top-k per
+  // group, exercised through the parser instead of the DataFrame API.
+  // Ties are broken by o_orderkey so both engines agree row-for-row.
+  private val lateralQ =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC
+      |  LIMIT 2
+      |) t
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey ASC, t.o_totalprice DESC, t.o_orderkey ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_lateral_topk" -> ((s, d) => sql(s, d, lateralQ)),
     "x8_sql_udf" -> ((s, d) => {
       val df = sql(s, d, "SELECT 1") // registers the temp views
       df.sparkSession.sql(
@@ -245,6 +265,7 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral_topk" -> lateralQ,
     "x8_sql_udf" -> sqlUdfOracle,
     "sql_recursive_cte" -> recursiveQ,
     "sql_q4_priority_exists" -> q4,

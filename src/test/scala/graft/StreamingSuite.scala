@@ -167,6 +167,35 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(rows.toMap == Map(1L -> 2L, 2L -> 4L, 3L -> 6L))
   }
 
+  test("S8b Trigger.AvailableNow drains the backlog then stops (incremental batch runs)") {
+    // The scheduled-batch ingestion pattern at 100 TB: a periodic job
+    // starts the same checkpointed query with Trigger.AvailableNow, which
+    // processes exactly the files that arrived since the last run and
+    // then terminates itself — incremental sync without a resident
+    // streaming cluster.
+    val spark0 = spark
+    import spark0.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG, s STRING").json(in)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.mode("append").json(in)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "c")).toDF("id", "s").coalesce(1).write.mode("append").json(in)
+    runOnce() // the next scheduled run picks up ONLY the new file
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("T8+Y5 foreachBatch upsert MERGEs into JDBC target (Derby), no driver collect") {
     val spark0 = spark
     import spark0.implicits._
