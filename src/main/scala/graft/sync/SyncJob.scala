@@ -92,17 +92,37 @@ object SyncJob {
     bad.isEmpty
   }
 
-  /** The composed lifecycle; returns the applied result plus a report. */
+  /** The composed lifecycle; returns the applied result plus a report.
+    *
+    * Exactly two jobs: the pre-apply op-count summary (≤4-row collect)
+    * and ONE validation pass whose `observe()` metrics
+    * (CollectMetricsExec) yield drift counts AND the result cardinality
+    * from the same scan — the re-diff is a full outer join, so its rows
+    * partition into I (source-only ⇒ missing from result) and everything
+    * else (= exactly the result's rows); a separate result.count() job
+    * would rescan the apply plan to learn a number the validation pass
+    * already saw.
+    */
   def run(source: DataFrame, target: DataFrame,
           cfg: SyncConfig): (DataFrame, SyncReport) = {
     val ops = diff(source, target, cfg).groupBy("op").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val result = upsert(source, target, cfg)
+    val obs = org.apache.spark.sql.Observation()
+    val valDiff = diff(source, result, cfg).observe(obs,
+      count(when(col("op") === "I", 1)).as("n_missing"),
+      count(when(col("op") === "U", 1)).as("n_stale"),
+      count(when(col("op") === "D", 1)).as("n_extra"),
+      count(when(col("op") =!= "I", 1)).as("n_result_rows"))
+    valDiff.foreach(_ => ()) // one action; metrics land in obs
+    val m = obs.get
+    val validated = m("n_missing") == 0L && m("n_stale") == 0L &&
+      (!cfg.deleteMissing || m("n_extra") == 0L)
     val report = SyncReport(
       nInsert = ops.getOrElse("I", 0L), nUpdate = ops.getOrElse("U", 0L),
       nDelete = ops.getOrElse("D", 0L), nSame = ops.getOrElse("S", 0L),
-      resultRows = result.count(),
-      validated = validate(source, result, cfg))
+      resultRows = m("n_result_rows").asInstanceOf[Long],
+      validated = validated)
     (result, report)
   }
 }
