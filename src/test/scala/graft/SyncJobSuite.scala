@@ -93,4 +93,67 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(ops((2L, 1L)) == "D")
     assert(ops((3L, 1L)) == "I")
   }
+
+  test("Y1 TypeMapping: INFORMATION_SCHEMA rows plan the Spark schema") {
+    import graft.sync.TypeMapping._
+    import org.apache.spark.sql.types._
+    // a representative MS-SQL catalog slice, as the planner would read it
+    val meta = Seq(
+      ColumnMeta("id", "bigint", nullable = false),
+      ColumnMeta("qty", "int"),
+      ColumnMeta("flag", "bit"),
+      ColumnMeta("price", "decimal", precision = Some(12), scale = Some(2)),
+      ColumnMeta("amount", "money"),
+      ColumnMeta("ratio", "float"),
+      ColumnMeta("name", "nvarchar", charLength = Some(-1)),
+      ColumnMeta("guid", "uniqueidentifier"),
+      ColumnMeta("created", "datetime2", precision = Some(7)),
+      ColumnMeta("offset_ts", "datetimeoffset"),
+      ColumnMeta("age", "tinyint"),
+      ColumnMeta("payload", "varbinary", charLength = Some(-1)))
+    val st = toStructType(meta)
+    assert(st("id") == StructField("id", LongType, nullable = false))
+    assert(st("price").dataType == DecimalType(12, 2))
+    assert(st("amount").dataType == DecimalType(19, 4)) // money is exact
+    assert(st("ratio").dataType == DoubleType)          // float(53)
+    assert(st("name").dataType == StringType)
+    assert(st("created").dataType == TimestampType)
+    assert(st("offset_ts").dataType == StringType)      // lossless offset
+    assert(st("age").dataType == ShortType)             // tinyint unsigned
+    assert(st("payload").dataType == BinaryType)
+    intercept[IllegalArgumentException](
+      toSparkType(ColumnMeta("x", "geography")))
+  }
+
+  test("Y1 TypeMapping: DDL generation + round-trip stability law") {
+    import graft.sync.TypeMapping._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_comment", StringType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_flag", BooleanType),
+      StructField("o_tax", DecimalType(12, 2))))
+    val ddl = createTableDdl("dbo.orders_sync", schema, Seq("o_orderkey"))
+    assert(ddl.contains("[o_orderkey] BIGINT NOT NULL"))
+    assert(ddl.contains("[o_totalprice] FLOAT NULL"))
+    assert(ddl.contains("[o_comment] NVARCHAR(MAX) NULL"))
+    assert(ddl.contains("[o_orderdate] DATETIME2(6) NULL"))
+    assert(ddl.contains("[o_tax] DECIMAL(12,2) NULL"))
+    assert(ddl.contains("PRIMARY KEY ([o_orderkey])"))
+    // hostile identifier cannot break out of the bracket quoting
+    val evil = createTableDdl("t]; DROP TABLE x--",
+      StructType(Seq(StructField("a] BIGINT); --", IntegerType))))
+    assert(evil.contains("[t]]; DROP TABLE x--]"))
+    assert(evil.contains("[a]] BIGINT); --]"))
+    // push to T-SQL, read the catalog back: unchanged (this schema has
+    // no documented widenings)
+    assert(roundTrip(schema) == schema)
+    // documented widenings: Byte -> Short survives a second trip fixed
+    val bytey = StructType(Seq(StructField("b", ByteType)))
+    val once = roundTrip(bytey)
+    assert(once("b").dataType == ShortType)
+    assert(roundTrip(once) == once) // idempotent from the first trip on
+  }
 }
