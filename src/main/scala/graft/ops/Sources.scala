@@ -104,6 +104,36 @@ object Sources {
              max(col("o_orderkey")).as("max_key"))
     }),
 
+    // S13: small-file compaction — the steady-state maintenance op of a
+    // 100 TB lake: streaming/incremental ingest leaves thousands of tiny
+    // files per partition; scans then pay per-file open/footer costs and
+    // the driver pays listing. Compact = read the fragmented table (Spark
+    // bin-packs small files into splits via files.maxPartitionBytes /
+    // openCostInBytes), re-layout to few right-sized files with
+    // sortWithinPartitions on the dominant filter key (clusters row-group
+    // min/max stats so post-compaction scans skip pages), write with
+    // maxRecordsPerFile as the size governor. The aggregate proves the
+    // rewrite is lossless vs the oracle on the original table; the
+    // file-count collapse (64 -> 4) is pinned in OperatorSuite.
+    "s13_compaction" -> ((s, d) => {
+      val frag = stage("orders_fragmented")
+      val compact = stage("orders_compacted")
+      Tables.orders(s, d).repartition(64) // simulate fragmented ingest
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartition(4)
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500000)
+        .parquet(compact)
+      s.read.parquet(compact)
+        .agg(count(lit(1)).as("n_rows"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             sum(col("o_custkey")).cast("long").as("sum_cust"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -123,6 +153,12 @@ object Sources {
       s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997""".stripMargin,
+
+    "s13_compaction" ->
+      s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders""".stripMargin,
 
     "s2_csv_roundtrip" ->
       """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,

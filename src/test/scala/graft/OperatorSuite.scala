@@ -272,6 +272,19 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("S13 compaction collapses the file count losslessly") {
+    val before = Tables.orders(spark, sf).count()
+    val agg = SparkEntry.queries("s13_compaction")(spark, sf).collect()(0)
+    assert(agg.getLong(0) == before) // lossless rewrite
+    def parts(sub: String) = new java.io.File(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stage", sub).toString)
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts("orders_fragmented") == 64)
+    assert(parts("orders_compacted") <= 4,
+      s"compaction left ${parts("orders_compacted")} files")
+  }
+
   test("S3 malformed JSON: PERMISSIVE captures the bad line, DROPMALFORMED drops it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
     java.nio.file.Files.writeString(dir.resolve("part.json"),
