@@ -93,6 +93,52 @@ object DataPrep {
           (col("n_hit") / col("n_grams") > 0.5).as("contaminated"))
     }),
 
+    // L5k: PII scrubbing — the redaction pass (emails, North-American
+    // phone shapes, IPv4) every public-corpus pipeline runs before
+    // training. Pure per-row regexp_replace chain: codegen'd, no
+    // shuffle, streams the corpus once at any scale. The corpus text is
+    // synthetic and PII-free, so a deterministic contact line is
+    // appended to every 7th doc FIRST — the redaction is then observed
+    // doing real work (counts pinned per doc, scrubbed text hashed; the
+    // regexes are RE2-safe so both engines execute them identically).
+    "l5k_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val seeded = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 555-867-5309")))
+        .otherwise(col("text"))
+      val scrubbed = regexp_replace(
+        regexp_replace(seeded, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(seeded, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(seeded, lit(phoneRe), lit(0))).as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"))
+    }),
+
+    // L13: stratified downsampling — EXECUTES a domain-mixture plan like
+    // l12's: per-stratum keep-rates applied with the md5-bucket idiom
+    // (deterministic, subset-stable, identical in both engines) instead
+    // of sampleBy's seed-dependent Bernoulli draw, which no two engines
+    // (or two Spark runs over different partitionings) reproduce. Per-row
+    // expression + one small agg: no shuffle beyond the final rollup.
+    "l13_stratified_sample" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10)
+        .cast("long") % 1000
+      val rate = when(col("lang") === "en", 250)   // downsample the head
+        .when(col("lang") === "de", 500)
+        .otherwise(1000)                           // keep the tail whole
+      val kept = (bucket < rate).cast("int")
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+             sum(kept).cast("long").as("n_kept"),
+             min(when(kept === 1, col("doc_id"))).as("min_kept_doc"),
+             sum(when(kept === 1, col("n_chars"))).cast("long")
+               .as("kept_chars"))
+    }),
+
     // L11: deterministic content-hash split — bucket = first 16 bits of
     // md5(text) mod 100 → 80/10/10. Identical assignment in both engines
     // (and across reruns/subsets — the property that matters in prod).
@@ -180,6 +226,37 @@ object DataPrep {
         |FROM g LEFT JOIN bench ON g.g = bench.bg
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id""".stripMargin,
+
+    "l5k_pii_scrub" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com or 555-867-5309'
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM seeded""".stripMargin,
+
+    "l13_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    (CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 <
+        |     CASE WHEN lang = 'en' THEN 250
+        |          WHEN lang = 'de' THEN 500 ELSE 1000 END) AS keep
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept_doc,
+        |  CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS kept_chars
+        |FROM t GROUP BY lang""".stripMargin,
 
     "l11_split" ->
       """WITH t AS (
