@@ -82,39 +82,44 @@ object LlmPipeline {
       // Relational Jaccard: count shared shingles with a codegen'd
       // equi-join + hash-agg and derive |A∪B| = |A|+|B|-|A∩B| from per-doc
       // set sizes. The array form (array_intersect per candidate pair) is
-      // interpreted and rebuilds both shingle sets per pair. Shape notes
-      // (each measured, see round-2 ScratchTiming):
-      //  - shingling is a codegen'd generator (explode positions + substr),
-      //    not an interpreted transform(sequence(...)) array lambda;
-      //  - the per-doc shingle SET and its size come from ONE collect_set
-      //    aggregation, exploded with `sz` attached — a separate `sizes`
-      //    subplan would recompute the corpus pipeline once per reference
-      //    (ReuseExchange can't kick in: the a-side pushdown changes the
-      //    subplan), turning 1.1 corpus passes into 3.1. Also measured
-      //    against the relational alternative (5-col distinct +
-      //    post-pair size joins): the distinct shuffles the same rows
-      //    with a wide high-entropy key and gets no map-side reduction,
-      //    landing ~1.5× slower — one doc-keyed object-agg shuffle does
-      //    set-build, size, and re-expansion in a single exchange.
-      val docSh = Tables.documents(s, d)
+      // interpreted and rebuilds both shingle sets per pair.
+      //
+      // The per-doc shingle SET is built by a typed map — a compiled
+      // per-row set-builder — because it is a pure per-row computation:
+      // documents arrive one row per doc, so an explode + collect_set
+      // formulation round-trips ~200 shingle rows per doc through an
+      // ObjectHashAggregate SHUFFLE only to reassemble what the row
+      // already had, and the interpreted transform(sequence(...)) array
+      // lambda pays a boxed lambda call per shingle. Measured (r4
+      // ScratchTiming, sf0.1): explode+collect_set build ≈ 2.5 s of the
+      // query's ~3.8 s; the typed map build is zero-shuffle and compiled.
+      // At 100 TB the same holds: shingle-set building is embarrassingly
+      // parallel, and a corpus-wide shuffle before the blocked join is
+      // pure waste. Column pruning still applies — the projection below
+      // narrows the scan before the opaque map.
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-          (col("n_chars") / 50).cast("int").as("lenb"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))))
-            .as("p"))
-        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
-          col("text").substr(col("p"), lit(5)).as("sh"))
-        .groupBy("doc_id", "lang", "source", "lenb")
-        .agg(collect_set(col("sh")).as("shs"))
+          (col("n_chars") / 50).cast("int").as("lenb"), col("text"))
+      val sEnc = s
+      import sEnc.implicits._
+      val docSh = base.as[(Long, String, String, Int, String)]
+        .map { case (id, lang, src, lenb, text) =>
+          val n = math.max(text.length - 4, 1)
+          val set = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i < n) {
+            set.add(text.substring(i, math.min(i + 5, text.length)))
+            i += 1
+          }
+          (id, lang, src, lenb, set.toArray(new Array[String](set.size)).toSeq)
+        }
+        .toDF("doc_id", "lang", "source", "lenb", "shs")
         // materialize ONCE: the probe-side doc_id filter below would
-        // otherwise push through any shared exchange and differentiate
-        // the two subplans (ReuseExchange can't fire — measured in round
-        // 2), so both join sides would recompute the whole shingle
-        // pipeline; the checkpoint pins ~1 corpus pass instead of ~2.
-        // Checkpoint the PER-DOC ARRAY form (one row per doc), not the
-        // re-exploded shingle rows: same information, ~200× fewer rows to
-        // serialize — the per-side explode below is cheap codegen'd CPU
-        // over the cached arrays (measured: checkpoint-after-explode was
-        // the single biggest cost of this query).
+        // otherwise push through and differentiate the two join subplans
+        // (ReuseExchange can't fire — measured in round 2), so both sides
+        // would recompute the shingle build; the checkpoint pins one pass
+        // over the per-doc ARRAY rows (one row per doc, not re-exploded
+        // shingles — ~200× fewer rows serialized for the same bytes).
         .localCheckpoint()
       val docSh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
         col("lenb"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
@@ -252,24 +257,30 @@ object LlmPipeline {
     // dedup family (char shingles = l2a, minhash = l2b, simhash = l2c,
     // embedding = l7).
     "l2d_ngram_jaccard" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val grams = Tables.documents(s, d)
+      // Per-doc bigram SET via the same compiled typed-map build as l2a
+      // (zero-shuffle: the old posexplode + lead-window + collect_set
+      // formulation paid a full token shuffle+sort for the window AND an
+      // object-agg shuffle to reassemble per-row data). lower() stays
+      // relational so both engines share one lowercase semantics.
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           (col("n_chars") / 50).cast("int").as("lenb"),
-          posexplode(split(lower(col("text")), " +")))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-        .where(col("tok") =!= "")
-        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
-          col("tok"), lead("tok", 1).over(w).as("t1"))
-        .where(col("t1").isNotNull) // full bigrams only
-        .select(col("doc_id"), col("lang"), col("source"), col("lenb"),
-          concat_ws(" ", col("tok"), col("t1")).as("g"))
-        .groupBy("doc_id", "lang", "source", "lenb")
-        .agg(collect_set(col("g")).as("gs"))
-        // same single-materialization rationale as l2a: the probe-side
-        // filter would otherwise force a second bigram pipeline pass
-        // (and the same measured collect_set-over-distinct choice);
-        // checkpoint the per-doc array rows, explode per side (see l2a)
+          lower(col("text")).as("text"))
+      val sEnc = s
+      import sEnc.implicits._
+      val grams = base.as[(Long, String, String, Int, String)]
+        .map { case (id, lang, src, lenb, text) =>
+          val toks = text.split(" +").filter(_.nonEmpty)
+          val set = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i < toks.length - 1) {
+            set.add(toks(i) + " " + toks(i + 1)); i += 1
+          }
+          (id, lang, src, lenb, set.toArray(new Array[String](set.size)).toSeq)
+        }
+        .toDF("doc_id", "lang", "source", "lenb", "gs")
+        // same single-materialization rationale as l2a: checkpoint the
+        // per-doc array rows once, explode per join side
         .localCheckpoint()
       val grams2 = grams.select(col("doc_id"), col("lang"), col("source"),
         col("lenb"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))

@@ -50,7 +50,15 @@ object Sync {
       |  FROM orders WHERE o_orderkey % 13 = 0
       |)""".stripMargin
 
-  /** Cross-engine row hash over the sync-relevant columns. */
+  /** Cross-engine row hash over the sync-relevant columns.
+    *
+    * NOTE: concat_ws can collide across column boundaries (("a|b","c") ≡
+    * ("a","b|c")); it is kept here ONLY because the scored oracle queries
+    * need a digest both engines spell identically over these specific
+    * columns (whose values cannot contain '|'). The production form is
+    * [[graft.sync.SyncJob.rowDigest]] — a JSON-struct digest with
+    * unambiguous cell boundaries — do not copy this one into new code.
+    */
   private def rowHash(prefix: String => org.apache.spark.sql.Column) =
     md5(concat_ws("|",
       prefix("o_custkey"), prefix("o_orderstatus"),
