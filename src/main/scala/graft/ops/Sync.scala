@@ -141,6 +141,53 @@ object Sync {
     // CHANGETABLE(CHANGES t, @version) shape: state as of a version
     // cutoff + only-newer changes applied on top. LAW: the result equals
     // the full recompute (y4), which is exactly what the oracle checks.
+    // Y9: incremental AGGREGATE maintenance — keep a per-customer summary
+    // (sum of order prices, order count) in sync with a mutating source
+    // WITHOUT recomputing it: per-key deltas are derived from the changed
+    // rows only (full-outer on the PK, emit -old for vanished/changed
+    // target rows and +new for appeared/changed source rows), then merged
+    // into the old aggregate with one more outer join. At 100 TB this is
+    // the difference between touching the ~% of rows the change-log names
+    // and rescanning the fact table; decimal arithmetic keeps the
+    // incremental path bit-identical to the full recompute (float addition
+    // would drift), which the oracle — a plain GROUP BY over the mutated
+    // source — verifies.
+    "y9_incremental_agg" -> ((s, d) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,2)")
+      val tgt = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val src = sourceView(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // the maintained state: aggregate of the OLD snapshot (in decimal)
+      val oldAgg = tgt.groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("sum_price"),
+             count(lit(1)).as("n_orders"))
+      // changed rows only: inserts, deletes, and price updates
+      val j = src.select(col("o_orderkey"), col("o_custkey").as("s_ck"),
+                         col("o_totalprice").as("s_p"))
+        .join(tgt.select(col("o_orderkey"), col("o_custkey").as("t_ck"),
+                         col("o_totalprice").as("t_p")),
+              Seq("o_orderkey"), "full_outer")
+        .filter(col("s_p").isNull || col("t_p").isNull ||
+                col("s_p") =!= col("t_p"))
+      val minus = j.filter(col("t_p").isNotNull)
+        .select(col("t_ck").as("o_custkey"),
+                (-dec(col("t_p"))).as("dp"), lit(-1L).as("dn"))
+      val plus = j.filter(col("s_p").isNotNull)
+        .select(col("s_ck").as("o_custkey"),
+                dec(col("s_p")).as("dp"), lit(1L).as("dn"))
+      val delta = minus.unionByName(plus).groupBy("o_custkey")
+        .agg(sum(col("dp")).as("d_price"), sum(col("dn")).as("d_n"))
+      oldAgg.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("sum_price"), lit(0).cast("decimal(28,2)")) +
+           coalesce(col("d_price"), lit(0).cast("decimal(28,2)")))
+            .cast("double").as("sum_price"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_orders"))
+        .filter(col("n_orders") > 0)
+    }),
+
     "y8_incremental_apply" -> ((s, d) => {
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
       // One full-data shuffle: latest row per (user, side) where side
@@ -185,6 +232,15 @@ object Sync {
         |) t(col_name, data_type, nullable)""".stripMargin,
 
     "y2_snapshot_copy" -> "SELECT * FROM nation",
+
+    // full recompute over the mutated source — the incremental path must
+    // land on exactly this
+    "y9_incremental_agg" ->
+      s"""WITH $sourceCte
+         |SELECT o_custkey,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+         |  COUNT(*) AS n_orders
+         |FROM src GROUP BY o_custkey""".stripMargin,
 
     "y3_snapshot_diff" ->
       s"""WITH $sourceCte,
