@@ -152,41 +152,12 @@ object Sync {
     // incremental path bit-identical to the full recompute (float addition
     // would drift), which the oracle — a plain GROUP BY over the mutated
     // source — verifies.
-    "y9_incremental_agg" -> ((s, d) => {
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,2)")
-      val tgt = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val src = sourceView(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      // the maintained state: aggregate of the OLD snapshot (in decimal)
-      val oldAgg = tgt.groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("sum_price"),
-             count(lit(1)).as("n_orders"))
-      // changed rows only: inserts, deletes, and price updates
-      val j = src.select(col("o_orderkey"), col("o_custkey").as("s_ck"),
-                         col("o_totalprice").as("s_p"))
-        .join(tgt.select(col("o_orderkey"), col("o_custkey").as("t_ck"),
-                         col("o_totalprice").as("t_p")),
-              Seq("o_orderkey"), "full_outer")
-        .filter(col("s_p").isNull || col("t_p").isNull ||
-                col("s_p") =!= col("t_p"))
-      val minus = j.filter(col("t_p").isNotNull)
-        .select(col("t_ck").as("o_custkey"),
-                (-dec(col("t_p"))).as("dp"), lit(-1L).as("dn"))
-      val plus = j.filter(col("s_p").isNotNull)
-        .select(col("s_ck").as("o_custkey"),
-                dec(col("s_p")).as("dp"), lit(1L).as("dn"))
-      val delta = minus.unionByName(plus).groupBy("o_custkey")
-        .agg(sum(col("dp")).as("d_price"), sum(col("dn")).as("d_n"))
-      oldAgg.join(delta, Seq("o_custkey"), "full_outer")
-        .select(col("o_custkey"),
-          (coalesce(col("sum_price"), lit(0).cast("decimal(28,2)")) +
-           coalesce(col("d_price"), lit(0).cast("decimal(28,2)")))
-            .cast("double").as("sum_price"),
-          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .as("n_orders"))
-        .filter(col("n_orders") > 0)
-    }),
+    "y9_incremental_agg" -> ((s, d) =>
+      incrementalAgg(
+        sourceView(s, d), Tables.orders(s, d),
+        pk = "o_orderkey", key = "o_custkey", value = "o_totalprice")
+        .withColumnRenamed("sum_value", "sum_price")
+        .withColumnRenamed("n_rows", "n_orders")),
 
     "y8_incremental_apply" -> ((s, d) => {
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -301,4 +272,50 @@ object Sync {
          |WHERE event_type IN ('signup', 'purchase', 'error')
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   )
+
+  /** Y9 kernel, public: maintain a per-`key` summary (sum of `value`,
+    * row count) across a source/target snapshot pair WITHOUT recomputing
+    * it — per-key deltas come from the changed rows only (full-outer on
+    * `pk`, −old for vanished/changed target rows, +new for appeared/
+    * changed source rows) and merge into the old aggregate with one more
+    * outer join. Decimal(28,2) arithmetic makes the incremental result
+    * bit-identical to a direct `source.groupBy(key).agg(...)` (float
+    * addition would drift) — the law PropertySuite pins on random
+    * mutations. At 100 TB: touches only the rows a change-log names;
+    * both joins are PK-shuffles AQE can skew-split.
+    * Output: (key, sum_value: double, n_rows: long), keys with no
+    * surviving rows dropped. Assumes non-null `pk` and `value` (a NULL
+    * value would be indistinguishable from an absent row in the
+    * full-outer change detection — pre-filter or sentinel such columns).
+    */
+  def incrementalAgg(source: DataFrame, target: DataFrame,
+                     pk: String, key: String, value: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,2)")
+    val tgt = target.select(col(pk), col(key), col(value))
+    val src = source.select(col(pk), col(key), col(value))
+    // the maintained state: aggregate of the OLD snapshot (in decimal)
+    val oldAgg = tgt.groupBy(key)
+      .agg(sum(dec(col(value))).as("sum_value"), count(lit(1)).as("n_rows"))
+    // changed rows only: inserts, deletes, value updates, key moves
+    val j = src.select(col(pk), col(key).as("s_k"), col(value).as("s_v"))
+      .join(tgt.select(col(pk), col(key).as("t_k"), col(value).as("t_v")),
+            Seq(pk), "full_outer")
+      .filter(col("s_v").isNull || col("t_v").isNull ||
+              col("s_v") =!= col("t_v") || col("s_k") =!= col("t_k"))
+    val minus = j.filter(col("t_v").isNotNull)
+      .select(col("t_k").as(key), (-dec(col("t_v"))).as("dv"),
+              lit(-1L).as("dn"))
+    val plus = j.filter(col("s_v").isNotNull)
+      .select(col("s_k").as(key), dec(col("s_v")).as("dv"), lit(1L).as("dn"))
+    val delta = minus.unionByName(plus).groupBy(key)
+      .agg(sum(col("dv")).as("d_value"), sum(col("dn")).as("d_n"))
+    oldAgg.join(delta, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("sum_value"), lit(0).cast("decimal(28,2)")) +
+         coalesce(col("d_value"), lit(0).cast("decimal(28,2)")))
+          .cast("double").as("sum_value"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
 }

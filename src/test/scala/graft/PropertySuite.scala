@@ -142,6 +142,44 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incrementalAgg ≡ direct groupBy recompute on random mutations") {
+    val spark0 = spark
+    import spark0.implicits._
+    // target: rows (pk, key, value); source: random subset deleted,
+    // random values/keys rewritten, random new pks appended
+    val tgtGen = Gen.listOfN(25, Gen.zip(
+      Gen.choose(0L, 39L), Gen.choose(0L, 4L), Gen.choose(1, 999)))
+    val mutGen = Gen.zip(tgtGen,
+      Gen.listOfN(25, Gen.choose(0, 5)), // per-row action selector
+      Gen.listOfN(8, Gen.zip(Gen.choose(100L, 139L), Gen.choose(0L, 4L),
+        Gen.choose(1, 999))))
+    samples(mutGen, 6).foreach { case (tRows0, acts, ins) =>
+      val tRows = tRows0.groupBy(_._1).map(_._2.head).toList // unique pk
+      val sRows = tRows.zip(acts).flatMap { case ((pk, k, v), a) =>
+        a match {
+          case 0 => Nil                        // delete
+          case 1 => Seq((pk, k, v + 7))        // value update
+          case 2 => Seq((pk, (k + 1) % 5, v))  // key move
+          case _ => Seq((pk, k, v))            // unchanged
+        }
+      } ++ ins.groupBy(_._1).map(_._2.head)    // unique inserted pks
+      val t = tRows.map { case (p, k, v) => (p, k, v / 100.0) }
+        .toDF("pk", "k", "v")
+      val s = sRows.map { case (p, k, v) => (p, k, v / 100.0) }
+        .toDF("pk", "k", "v")
+      val got = graft.ops.Sync.incrementalAgg(s, t, "pk", "k", "v")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val want = s.groupBy(col("k"))
+        .agg(graft.ops.Det.dsum(col("v")).as("sum_value"),
+             org.apache.spark.sql.functions.count(
+               org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"t=$tRows s=$sRows")
+    }
+  }
+
   test("TopKByPrice ≡ sort-and-take-k for any insert/merge split") {
     import graft.functions.{Ranked, TopKByPrice}
     val agg = new TopKByPrice(3)
