@@ -226,6 +226,13 @@ object Functions {
     // the oracle pins as literals. The hash functions themselves execute
     // inside the distinct aggregates; raw per-row values are pinned in
     // ScalaTest (OperatorSuite).
+    // NOTE on the injectivity columns: the oracle pins n_<hash> ==
+    // n_texts, which for the 32-bit hashes (murmur3, crc32) is a
+    // birthday-bounded claim, not a law — collision odds are ~n²/2³³
+    // (≈3e-5 at the sf0.01 gate's 500 distinct texts, ≈3e-3 at sf0.1,
+    // both verified green; ~50% by n≈77k). The scored corpus scales are
+    // fixed by the driver; a future corpus beyond ~10⁴ distinct texts
+    // should drop the 32-bit columns rather than weaken the equality.
     "f7b_native_hash" -> ((s, d) =>
       Tables.documents(s, d)
         .agg(countDistinct(col("text")).as("n_texts"),

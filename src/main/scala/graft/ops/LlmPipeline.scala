@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -66,6 +66,61 @@ object LlmPipeline {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
 
+  /** Shared engine for the blocked set-Jaccard dedup family (l2a char
+    * shingles, l2d word bigrams). Shape, each choice measured:
+    *
+    *  - The per-doc item SET is built by a compiled typed map — a pure
+    *    per-row computation: documents arrive one row per doc, so an
+    *    explode + collect_set formulation round-trips ~200 rows per doc
+    *    through an ObjectHashAggregate SHUFFLE just to reassemble what
+    *    the row already had (measured r4: ≈2.5 s of l2a's 3.8 s at
+    *    sf0.1), and the interpreted transform(sequence(...)) array
+    *    lambda pays a boxed call per item. At 100 TB the same holds:
+    *    set building is embarrassingly parallel; a corpus-wide shuffle
+    *    before the blocked join is pure waste.
+    *  - localCheckpoint materializes the per-doc ARRAY rows ONCE (one
+    *    row per doc, not re-exploded items): the probe-side filter below
+    *    would otherwise push through and differentiate the two join
+    *    subplans (ReuseExchange can't fire — measured round 2), so both
+    *    sides would recompute the build.
+    *  - Candidates share a (lang, source, length-bucket) block; one
+    *    codegen'd equi-join + hash-agg yields |A∩B|, and
+    *    |A∪B| = |A|+|B|−|A∩B| from the per-doc sizes — the array form
+    *    (array_intersect per pair) is interpreted and rebuilds both sets
+    *    per candidate pair.
+    */
+  private def blockedJaccard(s: SparkSession, d: String, threshold: Double,
+                             textProj: Column,
+                             mkItems: String => Array[String]): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 50).cast("int").as("lenb"), textProj.as("text"))
+    val sEnc = s
+    import sEnc.implicits._
+    val docSh = base.as[(Long, String, String, Int, String)]
+      .map { case (id, lang, src, lenb, text) =>
+        (id, lang, src, lenb, mkItems(text).toSeq) }
+      .toDF("doc_id", "lang", "source", "lenb", "items")
+      .localCheckpoint()
+    val ex = docSh.select(col("doc_id"), col("lang"), col("source"),
+      col("lenb"), size(col("items")).as("sz"), explode(col("items")).as("it"))
+    val a = ex
+      .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
+      .select(col("doc_id").as("id_a"), col("lang"), col("source"),
+              col("lenb"), col("sz").as("sz_a"), col("it"))
+    val b = ex.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+                      col("lenb"), col("sz").as("sz_b"), col("it"))
+    a.join(b, Seq("lang", "source", "lenb", "it"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"),
+           min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") > threshold)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // L1: exact dedup via content hash — group on md5(text), keep the
@@ -75,71 +130,19 @@ object LlmPipeline {
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc_id"))),
 
-    // L2a: near-dup detection — blocked shingle-set Jaccard. Blocks =
-    // (lang, source, n_chars/50): candidate pairs are per-block quadratic
-    // (the LSH-free baseline; L2b is the sub-quadratic path).
-    "l2a_shingle_jaccard" -> ((s, d) => {
-      // Relational Jaccard: count shared shingles with a codegen'd
-      // equi-join + hash-agg and derive |A∪B| = |A|+|B|-|A∩B| from per-doc
-      // set sizes. The array form (array_intersect per candidate pair) is
-      // interpreted and rebuilds both shingle sets per pair.
-      //
-      // The per-doc shingle SET is built by a typed map — a compiled
-      // per-row set-builder — because it is a pure per-row computation:
-      // documents arrive one row per doc, so an explode + collect_set
-      // formulation round-trips ~200 shingle rows per doc through an
-      // ObjectHashAggregate SHUFFLE only to reassemble what the row
-      // already had, and the interpreted transform(sequence(...)) array
-      // lambda pays a boxed lambda call per shingle. Measured (r4
-      // ScratchTiming, sf0.1): explode+collect_set build ≈ 2.5 s of the
-      // query's ~3.8 s; the typed map build is zero-shuffle and compiled.
-      // At 100 TB the same holds: shingle-set building is embarrassingly
-      // parallel, and a corpus-wide shuffle before the blocked join is
-      // pure waste. Column pruning still applies — the projection below
-      // narrows the scan before the opaque map.
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          (col("n_chars") / 50).cast("int").as("lenb"), col("text"))
-      val sEnc = s
-      import sEnc.implicits._
-      val docSh = base.as[(Long, String, String, Int, String)]
-        .map { case (id, lang, src, lenb, text) =>
-          val n = math.max(text.length - 4, 1)
-          val set = new java.util.LinkedHashSet[String]()
-          var i = 0
-          while (i < n) {
-            set.add(text.substring(i, math.min(i + 5, text.length)))
-            i += 1
-          }
-          (id, lang, src, lenb, set.toArray(new Array[String](set.size)).toSeq)
+    // L2a: near-dup detection — blocked shingle-set Jaccard over char
+    // 5-grams (the LSH-free baseline; L2b is the sub-quadratic path).
+    "l2a_shingle_jaccard" -> ((s, d) =>
+      blockedJaccard(s, d, 0.12, col("text"), { text =>
+        val n = math.max(text.length - 4, 1)
+        val set = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < n) {
+          set.add(text.substring(i, math.min(i + 5, text.length)))
+          i += 1
         }
-        .toDF("doc_id", "lang", "source", "lenb", "shs")
-        // materialize ONCE: the probe-side doc_id filter below would
-        // otherwise push through and differentiate the two join subplans
-        // (ReuseExchange can't fire — measured in round 2), so both sides
-        // would recompute the shingle build; the checkpoint pins one pass
-        // over the per-doc ARRAY rows (one row per doc, not re-exploded
-        // shingles — ~200× fewer rows serialized for the same bytes).
-        .localCheckpoint()
-      val docSh2 = docSh.select(col("doc_id"), col("lang"), col("source"),
-        col("lenb"), size(col("shs")).as("sz"), explode(col("shs")).as("sh"))
-      val a = docSh2
-        .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
-        .select(col("doc_id").as("id_a"), col("lang"), col("source"),
-                col("lenb"), col("sz").as("sz_a"), col("sh"))
-      val b = docSh2.select(col("doc_id").as("id_b"), col("lang"),
-                           col("source"), col("lenb"), col("sz").as("sz_b"),
-                           col("sh"))
-      a.join(b, Seq("lang", "source", "lenb", "sh"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_inter"),
-             min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
-        .select(col("id_a"), col("id_b"),
-          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") > 0.12)
-    }),
+        set.toArray(new Array[String](set.size))
+      })),
 
     // L2b: MinHash + LSH banding — classic universal-hash MinHash:
     // base hash h(sh) = first 60 bits of md5(sh) (engine-portable:
@@ -250,57 +253,22 @@ object LlmPipeline {
              coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     }),
 
-    // L2d: near-dup via word-2-gram Jaccard — same relational shape as
-    // l2a (blocked equi-join + hash-agg) but over word n-grams built with
-    // the l2b posexplode+lead pipeline (full bigrams only; word 3-grams
-    // are near-disjoint on this corpus). Word n-grams are the token-level
-    // dedup family (char shingles = l2a, minhash = l2b, simhash = l2c,
-    // embedding = l7).
-    "l2d_ngram_jaccard" -> ((s, d) => {
-      // Per-doc bigram SET via the same compiled typed-map build as l2a
-      // (zero-shuffle: the old posexplode + lead-window + collect_set
-      // formulation paid a full token shuffle+sort for the window AND an
-      // object-agg shuffle to reassemble per-row data). lower() stays
-      // relational so both engines share one lowercase semantics.
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          (col("n_chars") / 50).cast("int").as("lenb"),
-          lower(col("text")).as("text"))
-      val sEnc = s
-      import sEnc.implicits._
-      val grams = base.as[(Long, String, String, Int, String)]
-        .map { case (id, lang, src, lenb, text) =>
-          val toks = text.split(" +").filter(_.nonEmpty)
-          val set = new java.util.LinkedHashSet[String]()
-          var i = 0
-          while (i < toks.length - 1) {
-            set.add(toks(i) + " " + toks(i + 1)); i += 1
-          }
-          (id, lang, src, lenb, set.toArray(new Array[String](set.size)).toSeq)
+    // L2d: near-dup via word-2-gram Jaccard — same blockedJaccard engine
+    // over word bigrams of consecutive non-empty tokens (full bigrams
+    // only; word 3-grams are near-disjoint on this corpus). lower() stays
+    // relational so both engines share one lowercase semantics. Word
+    // n-grams are the token-level dedup family (char shingles = l2a,
+    // minhash = l2b, simhash = l2c, embedding = l7).
+    "l2d_ngram_jaccard" -> ((s, d) =>
+      blockedJaccard(s, d, 0.04, lower(col("text")), { text =>
+        val toks = text.split(" +").filter(_.nonEmpty)
+        val set = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < toks.length - 1) {
+          set.add(toks(i) + " " + toks(i + 1)); i += 1
         }
-        .toDF("doc_id", "lang", "source", "lenb", "gs")
-        // same single-materialization rationale as l2a: checkpoint the
-        // per-doc array rows once, explode per join side
-        .localCheckpoint()
-      val grams2 = grams.select(col("doc_id"), col("lang"), col("source"),
-        col("lenb"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
-      val a = grams2
-        .filter(if (benchSampledProbe) col("doc_id") % 10 === 0 else lit(true))
-        .select(col("doc_id").as("id_a"), col("lang"), col("source"),
-                col("lenb"), col("sz").as("sz_a"), col("g"))
-      val b = grams2.select(col("doc_id").as("id_b"), col("lang"),
-                           col("source"), col("lenb"), col("sz").as("sz_b"),
-                           col("g"))
-      a.join(b, Seq("lang", "source", "lenb", "g"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("n_inter"),
-             min(col("sz_a")).as("sz_a"), min(col("sz_b")).as("sz_b"))
-        .select(col("id_a"), col("id_b"),
-          round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") > 0.04)
-    }),
+        set.toArray(new Array[String](set.size))
+      })),
 
     // L7: embedding-cosine near-dup dedup — LSH bucket candidates, exact
     // cosine > τ ⇒ the higher vec_id is a duplicate of the lower.
@@ -705,7 +673,9 @@ object LlmPipeline {
     * and there is nothing to replan.
     */
   def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
-                          maxIters: Int = 25): org.apache.spark.sql.DataFrame = {
+                          maxIters: Int = 25,
+                          oneTaskThreshold: Long = 5000000L)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
@@ -738,11 +708,18 @@ object LlmPipeline {
       .mapPartitions(contract)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nStars = stars.count() // one job; also materializes the persist
-    if (nStars <= 5000000L) {
+    if (nStars <= oneTaskThreshold) {
       // whole contracted graph fits one task: finish with a second,
-      // single-partition contraction — coalesce is narrow (no shuffle)
+      // single-partition contraction — coalesce is narrow (no shuffle).
+      // Persist + materialize the result BEFORE dropping the stars:
+      // callers join the returned frame against itself (l8 does), and an
+      // unpersisted comp would re-run the single-task union-find once
+      // per consuming subtree.
       val comp = stars.coalesce(1).mapPartitions(contract)
         .map { case (r, v) => (v, r) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      comp.count()
+      stars.unpersist(blocking = false) // bound session storage
       return spark.createDataFrame(comp).toDF("id", "comp")
     }
     // Iterative stitch path. Right-size the loop's fixed partitioning
@@ -805,6 +782,13 @@ object LlmPipeline {
       comp = next
       iter += 1
     }
+    // comp is persisted and was materialized by the last convergence
+    // count; everything upstream of it can release its storage now —
+    // if comp's blocks are ever evicted, lineage recomputes from source
+    // (correct, just slower) rather than pinning the session's memory.
+    stars.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     spark.createDataFrame(comp).toDF("id", "comp")
   }
 

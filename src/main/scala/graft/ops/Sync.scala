@@ -286,7 +286,9 @@ object Sync {
     * Output: (key, sum_value: double, n_rows: long), keys with no
     * surviving rows dropped. Assumes non-null `pk` and `value` (a NULL
     * value would be indistinguishable from an absent row in the
-    * full-outer change detection — pre-filter or sentinel such columns).
+    * full-outer change detection — pre-filter or sentinel such columns);
+    * NULL group keys are supported (null-safe comparisons throughout,
+    * matching groupBy's null-as-a-group semantics).
     */
   def incrementalAgg(source: DataFrame, target: DataFrame,
                      pk: String, key: String, value: String): DataFrame = {
@@ -296,12 +298,15 @@ object Sync {
     // the maintained state: aggregate of the OLD snapshot (in decimal)
     val oldAgg = tgt.groupBy(key)
       .agg(sum(dec(col(value))).as("sum_value"), count(lit(1)).as("n_rows"))
-    // changed rows only: inserts, deletes, value updates, key moves
+    // changed rows only: inserts, deletes, value updates, key moves.
+    // Key comparison is NULL-SAFE: groupBy treats NULL as a key, so a
+    // move between NULL and a real key must register as a change (plain
+    // =!= evaluates to NULL there and the filter would drop the row).
     val j = src.select(col(pk), col(key).as("s_k"), col(value).as("s_v"))
       .join(tgt.select(col(pk), col(key).as("t_k"), col(value).as("t_v")),
             Seq(pk), "full_outer")
       .filter(col("s_v").isNull || col("t_v").isNull ||
-              col("s_v") =!= col("t_v") || col("s_k") =!= col("t_k"))
+              col("s_v") =!= col("t_v") || !(col("s_k") <=> col("t_k")))
     val minus = j.filter(col("t_v").isNotNull)
       .select(col("t_k").as(key), (-dec(col("t_v"))).as("dv"),
               lit(-1L).as("dn"))
@@ -309,8 +314,12 @@ object Sync {
       .select(col("s_k").as(key), dec(col("s_v")).as("dv"), lit(1L).as("dn"))
     val delta = minus.unionByName(plus).groupBy(key)
       .agg(sum(col("dv")).as("d_value"), sum(col("dn")).as("d_n"))
-    oldAgg.join(delta, Seq(key), "full_outer")
-      .select(col(key),
+    // null-safe merge join for the same reason (a NULL-key aggregate row
+    // must meet its NULL-key delta row, not cross-produce two rows)
+    val oa = oldAgg.withColumnRenamed(key, "o_k")
+    val dl = delta.withColumnRenamed(key, "d_k")
+    oa.join(dl, oa("o_k") <=> dl("d_k"), "full_outer")
+      .select(coalesce(col("o_k"), col("d_k")).as(key),
         (coalesce(col("sum_value"), lit(0).cast("decimal(28,2)")) +
          coalesce(col("d_value"), lit(0).cast("decimal(28,2)")))
           .cast("double").as("sum_value"),

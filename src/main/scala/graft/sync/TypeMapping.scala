@@ -89,17 +89,22 @@ object TypeMapping {
   /** CREATE TABLE for a first-time sync target. Identifiers are
     * bracket-quoted with embedded `]` doubled (the T-SQL escape), so a
     * hostile column name cannot break out of the identifier position.
+    * The table argument is split on `.` and each part quoted separately
+    * ("dbo.orders" → [dbo].[orders]) — quoting it whole would create a
+    * dotted-NAME table in the caller's default schema instead of the
+    * intended schema-qualified target.
     */
   def createTableDdl(table: String, schema: StructType,
                      keyCols: Seq[String] = Nil): String = {
     def q(id: String) = "[" + id.replace("]", "]]") + "]"
+    val qualified = table.split('.').map(q).mkString(".")
     val cols = schema.fields.map { f =>
       s"${q(f.name)} ${toSqlServerType(f.dataType)}" +
         (if (f.nullable) " NULL" else " NOT NULL")
     }
     val pk = if (keyCols.isEmpty) Nil
       else Seq(s"PRIMARY KEY (${keyCols.map(q).mkString(", ")})")
-    s"CREATE TABLE ${q(table)} (\n  " +
+    s"CREATE TABLE $qualified (\n  " +
       (cols ++ pk).mkString(",\n  ") + "\n)"
   }
 

@@ -122,6 +122,13 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
         .connectedComponents(edges.toDF("u", "v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"edges=$edges")
+      // threshold 0 forces the distributed stitch loop (label propagation
+      // + pointer jumping) that production-scale graphs take — the
+      // single-task contraction path must not be the only path tested
+      val gotLoop = graft.ops.LlmPipeline
+        .connectedComponents(edges.toDF("u", "v"), oneTaskThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == want, s"loop path: edges=$edges")
     }
   }
 
@@ -163,18 +170,24 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
           case _ => Seq((pk, k, v))            // unchanged
         }
       } ++ ins.groupBy(_._1).map(_._2.head)    // unique inserted pks
-      val t = tRows.map { case (p, k, v) => (p, k, v / 100.0) }
-        .toDF("pk", "k", "v")
-      val s = sRows.map { case (p, k, v) => (p, k, v / 100.0) }
-        .toDF("pk", "k", "v")
+      // key 4 becomes NULL: groupBy treats NULL as a group, and the
+      // kernel must track moves in/out of it (null-safe comparisons)
+      def nullify(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("k", when(col("k") === 4, lit(null)).otherwise(col("k")))
+      val t = nullify(tRows.map { case (p, k, v) => (p, k, v / 100.0) }
+        .toDF("pk", "k", "v"))
+      val s = nullify(sRows.map { case (p, k, v) => (p, k, v / 100.0) }
+        .toDF("pk", "k", "v"))
+      def keyOf(r: org.apache.spark.sql.Row) =
+        if (r.isNullAt(0)) -1L else r.getLong(0)
       val got = graft.ops.Sync.incrementalAgg(s, t, "pk", "k", "v")
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .collect().map(r => (keyOf(r), r.getDouble(1), r.getLong(2)))
         .toSet
       val want = s.groupBy(col("k"))
         .agg(graft.ops.Det.dsum(col("v")).as("sum_value"),
              org.apache.spark.sql.functions.count(
                org.apache.spark.sql.functions.lit(1)).as("n_rows"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .collect().map(r => (keyOf(r), r.getDouble(1), r.getLong(2)))
         .toSet
       assert(got == want, s"t=$tRows s=$sRows")
     }

@@ -136,6 +136,7 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
       StructField("o_flag", BooleanType),
       StructField("o_tax", DecimalType(12, 2))))
     val ddl = createTableDdl("dbo.orders_sync", schema, Seq("o_orderkey"))
+    assert(ddl.startsWith("CREATE TABLE [dbo].[orders_sync]")) // per-part quoting
     assert(ddl.contains("[o_orderkey] BIGINT NOT NULL"))
     assert(ddl.contains("[o_totalprice] FLOAT NULL"))
     assert(ddl.contains("[o_comment] NVARCHAR(MAX) NULL"))
