@@ -89,6 +89,54 @@ object LlmPipeline {
     *    (array_intersect per pair) is interpreted and rebuilds both sets
     *    per candidate pair.
     */
+  /** md5-60-bit universal-hash MinHash lanes (l2b/l8 shared kernel): one
+    * digest per shingle, lane i = min over shingles of (h·aᵢ+bᵢ) mod p,
+    * h = the first 15 hex chars of md5(shingle) — bit-for-bit the
+    * relational `conv(substring(md5(sh),1,15),16,10) % p` form and its
+    * DuckDB `CAST('0x'||…)` twin, but computed in one compiled per-doc
+    * pass. The relational formulation needed a Window.partitionBy(doc)
+    * to build n-grams — a full shuffle+sort of the CORPUS TOKEN STREAM,
+    * the heaviest exchange in the signature pipeline at 100 TB; the
+    * signature is a pure per-row computation and needs none of it.
+    * Returns null for shingle-less docs (caller drops them, matching the
+    * relational groupBy that produced no row).
+    */
+  private def minhashLanes(md: java.security.MessageDigest,
+                           shingles: Iterator[String],
+                           nLanes: Int): Array[Long] = {
+    val m = Array.fill(nLanes)(Long.MaxValue)
+    var any = false
+    while (shingles.hasNext) {
+      any = true
+      md.reset()
+      val dig = md.digest(
+        shingles.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // big-endian u64 of bytes 0..7, >>>4 = exactly hex chars [0,15)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = (h >>> 4) % MinHashP
+      var l = 0
+      while (l < nLanes) {
+        val v = (h * minHashA(l) + minHashB(l)) % MinHashP
+        if (v < m(l)) m(l) = v
+        l += 1
+      }
+    }
+    if (any) m else null
+  }
+
+  /** Clamped word n-grams at every token position (tail shingles shorten
+    * deterministically) — the l2b trigram stream. */
+  private def clampedNgrams(toks: Array[String], n: Int): Iterator[String] =
+    (0 until toks.length).iterator.map { i =>
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j < end) { sb.append(' ').append(toks(j)); j += 1 }
+      sb.toString
+    }
+
   private def blockedJaccard(s: SparkSession, d: String, threshold: Double,
                              textProj: Column,
                              mkItems: String => Array[String]): DataFrame = {
@@ -153,32 +201,26 @@ object LlmPipeline {
     // shingle total (not per lane) — the lanes are 3 integer ops each.
     // No overflow under ANSI: (p−1)·aᵢ < 2⁶² fits a long.
     "l2b_minhash_lsh" -> ((s, d) => {
-      // Shape matters at scale: tokenize ONCE per doc (posexplode), build
-      // 3-gram shingles with lead() windows, then ONE codegen'd
-      // hash-aggregate computes all 8 minhash lanes. An array-lambda
-      // formulation re-inlines the whole split() pipeline into every
-      // element_at (CollapseProject + interpreted higher-order fns) —
-      // measured 100×+ slower at sf0.1.
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val h = (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-        % MinHashP).as("h")
-      val sig = Tables.documents(s, d)
-        // codegen tokenizer: posexplode(split) + relational empty filter
-        // (an interpreted filter() lambda inside the generator costs a
-        // boxed lambda call per token); p keeps gaps, order is unchanged.
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " +")))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-        .where(col("tok") =!= "")
-        // concat_ws skips the trailing NULL leads: tail shingles shorten,
-        // deterministically, matching a clamped 3-gram window.
-        .select(col("doc_id"), concat_ws(" ", col("tok"),
-          lead("tok", 1).over(w), lead("tok", 2).over(w)).as("sh"))
-        .select(col("doc_id"), h)
-        .groupBy("doc_id")
-        .agg(min((col("h") * minHashA(0) + minHashB(0)) % MinHashP).as("m0"),
-          (1 until 8).map(i =>
-            min((col("h") * minHashA(i) + minHashB(i)) % MinHashP)
-              .as(s"m$i")): _*)
+      // Signature build = one compiled per-doc pass (minhashLanes): zero
+      // shuffle before the band-bucket stage. The previous relational
+      // form (posexplode + lead() windows + 8-lane hash-agg) was right
+      // about avoiding interpreted array lambdas (measured 100×+ slower)
+      // but still paid a Window.partitionBy(doc) shuffle+sort of every
+      // token in the corpus just to build the trigrams. lower() stays
+      // relational for engine-shared lowercase semantics.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val sEnc = s
+      import sEnc.implicits._
+      val sig = base.as[(Long, String)].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" +").filter(_.nonEmpty)
+          val m = minhashLanes(md, clampedNgrams(toks, 3), 8)
+          if (m == null) None
+          else Some((id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7)))
+        }
+      }.toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
       val bands = sig.select(col("doc_id"), posexplode(array(
         (0 until 4).map(b => md5(concat_ws(",",
           col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))): _*)))
@@ -582,45 +624,41 @@ object LlmPipeline {
     // Beyond") cuts rounds to O(log n) with the identical per-round
     // join+agg shape.
     "l8_dup_groups" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          posexplode(split(lower(col("text")), " +")))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
-        .where(col("tok") =!= "")
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("tok"), lead("tok", 1).over(w).as("t1"))
-        .where(col("t1").isNotNull)
-        .select(col("doc_id"), col("lang"), col("source"),
-          concat_ws(" ", col("tok"), col("t1")).as("g"))
-      // no distinct: min-per-band is duplicate-insensitive, so deduping
-      // the gram table first would only add a full shuffle of the largest
-      // intermediate (the oracle's list_distinct is likewise a no-op on
-      // the per-band minimum). ONE md5 per gram, then a universal-hash
-      // lane per band (same (aᵢ,bᵢ) family as l2b) — 4× less digest work
-      // than an md5 per (band, gram).
+      // Edges: md5-MinHash banding over word BIGRAMS, signatures built by
+      // the shared compiled kernel (minhashLanes) — one per-doc pass, one
+      // digest per bigram, 4 band lanes, zero shuffle before the bucket
+      // aggregation (the previous lead()-window + hash-agg form shuffled
+      // the corpus token stream to build bigrams). min-per-band is
+      // duplicate-insensitive so bigram dedup is unnecessary (the
+      // oracle's list_distinct is likewise a no-op on the minimum).
       val nBands = 4
-      val hG = (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-        % MinHashP).as("h")
-      val sigAggs = (0 until nBands).map(b =>
-        min((col("h") * minHashA(b) + minHashB(b)) % MinHashP).as(s"sig$b"))
-      val sigs = grams.select(col("doc_id"), col("lang"), col("source"), hG)
-        .groupBy("doc_id", "lang", "source")
-        .agg(sigAggs.head, sigAggs.tail: _*)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lower(col("text")).as("text"))
+      val sEnc = s
+      import sEnc.implicits._
       // STAR edges, not pairwise: connecting every bucket member to the
       // bucket's minimum doc gives the same connectivity as the full
       // within-bucket clique with Σ(k-1) edges instead of Σk(k-1)/2 — a
       // hot LSH bucket of 10k docs emits 10k edges, not 50M. (The DuckDB
       // oracle keeps the pairwise form; components are identical.)
       // bandSig is checkpointed so the rep aggregation and the member
-      // join don't each recompute the gram→signature pipeline; LAZY, so
-      // its materialization folds into the CC loop's first blocking job
+      // join don't each recompute the signature pass; LAZY, so its
+      // materialization folds into the CC loop's first blocking job
       // instead of costing a separate one.
-      val bandSig = sigs.select(col("doc_id"), col("lang"), col("source"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bandSig = base.as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, lang, src, text) =>
+            val toks = text.split(" +").filter(_.nonEmpty)
+            val bigrams = (0 until toks.length - 1).iterator
+              .map(i => toks(i) + " " + toks(i + 1))
+            val m = minhashLanes(md, bigrams, nBands)
+            if (m == null) Iterator.empty
+            else (0 until nBands).iterator.map(b => (id, lang, src, b, m(b)))
+          }
+        }
+        .toDF("doc_id", "lang", "source", "band", "sig")
         .localCheckpoint(false)
       val reps = bandSig.groupBy("lang", "source", "band", "sig")
         .agg(min(col("doc_id")).as("u"))
