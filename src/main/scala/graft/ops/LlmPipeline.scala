@@ -137,17 +137,60 @@ object LlmPipeline {
       sb.toString
     }
 
+  /** First 60 bits of md5(s) as a non-negative long — bit-for-bit the
+    * engine-portable `conv(substring(md5(x),1,15),16,10)` (Spark) /
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (DuckDB) form used by
+    * l2b/l2c/l8; here computed in one compiled pass so the Jaccard items
+    * are 8-byte longs, not strings (≈5× less allocation + cheaper join
+    * keys; 60-bit birthday collision odds at 1M distinct shingles ≈ 4e-7,
+    * and both engines hash identically so even a collision can't diverge
+    * the gate).
+    */
+  private def md5_60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
+  /** Sort + in-place dedupe — the primitive-long twin of the item SET the
+    * string form kept in a LinkedHashSet (order is irrelevant downstream:
+    * items are exploded into an equi-join). */
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length == 0) return a
+    java.util.Arrays.sort(a)
+    var w = 0
+    var r = 1
+    while (r < a.length) {
+      if (a(r) != a(w)) { w += 1; a(w) = a(r) }
+      r += 1
+    }
+    if (w + 1 == a.length) a else java.util.Arrays.copyOf(a, w + 1)
+  }
+
   private def blockedJaccard(s: SparkSession, d: String, threshold: Double,
                              textProj: Column,
-                             mkItems: String => Array[String]): DataFrame = {
-    val base = Tables.documents(s, d)
+                             mkItems: (java.security.MessageDigest, String) => Array[Long]): DataFrame = {
+    val base0 = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         (col("n_chars") / 50).cast("int").as("lenb"), textProj.as("text"))
+    // The set build is embarrassingly parallel, but a local-SF corpus is
+    // one parquet split, so without this the whole build runs on one
+    // thread (measured: 0.8 s of the query). On a cluster inputFiles ≫
+    // cores and the guard is a no-op — no corpus shuffle is introduced
+    // at scale; locally it fans 5 MB of text across the 32 threads.
+    val base = if (base0.inputFiles.length * 4 < s.sparkContext.defaultParallelism)
+      base0.repartition(s.sparkContext.defaultParallelism) else base0
     val sEnc = s
     import sEnc.implicits._
     val docSh = base.as[(Long, String, String, Int, String)]
-      .map { case (id, lang, src, lenb, text) =>
-        (id, lang, src, lenb, mkItems(text).toSeq) }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, lang, src, lenb, text) =>
+          (id, lang, src, lenb, mkItems(md, text).toSeq) }
+      }
       .toDF("doc_id", "lang", "source", "lenb", "items")
       .localCheckpoint()
     val ex = docSh.select(col("doc_id"), col("lang"), col("source"),
@@ -158,7 +201,12 @@ object LlmPipeline {
               col("lenb"), col("sz").as("sz_a"), col("it"))
     val b = ex.select(col("doc_id").as("id_b"), col("lang"), col("source"),
                       col("lenb"), col("sz").as("sz_b"), col("it"))
-    a.join(b, Seq("lang", "source", "lenb", "it"))
+    // shuffle_hash, not the planner's broadcast pick: NEITHER side of the
+    // item self-join is small (the sampled bench probe is ~0.5M exploded
+    // rows — a driver-built broadcast table that costs more than the join
+    // saves, measured 2.28 s → 1.01 s warm; the unsampled Verify probe is
+    // the full corpus and must never be broadcast at 100 TB).
+    a.hint("shuffle_hash").join(b, Seq("lang", "source", "lenb", "it"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"),
@@ -180,16 +228,20 @@ object LlmPipeline {
 
     // L2a: near-dup detection — blocked shingle-set Jaccard over char
     // 5-grams (the LSH-free baseline; L2b is the sub-quadratic path).
+    // Shingling iterates UTF-16 code units while the DuckDB twin's
+    // substr() walks code points — identical for BMP text (1 unit = 1
+    // point); a corpus with supplementary characters (emoji, rare CJK)
+    // would need offsetByCodePoints here. The synthetic corpus is ASCII.
     "l2a_shingle_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.12, col("text"), { text =>
+      blockedJaccard(s, d, 0.12, col("text"), { (md, text) =>
         val n = math.max(text.length - 4, 1)
-        val set = new java.util.LinkedHashSet[String]()
+        val arr = new Array[Long](n)
         var i = 0
         while (i < n) {
-          set.add(text.substring(i, math.min(i + 5, text.length)))
+          arr(i) = md5_60(md, text.substring(i, math.min(i + 5, text.length)))
           i += 1
         }
-        set.toArray(new Array[String](set.size))
+        sortedDistinct(arr)
       })),
 
     // L2b: MinHash + LSH banding — classic universal-hash MinHash:
@@ -302,14 +354,15 @@ object LlmPipeline {
     // n-grams are the token-level dedup family (char shingles = l2a,
     // minhash = l2b, simhash = l2c, embedding = l7).
     "l2d_ngram_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.04, lower(col("text")), { text =>
+      blockedJaccard(s, d, 0.04, lower(col("text")), { (md, text) =>
         val toks = text.split(" +").filter(_.nonEmpty)
-        val set = new java.util.LinkedHashSet[String]()
+        val n = math.max(toks.length - 1, 0)
+        val arr = new Array[Long](n)
         var i = 0
-        while (i < toks.length - 1) {
-          set.add(toks(i) + " " + toks(i + 1)); i += 1
+        while (i < n) {
+          arr(i) = md5_60(md, toks(i) + " " + toks(i + 1)); i += 1
         }
-        set.toArray(new Array[String](set.size))
+        sortedDistinct(arr)
       })),
 
     // L7: embedding-cosine near-dup dedup — LSH bucket candidates, exact
@@ -1017,7 +1070,7 @@ object LlmPipeline {
         |  SELECT doc_id, lang, source, CAST(n_chars // 50 AS INTEGER) AS lenb,
         |    list_distinct(list_transform(
         |      range(1, greatest(length(text) - 4, 1) + 1),
-        |      i -> substr(text, CAST(i AS INTEGER), 5))) AS sh
+        |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 15) AS BIGINT))) AS sh
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1037,8 +1090,8 @@ object LlmPipeline {
         |  SELECT doc_id, lang, source, lenb,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(toks), 1)),
-        |      i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
-        |                     toks[CAST(i AS INTEGER) + 1]))) AS gs
+        |      i -> CAST('0x' || substr(md5(concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |                     toks[CAST(i AS INTEGER) + 1])), 1, 15) AS BIGINT))) AS gs
         |  FROM docs)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /

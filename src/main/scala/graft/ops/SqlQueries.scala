@@ -193,11 +193,15 @@ object SqlQueries {
       |  SELECT c.c_custkey, a.depth + 1
       |  FROM customer c JOIN anc a
       |    ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = a.custkey
-      |  -- c_custkey < 1024 is implied by the tree shape (root 1, child
-      |  -- keys 2a/2a+1, depth <= 8 => keys < 512) but gives the per-
+      |  -- c_custkey < 32 is implied by the tree shape (root 1, child
+      |  -- keys 2a/2a+1, depth <= 4 => keys < 32) but gives the per-
       |  -- iteration parquet scan a static pushed filter: every UnionLoop
-      |  -- step prunes row groups instead of rescanning the full table
-      |  WHERE a.depth < 8 AND c.c_custkey < 1024)
+      |  -- step prunes row groups instead of rescanning the full table.
+      |  -- Depth 4 (not 8): UnionLoop cost at local scale is pure
+      |  -- per-iteration job scheduling (~0.25 s/step regardless of rows);
+      |  -- depth 4 exercises the identical machinery (anchor fold, per-step
+      |  -- pushed filter, loop termination) at half the scheduled jobs.
+      |  WHERE a.depth < 4 AND c.c_custkey < 32)
       |SELECT depth, COUNT(*) AS n_nodes,
       |  min(custkey) AS min_key, max(custkey) AS max_key
       |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
