@@ -35,7 +35,22 @@ object Bench {
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val p1 = pass(); val p2 = pass()
+    // Stall sentinel: a fixed-cost no-op (sum over 10M longs, one codegen'd
+    // stage, no IO) timed before/between/after the passes. On a healthy
+    // host it is ~10-30 ms; this host stalls episodically (identical
+    // queries swing 0.5↔30 s), so a sentinel reading in the hundreds of
+    // ms marks the surrounding pass as stall-contaminated — a reader can
+    // tell a real plan regression from stall luck without a re-run.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val s0 = sentinel()
+    val p1 = pass()
+    val s1 = sentinel()
+    val p2 = pass()
+    val s2 = sentinel()
     // min over SUCCEEDED passes only: a query that ran clean in one pass
     // keeps its valid timing even if the other pass threw; a query that
     // failed both passes stays a visible -1 sentinel but is EXCLUDED from
@@ -50,13 +65,24 @@ object Bench {
     // summary is a compact (<200 char) total-only JSON line printed last.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-query spread (max/min over the two passes): ~1 means both passes
+    // agreed; a large ratio means the slower pass hit a stall window and
+    // the min is the trustworthy number. Only emitted where both passed.
+    val spread = p1.flatMap { case (k, v1) =>
+      val v2 = p2.getOrElse(k, -1.0)
+      if (v1 > 0.0 && v2 > 0.0)
+        Some("\"" + k + "\":" + f"${math.max(v1, v2) / math.min(v1, v2)}%.1f")
+      else None
+    }.mkString("{", ",", "}")
+    val sentinels = f"[$s0%.3f,$s1%.3f,$s2%.3f]"
     val total = results.values.filter(_ >= 0.0).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"queries":$qs,"spread":$spread,"sentinel_sec":$sentinels,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"perquery":$qs}""")
+    println(s"""{"spread":$spread}""")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sentinel_sec":$sentinels,"sf":"$sfDir"}""")
   }
 }

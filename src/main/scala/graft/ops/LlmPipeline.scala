@@ -460,6 +460,76 @@ object LlmPipeline {
                 round(col("cos_raw"), 6).as("cos"))
     }),
 
+    // L4c: multi-probe IVF — same codebook and corpus assignment as l4b,
+    // but each query probes its nprobe=2 NEAREST cells (union of both
+    // inverted lists) before the exact re-rank. The standard IVF recall
+    // lever: the true neighbor of a query near a cell boundary usually
+    // lives in the 2nd-closest cell; probing it recovers most of the
+    // recall lost to quantization at 2/16ths of the corpus per query.
+    // l4d quantifies recall of both probe depths vs the l3 brute force.
+    "l4c_ivf_multiprobe" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val codebook = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id").asc)
+      // one scored cross-join feeds BOTH the corpus assignment (arn=1)
+      // and the query probe list (arn<=2)
+      val cells = e.crossJoin(broadcast(codebook))
+        .withColumn("c_cos", expr("cosine_sim(v, cv)"))
+        .withColumn("arn", row_number().over(wAssign))
+      val assigned = cells.filter(col("arn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      val q = cells
+        .filter(col("vec_id") >= 16 && col("vec_id") < 24 && col("arn") <= 2)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+                col("cent_id").as("cell"))
+      val wRank = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("match_id"),
+                round(col("cos_raw"), 6).as("cos"))
+    }),
+
+    // L4d: ANN recall audit — recall@1 of IVF nprobe=1 (l4b) and nprobe=2
+    // (l4c) against the exact brute-force neighbor, as one tiny summary
+    // row. This is the query a 100 TB deployment runs on a sample to
+    // CHOOSE nprobe: the corpus passes are the same bounded shapes as
+    // l4b/l4c (assignment cross-join is broadcast; per-query work is the
+    // probed cells only), the ground-truth brute force runs on the 8
+    // sampled queries, and the output is two scalars.
+    "l4d_ann_recall" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      val bf = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("bf_id"))
+      val ivf1 = queries("l4b_ivf_ann")(s, d)
+        .select(col("qid"), col("match_id").as("ivf1_id"))
+      val ivf2 = queries("l4c_ivf_multiprobe")(s, d)
+        .select(col("qid"), col("match_id").as("ivf2_id"))
+      // left joins + coalesce-to-0: a query whose probed cells hold no
+      // candidates counts as a miss, not a dropped row
+      bf.join(ivf1, Seq("qid"), "left").join(ivf2, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(coalesce((col("ivf1_id") === col("bf_id")).cast("int"),
+            lit(0))), 6).as("recall_nprobe1"),
+          round(avg(coalesce((col("ivf2_id") === col("bf_id")).cast("int"),
+            lit(0))), 6).as("recall_nprobe2"))
+    }),
+
     // L5a: term frequency with stopword filter — top-20 terms.
     "l5a_term_freq" -> ((s, d) => {
       // NB: not array_except — that dedups within a doc and would skew counts.
@@ -1163,6 +1233,70 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l4c_ivf_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |cells AS (
+         |  SELECT vec_id, v, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${dotSql("v", "cv")} /
+         |        (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")})) DESC,
+         |      cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb),
+         |assigned AS (SELECT vec_id, v, cent_id AS cell FROM cells WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
+         |      WHERE vec_id >= 16 AND vec_id < 24 AND arn <= 2)
+         |SELECT qid, a.vec_id AS match_id,
+         |  round(${dotSql("qv", "a.v")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})), 6) AS cos
+         |FROM assigned a JOIN q USING (cell)
+         |WHERE a.vec_id <> qid
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |  ${dotSql("qv", "a.v")} /
+         |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
+         |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l4d_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+         |cells AS (
+         |  SELECT vec_id, v, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${dotSql("v", "cv")} /
+         |        (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")})) DESC,
+         |      cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb),
+         |assigned AS (SELECT vec_id, v, cent_id AS cell FROM cells WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
+         |bf AS (
+         |  SELECT qid, e.vec_id AS bf_id FROM e CROSS JOIN q WHERE e.vec_id <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    ${dotSql("qv", "v")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) DESC,
+         |    e.vec_id ASC) = 1),
+         |q1 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
+         |       WHERE vec_id >= 16 AND vec_id < 24 AND arn = 1),
+         |ivf1 AS (
+         |  SELECT qid, a.vec_id AS ivf1_id FROM assigned a JOIN q1 USING (cell)
+         |  WHERE a.vec_id <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    ${dotSql("qv", "a.v")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
+         |    a.vec_id ASC) = 1),
+         |q2 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
+         |       WHERE vec_id >= 16 AND vec_id < 24 AND arn <= 2),
+         |ivf2 AS (
+         |  SELECT qid, a.vec_id AS ivf2_id FROM assigned a JOIN q2 USING (cell)
+         |  WHERE a.vec_id <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    ${dotSql("qv", "a.v")} /
+         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
+         |    a.vec_id ASC) = 1)
+         |SELECT COUNT(*) AS n_queries,
+         |  round(avg(CAST(COALESCE(ivf1_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe1,
+         |  round(avg(CAST(COALESCE(ivf2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe2
+         |FROM bf LEFT JOIN ivf1 USING (qid) LEFT JOIN ivf2 USING (qid)""".stripMargin,
 
     "l7_embedding_dedup" -> {
       val bucketSql = (0 until NPlanes).map(i =>

@@ -55,6 +55,16 @@ object Relational {
         .select("o_orderkey", "priority", "price_band", "status_desc")
     }),
 
+    // P3 (dedicated): pure rename/drop — column-level metadata ops with no
+    // compute. The whole query folds to one Project over the scan, and
+    // pruning keeps the dropped columns out of ReadSchema (the reader
+    // never materializes s_address/s_phone/s_comment).
+    "p3b_rename_drop" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .withColumnRenamed("s_name", "supplier_name")
+        .withColumnRenamed("s_acctbal", "balance")
+        .drop("s_address", "s_phone", "s_comment")),
+
     // P4: distinct over a projection.
     "p4_distinct" -> ((s, d) =>
       Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()),
@@ -249,6 +259,20 @@ object Relational {
     }),
 
     // O1+O3+O4: global top-k — TakeOrderedAndProject, no full sort at scale.
+    // O1 (dedicated): multi-key GLOBAL sort with explicit NULLS placement
+    // — nulls-first asc on a nullable measure, desc timestamp, asc id
+    // tiebreak (a total order). Physically: range-partitioning exchange
+    // from sampled bounds + per-partition sort — the only shape that
+    // scales (a single-task sort is the naive alternative). The oracle
+    // gate compares row SETS, so the ordering itself is pinned in
+    // OperatorSuite and the plan shape in PlanAuditSuite.
+    "o1_global_sort" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          nullif(col("value"), lit(0.0)).as("v_or_null"), col("ts"))
+        .orderBy(col("v_or_null").asc_nulls_first, col("ts").desc,
+                 col("event_id").asc)),
+
     "o4_topk_global" -> ((s, d) =>
       Tables.orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -362,6 +386,11 @@ object Relational {
         |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_desc
         |FROM orders""".stripMargin,
 
+    "p3b_rename_drop" ->
+      """SELECT s_suppkey, s_name AS supplier_name, s_nationkey,
+        |  s_acctbal AS balance
+        |FROM supplier""".stripMargin,
+
     "p4_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 
@@ -439,6 +468,12 @@ object Relational {
         |FROM o a JOIN o b ON a.ck = b.ck
         | AND a.ok < b.ok AND a.st < b.en AND b.st < a.en
         |GROUP BY a.ck""".stripMargin,
+
+    "o1_global_sort" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+        |SELECT event_id, user_id, NULLIF(value, 0.0) AS v_or_null, ts
+        |FROM ev
+        |ORDER BY v_or_null ASC NULLS FIRST, ts DESC, event_id ASC""".stripMargin,
 
     "o4_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

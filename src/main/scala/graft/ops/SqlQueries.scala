@@ -247,8 +247,11 @@ object SqlQueries {
   val queries: Map[String, Q] = Map(
     "sql_lateral_topk" -> ((s, d) => sql(s, d, lateralQ)),
     "x8_sql_udf" -> ((s, d) => {
-      val df = sql(s, d, "SELECT 1") // registers the temp views
-      df.sparkSession.sql(
+      // register only the one table the query reads: registering all 7
+      // views pays a parquet-footer schema read per view, more than the
+      // agg itself costs when this runs before the other sql_* queries
+      Tables.table(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
         """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, disc DOUBLE)
           |RETURNS DOUBLE RETURN p * (1.0 - disc)""".stripMargin)
       s.sql(sqlUdfQ)

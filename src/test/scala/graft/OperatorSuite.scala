@@ -166,6 +166,20 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("L4c/L4d: multi-probe recall ≥ single-probe recall, both in [0,1]") {
+    val row = graft.ops.LlmPipeline.queries("l4d_ann_recall")(spark, sf)
+      .collect()(0)
+    assert(row.getLong(0) == 8)
+    val (r1, r2) = (row.getDouble(1), row.getDouble(2))
+    assert(r1 >= 0.0 && r1 <= 1.0 && r2 >= 0.0 && r2 <= 1.0)
+    assert(r2 >= r1, s"probing a 2nd cell lost recall: $r2 < $r1")
+    // the multi-probe result itself: one match per query, bounded cos
+    val ivf2 = graft.ops.LlmPipeline.queries("l4c_ivf_multiprobe")(spark, sf)
+      .collect()
+    assert(ivf2.map(_.getLong(0)).toSet == (16L until 24L).toSet)
+    ivf2.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(
@@ -280,9 +294,32 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_stage", sub).toString)
       .listFiles().count(f => f.getName.startsWith("part-"))
-    assert(parts("orders_fragmented") == 64)
-    assert(parts("orders_compacted") <= 4,
-      s"compaction left ${parts("orders_compacted")} files")
+    // not == 64: Spark writes no file for an empty shuffle partition, so
+    // at a smaller gate scale repartition(64) can legally yield fewer
+    val nFrag = parts("orders_fragmented")
+    val nComp = parts("orders_compacted")
+    assert(nFrag >= 16, s"fragmented stage only produced $nFrag files")
+    assert(nComp <= 4 && nComp < nFrag,
+      s"compaction left $nComp files (from $nFrag)")
+  }
+
+  test("O1 global sort: output row order is the declared total order") {
+    // the oracle gate canonicalises row ORDER away, so sortedness — the
+    // whole point of O1 — is pinned here: nulls first, then ascending
+    // v_or_null; ties broken by ts DESC then event_id ASC.
+    val rows = SparkEntry.queries("o1_global_sort")(spark, sf).collect()
+    assert(rows.length > 100)
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(2)) (0, 0.0) else (1, r.getDouble(2)),
+       -r.getTimestamp(3).getTime, r.getLong(0))
+    val keys = rows.map(key)
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      implicitly[Ordering[((Int, Double), Long, Long)]].lteq(a, b)
+    }, "collected rows are not in declared sort order")
+    // sf0.001 may contain no exact-0.0 values (no nulls after nullif);
+    // when nulls exist they must form a prefix
+    val nNull = rows.count(_.isNullAt(2))
+    assert(rows.take(nNull).forall(_.isNullAt(2)), "nulls must sort first")
   }
 
   test("S3 malformed JSON: PERMISSIVE captures the bad line, DROPMALFORMED drops it") {

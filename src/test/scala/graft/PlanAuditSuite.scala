@@ -50,6 +50,23 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("O1: global sort is range-exchange + per-partition sort, global order") {
+    val p = plan("o1_global_sort")
+    assert(p.contains("Exchange rangepartitioning"),
+      "global sort must range-partition from sampled bounds, not single-task")
+    assert(p.contains("Sort [v_or_null"))
+    assert(p.contains("NULLS FIRST"))
+  }
+
+  test("P3b: rename/drop folds to one Project; dropped cols pruned from scan") {
+    val df = SparkEntry.queries("p3b_rename_drop")(spark, sf)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("s_suppkey"))
+    assert(!leaves.contains("s_comment"), "dropped column not pruned from scan")
+    assert(!leaves.contains("s_address"), "dropped column not pruned from scan")
+  }
+
   test("L3: similarity scoring is inside WholeStageCodegen with broadcast queries") {
     val p = plan("l3_cosine_topk")
     assert(p.contains("cosine_sim") || p.contains("cosinesim"),
