@@ -286,7 +286,11 @@ object Sync {
     * Output: (key, sum_value: double, n_rows: long), keys with no
     * surviving rows dropped. Assumes non-null `pk` and `value` (a NULL
     * value would be indistinguishable from an absent row in the
-    * full-outer change detection — pre-filter or sentinel such columns);
+    * full-outer change detection — pre-filter or sentinel such columns)
+    * and `pk` UNIQUE within each snapshot: a duplicated pk multiplies
+    * rows through the full-outer change join, double-subtracting the old
+    * aggregate and silently corrupting the maintained summary (dedupe
+    * upstream — there is no cheap in-join guard);
     * NULL group keys are supported (null-safe comparisons throughout,
     * matching groupBy's null-as-a-group semantics).
     */

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object SyncJob {
 
-  /** @param keyCols     primary-key columns (non-null, same on both sides)
+  /** @param keyCols     primary-key columns (non-null, UNIQUE within each
+    *                     side, same on both sides)
     * @param compareCols change-relevant non-key columns for the row digest
     * @param deleteMissing full sync semantics: drop target rows absent
     *                      from source (incremental sync leaves them)
@@ -101,7 +102,12 @@ object SyncJob {
     * partition into I (source-only ⇒ missing from result) and everything
     * else (= exactly the result's rows); a separate result.count() job
     * would rescan the apply plan to learn a number the validation pass
-    * already saw.
+    * already saw. That identity — and the whole diff classification —
+    * requires PKs UNIQUE on both sides (SyncConfig's contract): with
+    * duplicate keys the join multiplies rows and the reported
+    * `resultRows` diverges from the actual result cardinality. Don't
+    * copy the count(op != 'I') substitution into a context without that
+    * invariant.
     */
   def run(source: DataFrame, target: DataFrame,
           cfg: SyncConfig): (DataFrame, SyncReport) = {

@@ -108,6 +108,19 @@ object TypeMapping {
       (cols ++ pk).mkString(",\n  ") + "\n)"
   }
 
+  /** ALTER TABLE statements for columns the source gained mid-sync. Drift
+    * columns are always added NULLable regardless of the source field's
+    * nullability: the target's existing rows have no value for them, and
+    * T-SQL rejects ADD ... NOT NULL without a DEFAULT — the NOT NULL
+    * constraint can be tightened after the first full sync backfills.
+    */
+  def alterAddDdl(table: String, fields: Seq[StructField]): Seq[String] = {
+    def q(id: String) = "[" + id.replace("]", "]]") + "]"
+    val qualified = table.split('.').map(q).mkString(".")
+    fields.map(f =>
+      s"ALTER TABLE $qualified ADD ${q(f.name)} ${toSqlServerType(f.dataType)} NULL")
+  }
+
   /** Round-trip stability law (pinned in tests): a Spark schema pushed to
     * T-SQL and read back through the planning mapping is unchanged up to
     * the documented widenings (Byte→Short, both MAX strings).

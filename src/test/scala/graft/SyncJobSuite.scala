@@ -78,6 +78,49 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(post.filter(col("op") =!= "S").isEmpty)
   }
 
+  test("schema drift mid-sync: gained + lost columns align, DDL generated") {
+    import graft.sync.SchemaDrift
+    import org.apache.spark.sql.types._
+    // target = stale snapshot that still has o_comment-like extra column;
+    // source = mutated view that gained a sync_ts column and lost o_clerk
+    val target = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("o_clerk", concat(lit("Clerk#"), col("o_custkey")))
+    val source = Sync.sourceView(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("sync_ts", lit("2026-08-13").cast("timestamp"))
+
+    val (result, report, drift) = SchemaDrift.run(
+      source, target, "dbo.orders_tgt", cfg.copy(deleteMissing = true))
+
+    assert(drift.added.map(_.name) == Seq("sync_ts"))
+    assert(drift.removed.map(_.name) == Seq("o_clerk"))
+    assert(drift.alterDdl ==
+      Seq("ALTER TABLE [dbo].[orders_tgt] ADD [sync_ts] DATETIME2(6) NULL"))
+    // full sync: result is exactly the aligned source — every row carries
+    // the gained column, the lost column is nulled
+    assert(report.validated)
+    assert(report.nSame == 0, "every surviving row drifted via sync_ts")
+    assert(result.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "sync_ts", "o_clerk"))
+    assert(result.filter(col("sync_ts").isNull).count() == 0)
+    assert(result.filter(col("o_clerk").isNotNull).count() == 0)
+    assert(result.count() == source.count())
+
+    // incremental drift run: target-only rows survive with null sync_ts
+    // and their o_clerk intact
+    val (res2, rep2, _) = SchemaDrift.run(
+      source, target, "dbo.orders_tgt", cfg)
+    assert(rep2.validated)
+    val leftovers = res2.join(source, Seq("o_orderkey"), "left_anti")
+    assert(leftovers.count() == rep2.nDelete && rep2.nDelete > 0)
+    assert(leftovers.filter(col("sync_ts").isNotNull).count() == 0)
+    assert(leftovers.filter(col("o_clerk").isNull).count() == 0)
+  }
+
   test("composite-key diff classifies on the full key") {
     val spark0 = spark
     import spark0.implicits._
