@@ -365,6 +365,48 @@ object LlmPipeline {
         sortedDistinct(arr)
       })),
 
+    // L2e: SKETCHED Jaccard — the same blocked engine as l2a, but each
+    // doc keeps only shingles whose 60-bit hash ≡ 0 (mod 8): a uniform
+    // 1/8th sample of the shingle UNIVERSE (not per-doc — the same
+    // shingle is kept or dropped everywhere), so the Jaccard of the
+    // sketches is an unbiased estimate of the true Jaccard while probe
+    // volume, join input and agg state all divide by 8. This is THE
+    // lever that keeps the exact-shape dedup affordable when docs are
+    // long at 100 TB (l2b's minhash trades accuracy bounds for fixed
+    // size; the mod-sketch keeps the estimator simple and the pipeline
+    // identical). Slightly lower threshold absorbs sketch variance.
+    "l2e_sketch_jaccard" -> ((s, d) =>
+      blockedJaccard(s, d, 0.10, col("text"), { (md, text) =>
+        val n = math.max(text.length - 4, 1)
+        val arr = new Array[Long](n)
+        var w = 0
+        var i = 0
+        while (i < n) {
+          val h = md5_60(md, text.substring(i, math.min(i + 5, text.length)))
+          if (h % 8 == 0) { arr(w) = h; w += 1 }
+          i += 1
+        }
+        sortedDistinct(java.util.Arrays.copyOf(arr, w))
+      })),
+
+    // L15: corpus datasheet — the profiling query every pipeline run logs
+    // before/after a filter stage: per (lang, source) document counts,
+    // token volume, and the length distribution that sizes chunking
+    // (l5h) and packing (l5i) parameters. One per-row tokenize feeding
+    // one hash-agg (exact percentiles, engine-parity per a7); no joins,
+    // output is bounded by the stratum count.
+    "l15_corpus_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), size(toksExpr).as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).cast("long").as("total_tokens"),
+             min(col("n_toks")).as("min_toks"),
+             round(median(col("n_toks")), 4).as("med_toks"),
+             round(percentile(col("n_toks"), lit(0.9)), 4).as("p90_toks"),
+             max(col("n_toks")).as("max_toks"))
+        .orderBy("lang", "source")),
+
     // L7: embedding-cosine near-dup dedup — LSH bucket candidates, exact
     // cosine > τ ⇒ the higher vec_id is a duplicate of the lower.
     "l7_embedding_dedup" -> ((s, d) => {
@@ -1150,6 +1192,36 @@ object LlmPipeline {
         | AND a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.12""".stripMargin,
+
+    "l2e_sketch_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 50 AS INTEGER) AS lenb,
+        |    list_distinct(list_filter(list_transform(
+        |      range(1, greatest(length(text) - 4, 1) + 1),
+        |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 15) AS BIGINT)),
+        |      h -> h % 8 = 0)) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+        | AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.10""".stripMargin,
+
+    "l15_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split_regex(lower(text), ' +'), t -> t <> '')) AS n_toks
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_toks) AS INTEGER) AS min_toks,
+        |  round(median(n_toks), 4) AS med_toks,
+        |  round(quantile_cont(n_toks, 0.9), 4) AS p90_toks,
+        |  CAST(MAX(n_toks) AS INTEGER) AS max_toks
+        |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "l2d_ngram_jaccard" ->
       """WITH docs AS (

@@ -8,8 +8,34 @@ import org.apache.spark.sql.functions._
   * driver; we rely on parquet footers (deterministic), never inference.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session plan cache — the catalog's role, done once per session:
+    * `spark.read.parquet` pays a driver-side file listing + footer schema
+    * read per CALL, and this suite references the same ten immutable
+    * input tables from ~130 queries (the sql_* family re-registers seven
+    * views each), so uncached that's thousands of redundant footer reads
+    * per Bench/Verify run. The cached value is an immutable logical plan
+    * — reusing it across queries is exactly what a session catalog does.
+    * ONLY the driver's read-only input tables belong here (TESTDATA.md);
+    * staged/overwritten paths (s12/s13 sinks) must keep calling
+    * `spark.read` directly or they'd serve a stale file listing. Keyed
+    * weakly by session so stopped test sessions unpin their plans.
+    */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
