@@ -1201,12 +1201,16 @@ object LlmPipeline {
         |      i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 15) AS BIGINT)),
         |      h -> h % 8 = 0)) AS sh
         |  FROM documents)
+        |-- len(sh) > 0 mirrors Spark exactly: an empty-sketch doc explodes
+        |-- to no item rows so its pairs never form; without the guard two
+        |-- empty-sketch docs yield 0/0 = NaN here, and DuckDB sorts NaN
+        |-- above every threshold
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         |FROM docs a JOIN docs b
         |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
-        | AND a.doc_id < b.doc_id
+        | AND a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.sh, b.sh))), 6) > 0.10""".stripMargin,
 
@@ -1240,7 +1244,10 @@ object LlmPipeline {
         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
         |FROM g a JOIN g b
         |  ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
-        | AND a.doc_id < b.doc_id
+        |  -- len > 0 mirrors Spark (empty bigram set = no exploded rows =
+        |  -- no pairs); two sub-2-token docs would otherwise give 0/0=NaN,
+        |  -- which DuckDB sorts above the threshold
+        | AND a.doc_id < b.doc_id AND len(a.gs) > 0 AND len(b.gs) > 0
         |WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
         |            (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) > 0.04""".stripMargin,
 

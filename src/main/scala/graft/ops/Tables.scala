@@ -17,21 +17,28 @@ object Tables {
     * — reusing it across queries is exactly what a session catalog does.
     * ONLY the driver's read-only input tables belong here (TESTDATA.md);
     * staged/overwritten paths (s12/s13 sinks) must keep calling
-    * `spark.read` directly or they'd serve a stale file listing. Keyed
-    * weakly by session so stopped test sessions unpin their plans.
+    * `spark.read` directly or they'd serve a stale file listing.
+    *
+    * Eviction: the inner map is held through a SoftReference because its
+    * DataFrames strongly reference their SparkSession — held directly as
+    * the WeakHashMap VALUE they would pin their own weak KEY forever (the
+    * value-references-key trap in the WeakHashMap javadoc). Via the soft
+    * indirection a stopped session is only softly reachable, so the JVM
+    * reclaims session + plans under memory pressure rather than never.
     */
   private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, m)
-      }
-      m
+      val ref = cache.get(spark)
+      val live = if (ref == null) null else ref.get()
+      if (live == null) {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      } else live
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet",
       p => spark.read.parquet(p))

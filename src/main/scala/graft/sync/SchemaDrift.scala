@@ -35,15 +35,25 @@ object SchemaDrift {
 
   def plan(source: DataFrame, target: DataFrame,
            targetTable: String, keyCols: Seq[String]): DriftPlan = {
-    val tCols = target.schema.fieldNames.toSet
-    val sCols = source.schema.fieldNames.toSet
-    require(keyCols.forall(k => tCols.contains(k) && sCols.contains(k)),
+    // case-INSENSITIVE name comparison, matching Spark's default column
+    // resolution and SyncJob.rowDigest's documented tolerance for JDBC
+    // case divergence (O_CUSTKEY vs o_custkey): a case-only difference is
+    // the same column, not drift — treating it as added+removed would
+    // make align()'s case-insensitive withColumn REPLACE the real source
+    // column with a null literal and silently wipe its data on apply
+    val tCols = target.schema.fieldNames.map(_.toLowerCase).toSet
+    val sCols = source.schema.fieldNames.map(_.toLowerCase).toSet
+    val keys = keyCols.map(_.toLowerCase).toSet
+    require(keyCols.forall(k =>
+      tCols.contains(k.toLowerCase) && sCols.contains(k.toLowerCase)),
       s"key columns $keyCols must exist on both sides; drift keys are a " +
         "re-key migration, not a sync")
     val added = source.schema.fields.toSeq
-      .filter(f => !tCols.contains(f.name) && !keyCols.contains(f.name))
+      .filter(f => !tCols.contains(f.name.toLowerCase) &&
+        !keys.contains(f.name.toLowerCase))
     val removed = target.schema.fields.toSeq
-      .filter(f => !sCols.contains(f.name) && !keyCols.contains(f.name))
+      .filter(f => !sCols.contains(f.name.toLowerCase) &&
+        !keys.contains(f.name.toLowerCase))
     DriftPlan(added, removed, TypeMapping.alterAddDdl(targetTable, added))
   }
 

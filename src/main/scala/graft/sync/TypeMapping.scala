@@ -94,10 +94,15 @@ object TypeMapping {
     * dotted-NAME table in the caller's default schema instead of the
     * intended schema-qualified target.
     */
+  /** The ONE implementation of the T-SQL identifier escape (`]` doubling)
+    * — it is the injection guard both DDL paths rely on, so it must not
+    * fork. */
+  private def q(id: String) = "[" + id.replace("]", "]]") + "]"
+  private def qualify(table: String) = table.split('.').map(q).mkString(".")
+
   def createTableDdl(table: String, schema: StructType,
                      keyCols: Seq[String] = Nil): String = {
-    def q(id: String) = "[" + id.replace("]", "]]") + "]"
-    val qualified = table.split('.').map(q).mkString(".")
+    val qualified = qualify(table)
     val cols = schema.fields.map { f =>
       s"${q(f.name)} ${toSqlServerType(f.dataType)}" +
         (if (f.nullable) " NULL" else " NOT NULL")
@@ -114,12 +119,9 @@ object TypeMapping {
     * T-SQL rejects ADD ... NOT NULL without a DEFAULT — the NOT NULL
     * constraint can be tightened after the first full sync backfills.
     */
-  def alterAddDdl(table: String, fields: Seq[StructField]): Seq[String] = {
-    def q(id: String) = "[" + id.replace("]", "]]") + "]"
-    val qualified = table.split('.').map(q).mkString(".")
+  def alterAddDdl(table: String, fields: Seq[StructField]): Seq[String] =
     fields.map(f =>
-      s"ALTER TABLE $qualified ADD ${q(f.name)} ${toSqlServerType(f.dataType)} NULL")
-  }
+      s"ALTER TABLE ${qualify(table)} ADD ${q(f.name)} ${toSqlServerType(f.dataType)} NULL")
 
   /** Round-trip stability law (pinned in tests): a Spark schema pushed to
     * T-SQL and read back through the planning mapping is unchanged up to

@@ -121,6 +121,24 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(leftovers.filter(col("o_clerk").isNull).count() == 0)
   }
 
+  test("schema drift: case-only name divergence is not drift") {
+    import graft.sync.SchemaDrift
+    // the JDBC-uppercase scenario rowDigest documents as supported: an
+    // unquoted-DDL target surfacing O_CUSTKEY is the SAME column as the
+    // parquet source's o_custkey — classifying it added+removed would
+    // null-overwrite the real data through align()'s case-insensitive
+    // withColumn
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val target = base.withColumnRenamed("o_custkey", "O_CUSTKEY")
+    val drift = SchemaDrift.plan(base, target, "dbo.t", Seq("o_orderkey"))
+    assert(drift.added.isEmpty && drift.removed.isEmpty && drift.alterDdl.isEmpty)
+    // and a case-divergent KEY passes the existence check too
+    val drift2 = SchemaDrift.plan(base, target
+      .withColumnRenamed("o_orderkey", "O_ORDERKEY"), "dbo.t", Seq("o_orderkey"))
+    assert(drift2.added.isEmpty && drift2.removed.isEmpty)
+  }
+
   test("composite-key diff classifies on the full key") {
     val spark0 = spark
     import spark0.implicits._
