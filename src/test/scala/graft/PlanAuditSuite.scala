@@ -58,6 +58,17 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(p.contains("NULLS FIRST"))
   }
 
+  test("L2a/L2e: blocked-Jaccard item self-join is shuffle-hash, not broadcast") {
+    // measured r5: the planner's broadcast pick builds a ~0.5M-row hash
+    // table on the driver (2.28 s vs 1.01 s warm), and the unsampled
+    // Verify probe is the full corpus — it must never be broadcast
+    for (q <- Seq("l2a_shingle_jaccard", "l2e_sketch_jaccard")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q item join not shuffle-hash")
+      assert(!p.contains("BroadcastHashJoin"), s"$q broadcasts a join side")
+    }
+  }
+
   test("P3b: rename/drop folds to one Project; dropped cols pruned from scan") {
     val df = SparkEntry.queries("p3b_rename_drop")(spark, sf)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
