@@ -279,6 +279,39 @@ object Relational {
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // X9: typed grouped-map — `groupByKey(...).mapGroups`, the escape
+    // hatch for per-group logic the relational surface can't express
+    // (imperative scans, per-group state machines). Physically one
+    // clustered exchange on the key, then each group streams through the
+    // closure executor-side — no driver involvement, the same shape as
+    // the custom-exec operators. This query's logic IS expressible
+    // relationally (per-user event summary) — deliberately, so the
+    // window/agg form can serve as the oracle twin proving the typed
+    // path computes identically. Ordering inside the group uses exact
+    // MICROsecond epoch (getTime millis + getNanos) — Timestamp.getTime
+    // alone truncates to millis and could flip first/last on sub-milli
+    // ties where the oracle's full-precision ORDER BY ts would not.
+    "x9_grouped_map" -> ((s, d) => {
+      val sEnc = s
+      import sEnc.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val sorted = evs.sortBy(e => (us(e._3), e._2))
+          val types = new java.util.HashSet[String]()
+          sorted.foreach(e => types.add(e._4))
+          (uid, sorted.length.toLong, types.size.toLong,
+            sorted.head._2, sorted.last._2)
+        }
+        .toDF("user_id", "n_events", "n_types",
+              "first_event_id", "last_event_id")
+    }),
+
     // O5: top-k per group via ranking window (single shuffle on the group key).
     "o5_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
@@ -468,6 +501,18 @@ object Relational {
         |FROM o a JOIN o b ON a.ck = b.ck
         | AND a.ok < b.ok AND a.st < b.en AND b.st < a.en
         |GROUP BY a.ck""".stripMargin,
+
+    "x9_grouped_map" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |o AS (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS n
+        |      FROM ev)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_event_id,
+        |  CAST(MAX(CASE WHEN rn = n THEN event_id END) AS BIGINT) AS last_event_id
+        |FROM o GROUP BY user_id""".stripMargin,
 
     "o1_global_sort" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
