@@ -64,6 +64,26 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
     assert(diff.getOrElse("I", 0L) + diff.getOrElse("U", 0L) + diff.getOrElse("S", 0L) == nSrc)
   }
 
+  test("Y5 upsert is idempotent: re-applying the same batch is a no-op") {
+    // the law behind exactly-once foreachBatch sinks: a failed micro-batch
+    // is RE-delivered with the same data, so apply∘apply must equal apply
+    // (both incremental and deleteMissing modes)
+    import graft.sync.SyncJob
+    import graft.sync.SyncJob.SyncConfig
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val cfg = SyncConfig(Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    val target = graft.ops.Tables.orders(s, d)
+    val source = graft.ops.Sync.sourceView(s, d)
+    for (c <- Seq(cfg, cfg.copy(deleteMissing = true))) {
+      val once = SyncJob.upsert(source, target, c)
+      val twice = SyncJob.upsert(source, once, c)
+      assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+        s"upsert not idempotent (deleteMissing=${c.deleteMissing})")
+    }
+  }
+
   test("cosine similarity is symmetric and bounded on random vectors") {
     val spark0 = spark
     import spark0.implicits._
