@@ -303,6 +303,26 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       s"compaction left $nComp files (from $nFrag)")
   }
 
+  test("bench probe sampling is exactly the documented fraction, off by default") {
+    // Bench times l2a/l2d/j10 with a sampled probe side while Verify (the
+    // correctness gate) runs them full — pin BOTH facts so the sampling
+    // can't silently grow or leak into the gate: flag defaults off, and
+    // the sampled result is exactly the id_a-slice of the full result.
+    assert(!graft.ops.benchSampledProbe, "sampling must be off outside Bench")
+    def rows(name: String) = graft.ops.LlmPipeline.queries
+      .getOrElse(name, graft.ops.Relational.queries(name))(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fullL2a = rows("l2a_shingle_jaccard")
+    val fullJ10 = rows("j10_fuzzy_block_join")
+    sys.props("graft.bench.sampledProbe") = "true"
+    try {
+      assert(rows("l2a_shingle_jaccard") ==
+        fullL2a.filter(_.head.asInstanceOf[Long] % 10 == 0))
+      assert(rows("j10_fuzzy_block_join") ==
+        fullJ10.filter(_.head.asInstanceOf[Long] % 20 == 0))
+    } finally sys.props.remove("graft.bench.sampledProbe")
+  }
+
   test("O1 global sort: output row order is the declared total order") {
     // the oracle gate canonicalises row ORDER away, so sortedness — the
     // whole point of O1 — is pinned here: nulls first, then ascending
