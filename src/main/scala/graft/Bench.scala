@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.ops.Tables.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session costs (Hadoop FS init, codegen, parquet
     // footer machinery) so they don't land on whichever query runs first

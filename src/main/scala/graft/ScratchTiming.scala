@@ -12,6 +12,7 @@ object ScratchTiming {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false").getOrCreate()
+    graft.ops.Tables.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     def t(name: String)(f: => Any): Unit = {

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.ops.Tables.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Run queries on a small thread pool: concurrent actions overlap each

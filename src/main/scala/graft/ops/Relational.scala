@@ -301,7 +301,10 @@ object Relational {
         .mapGroups { (uid, it) =>
           val evs = it.toArray
           def us(t: java.sql.Timestamp): Long =
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            // floorDiv, not /: getTime is negative pre-epoch, and truncating
+            // division would round the seconds component toward zero there
+            // (off by one second whenever nanos > 0)
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           val sorted = evs.sortBy(e => (us(e._3), e._2))
           val types = new java.util.HashSet[String]()
           sorted.foreach(e => types.add(e._4))

@@ -99,8 +99,9 @@ object Sources {
         // write: without it every shuffle task holds rows of every year,
         // so the sink emits tasks×years small files (32×7 here; at
         // cluster scale, thousands per partition dir). Clustering gives
-        // exactly `salt` files per year, written by salt parallel tasks
-        // per year — bounded file count AND no single-task skew on a hot
+        // AT MOST `salt` files per year (hash repartitioning can map two
+        // (year, salt) pairs to one shuffle partition, and AQE may
+        // coalesce) — bounded file count AND no single-task skew on a hot
         // year (the two failure modes of naive write vs repartition(col);
         // AQE REBALANCE solves the same problem at real scale but its
         // 64 MB advisory target collapses a local-SF table to one write

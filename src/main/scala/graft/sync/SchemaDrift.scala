@@ -54,6 +54,21 @@ object SchemaDrift {
     val removed = target.schema.fields.toSeq
       .filter(f => !sCols.contains(f.name.toLowerCase) &&
         !keys.contains(f.name.toLowerCase))
+    // TYPE drift on a name-matched column (e.g. INT→BIGINT widening at the
+    // source) is NOT add+remove — silently treating it as no-drift would
+    // let the digest compare or unionByName coerce lossily (or fail deep
+    // in the plan). It needs an explicit ALTER COLUMN migration the target
+    // store must run first, so refuse loudly rather than guess a cast.
+    val tTypes = target.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val retyped = source.schema.fields.toSeq.flatMap { f =>
+      tTypes.get(f.name.toLowerCase)
+        .filter(_ != f.dataType)
+        .map(t => s"${f.name}: target $t vs source ${f.dataType}")
+    }
+    require(retyped.isEmpty,
+      "type drift on name-matched columns needs an explicit ALTER COLUMN " +
+        s"migration before syncing, not a silent cast: ${retyped.mkString("; ")}")
     DriftPlan(added, removed, TypeMapping.alterAddDdl(targetTable, added))
   }
 

@@ -314,6 +314,9 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSet
     val fullL2a = rows("l2a_shingle_jaccard")
     val fullJ10 = rows("j10_fuzzy_block_join")
+    // NB: this mutates a JVM-global property; safe because sbt runs suites
+    // and tests serially in one JVM (no parallelExecution override). If
+    // tests ever run concurrently, gate sampling through a session conf.
     sys.props("graft.bench.sampledProbe") = "true"
     try {
       assert(rows("l2a_shingle_jaccard") ==

@@ -139,6 +139,22 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(drift2.added.isEmpty && drift2.removed.isEmpty)
   }
 
+  test("schema drift: TYPE drift on a name-matched column refuses loudly") {
+    import graft.sync.SchemaDrift
+    // an INT→BIGINT widening at the source is neither added nor removed —
+    // plan() must not classify it as no-drift (the digest/unionByName
+    // would coerce lossily or fail deep in the plan); it needs an explicit
+    // ALTER COLUMN migration, so the plan step raises with the column name
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val widened = base.withColumn("o_custkey", col("o_custkey").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      SchemaDrift.plan(widened, base, "dbo.t", Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("o_custkey"))
+    assert(e.getMessage.toLowerCase.contains("type drift"))
+  }
+
   test("composite-key diff classifies on the full key") {
     val spark0 = spark
     import spark0.implicits._
