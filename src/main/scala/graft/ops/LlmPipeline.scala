@@ -78,11 +78,12 @@ object LlmPipeline {
     *    lambda pays a boxed call per item. At 100 TB the same holds:
     *    set building is embarrassingly parallel; a corpus-wide shuffle
     *    before the blocked join is pure waste.
-    *  - localCheckpoint materializes the per-doc ARRAY rows ONCE (one
-    *    row per doc, not re-exploded items): the probe-side filter below
-    *    would otherwise push through and differentiate the two join
+    *  - An explicit RDD persist materializes the per-doc ARRAY rows ONCE
+    *    (one row per doc, not re-exploded items): the probe-side filter
+    *    below would otherwise push through and differentiate the two join
     *    subplans (ReuseExchange can't fire — measured round 2), so both
-    *    sides would recompute the build.
+    *    sides would recompute the build. Lineage is kept (unlike
+    *    localCheckpoint) — see the in-body comment for footprint/cleanup.
     *  - Candidates share a (lang, source, length-bucket) block; one
     *    codegen'd equi-join + hash-agg yields |A∩B|, and
     *    |A∪B| = |A|+|B|−|A∩B| from the per-doc sizes — the array form
@@ -185,14 +186,30 @@ object LlmPipeline {
       base0.repartition(s.sparkContext.defaultParallelism) else base0
     val sEnc = s
     import sEnc.implicits._
-    val docSh = base.as[(Long, String, String, Int, String)]
+    // Materialize the per-doc shingle arrays ONCE for both self-join sides
+    // via an explicit RDD persist (MEMORY_AND_DISK): without it the
+    // probe-side filter pushes through and differentiates the two join
+    // subplans, so ReuseExchange can't fire and the build runs twice
+    // (measured round 2). persist — not localCheckpoint — keeps LINEAGE:
+    // an evicted or executor-lost block recomputes from the parquet scan
+    // instead of failing the job, which is the property that matters when
+    // this is a full-corpus materialization per dedup run at 100 TB.
+    // Footprint: ~8 bytes per distinct shingle ≈ 8× the corpus text bytes
+    // (l2a; bigrams/sketches are smaller) per run, spilling to local disk
+    // beyond executor memory; partitions inherit the scan's
+    // files.maxPartitionBytes sizing so no single block outgrows a task.
+    // Cleanup: the ContextCleaner drops the blocks when the RDD is
+    // unreferenced after the run (the same lifecycle checkpoint blocks
+    // had) — an in-builder unpersist would fire before the lazy plan runs.
+    val docShRdd = base.as[(Long, String, String, Int, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, lang, src, lenb, text) =>
-          (id, lang, src, lenb, mkItems(md, text).toSeq) }
+          (id, lang, src, lenb, mkItems(md, text)) }
       }
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docSh = s.createDataFrame(docShRdd)
       .toDF("doc_id", "lang", "source", "lenb", "items")
-      .localCheckpoint()
     val ex = docSh.select(col("doc_id"), col("lang"), col("source"),
       col("lenb"), size(col("items")).as("sz"), explode(col("items")).as("it"))
     val a = ex
@@ -807,11 +824,15 @@ object LlmPipeline {
       // within-bucket clique with Σ(k-1) edges instead of Σk(k-1)/2 — a
       // hot LSH bucket of 10k docs emits 10k edges, not 50M. (The DuckDB
       // oracle keeps the pairwise form; components are identical.)
-      // bandSig is checkpointed so the rep aggregation and the member
-      // join don't each recompute the signature pass; LAZY, so its
-      // materialization folds into the CC loop's first blocking job
-      // instead of costing a separate one.
-      val bandSig = base.as[(Long, String, String, String)]
+      // bandSig is persisted (MEMORY_AND_DISK, lineage kept — eviction or
+      // executor loss recomputes from the scan rather than failing; see
+      // blockedJaccard for the full rationale) so the rep aggregation and
+      // the member join don't each recompute the signature pass. RDD
+      // persist is lazy, so the materialization folds into the CC loop's
+      // first blocking job instead of costing a separate one; footprint
+      // is 4 long-sig rows per doc (≈40 B/doc), freed by the
+      // ContextCleaner when the run's RDD goes unreferenced.
+      val bandSigRdd = base.as[(Long, String, String, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { case (id, lang, src, text) =>
@@ -823,8 +844,9 @@ object LlmPipeline {
             else (0 until nBands).iterator.map(b => (id, lang, src, b, m(b)))
           }
         }
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandSig = s.createDataFrame(bandSigRdd)
         .toDF("doc_id", "lang", "source", "band", "sig")
-        .localCheckpoint(false)
       val reps = bandSig.groupBy("lang", "source", "band", "sig")
         .agg(min(col("doc_id")).as("u"))
       // no distinct: a doc agreeing with its rep on several bands emits
