@@ -270,6 +270,52 @@ object LlmPipeline {
     h >>> 4
   }
 
+  /** Char-5-gram shingle hashes of one doc (l2a full set, l2e mod-8
+    * sketch via `keep`): windows are CODE POINTS, exactly the character
+    * semantics of the oracle's substr() and Spark SQL's substring — a
+    * supplementary character (emoji, rare CJK; two UTF-16 units) counts
+    * as ONE position, so a non-BMP corpus cannot silently diverge from
+    * the oracle (pinned against the relational twin in OperatorSuite).
+    * Fast path: when the text has no supplementary chars (all of the
+    * synthetic corpus), unit==point and plain substring windows are
+    * identical and cheaper.
+    */
+  private def charShingles(md: java.security.MessageDigest, text: String,
+                           keep: Long => Boolean): Array[Long] = {
+    val nUnits = text.length
+    if (text.codePointCount(0, nUnits) == nUnits) {
+      val n = math.max(nUnits - 4, 1)
+      val arr = new Array[Long](n)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val h = md5_60(md, text.substring(i, math.min(i + 5, nUnits)))
+        if (keep(h)) { arr(w) = h; w += 1 }
+        i += 1
+      }
+      sortedDistinct(java.util.Arrays.copyOf(arr, w))
+    } else {
+      val cps = text.codePoints.toArray
+      val n = math.max(cps.length - 4, 1)
+      val arr = new Array[Long](n)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val h = md5_60(md, new String(cps, i, math.min(5, cps.length - i)))
+        if (keep(h)) { arr(w) = h; w += 1 }
+        i += 1
+      }
+      sortedDistinct(java.util.Arrays.copyOf(arr, w))
+    }
+  }
+
+  /** Test hook for the code-point guarantee above (OperatorSuite). */
+  private[graft] def charShingleHashes(text: String,
+                                       mod8: Boolean = false): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    charShingles(md, text, if (mod8) _ % 8 == 0 else _ => true)
+  }
+
   /** Sort + in-place dedupe — the primitive-long twin of the item SET the
     * string form kept in a LinkedHashSet (order is irrelevant downstream:
     * items are exploded into an equi-join). */
@@ -359,21 +405,11 @@ object LlmPipeline {
 
     // L2a: near-dup detection — blocked shingle-set Jaccard over char
     // 5-grams (the LSH-free baseline; L2b is the sub-quadratic path).
-    // Shingling iterates UTF-16 code units while the DuckDB twin's
-    // substr() walks code points — identical for BMP text (1 unit = 1
-    // point); a corpus with supplementary characters (emoji, rare CJK)
-    // would need offsetByCodePoints here. The synthetic corpus is ASCII.
+    // Shingle windows are code points (charShingles), matching the
+    // DuckDB twin's substr() on supplementary characters too.
     "l2a_shingle_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.12, col("text"), { (md, text) =>
-        val n = math.max(text.length - 4, 1)
-        val arr = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          arr(i) = md5_60(md, text.substring(i, math.min(i + 5, text.length)))
-          i += 1
-        }
-        sortedDistinct(arr)
-      })),
+      blockedJaccard(s, d, 0.12, col("text"),
+        (md, text) => charShingles(md, text, _ => true))),
 
     // L2b: MinHash + LSH banding — classic universal-hash MinHash:
     // base hash h(sh) = first 60 bits of md5(sh) (engine-portable:
@@ -507,18 +543,8 @@ object LlmPipeline {
     // size; the mod-sketch keeps the estimator simple and the pipeline
     // identical). Slightly lower threshold absorbs sketch variance.
     "l2e_sketch_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.10, col("text"), { (md, text) =>
-        val n = math.max(text.length - 4, 1)
-        val arr = new Array[Long](n)
-        var w = 0
-        var i = 0
-        while (i < n) {
-          val h = md5_60(md, text.substring(i, math.min(i + 5, text.length)))
-          if (h % 8 == 0) { arr(w) = h; w += 1 }
-          i += 1
-        }
-        sortedDistinct(java.util.Arrays.copyOf(arr, w))
-      })),
+      blockedJaccard(s, d, 0.10, col("text"),
+        (md, text) => charShingles(md, text, _ % 8 == 0))),
 
     // L15: corpus datasheet — the profiling query every pipeline run logs
     // before/after a filter stage: per (lang, source) document counts,

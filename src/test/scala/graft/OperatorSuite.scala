@@ -345,6 +345,30 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     } finally sys.props.remove("graft.bench.sampledProbe")
   }
 
+  test("L2a/L2e: char shingling walks CODE POINTS on supplementary text") {
+    // The compiled shingle kernel must agree with the relational twin —
+    // Spark SQL substring(), which (like the oracle's DuckDB substr())
+    // counts code points — on text with supplementary characters (each
+    // one is TWO UTF-16 units; a unit-walking kernel would emit split
+    // surrogate shingles and silently diverge from the oracle on a
+    // non-ASCII corpus). 𝄞 (U+1D11E) and 😀 (U+1F600) are non-BMP.
+    val spark0 = spark
+    import spark0.implicits._
+    for (text <- Seq("ab𝄞cd😀ef ghijk", "𝄞😀", "plain ascii text", "")) {
+      val kernel = graft.ops.LlmPipeline.charShingleHashes(text).toSet
+      val twin = Seq(text).toDF("text").select(explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10))"""
+          .stripMargin)).as("hs"))
+        .select(col("hs").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+      assert(kernel == twin, s"kernel/twin shingle mismatch for '$text'")
+      // and the l2e sketch is exactly the mod-8 slice of the full set
+      assert(graft.ops.LlmPipeline.charShingleHashes(text, mod8 = true).toSet
+        == kernel.filter(_ % 8 == 0))
+    }
+  }
+
   test("O1 global sort: output row order is the declared total order") {
     // the oracle gate canonicalises row ORDER away, so sortedness — the
     // whole point of O1 — is pinned here: nulls first, then ascending
