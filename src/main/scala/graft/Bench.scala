@@ -4,10 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Timed runs sample the probe side of the block-quadratic queries
-    // (l2a/l2d/j10) so the bench stays bounded at sf0.1; the correctness
-    // gate (Verify -> DuckDB) runs them UNSAMPLED - see ops.benchSampledProbe.
-    System.setProperty("graft.bench.sampledProbe", "true")
+    // No bench-only flags: every timed query is exactly the plan Verify
+    // and the DuckDB gate check. The block-quadratic dedup/fuzzy queries
+    // are timed in BOTH forms - full (l2a/l2d/j10) and the 1/10-1/20
+    // probe-slice monitoring variants (*_sampled), each its own
+    // oracle-checked query.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +35,17 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // sweep persisted RDDs (the dedup family's full-corpus shingle
+      // builds) after the action completes: queries run sequentially and
+      // never share a persisted RDD, so without this each pass
+      // accumulates cache blocks until the ContextCleaner happens to GC —
+      // unbounded memory/local-disk growth across ~270 timed runs. The
+      // async unpersist sits outside the timed window; building the
+      // persisted blocks (the real cost) is inside it.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> (if (ok) t else -1.0)
     }
     // Stall sentinel: a fixed-cost no-op (sum over 10M longs, one codegen'd
     // stage, no IO) timed before/between/after the passes. On a healthy

@@ -40,6 +40,12 @@ object Verify {
       }
     tasks.foreach(_.get())
     pool.shutdown()
+    // sweep persisted RDDs (dedup shingle builds) once all tasks are done
+    // — not per-task: tasks run concurrently and an unpersist mid-flight
+    // would force another task's recompute. Lineage makes it safe; this
+    // makes it free.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     // summary so a thrown query can't silently vanish from the gate
     // (selfcheck also reports oracle keys with no dump as MISSING)
     if (!failed.isEmpty)

@@ -20,6 +20,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** J10 engine; probeMod Some(m) keeps only c_custkey % m == 0 on the
+    * probe side (the j10_sampled monitoring slice). */
+  private def fuzzyBlockJoin(s: SparkSession, d: String,
+                             probeMod: Option[Int]): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"), col("c_name"),
+      substring(col("c_name"), 10, 5).as("blk"))
+    val probe = c
+      .filter(probeMod.map(m => col("c_custkey") % m === 0).getOrElse(lit(true)))
+      .select(col("c_custkey").as("key_a"), col("c_nationkey"),
+              col("blk"), col("c_name").as("name_a"))
+    val cand = c.select(col("c_custkey").as("key_b"), col("c_nationkey"),
+                        col("blk"), col("c_name").as("name_b"))
+    probe.join(cand, Seq("c_nationkey", "blk"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+              levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= 2)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // P1: projection with computed columns; column pruning reaches the scan.
@@ -217,25 +239,11 @@ object Relational {
     // sync-tool answer to "same customer, typo'd key". All-pairs
     // levenshtein is O(n²·L²) and impossible at scale; blocking on
     // (nation, id-prefix) bounds the pair space per block, the standard
-    // ER blocking shape. Correctness (Verify/oracle) checks the FULL
-    // probe side; only the timed Bench run samples it (benchSampledProbe).
-    // Distance ≤ 2 within a block = candidate match.
-    "j10_fuzzy_block_join" -> ((s, d) => {
-      val c = Tables.customer(s, d).select(
-        col("c_custkey"), col("c_nationkey"), col("c_name"),
-        substring(col("c_name"), 10, 5).as("blk"))
-      val probe = c
-        .filter(if (benchSampledProbe) col("c_custkey") % 20 === 0 else lit(true))
-        .select(col("c_custkey").as("key_a"), col("c_nationkey"),
-                col("blk"), col("c_name").as("name_a"))
-      val cand = c.select(col("c_custkey").as("key_b"), col("c_nationkey"),
-                          col("blk"), col("c_name").as("name_b"))
-      probe.join(cand, Seq("c_nationkey", "blk"))
-        .filter(col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"),
-                levenshtein(col("name_a"), col("name_b")).as("dist"))
-        .filter(col("dist") <= 2)
-    }),
+    // ER blocking shape. Distance ≤ 2 within a block = candidate match.
+    // j10_sampled is the deterministic 1/20-probe monitoring slice, a
+    // first-class oracle-checked query (no bench-only sampling flag).
+    "j10_fuzzy_block_join" -> ((s, d) => fuzzyBlockJoin(s, d, None)),
+    "j10_sampled" -> ((s, d) => fuzzyBlockJoin(s, d, Some(20))),
 
     // J11: explicit key-salted join — the manual skew weapon when AQE's
     // skew split can't help (e.g. a single hot key inside one partition
@@ -393,6 +401,16 @@ object Relational {
         |FROM c a JOIN c b
         |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
         | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    "j10_sampled" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_name,
+        |                  substr(c_name, 10, 5) AS blk FROM customer)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        | AND a.c_custkey < b.c_custkey AND a.c_custkey % 20 = 0
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     // salt is internal to the physical plan; the logical result is the

@@ -57,9 +57,15 @@ object Tables {
     * query builders are conf-pure) and floor-divide to µs — bit-identical
     * to DuckDB's CAST(ts_ns AS TIMESTAMP) truncation in every oracle query.
     */
-  def events(s: SparkSession, d: String): DataFrame =
+  def events(s: SparkSession, d: String): DataFrame = {
+    // fail with a pointer at the fix, not the raw PARQUET_TYPE_ILLEGAL a
+    // prepare-less session would hit deep inside the scan
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): call Tables.prepare(spark) " +
+        "once per session before building queries over events")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** One-time session setup every entry point (Verify, Bench, test
     * fixture, plan dumps) runs before building queries: the legacy

@@ -28,6 +28,19 @@ import org.apache.spark.sql.types.StructField
   */
 object SchemaDrift {
 
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** The type with every nested nullability flag forced true — equality
+    * on the result is "same type modulo nullability". */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(allNullable(a.elementType), containsNull = true)
+    case m: MapType => MapType(allNullable(m.keyType),
+      allNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   final case class DriftPlan(
       added: Seq[StructField],     // in source, not target
       removed: Seq[StructField],   // in target, not source
@@ -59,11 +72,16 @@ object SchemaDrift {
     // let the digest compare or unionByName coerce lossily (or fail deep
     // in the plan). It needs an explicit ALTER COLUMN migration the target
     // store must run first, so refuse loudly rather than guess a cast.
+    // compare modulo nullability (normalized recursively: struct-field
+    // nullable, array containsNull, map valueContainsNull): JDBC vs
+    // parquet round-trips flip nullability flags freely, and a
+    // nullability-only difference unions/compares losslessly — refusing
+    // on it would hard-fail a previously-working sync on a non-change
     val tTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     val retyped = source.schema.fields.toSeq.flatMap { f =>
       tTypes.get(f.name.toLowerCase)
-        .filter(_ != f.dataType)
+        .filter(t => allNullable(t) != allNullable(f.dataType))
         .map(t => s"${f.name}: target $t vs source ${f.dataType}")
     }
     require(retyped.isEmpty,

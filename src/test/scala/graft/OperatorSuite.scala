@@ -322,27 +322,19 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       s"compaction left $nComp files (from $nFrag)")
   }
 
-  test("bench probe sampling is exactly the documented fraction, off by default") {
-    // Bench times l2a/l2d/j10 with a sampled probe side while Verify (the
-    // correctness gate) runs them full — pin BOTH facts so the sampling
-    // can't silently grow or leak into the gate: flag defaults off, and
-    // the sampled result is exactly the id_a-slice of the full result.
-    assert(!graft.ops.benchSampledProbe, "sampling must be off outside Bench")
+  test("*_sampled queries are exactly the documented probe slice of the full form") {
+    // The monitoring variants are first-class oracle-checked queries (no
+    // bench-only flag since r6); pin that each is precisely the id_a
+    // slice of its full query so the slice can't silently drift.
     def rows(name: String) = graft.ops.LlmPipeline.queries
       .getOrElse(name, graft.ops.Relational.queries(name))(spark, sf)
       .collect().map(_.toSeq).toSet
-    val fullL2a = rows("l2a_shingle_jaccard")
-    val fullJ10 = rows("j10_fuzzy_block_join")
-    // NB: this mutates a JVM-global property; safe because sbt runs suites
-    // and tests serially in one JVM (no parallelExecution override). If
-    // tests ever run concurrently, gate sampling through a session conf.
-    sys.props("graft.bench.sampledProbe") = "true"
-    try {
-      assert(rows("l2a_shingle_jaccard") ==
-        fullL2a.filter(_.head.asInstanceOf[Long] % 10 == 0))
-      assert(rows("j10_fuzzy_block_join") ==
-        fullJ10.filter(_.head.asInstanceOf[Long] % 20 == 0))
-    } finally sys.props.remove("graft.bench.sampledProbe")
+    assert(rows("l2a_sampled") ==
+      rows("l2a_shingle_jaccard").filter(_.head.asInstanceOf[Long] % 10 == 0))
+    assert(rows("l2d_sampled") ==
+      rows("l2d_ngram_jaccard").filter(_.head.asInstanceOf[Long] % 10 == 0))
+    assert(rows("j10_sampled") ==
+      rows("j10_fuzzy_block_join").filter(_.head.asInstanceOf[Long] % 20 == 0))
   }
 
   test("L2a/L2e: char shingling walks CODE POINTS on supplementary text") {
