@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       Functions.queries ++ Sync.queries ++ LlmPipeline.queries ++
       Streaming.queries ++ Multimodal.queries ++ Multimodal.queries2 ++
-      Sources.queries ++ SqlQueries.queries ++ DataPrep.queries
+      Sources.queries ++ SqlQueries.queries ++ DataPrep.queries ++
+      Fuzz.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,5 @@ object SparkEntry {
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       Functions.oracle ++ Sync.oracle ++ LlmPipeline.oracle ++
       Streaming.oracle ++ Multimodal.oracle ++ Sources.oracle ++
-      SqlQueries.oracle ++ DataPrep.oracle
+      SqlQueries.oracle ++ DataPrep.oracle ++ Fuzz.oracleSql
 }

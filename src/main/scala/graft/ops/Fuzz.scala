@@ -1,0 +1,255 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential query fuzzer — oracle amplification beyond the
+  * hand-authored corpus (SURVEY §7.3 determinism rules baked in).
+  *
+  * A seeded generator over filters / projections / aggregations / joins
+  * on the TPC-H tables emits a MATCHED pair per seed: a DataFrame plan
+  * and the equivalent shared-dialect SQL (runs unchanged on Spark SQL
+  * and DuckDB). FuzzSuite asserts DataFrame ≡ spark.sql over 120 seeds
+  * every test run — a differential check that the declarative surface
+  * and the SQL surface agree on arbitrary compositions, not just the
+  * curated queries. Four fixed seeds ([[promoted]]) are first-class
+  * `SparkEntry.queries` rows, so the driver's DuckDB gate cross-checks
+  * the generator's dialect parity per round.
+  *
+  * Determinism rules applied (§7.3):
+  *  - float REDUCTIONS go through [[Det]] (decimal detour — addition
+  *    order differs between engines); fixed arithmetic TREES over
+  *    doubles (+, −, ×) are IEEE-deterministic and stay raw
+  *  - numeric literals are short decimal strings parsed to double by
+  *    both engines' IEEE round-to-nearest — identical values
+  *  - no row-order dependence: results compare as multisets and every
+  *    projection keeps the row's primary key
+  *  - value pools match the corpus (FIXTURES.md) so predicates select
+  *    real rows; key predicates use modulo, which is SF-independent
+  */
+object Fuzz {
+
+  /** One generated query: the DataFrame form, the shared-dialect SQL,
+    * and the shape tag (for coverage reporting in FuzzSuite). */
+  final case class Built(df: Q, sql: String, shape: String)
+
+  // ---- predicate AST: each node carries both renderings ----
+  private final case class Pred(sql: String, col: Column)
+
+  private final case class NumLit(name: String, lits: Seq[String])
+  private final case class StrCol(name: String, pool: Seq[String])
+  private final case class TableMeta(
+      name: String,
+      load: (SparkSession, String) => DataFrame,
+      nums: Seq[NumLit],
+      strs: Seq[StrCol],
+      keys: Seq[String],
+      dateCol: Option[(String, Seq[String])])
+
+  private val lineitemMeta = TableMeta(
+    "lineitem", Tables.lineitem,
+    Seq(NumLit("l_quantity", Seq("10", "20", "30", "40")),
+        NumLit("l_extendedprice", Seq("20000", "40000", "60000", "80000")),
+        NumLit("l_discount", Seq("0.02", "0.04", "0.06", "0.08")),
+        NumLit("l_tax", Seq("0.01", "0.03", "0.05", "0.07"))),
+    Seq(StrCol("l_returnflag", Seq("A", "N", "R")),
+        StrCol("l_linestatus", Seq("O", "F"))),
+    Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    Some("l_shipdate" ->
+      Seq("1996-01-01", "1997-06-01", "1999-01-01", "2000-06-01")))
+
+  private val ordersMeta = TableMeta(
+    "orders", Tables.orders,
+    Seq(NumLit("o_totalprice", Seq("50000", "150000", "250000", "350000"))),
+    Seq(StrCol("o_orderstatus", Seq("O", "F", "P")),
+        StrCol("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
+    Seq("o_orderkey", "o_custkey"),
+    Some("o_orderdate" ->
+      Seq("1996-01-01", "1997-06-01", "1999-01-01", "2000-06-01")))
+
+  private val customerMeta = TableMeta(
+    "customer", Tables.customer,
+    Seq(NumLit("c_acctbal", Seq("-500", "1000", "5000", "9000"))),
+    Seq(StrCol("c_mktsegment",
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
+    Seq("c_custkey", "c_nationkey"),
+    None)
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  /** Leaf predicate: numeric compare / BETWEEN, string =/<>/IN, key
+    * modulo, timestamp compare. All nulls-free columns (TPC-H), so NOT
+    * is safe to apply anywhere. */
+  private def leaf(r: Random, t: TableMeta): Pred = r.nextInt(5) match {
+    case 0 =>
+      val c = pick(r, t.nums)
+      val litText = pick(r, c.lits)
+      val d = litText.toDouble
+      pick(r, Seq("<", "<=", ">", ">=")) match {
+        case "<"  => Pred(s"${c.name} < $litText", col(c.name) < d)
+        case "<=" => Pred(s"${c.name} <= $litText", col(c.name) <= d)
+        case ">"  => Pred(s"${c.name} > $litText", col(c.name) > d)
+        case ">=" => Pred(s"${c.name} >= $litText", col(c.name) >= d)
+      }
+    case 1 =>
+      val c = pick(r, t.nums)
+      val both = r.shuffle(c.lits.toList).take(2).map(_.toDouble).sorted
+      val (lo, hi) = (both.head, both.last)
+      Pred(s"${c.name} BETWEEN $lo AND $hi", col(c.name).between(lo, hi))
+    case 2 =>
+      val c = pick(r, t.strs)
+      r.nextInt(3) match {
+        case 0 =>
+          val v = pick(r, c.pool)
+          Pred(s"${c.name} = '$v'", col(c.name) === v)
+        case 1 =>
+          val v = pick(r, c.pool)
+          Pred(s"${c.name} <> '$v'", col(c.name) =!= v)
+        case 2 =>
+          val vs = r.shuffle(c.pool.toList).take(2)
+          Pred(s"${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})",
+               col(c.name).isin(vs: _*))
+      }
+    case 3 =>
+      val k = pick(r, t.keys)
+      val m = 2 + r.nextInt(8) // 2..9
+      val rem = r.nextInt(m)
+      Pred(s"($k % $m) = $rem", col(k) % m === rem)
+    case 4 => t.dateCol match {
+      case Some((name, lits)) =>
+        val d = pick(r, lits)
+        val op = pick(r, Seq(">=", "<"))
+        val sqlP = s"$name $op CAST('$d' AS TIMESTAMP)"
+        val c = if (op == ">=") col(name) >= lit(d).cast("timestamp")
+                else col(name) < lit(d).cast("timestamp")
+        Pred(sqlP, c)
+      case None => leaf(r, t)
+    }
+  }
+
+  private def genPred(r: Random, t: TableMeta, depth: Int): Pred =
+    if (depth <= 0) leaf(r, t)
+    else r.nextInt(4) match {
+      case 0 =>
+        val (a, b) = (genPred(r, t, depth - 1), genPred(r, t, depth - 1))
+        Pred(s"(${a.sql} AND ${b.sql})", a.col && b.col)
+      case 1 =>
+        val (a, b) = (genPred(r, t, depth - 1), genPred(r, t, depth - 1))
+        Pred(s"(${a.sql} OR ${b.sql})", a.col || b.col)
+      case 2 =>
+        val a = leaf(r, t)
+        Pred(s"(NOT ${a.sql})", !a.col)
+      case 3 => leaf(r, t)
+    }
+
+  /** Fixed arithmetic tree over two numeric columns (+, −, ×): the same
+    * two float64 operands give the same float64 result in any engine —
+    * only reductions need the Det detour. */
+  private def arith(r: Random, t: TableMeta): (String, Column) = {
+    val a = pick(r, t.nums).name
+    val b = pick(r, t.nums).name
+    r.nextInt(3) match {
+      case 0 => (s"($a + $b)", col(a) + col(b))
+      case 1 => (s"($a - $b)", col(a) - col(b))
+      case 2 => (s"($a * $b)", col(a) * col(b))
+    }
+  }
+
+  /** Aggregate list: count(*) plus a seeded mix of Det.dsum / min /
+    * max / Det.davg over numeric columns. */
+  private def aggs(r: Random, t: TableMeta): Seq[(String, Column)] = {
+    val base = Seq("COUNT(*) AS cnt" -> count(lit(1)).as("cnt"))
+    val extra = (0 until 2 + r.nextInt(2)).map { i =>
+      val c = pick(r, t.nums).name
+      r.nextInt(4) match {
+        case 0 => (s"${Det.Sql.dsum(c)} AS s$i", Det.dsum(col(c)).as(s"s$i"))
+        case 1 => (s"MIN($c) AS s$i", min(col(c)).as(s"s$i"))
+        case 2 => (s"MAX($c) AS s$i", max(col(c)).as(s"s$i"))
+        case 3 => (s"${Det.Sql.davg(c)} AS s$i", Det.davg(col(c)).as(s"s$i"))
+      }
+    }
+    base ++ extra
+  }
+
+  /** Generate the seed's query pair. Seeds are stable forever: the shape
+    * is seed % 4 (java.util.Random's FIRST power-of-2 nextInt is heavily
+    * correlated across sequential seeds — measured: seeds 1..40 all gave
+    * the same first nextInt(4)) and every inner draw comes from
+    * `new Random(seed)` warmed up past the correlated initial state. */
+  def build(seed: Int): Built = {
+    val r = new Random(seed)
+    r.nextLong(); r.nextLong()
+    (seed % 4) match {
+      case 0 => // filter + computed projection on lineitem (keeps the PK)
+        val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
+        val (e1s, e1c) = arith(r, lineitemMeta)
+        val (e2s, e2c) = arith(r, lineitemMeta)
+        Built(
+          (s, d) => lineitemMeta.load(s, d).filter(p.col)
+            .select(col("l_orderkey"), col("l_linenumber"),
+                    e1c.as("e1"), e2c.as("e2")),
+          s"SELECT l_orderkey, l_linenumber, $e1s AS e1, $e2s AS e2 " +
+            s"FROM lineitem WHERE ${p.sql}",
+          "filter_project")
+      case 1 => // filtered group-by aggregate on lineitem or orders
+        val t = pick(r, Seq(lineitemMeta, ordersMeta))
+        val p = genPred(r, t, 1 + r.nextInt(2))
+        val g = pick(r, t.strs).name
+        val as = aggs(r, t)
+        Built(
+          (s, d) => t.load(s, d).filter(p.col)
+            .groupBy(col(g)).agg(as.head._2, as.tail.map(_._2): _*),
+          s"SELECT $g, ${as.map(_._1).mkString(", ")} " +
+            s"FROM ${t.name} WHERE ${p.sql} GROUP BY $g",
+          "agg_groupby")
+      case 2 => // lineitem ⋈ orders, per-priority rollup
+        val pl = genPred(r, lineitemMeta, 1)
+        val po = genPred(r, ordersMeta, 1)
+        Built(
+          (s, d) => lineitemMeta.load(s, d).filter(pl.col)
+            .join(ordersMeta.load(s, d).filter(po.col),
+                  col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("cnt"),
+                 Det.dsum(col("l_extendedprice")).as("rev"),
+                 min(col("l_quantity")).as("min_qty")),
+          "SELECT o_orderpriority, COUNT(*) AS cnt, " +
+            s"${Det.Sql.dsum("l_extendedprice")} AS rev, " +
+            "MIN(l_quantity) AS min_qty " +
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+            s"WHERE ${pl.sql} AND ${po.sql} GROUP BY o_orderpriority",
+          "join_agg")
+      case 3 => // orders ⋈ customer, filtered key projection
+        val po = genPred(r, ordersMeta, 1)
+        val pc = genPred(r, customerMeta, 1)
+        Built(
+          (s, d) => ordersMeta.load(s, d).filter(po.col)
+            .join(customerMeta.load(s, d).filter(pc.col),
+                  col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_custkey"),
+                    col("o_totalprice"), col("c_mktsegment")),
+          "SELECT o_orderkey, c_custkey, o_totalprice, c_mktsegment " +
+            "FROM orders JOIN customer ON o_custkey = c_custkey " +
+            s"WHERE ${po.sql} AND ${pc.sql}",
+          "join_filter")
+    }
+  }
+
+  /** The promoted seeds — one per shape, chosen for non-trivial row
+    * counts at sf0.01 (FuzzSuite prints the coverage table). These four
+    * run through the driver's DuckDB gate every round, cross-checking
+    * the generator's dialect parity against a second engine. */
+  val promoted: Map[String, Int] = Map(
+    "fz1_filter_project" -> 8,
+    "fz2_agg_groupby" -> 5,
+    "fz3_join_agg" -> 6,
+    "fz4_join_filter" -> 7)
+
+  def queries: Map[String, Q] =
+    promoted.map { case (n, seed) => n -> build(seed).df }
+
+  def oracleSql: Map[String, String] =
+    promoted.map { case (n, seed) => n -> build(seed).sql }
+}

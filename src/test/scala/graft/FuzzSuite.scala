@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Fuzz, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential query fuzzing (SURVEY §7.3): every seed's DataFrame plan
+  * and shared-dialect SQL must produce the identical multiset of rows
+  * and the identical schema. This amplifies the hand-authored oracle
+  * corpus with generated compositions of filters, projections,
+  * aggregates and joins; the four promoted seeds additionally go
+  * through the driver's DuckDB gate (SparkEntry rows fz1-fz4).
+  */
+class FuzzSuite extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Vector[String] =
+    df.collect().map(_.mkString("")).sorted.toVector
+
+  test("120 generated DataFrame/SQL pairs agree (multiset + schema)") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    var nonEmpty = 0
+    val shapes = scala.collection.mutable.Map.empty[String, Int]
+    for (seed <- 1 to 120) {
+      val b = Fuzz.build(seed)
+      val viaDf = b.df(spark, sf)
+      val viaSql = spark.sql(b.sql)
+      assert(
+        viaDf.schema.map(f => (f.name, f.dataType)) ==
+          viaSql.schema.map(f => (f.name, f.dataType)),
+        s"seed $seed schema diverged:\n${b.sql}\n" +
+          s"df:  ${viaDf.schema.simpleString}\nsql: ${viaSql.schema.simpleString}")
+      val (dfRows, sqlRows) = (canon(viaDf), canon(viaSql))
+      assert(dfRows == sqlRows,
+        s"seed $seed rows diverged (${dfRows.length} vs ${sqlRows.length}):\n${b.sql}")
+      if (dfRows.nonEmpty) nonEmpty += 1
+      shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
+    }
+    // the generator must neither collapse to one shape nor go all-empty
+    assert(shapes.size == 4, s"shape coverage collapsed: $shapes")
+    assert(nonEmpty >= 60,
+      s"only $nonEmpty/120 seeds returned rows — literals too selective")
+    info(s"shapes: $shapes, non-empty: $nonEmpty/120")
+  }
+
+  test("promoted seeds keep their shape and return rows") {
+    // fz1-fz4 are CORRECTNESS rows; pin that each promoted seed still
+    // generates the shape its name claims and is non-trivial at sf0.001
+    val want = Map(
+      "fz1_filter_project" -> "filter_project",
+      "fz2_agg_groupby" -> "agg_groupby",
+      "fz3_join_agg" -> "join_agg",
+      "fz4_join_filter" -> "join_filter")
+    for ((name, seed) <- Fuzz.promoted) {
+      val b = Fuzz.build(seed)
+      assert(b.shape == want(name), s"$name (seed $seed) is shape ${b.shape}")
+      assert(b.df(spark, sf).count() > 0, s"$name returns no rows")
+    }
+  }
+}
