@@ -199,6 +199,55 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     ivf2.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("L4d on a planted-cluster corpus: Lloyd training provably lifts recall@1") {
+    // The driver corpus is near-isotropic noise, so l4d's recall@1 is
+    // sampling noise there (disclosed in its comment). This fixture
+    // plants real cluster structure — 8 orthogonal-direction clusters,
+    // 256 vectors — and poisons the seed: vectors 0..15 (the seed
+    // codebook) all lie in clusters 0 and 1, so the seed cells slice
+    // clusters 2..7 arbitrarily and queries (vec 16..23, planted in
+    // clusters 2..7) miss their true neighbors. Two Lloyd iterations
+    // move centroids onto the discovered cluster means, so the trained
+    // recall must strictly beat the seed recall — training demonstrably
+    // pays for itself when there is structure to find.
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = 64
+    // deterministic LCG noise, same shape as the library's plane seeds
+    var x = 0x2545F4914F6CDD1DL
+    def nextNoise(): Float = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 11).toDouble / (1L << 53).toDouble) * 0.3 - 0.15).toFloat
+    }
+    def member(cluster: Int): Array[Float] = {
+      val v = Array.fill(dim)(nextNoise())
+      v(cluster) = 1.0f // dominant direction = basis axis `cluster`
+      v
+    }
+    val rows = (0 until 256).map { i =>
+      val cluster =
+        if (i < 16) i % 2            // seed vectors: clusters 0 and 1 only
+        else if (i < 24) 2 + (i - 16) % 6 // queries: clusters 2..7
+        else i % 8
+      (i.toLong, member(cluster), cluster)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.ops.LlmPipeline.queries("l4d_ann_recall")(spark, dir)
+      .collect()(0)
+    val (seed1, seed2) = (r.getDouble(1), r.getDouble(2))
+    val (tr1, tr2) = (r.getDouble(3), r.getDouble(4))
+    val (qs, qt) = (r.getDouble(5), r.getDouble(6))
+    info(s"seed recall ($seed1, $seed2), trained ($tr1, $tr2), quant $qs -> $qt")
+    assert(qt > qs, s"quantization did not improve on clustered data: $qt <= $qs")
+    // measured (deterministic): seed (0.375, 0.625) → trained (0.875, 1.0)
+    assert(tr1 > seed1 && tr2 > seed2,
+      s"Lloyd training failed to lift recall on planted clusters: " +
+        s"seed=($seed1, $seed2) trained=($tr1, $tr2)")
+    assert(tr2 >= tr1 && seed2 >= seed1, "probe monotonicity broke")
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(

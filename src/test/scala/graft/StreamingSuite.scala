@@ -228,6 +228,94 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(back(99L) == ("seed", 0.0))
   }
 
+  test("CDC lifecycle: changelog stream → stateful latest-wins → MERGE into Derby → validate, with restart + drift") {
+    // The reference's end-to-end story composed as ONE flow (r5 verdict
+    // item 3): a file-source changelog stream runs through the
+    // transformWithState latest-wins guard into a Derby MERGE/DELETE
+    // sink, is stopped cold mid-stream, restarted from its checkpoint
+    // against new files (one carrying an out-of-order STALE version that
+    // the recovered state must suppress), then the synced target is
+    // Y6-validated against the expected snapshot and finally pushed
+    // through a Y10 schema-drift sync.
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val in = s"$base/in"; val ck = s"$base/ck"
+      new java.io.File(in).mkdirs()
+      val url = s"jdbc:derby:$base/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        "CREATE TABLE cdc_t (k BIGINT PRIMARY KEY, v VARCHAR(32), ver BIGINT)")
+      conn.createStatement().execute("INSERT INTO cdc_t VALUES (1, 'a0', 0)")
+      conn.createStatement().execute("INSERT INTO cdc_t VALUES (2, 'b0', 0)")
+      conn.close()
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema("k LONG, v STRING, op STRING, ver LONG").json(in)
+          .as[StreamOps.Change]
+        val q = StreamOps.cdcToJdbc(src, url, "cdc_t", driver)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(120000), "CDC query did not self-terminate")
+      }
+      def target(): Map[Long, (String, Long)] = spark.read.format("jdbc")
+        .options(Map("url" -> url, "dbtable" -> "cdc_t", "driver" -> driver))
+        .load().collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      // phase 1: update k=1, insert k=3 twice (intra-batch winner = ver 3)
+      Seq(StreamOps.Change(1, "a1", "U", 2), StreamOps.Change(3, "c1", "I", 1),
+          StreamOps.Change(3, "c2", "U", 3))
+        .toDF().coalesce(1).write.mode("append").json(in)
+      runOnce()
+      assert(target() == Map(1L -> ("a1", 2L), 2L -> ("b0", 0L),
+        3L -> ("c2", 3L)))
+      // phase 2 lands while the query is DOWN: a stale out-of-order
+      // version for k=1 (must be suppressed by checkpoint-recovered
+      // state), a real update for k=2, a delete of k=3
+      Seq(StreamOps.Change(1, "aSTALE", "U", 1), StreamOps.Change(2, "b1", "U", 4),
+          StreamOps.Change(3, null, "D", 5))
+        .toDF().coalesce(1).write.mode("append").json(in)
+      runOnce() // restart from the same checkpoint
+      val after = target()
+      assert(after == Map(1L -> ("a1", 2L), 2L -> ("b1", 4L)),
+        s"restart/late-data semantics broken: $after")
+      // Y6: the synced target validates against the expected latest-wins
+      // snapshot (deletes applied → deleteMissing semantics)
+      val expected = Seq((1L, "a1", 2L), (2L, "b1", 4L)).toDF("k", "v", "ver")
+      val back = spark.read.format("jdbc")
+        .options(Map("url" -> url, "dbtable" -> "cdc_t", "driver" -> driver))
+        .load().select(col("k"), col("v"), col("ver"))
+      val cfg = graft.sync.SyncJob.SyncConfig(Seq("k"), Seq("v", "ver"),
+        deleteMissing = true)
+      assert(graft.sync.SyncJob.validate(expected, back, cfg),
+        "Y6 validate failed against the streamed target")
+      // Y10: the source gains a column mid-lifecycle — drift is planned
+      // (ALTER DDL emitted), both sides align, and the drift-aware sync
+      // validates with every row carrying the new column
+      val drifted = expected.withColumn("extra", concat(col("v"), lit("!")))
+      val (result, report, drift) = graft.sync.SchemaDrift.run(
+        drifted, back, "cdc_t",
+        graft.sync.SyncJob.SyncConfig(Seq("k"), Seq("v", "ver")))
+      assert(drift.added.map(_.name) == Seq("extra"))
+      assert(drift.alterDdl.exists(_.contains("extra")))
+      assert(report.validated, s"drift-aware sync did not validate: $report")
+      assert(result.filter(col("extra").isNull).isEmpty,
+        "drifted column must reach every synced row")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T7b transformWithState sessionize (RocksDB state store, event-time timers)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -234,4 +234,62 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(once("b").dataType == ShortType)
     assert(roundTrip(once) == once) // idempotent from the first trip on
   }
+
+  test("Y1: TypeMapping agrees with Spark's built-in MsSqlServerDialect (offline T-SQL parity)") {
+    // No MS-SQL server exists in this environment, but Spark SHIPS the
+    // SQL Server dialect — so the planning-path mapping (catalog text,
+    // TypeMapping) is testable offline against the runtime-path mapping
+    // (JDBC metadata, MsSqlServerDialect) Spark would use on a real
+    // server. Where the dialect states an opinion, the two paths must
+    // agree, or a first-time sync would plan one schema and read another.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    import graft.sync.TypeMapping.{toSparkType, toSqlServerType, ColumnMeta}
+    val dialect = JdbcDialects.get("jdbc:sqlserver://host;databaseName=db")
+    assert(dialect.getClass.getSimpleName.contains("MsSqlServer"),
+      s"dialect lookup failed: ${dialect.getClass}")
+    // write direction: Spark type → T-SQL DDL type
+    for ((dt, ours) <- Seq(
+        StringType -> "NVARCHAR(MAX)", BooleanType -> "BIT",
+        BinaryType -> "VARBINARY(MAX)", ShortType -> "SMALLINT",
+        ByteType -> "SMALLINT", DoubleType -> "FLOAT", FloatType -> "REAL")) {
+      assert(toSqlServerType(dt) == ours)
+      dialect.getJDBCType(dt).foreach { j =>
+        assert(j.databaseTypeDefinition.toUpperCase == ours,
+          s"$dt: TypeMapping says $ours, dialect says ${j.databaseTypeDefinition}")
+      }
+    }
+    // documented divergence: we emit DATETIME2(6) (µs — exactly Spark's
+    // timestamp precision); the dialect's legacy choice loses precision
+    assert(toSqlServerType(TimestampType) == "DATETIME2(6)")
+    // read direction: JDBC metadata → Catalyst type, vs our catalog-text
+    // path, for every type the dialect overrides
+    val md = new org.apache.spark.sql.types.MetadataBuilder
+    def cat(sqlType: Int, name: String) =
+      dialect.getCatalystType(sqlType, name, 0, md)
+    for ((code, name) <- Seq(
+        java.sql.Types.SMALLINT -> "smallint",
+        java.sql.Types.TINYINT -> "tinyint",
+        java.sql.Types.REAL -> "real")) {
+      cat(code, name).foreach { dialectType =>
+        assert(dialectType == toSparkType(ColumnMeta("c", name)),
+          s"$name: dialect reads $dialectType, TypeMapping plans " +
+            s"${toSparkType(ColumnMeta("c", name))}")
+      }
+    }
+    // datetimeoffset: a pinned DIVERGENCE. The dialect's default reads
+    // it as TimestampType, which UTC-normalizes and silently drops the
+    // stored offset — Spark ships
+    // spark.sql.legacy.mssqlserver.datetimeoffsetMapping.enabled to get
+    // the lossless string form back. Our planning path defaults to that
+    // lossless StringType (TypeMapping scaladoc); assert both choices so
+    // a change in either engine or mapping surfaces here.
+    assert(cat(microsoft(), "datetimeoffset").contains(TimestampType),
+      "dialect default changed — revisit the documented divergence")
+    assert(toSparkType(ColumnMeta("c", "datetimeoffset")) == StringType)
+  }
+
+  // microsoft.sql.Types.DATETIMEOFFSET = -155 (the driver constant; the
+  // jar is absent offline, so the code is inlined)
+  private def microsoft(): Int = -155
 }
