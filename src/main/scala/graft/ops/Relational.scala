@@ -35,11 +35,17 @@ object Relational {
               col("blk"), col("c_name").as("name_a"))
     val cand = c.select(col("c_custkey").as("key_b"), col("c_nationkey"),
                         col("blk"), col("c_name").as("name_b"))
+    // threshold levenshtein (Spark 3.5+): banded O(L·k) with early exit
+    // instead of the full O(L²) DP per blocked pair — it returns -1 when
+    // the distance exceeds k and the EXACT distance otherwise, so the
+    // kept rows (dist ≤ 2) are bit-identical to the oracle's plain
+    // levenshtein. Measured at sf0.1: 7.98 s → the dominant cost was
+    // exactly this DP.
     probe.join(cand, Seq("c_nationkey", "blk"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"),
-              levenshtein(col("name_a"), col("name_b")).as("dist"))
-      .filter(col("dist") <= 2)
+              levenshtein(col("name_a"), col("name_b"), 2).as("dist"))
+      .filter(col("dist").between(0, 2))
   }
 
   val queries: Map[String, Q] = Map(
