@@ -166,6 +166,40 @@ object DataPrep {
           floor(rate * col("n_chars")).cast("long").as("expected_chars"))
     }),
 
+    // L5l: unigram-LM perplexity filter — the CCNet-style quality score:
+    // train a unigram model ON the corpus (token freq / total), score
+    // each doc by its mean token log-probability and perplexity, flag
+    // the tails. Scale shape: the vocab is bounded by a deterministic
+    // top-50k selection (TakeOrderedAndProject — freq desc, tok asc; a
+    // global row_number window would funnel the vocab through one
+    // reducer) and BROADCAST to the scoring join, so the corpus token
+    // stream is joined map-side and aggregated per doc with partial
+    // aggs: no corpus shuffle beyond the per-doc rollup. Determinism:
+    // per-token ln() is rounded to 6dp (collapses libm last-ulp
+    // differences between engines, the lloydCodebook convention), then
+    // summed exactly as DECIMAL(28,6); OOV tokens get the rounded
+    // ln(0.5/total) floor.
+    "l5l_unigram_logprob" -> ((s, d) => {
+      val t = tokens(s, d).select(col("doc_id"), col("tok"))
+      val tot = t.agg(count(lit(1)).as("total"))
+      val vocab = t.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .orderBy(col("freq").desc, col("tok").asc).limit(50000)
+        .select(col("tok"),
+          round(log(col("freq").cast("double") / col("total")), 6).as("logp"))
+      val oov = tot.select(round(log(lit(0.5) / col("total")), 6).as("oov_lp"))
+      t.join(broadcast(vocab), Seq("tok"), "left")
+        .crossJoin(broadcast(oov))
+        .select(col("doc_id"), coalesce(col("logp"), col("oov_lp")).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+             (sum(col("lp").cast("decimal(28,6)")).cast("double") /
+               count(lit(1))).as("avg0"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("avg0"), 6).as("avg_logp"),
+          round(exp(-col("avg0")), 4).as("ppl"))
+    }),
+
     // A15: approx_top_k (Spark 4 frequent-items sketch). maxItemsTracked
     // (1000) ≥ |o_orderpriority domain| (5) ⇒ counts are exact, so the
     // exact GROUP BY oracle matches while the partial/merge sketch path
@@ -287,6 +321,30 @@ object DataPrep {
     "a15_approx_top_k" ->
       """SELECT o_orderpriority AS item, COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY cnt DESC, item ASC""".stripMargin
+        |ORDER BY cnt DESC, item ASC""".stripMargin,
+
+    "l5l_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), ' +'),
+        |           x -> x <> '')) AS tok
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS total FROM tok),
+        |vocab AS (
+        |  SELECT tok,
+        |    round(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n)), 6)
+        |      AS logp
+        |  FROM tok GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok ASC LIMIT 50000),
+        |scored AS (
+        |  SELECT doc_id,
+        |    COALESCE(logp, (SELECT round(ln(0.5 / total), 6) FROM n)) AS lp
+        |  FROM tok LEFT JOIN vocab USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_logp,
+        |  round(exp(-(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))), 4)
+        |    AS ppl
+        |FROM scored GROUP BY doc_id""".stripMargin
   )
 }

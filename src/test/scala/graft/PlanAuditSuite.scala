@@ -326,6 +326,16 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("L5l: unigram-LM vocab is bounded top-k + broadcast (corpus never shuffle-joins)") {
+    val p = plan("l5l_unigram_logprob")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection must be bounded top-k, not a global sort/window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the scoring join must broadcast the vocab:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus token stream must not shuffle into the vocab join:\n$p")
+  }
+
   test("A16: HLL rollup is partial+merge sketch aggregation, fact scanned once") {
     val p = plan("a16_hll_union")
     assert(p.contains("hll_sketch_agg"), "sketch aggregate missing")
