@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -174,14 +175,14 @@ object Fuzz {
   }
 
   /** Generate the seed's query pair. Seeds are stable forever: the shape
-    * is seed % 4 (java.util.Random's FIRST power-of-2 nextInt is heavily
+    * is seed % 6 (java.util.Random's FIRST power-of-2 nextInt is heavily
     * correlated across sequential seeds — measured: seeds 1..40 all gave
     * the same first nextInt(4)) and every inner draw comes from
     * `new Random(seed)` warmed up past the correlated initial state. */
   def build(seed: Int): Built = {
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 4) match {
+    (seed % 6) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)
@@ -234,18 +235,58 @@ object Fuzz {
             "FROM orders JOIN customer ON o_custkey = c_custkey " +
             s"WHERE ${po.sql} AND ${pc.sql}",
           "join_filter")
+      case 4 => // set operation between two filtered key projections
+        val (p1, p2) = (genPred(r, ordersMeta, 1), genPred(r, ordersMeta, 1))
+        val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+        def side(s: SparkSession, d: String, p: Pred) =
+          ordersMeta.load(s, d).filter(p.col).select(col("o_orderkey"))
+        Built(
+          (s, d) => {
+            val (a, b) = (side(s, d, p1), side(s, d, p2))
+            op match { // SQL set-op semantics: UNION/INTERSECT/EXCEPT dedup
+              case "UNION"     => a.union(b).distinct()
+              case "UNION ALL" => a.union(b)
+              case "INTERSECT" => a.intersect(b)
+              case "EXCEPT"    => a.except(b)
+            }
+          },
+          s"SELECT o_orderkey FROM orders WHERE ${p1.sql} " +
+            s"$op SELECT o_orderkey FROM orders WHERE ${p2.sql}",
+          "set_op")
+      case 5 => // window top-k per group (rn cast to INT: DuckDB emits
+        // BIGINT for row_number, Spark INT — the cast unifies dialects)
+        val p = genPred(r, ordersMeta, 1)
+        val g = pick(r, Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        val k = 1 + r.nextInt(3)
+        Built(
+          (s, d) => {
+            val w = Window.partitionBy(col(g))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+            ordersMeta.load(s, d).filter(p.col)
+              .select(col(g), col("o_orderkey"), col("o_totalprice"),
+                      row_number().over(w).cast("int").as("rn"))
+              .filter(col("rn") <= k)
+          },
+          s"SELECT $g, o_orderkey, o_totalprice, rn FROM (" +
+            s"SELECT $g, o_orderkey, o_totalprice, " +
+            "CAST(row_number() OVER (PARTITION BY " + g +
+            " ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn " +
+            s"FROM orders WHERE ${p.sql}) t WHERE rn <= $k",
+          "window_topk")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
-    * counts at sf0.01 (FuzzSuite prints the coverage table). These four
+    * counts at sf0.01 (FuzzSuite prints the coverage table). These six
     * run through the driver's DuckDB gate every round, cross-checking
     * the generator's dialect parity against a second engine. */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 8,
-    "fz2_agg_groupby" -> 5,
-    "fz3_join_agg" -> 6,
-    "fz4_join_filter" -> 7)
+    "fz1_filter_project" -> 12,
+    "fz2_agg_groupby" -> 7,
+    "fz3_join_agg" -> 8,
+    "fz4_join_filter" -> 9,
+    "fz5_set_op" -> 10,
+    "fz6_window_topk" -> 11)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

@@ -39,20 +39,22 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 4, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 6, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
   }
 
   test("promoted seeds keep their shape and return rows") {
-    // fz1-fz4 are CORRECTNESS rows; pin that each promoted seed still
+    // fz1-fz6 are CORRECTNESS rows; pin that each promoted seed still
     // generates the shape its name claims and is non-trivial at sf0.001
     val want = Map(
       "fz1_filter_project" -> "filter_project",
       "fz2_agg_groupby" -> "agg_groupby",
       "fz3_join_agg" -> "join_agg",
-      "fz4_join_filter" -> "join_filter")
+      "fz4_join_filter" -> "join_filter",
+      "fz5_set_op" -> "set_op",
+      "fz6_window_topk" -> "window_topk")
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
       assert(b.shape == want(name), s"$name (seed $seed) is shape ${b.shape}")
