@@ -34,6 +34,38 @@ class SyntheticDocsSuite extends AnyFunSuite with SparkFixture {
     assert(df.agg(sum("doc_id")).collect()(0).getLong(0) == 4950L)
   }
 
+  test("pushed doc_id range clamps the planned splits (split-level pruning)") {
+    // 2000 docs / 8 partitions = 250-doc splits; [900, 1100) overlaps
+    // exactly two splits ([750,1000) and [1000,1250)), each trimmed to
+    // the clamp — the DSv2 analogue of JDBC partition predicates
+    val df = docs(2000, 8)
+      .filter(col("doc_id") >= 900 && col("doc_id") < 1100)
+    assert(df.rdd.getNumPartitions == 2,
+      s"expected 2 planned splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (900L until 1100L),
+      "pushed range must be enforced exactly (Spark adds no re-check)")
+    // the full-scan twin agrees
+    assert(docs(2000, 8).filter(col("doc_id") >= 900 && col("doc_id") < 1100)
+      .count() == 200)
+  }
+
+  test("pushed lang equality is enforced in the reader, other filters stay post-scan") {
+    val base = docs(1000, 4)
+    val viaPush = base.filter(col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // client-side twin computed WITHOUT the pushable shape (guard rows
+    // through an opaque filter Spark cannot push to the source)
+    val twin = base.filter(length(col("lang")) === 2 && col("lang") === "de")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaPush == twin && viaPush.nonEmpty,
+      "reader-side lang pushdown must match the post-scan evaluation")
+    // an unsupported predicate (on text) is handed back and still applies
+    val mixed = base.filter(col("lang") === "en" && col("text").contains("sync"))
+    assert(mixed.collect().forall(r =>
+      r.getString(1) == "en" && r.getString(2).contains("sync")))
+  }
+
   test("the source feeds ordinary operators (joins the parquet corpus)") {
     val synth = docs(200, 4).select(col("doc_id"), col("lang").as("synth_lang"))
     val real = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
