@@ -67,8 +67,16 @@ object StreamOps {
   /** T6: stream-stream join — purchases enriched with the user's views in
     * the preceding hour; both sides watermarked, join time-bounded (state
     * on both sides is evictable — unbounded joins never GC).
+    *
+    * joinType "left_outer": an unmatched purchase is HELD in state until
+    * the watermark proves no in-window view can still arrive, then emits
+    * once with null view columns — the semantics an enrichment pipeline
+    * needs when the dimension stream may simply lack a match (an inner
+    * join would silently drop the fact row; a batch left join cannot
+    * know when to stop waiting).
     */
-  def purchaseViewJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+  def purchaseViewJoin(events: DataFrame, watermark: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
               col("ts").as("p_ts"), col("value").as("p_value"))
@@ -80,7 +88,8 @@ object StreamOps {
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
   }
 
   final case class SessionSummary(user_id: Long, n_events: Int,

@@ -93,6 +93,30 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getAs[Long]("v_id")).toSeq == Seq(11L))
   }
 
+  test("T6c stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    // user 1 purchases with a prior-hour view → joined row; user 2
+    // purchases with NO view in window → must still emit, with null view
+    // columns, once the watermark passes the join window (batch 2 pushes
+    // it far enough). An inner join would silently drop user 2's row.
+    val rows = runToSink("t6c")(
+      s => purchaseViewJoin(s.toDF(), joinType = "left_outer"),
+      Seq(
+        Seq(ev(10, 80, 1, "view", 0.0),
+            ev(11, 100, 1, "purchase", 5.0),
+            ev(12, 100, 2, "purchase", 7.0)), // no view for user 2
+        // advance BOTH branch watermarks (each watermark node sits above
+        // its event_type filter, so a click would advance neither) …
+        Seq(ev(13, 400, 3, "view", 0.0), ev(14, 400, 3, "purchase", 1.0)),
+        // … and one more micro-batch: outer-null rows are evicted+emitted
+        // in the batch AFTER the watermark update lands
+        Seq(ev(15, 401, 3, "view", 0.0), ev(16, 401, 3, "purchase", 1.0))))
+    val byUser = rows.groupBy(_.getAs[Long]("p_user"))
+    assert(byUser(1L).map(_.getAs[Long]("v_id")).toSeq == Seq(10L))
+    val u2 = byUser(2L)
+    assert(u2.length == 1 && u2.head.isNullAt(u2.head.fieldIndex("v_id")),
+      s"unmatched purchase must emit once with null view cols: ${u2.toSeq}")
+  }
+
   test("T6b stream-static join enriches events from a batch dimension") {
     // The dimension-enrich shape: the static side is re-read per micro-batch
     // (no state store involved), so broadcast applies exactly as in batch.
