@@ -37,6 +37,34 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(o).count() == 0 && o.exceptAll(back).count() == 0)
   }
 
+  test("S4 filters and column pruning push into the JDBC scan (100 TB extract shape)") {
+    // The property a sync's incremental extract lives on: the WHERE and
+    // the column list must reach the database — a scan that ships every
+    // row/column over JDBC and filters in Spark moves the whole table
+    // per sync. Spark renders both into the generated SQL; the plan's
+    // JDBCRelation node exposes them as PushedFilters / ReadSchema.
+    // numeric predicate only: Spark's Derby dialect stores StringType as
+    // CLOB, which Derby refuses to compare with literals DB-side — a
+    // string filter here throws from the generated WHERE (dialect quirk;
+    // MS-SQL's NVARCHAR compares fine). The numeric pushdown is the
+    // portable core of the incremental-extract shape.
+    val back = readTable(spark, cfg, None)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val leaves = back.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(leaves.contains("PushedFilters:") &&
+           (leaves.contains("GreaterThan(O_TOTALPRICE") ||
+            leaves.contains("GreaterThan(o_totalprice")),
+      s"price filter did not reach the JDBC scan:\n$leaves")
+    assert(!leaves.toLowerCase.contains("o_custkey"),
+      s"unused column not pruned from the JDBC scan:\n$leaves")
+    // and the pushed plan computes the same answer as post-scan filtering
+    val expected = readTable(spark, cfg, None).collect()
+      .count(r => r.getDouble(r.fieldIndex("o_totalprice")) > 100000.0)
+    assert(back.count() == expected)
+  }
+
   test("S5 append mode accumulates batches") {
     val n0 = readTable(spark, cfg, None).count()
     val extra = Tables.orders(spark, sf).limit(10)
