@@ -102,6 +102,21 @@ object Aggregates {
         .orderBy("n_regionkey")
     }),
 
+    // A17: fixed-width histogram — the profiling rollup behind every
+    // "distribution of X" dashboard; bucket arithmetic (floor of a
+    // double division) is IEEE-identical in both engines, the top bucket
+    // clamps the tail. Pure two-phase hash-agg on a computed key.
+    "a17_histogram" -> ((s, d) => {
+      val bucket = least(floor(col("o_totalprice") / 25000).cast("int"), lit(19))
+      Tables.orders(s, d)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             Det.dsum(col("o_totalprice")).as("sum_price"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy("bucket")
+    }),
+
     // A6: stats aggs. stddev/var/corr/covar have identical definitions in
     // both engines; computed on identical doubles they differ only in
     // summation order → round(4) collapses that (values are O(1e0..1e5)).
@@ -222,6 +237,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "a17_histogram" ->
+      """SELECT LEAST(CAST(floor(o_totalprice / 25000) AS INTEGER), 19) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // The verdict columns compare DuckDB's own HLL estimate against the
     // exact count with the same tolerance the Spark side applies to its
     // HLL++ estimate — both engines' sketches sit ≲2% off on this data,

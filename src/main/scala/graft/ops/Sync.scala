@@ -186,6 +186,30 @@ object Sync {
                 col("ts").as("valid_from"),
                 lead(col("ts"), 1).over(w).as("valid_to"),
                 lead(col("ts"), 1).over(w).isNull.as("is_current"))
+    }),
+
+    // Y11: PK-uniqueness audit — the precondition every diff/upsert in
+    // this library rests on (SyncConfig's contract: keys UNIQUE per
+    // side; violated keys multiply rows through the full-outer diff and
+    // silently corrupt counts). Run BEFORE a first sync on a candidate
+    // key: here l_orderkey on lineitem, a deliberate NON-key, so the
+    // audit is observed reporting real violations. One two-phase
+    // hash-agg over the keys — no join, scales like any rollup.
+    "y11_pk_audit" -> ((s, d) => {
+      val mult = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("mult"))
+      mult.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("mult") > 1, 1).otherwise(0)).cast("long").as("n_dup_keys"),
+        max(col("mult")).as("max_mult"),
+        min(when(col("mult") > 1, col("l_orderkey"))).as("min_dup_key"),
+        sum(when(col("mult") > 1, col("mult")).otherwise(0)).cast("long")
+          .as("n_rows_in_dups"),
+        sum(when(col("l_orderkey").isNull, lit(1)).otherwise(0)).cast("long")
+          .as("n_null_keys"),
+        (sum(when(col("mult") > 1, 1).otherwise(0)) === 0 &&
+          sum(when(col("l_orderkey").isNull, lit(1)).otherwise(0)) === 0)
+          .as("pk_valid"))
     })
   )
 
@@ -203,6 +227,21 @@ object Sync {
         |) t(col_name, data_type, nullable)""".stripMargin,
 
     "y2_snapshot_copy" -> "SELECT * FROM nation",
+
+    "y11_pk_audit" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, COUNT(*) AS mult FROM lineitem GROUP BY l_orderkey)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+        |  MAX(mult) AS max_mult,
+        |  MIN(CASE WHEN mult > 1 THEN l_orderkey END) AS min_dup_key,
+        |  CAST(SUM(CASE WHEN mult > 1 THEN mult ELSE 0 END) AS BIGINT)
+        |    AS n_rows_in_dups,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_keys,
+        |  (SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) = 0 AND
+        |   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0) AS pk_valid
+        |FROM m""".stripMargin,
 
     // full recompute over the mutated source — the incremental path must
     // land on exactly this
