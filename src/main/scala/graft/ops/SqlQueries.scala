@@ -244,7 +244,109 @@ object SqlQueries {
       |WHERE c.c_custkey <= 200
       |ORDER BY c.c_custkey ASC, t.o_totalprice DESC, t.o_orderkey ASC""".stripMargin
 
+  // Q6-shape: the forecasting-revenue-change scan — pure predicate
+  // pushdown + one global agg, no join. The benchmark's "can your scan
+  // prune" canary: every predicate reaches the parquet row groups.
+  private val q6 =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // Q12-shape (adapted: linestatus stands in for shipmode, shipdate vs
+  // orderdate for the receipt/commit chain the corpus lacks): per-group
+  // CASE-conditional priority counts over a fact-fact join.
+  private val q12 =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // Q13-shape: customer order-count distribution — a LEFT OUTER join
+  // with an extra predicate INSIDE the ON clause (customers without
+  // qualifying orders must survive with count 0, so the filter cannot
+  // sit in WHERE), then a second aggregation over the first.
+  private val q13 =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // Q14-shape: promo revenue share — a CASE-gated sum divided by the
+  // total sum in one aggregate (both sums decimal-exact, the final
+  // division one double op → identical in both engines).
+  private val q14 =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS promo_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'""".stripMargin
+
+  // Q17-shape: small-quantity-order revenue — a correlated scalar
+  // subquery per part (0.2 × that part's average quantity): Catalyst
+  // decorrelates it into an aggregate joined back on the key, the
+  // heaviest scalar-subquery rewrite; the avg is decimal-exact so both
+  // engines compare against the identical threshold.
+  private val q17 =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_size <= 10
+      |  AND l_quantity < (
+      |    SELECT 0.2 * CAST(AVG(CAST(l2.l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // Q21-shape (adapted to the corpus's shipdate-only date column):
+  // suppliers whose LATE line (shipped >75 days after the order date)
+  // belongs to a multi-supplier order where NO OTHER supplier shipped
+  // late — EXISTS + NOT EXISTS, both correlated on a composite
+  // condition (same order, different supplier), the double-anti-join
+  // decorrelation stress test.
+  private val q21 =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL '75' DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+      |                    ON o3.o_orderkey = l3.l_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL '75' DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q6_forecast_revenue" -> ((s, d) => sql(s, d, q6)),
+    "sql_q12_priority_lines" -> ((s, d) => sql(s, d, q12)),
+    "sql_q13_custdist" -> ((s, d) => sql(s, d, q13)),
+    "sql_q14_promo_share" -> ((s, d) => sql(s, d, q14)),
+    "sql_q17_small_qty" -> ((s, d) => sql(s, d, q17)),
+    "sql_q21_waiting_supplier" -> ((s, d) => sql(s, d, q21)),
     "sql_lateral_topk" -> ((s, d) => sql(s, d, lateralQ)),
     "x8_sql_udf" -> ((s, d) => {
       // register only the one table the query reads: registering all 7
@@ -272,6 +374,12 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q6_forecast_revenue" -> q6,
+    "sql_q12_priority_lines" -> q12,
+    "sql_q13_custdist" -> q13,
+    "sql_q14_promo_share" -> q14,
+    "sql_q17_small_qty" -> q17,
+    "sql_q21_waiting_supplier" -> q21,
     "sql_lateral_topk" -> lateralQ,
     "x8_sql_udf" -> sqlUdfOracle,
     "sql_recursive_cte" -> recursiveQ,
