@@ -193,6 +193,33 @@ object LlmPipeline {
               round(col("best.cos_raw"), 6).as("cos"))
   }
 
+  /** Both probe depths of the IVF search in ONE scored pass (l4d's audit
+    * arms): candidates of nprobe=1 are a subset of nprobe=2's, so one
+    * join over the 2-cell probe lists feeds two FILTER-gated max_by
+    * aggregates — (nearest at nprobe=1, nearest at nprobe=2) per query.
+    * Halves the audit's corpus passes vs running ivfMatches per depth;
+    * same partial-agg exchange bound (≤|q| rows per partition). m1 is
+    * null when the top probe cell held no candidate (the caller's
+    * coalesce counts that as a miss, exactly as the per-depth left join
+    * did). */
+  private def ivfMatchesBoth(e: DataFrame, cb: Codebook): DataFrame = {
+    val assigned = e.select(col("vec_id"), col("v"),
+      bestCell(col("v"), cb).getField("cent_id").as("cell"))
+    val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        posexplode(slice(rankedCells(col("v"), cb), 1, 2)))
+      .select(col("qid"), col("qv"), (col("pos") + 1).as("prank"),
+              col("col.cent_id").as("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(qv, v)"))
+      .groupBy(col("qid"))
+      .agg(
+        expr("max_by(vec_id, struct(cos_raw, -vec_id)) " +
+          "FILTER (WHERE prank <= 1)").as("m1"),
+        expr("max_by(vec_id, struct(cos_raw, -vec_id))").as("m2"))
+  }
+
   /** DuckDB twin of [[lloydCodebook]]: CTE chain cb0 (seed) →
     * la1/cb1 → … → cb`iters`, over `e` (vectors cast to DOUBLE[] — exact
     * float widening, so the cosines match Spark's bit-for-bit; see
@@ -775,20 +802,22 @@ object LlmPipeline {
         .groupBy(col("qid"))
         .agg(max_by(col("vec_id"),
           struct(col("cos_raw"), -col("vec_id"))).as("bf_id"))
-      def matches(cb: Codebook, nprobe: Int, as: String) =
-        ivfMatches(e, cb, nprobe).select(col("qid"), col("match_id").as(as))
+      // both probe depths per codebook in ONE scored pass each
+      // (ivfMatchesBoth) — 2 search passes instead of 4
       val seed = seedCodebook(e)
       val trained = lloydCodebook(e, LloydIters)
+      val seedM = ivfMatchesBoth(e, seed)
+        .select(col("qid"), col("m1").as("ivf1_id"), col("m2").as("ivf2_id"))
+      val trainM = ivfMatchesBoth(e, trained)
+        .select(col("qid"), col("m1").as("tr1_id"), col("m2").as("tr2_id"))
       // recall of a variant = avg over bf rows of (variant hit the exact
       // neighbor); left joins + coalesce-to-0 so a query whose probed
       // cells hold no candidates counts as a miss, not a dropped row
       def recall(idCol: String, as: String) =
         round(avg(coalesce((col(idCol) === col("bf_id")).cast("int"),
           lit(0))), 6).as(as)
-      bf.join(matches(seed, 1, "ivf1_id"), Seq("qid"), "left")
-        .join(matches(seed, 2, "ivf2_id"), Seq("qid"), "left")
-        .join(matches(trained, 1, "tr1_id"), Seq("qid"), "left")
-        .join(matches(trained, 2, "tr2_id"), Seq("qid"), "left")
+      bf.join(seedM, Seq("qid"), "left")
+        .join(trainM, Seq("qid"), "left")
         .agg(count(lit(1)).as("n_queries"),
           recall("ivf1_id", "recall_nprobe1"),
           recall("ivf2_id", "recall_nprobe2"),
