@@ -326,6 +326,22 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Q17/Q21: correlated subqueries decorrelate into joins (no per-row re-execution)") {
+    // the scale property of the subquery surface: Catalyst must rewrite
+    // the correlated scalar (q17) into an aggregate joined back on the
+    // key and the EXISTS/NOT EXISTS pair (q21) into semi/anti joins —
+    // a plan that re-ran the inner query per outer row (or fell back to
+    // a cartesian product) would be unrunnable at 100 TB
+    val p17 = plan("sql_q17_small_qty")
+    assert(!p17.contains("CartesianProduct"), s"q17 fell back to cartesian:\n$p17")
+    assert(p17.split("HashAggregate").length >= 3,
+      s"q17's per-part average must plan as an aggregate, not a re-executed subquery:\n$p17")
+    val p21 = plan("sql_q21_waiting_supplier")
+    assert(p21.contains("LeftSemi"), s"q21 EXISTS did not become a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"q21 NOT EXISTS did not become an anti join:\n$p21")
+    assert(!p21.contains("CartesianProduct"), s"q21 fell back to cartesian:\n$p21")
+  }
+
   test("L5l: unigram-LM vocab is bounded top-k + broadcast (corpus never shuffle-joins)") {
     val p = plan("l5l_unigram_logprob")
     assert(p.contains("TakeOrderedAndProject"),
