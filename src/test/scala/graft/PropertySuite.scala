@@ -53,6 +53,38 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("r6 operator laws: histogram totals, PK-audit consistency, logprob bounds") {
+    val sf = "/root/testdata/sf0.001"
+    // a17: bucket counts partition the table; per-bucket min/max inside
+    // the bucket bounds (tail bucket open-ended)
+    val h = SparkEntry.queries("a17_histogram")(spark, sf).collect()
+    val orders = graft.ops.Tables.orders(spark, sf)
+    assert(h.map(_.getAs[Long]("n")).sum == orders.count())
+    h.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Double]("min_price") >= b * 25000.0)
+      if (b < 19) assert(r.getAs[Double]("max_price") < (b + 1) * 25000.0)
+    }
+    // y11: the audit's key count equals the distinct key count, and its
+    // duplicate verdict agrees with a direct computation
+    val a = SparkEntry.queries("y11_pk_audit")(spark, sf).collect()(0)
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val nKeys = li.select("l_orderkey").distinct().count()
+    assert(a.getAs[Long]("n_keys") == nKeys)
+    assert(a.getAs[Long]("n_dup_keys") ==
+      li.groupBy("l_orderkey").count().filter(col("count") > 1).count())
+    assert(!a.getAs[Boolean]("pk_valid"), "l_orderkey is a deliberate non-key")
+    // l5l: every doc's mean unigram log-prob is negative (probabilities
+    // < 1) and perplexity = exp(-avg) within rounding of the emitted pair
+    val lp = SparkEntry.queries("l5l_unigram_logprob")(spark, sf).collect()
+    assert(lp.nonEmpty)
+    lp.foreach { r =>
+      val avg = r.getAs[Double]("avg_logp")
+      assert(avg < 0.0 && r.getAs[Double]("ppl") > 1.0)
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(-avg)) < 1e-3)
+    }
+  }
+
   test("Y3 diff partitions keys: I/D/U/S counts add up to each side") {
     val s = spark
     val diff = graft.ops.Sync.queries("y3_snapshot_diff")(s, "/root/testdata/sf0.001")
