@@ -188,6 +188,34 @@ object Sync {
                 lead(col("ts"), 1).over(w).isNull.as("is_current"))
     }),
 
+    // Y12: per-partition digest compare — the incremental-sync planner
+    // at 100 TB: instead of a full-table diff, each side rolls up ONE
+    // (count, order-insensitive digest) row per partition (order_year
+    // here; date partitions in prod), the ≤|partitions| summaries join
+    // full-outer, and only DIRTY partitions are re-synced with the Y3
+    // lifecycle. Per-row work is a hash + a two-phase agg keyed on the
+    // partition — the fact table is scanned once per side and the
+    // exchange carries |partitions| rows. The digest is the y6 idiom:
+    // sum of a 15-hex-digit slice of the row md5 mod 1e9 — insensitive
+    // to row order, sensitive to any row change, identical both engines.
+    "y12_partition_digest" -> ((s, d) => {
+      def side(df: DataFrame, rows: String, dig: String) =
+        df.groupBy(year(col("o_orderdate")).as("order_year"))
+          .agg(count(lit(1)).as(rows),
+            sum(pmod(conv(substring(rowHash(c => col(c)), 1, 15), 16, 10)
+              .cast("long"), lit(1000000000L))).as(dig))
+      side(sourceView(s, d), "src_rows", "src_digest")
+        .join(side(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
+          Seq("order_year"), "full_outer")
+        .select(col("order_year"),
+          coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+          coalesce(col("tgt_rows"), lit(0L)).as("tgt_rows"),
+          (coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
+            coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L)))
+            .as("clean"))
+        .orderBy("order_year")
+    }),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -293,6 +321,28 @@ object Sync {
          |  CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
          |    % 1000000000) AS BIGINT) AS digest
          |FROM src""".stripMargin,
+
+    "y12_partition_digest" ->
+      s"""WITH $sourceCte,
+         |ss AS (
+         |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS src_digest
+         |  FROM src GROUP BY 1),
+         |tt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(${rowHashSql("orders")}, 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS tgt_digest
+         |  FROM orders GROUP BY 1)
+         |SELECT COALESCE(ss.order_year, tt.order_year) AS order_year,
+         |  COALESCE(src_rows, 0) AS src_rows,
+         |  COALESCE(tgt_rows, 0) AS tgt_rows,
+         |  (COALESCE(src_rows, 0) = COALESCE(tgt_rows, 0) AND
+         |   COALESCE(src_digest, -1) = COALESCE(tgt_digest, -1)) AS clean
+         |FROM ss FULL OUTER JOIN tt ON ss.order_year = tt.order_year
+         |ORDER BY order_year""".stripMargin,
 
     // the incremental apply must equal the full latest-per-key recompute
     "y8_incremental_apply" ->
