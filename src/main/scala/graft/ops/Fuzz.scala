@@ -14,9 +14,9 @@ import scala.util.Random
   * and DuckDB). FuzzSuite asserts DataFrame ≡ spark.sql over 120 seeds
   * every test run — a differential check that the declarative surface
   * and the SQL surface agree on arbitrary compositions, not just the
-  * curated queries. Four fixed seeds ([[promoted]]) are first-class
-  * `SparkEntry.queries` rows, so the driver's DuckDB gate cross-checks
-  * the generator's dialect parity per round.
+  * curated queries. Six fixed seeds ([[promoted]], one per shape) are
+  * first-class `SparkEntry.queries` rows, so the driver's DuckDB gate
+  * cross-checks the generator's dialect parity per round.
   *
   * Determinism rules applied (§7.3):
   *  - float REDUCTIONS go through [[Det]] (decimal detour — addition

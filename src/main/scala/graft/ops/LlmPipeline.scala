@@ -394,6 +394,26 @@ object LlmPipeline {
     if (w + 1 == a.length) a else java.util.Arrays.copyOf(a, w + 1)
   }
 
+  /** Item builders shared by a full query and its `*_sampled` slice —
+    * ONE definition each, so a tokenizer fix can never reach one form
+    * and not the other (the slice-pin test in OperatorSuite relies on
+    * both running identical item code). */
+  private val fullShingleItems
+      : (java.security.MessageDigest, String) => Array[Long] =
+    (md, text) => charShingles(md, text, _ => true)
+
+  private val wordBigramItems
+      : (java.security.MessageDigest, String) => Array[Long] = { (md, text) =>
+    val toks = text.split(" +").filter(_.nonEmpty)
+    val n = math.max(toks.length - 1, 0)
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = md5_60(md, toks(i) + " " + toks(i + 1)); i += 1
+    }
+    sortedDistinct(arr)
+  }
+
   /** probeMod: None = full pair space; Some(m) = the probe (id_a) side
     * keeps only doc_id % m == 0 — the deterministic 1/m slice the
     * `*_sampled` query variants expose as first-class, oracle-checked
@@ -477,8 +497,7 @@ object LlmPipeline {
     // Shingle windows are code points (charShingles), matching the
     // DuckDB twin's substr() on supplementary characters too.
     "l2a_shingle_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.12, col("text"),
-        (md, text) => charShingles(md, text, _ => true))),
+      blockedJaccard(s, d, 0.12, col("text"), fullShingleItems)),
 
     // L2a-sampled: the same blocked Jaccard with a deterministic 1/10
     // probe slice (doc_id % 10 = 0) — the bounded monitoring pass a
@@ -486,8 +505,8 @@ object LlmPipeline {
     // first-class, oracle-checked query: the bench times both forms and
     // no hidden flag changes a verified plan (r5 verdict item).
     "l2a_sampled" -> ((s, d) =>
-      blockedJaccard(s, d, 0.12, col("text"),
-        (md, text) => charShingles(md, text, _ => true), probeMod = Some(10))),
+      blockedJaccard(s, d, 0.12, col("text"), fullShingleItems,
+        probeMod = Some(10))),
 
     // L2b: MinHash + LSH banding — classic universal-hash MinHash:
     // base hash h(sh) = first 60 bits of md5(sh) (engine-portable:
@@ -599,29 +618,12 @@ object LlmPipeline {
     // n-grams are the token-level dedup family (char shingles = l2a,
     // minhash = l2b, simhash = l2c, embedding = l7).
     "l2d_ngram_jaccard" -> ((s, d) =>
-      blockedJaccard(s, d, 0.04, lower(col("text")), { (md, text) =>
-        val toks = text.split(" +").filter(_.nonEmpty)
-        val n = math.max(toks.length - 1, 0)
-        val arr = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          arr(i) = md5_60(md, toks(i) + " " + toks(i + 1)); i += 1
-        }
-        sortedDistinct(arr)
-      })),
+      blockedJaccard(s, d, 0.04, lower(col("text")), wordBigramItems)),
 
     // L2d-sampled: 1/10 probe slice of l2d (see l2a_sampled).
     "l2d_sampled" -> ((s, d) =>
-      blockedJaccard(s, d, 0.04, lower(col("text")), { (md, text) =>
-        val toks = text.split(" +").filter(_.nonEmpty)
-        val n = math.max(toks.length - 1, 0)
-        val arr = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          arr(i) = md5_60(md, toks(i) + " " + toks(i + 1)); i += 1
-        }
-        sortedDistinct(arr)
-      }, probeMod = Some(10))),
+      blockedJaccard(s, d, 0.04, lower(col("text")), wordBigramItems,
+        probeMod = Some(10))),
 
     // L2e: SKETCHED Jaccard — the same blocked engine as l2a, but each
     // doc keeps only shingles whose 60-bit hash ≡ 0 (mod 8): a uniform

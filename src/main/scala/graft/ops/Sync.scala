@@ -198,11 +198,18 @@ object Sync {
     // exchange carries |partitions| rows. The digest is the y6 idiom:
     // sum of a 15-hex-digit slice of the row md5 mod 1e9 — insensitive
     // to row order, sensitive to any row change, identical both engines.
+    // UNLIKE y3/y6 (which join ON the PK and may hash only the compared
+    // columns), this digest stands ALONE, so the PK must be inside it:
+    // a row re-keyed within its partition (delete k, insert the same
+    // payload as k') keeps count and payload-hash unchanged and would
+    // otherwise report the partition clean.
     "y12_partition_digest" -> ((s, d) => {
+      val keyedHash = md5(concat_ws("|",
+        col("o_orderkey"), rowHash(c => col(c))))
       def side(df: DataFrame, rows: String, dig: String) =
         df.groupBy(year(col("o_orderdate")).as("order_year"))
           .agg(count(lit(1)).as(rows),
-            sum(pmod(conv(substring(rowHash(c => col(c)), 1, 15), 16, 10)
+            sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
               .cast("long"), lit(1000000000L))).as(dig))
       side(sourceView(s, d), "src_rows", "src_digest")
         .join(side(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
@@ -327,13 +334,15 @@ object Sync {
          |ss AS (
          |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
          |    COUNT(*) AS src_rows,
-         |    CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', src.o_orderkey, ${rowHashSql("src")})), 1, 15)) AS BIGINT)
          |      % 1000000000) AS BIGINT) AS src_digest
          |  FROM src GROUP BY 1),
          |tt AS (
          |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
          |    COUNT(*) AS tgt_rows,
-         |    CAST(SUM(CAST(concat('0x', substr(${rowHashSql("orders")}, 1, 15)) AS BIGINT)
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15)) AS BIGINT)
          |      % 1000000000) AS BIGINT) AS tgt_digest
          |  FROM orders GROUP BY 1)
          |SELECT COALESCE(ss.order_year, tt.order_year) AS order_year,

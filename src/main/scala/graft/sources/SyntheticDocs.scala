@@ -118,20 +118,33 @@ final class SyntheticDocsScanBuilder(numDocs: Long, numPartitions: Int)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = {
-    // fold the accepted doc_id conjuncts into one [lo, hi) clamp
+    // fold the accepted doc_id conjuncts into one [lo, hi) clamp.
+    // incExact: the +1 for inclusive bounds must saturate, not wrap — a
+    // pushed `doc_id <= Long.MaxValue` tautology would otherwise
+    // overflow hi to Long.MinValue and silently plan an EMPTY scan
+    // while claiming full enforcement.
+    def incSat(l: Long): Long = if (l == Long.MaxValue) l else l + 1
     var lo = 0L
     var hi = numDocs
     var langEq: Option[String] = None
+    var langContradiction = false
     accepted.foreach {
       case EqualTo("doc_id", v) =>
-        val l = longVal(v).get; lo = math.max(lo, l); hi = math.min(hi, l + 1)
-      case GreaterThan("doc_id", v)        => lo = math.max(lo, longVal(v).get + 1)
+        val l = longVal(v).get; lo = math.max(lo, l); hi = math.min(hi, incSat(l))
+      case GreaterThan("doc_id", v)        => lo = math.max(lo, incSat(longVal(v).get))
       case GreaterThanOrEqual("doc_id", v) => lo = math.max(lo, longVal(v).get)
       case LessThan("doc_id", v)           => hi = math.min(hi, longVal(v).get)
-      case LessThanOrEqual("doc_id", v)    => hi = math.min(hi, longVal(v).get + 1)
-      case EqualTo("lang", v: String)      => langEq = Some(v)
+      case LessThanOrEqual("doc_id", v)    => hi = math.min(hi, incSat(longVal(v).get))
+      case EqualTo("lang", v: String)      =>
+        // accepted filters are TRUSTED as fully enforced, so two
+        // different lang equalities must INTERSECT (= empty scan), not
+        // last-one-wins — the doc_id clamp gets this for free via
+        // min/max; do the same here explicitly
+        if (langEq.exists(_ != v)) langContradiction = true
+        langEq = Some(v)
       case _ => ()
     }
+    if (langContradiction) hi = lo // contradictory conjunction: no rows
     new SyntheticDocsScan(numDocs, numPartitions, required, lo, hi, langEq)
   }
 }

@@ -279,7 +279,10 @@ object StreamOps {
 
     override def handleInputRows(k: Long, rows: Iterator[Change],
         timers: TimerValues): Iterator[Change] = {
-      val best = rows.maxBy(c => (c.ver, c.k))
+      // rows all share the grouping key k; ver is strictly increasing
+      // per key at the source (Change's contract), so maxBy(_.ver) is
+      // unambiguous — a duplicate ver would be a source bug
+      val best = rows.maxBy(_.ver)
       val prev = if (applied.exists()) applied.get() else Long.MinValue
       if (best.ver > prev) {
         applied.update(best.ver)
@@ -293,7 +296,10 @@ object StreamOps {
     * from the executors. Pair with a checkpointLocation and
     * Trigger.AvailableNow for the scheduled incremental-sync shape; the
     * state store makes the whole pipeline idempotent under restart and
-    * out-of-order delivery.
+    * out-of-order delivery. The MERGE text is Derby/DB2 dialect
+    * (USING SYSIBM.SYSDUMMY1 — the embedded test DB, like
+    * [[upsertToJdbc]]); MS-SQL swaps the USING clause, the shape is
+    * identical.
     */
   def cdcToJdbc(changes: Dataset[Change], url: String, table: String,
                 driver: String) = {
@@ -317,19 +323,29 @@ object StreamOps {
                 "WHEN MATCHED THEN UPDATE SET v = ?, ver = ? " +
                 "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (?, ?, ?)")
               val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
-              rows.foreach { r =>
-                val c = Change(r.getLong(0), if (r.isNullAt(1)) null
-                  else r.getString(1), r.getString(2), r.getLong(3))
-                if (c.op == "D") { del.setLong(1, c.k); del.addBatch() }
-                else {
-                  merge.setLong(1, c.k); merge.setString(2, c.v)
-                  merge.setLong(3, c.ver); merge.setLong(4, c.k)
-                  merge.setString(5, c.v); merge.setLong(6, c.ver)
-                  merge.addBatch()
+              try {
+                rows.foreach { r =>
+                  val c = Change(r.getLong(0), if (r.isNullAt(1)) null
+                    else r.getString(1), r.getString(2), r.getLong(3))
+                  if (c.op == "D") { del.setLong(1, c.k); del.addBatch() }
+                  else {
+                    merge.setLong(1, c.k); merge.setString(2, c.v)
+                    merge.setLong(3, c.ver); merge.setLong(4, c.k)
+                    merge.setString(5, c.v); merge.setLong(6, c.ver)
+                    merge.addBatch()
+                  }
                 }
-              }
-              merge.executeBatch(); del.executeBatch()
-              conn.commit()
+                merge.executeBatch(); del.executeBatch()
+                conn.commit()
+              } catch {
+                case e: Throwable =>
+                  // roll back EXPLICITLY before close: with autoCommit
+                  // off, close-with-open-transaction is driver-defined
+                  // (some drivers COMMIT), which would persist a partial
+                  // batch the retry assumes was never applied
+                  try conn.rollback() catch { case _: Throwable => () }
+                  throw e
+              } finally { merge.close(); del.close() }
             } finally conn.close()
           }
         }

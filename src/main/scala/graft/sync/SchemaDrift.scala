@@ -76,7 +76,13 @@ object SchemaDrift {
     // nullable, array containsNull, map valueContainsNull): JDBC vs
     // parquet round-trips flip nullability flags freely, and a
     // nullability-only difference unions/compares losslessly — refusing
-    // on it would hard-fail a previously-working sync on a non-change
+    // on it would hard-fail a previously-working sync on a non-change.
+    // Deliberate asymmetry accepted: a source that is GENUINELY nullable
+    // against a NOT NULL target column now passes this gate and fails at
+    // write time instead — but Spark-side nullability flags are too
+    // unreliable (parquet/JDBC readers often report nullable regardless
+    // of data) to refuse on; the target store's own constraint remains
+    // the enforcement point
     val tTypes = target.schema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     val retyped = source.schema.fields.toSeq.flatMap { f =>

@@ -7,13 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * and shared-dialect SQL must produce the identical multiset of rows
   * and the identical schema. This amplifies the hand-authored oracle
   * corpus with generated compositions of filters, projections,
-  * aggregates and joins; the four promoted seeds additionally go
-  * through the driver's DuckDB gate (SparkEntry rows fz1-fz4).
+  * aggregates, set-ops and window top-k; the six promoted seeds
+  * additionally go through the driver's DuckDB gate (fz1-fz6).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // \u0001-separated cells: separator-less concatenation could alias
+  // ("a", "b1") with ("ab", "1") across a cell boundary and mask a
+  // divergence — the one thing this suite exists to catch
   private def canon(df: org.apache.spark.sql.DataFrame): Vector[String] =
     df.collect().map(_.mkString("")).sorted.toVector
 

@@ -66,6 +66,19 @@ class SyntheticDocsSuite extends AnyFunSuite with SparkFixture {
       r.getString(1) == "en" && r.getString(2).contains("sync")))
   }
 
+  test("contradictory pushed filters yield an empty scan, not last-one-wins") {
+    // both equalities are ACCEPTED (no post-scan re-check), so the
+    // source must intersect them: two different lang values — or a
+    // doc_id equality outside a pushed range — can match nothing
+    assert(docs(500, 4).filter(col("lang") === "en")
+      .filter(col("lang") === "de").count() == 0)
+    assert(docs(500, 4).filter(col("doc_id") === 100)
+      .filter(col("doc_id") < 50).count() == 0)
+    // saturation guard: an always-true inclusive bound must not overflow
+    // the clamp into an empty scan
+    assert(docs(500, 4).filter(col("doc_id") <= Long.MaxValue).count() == 500)
+  }
+
   test("the source feeds ordinary operators (joins the parquet corpus)") {
     val synth = docs(200, 4).select(col("doc_id"), col("lang").as("synth_lang"))
     val real = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
