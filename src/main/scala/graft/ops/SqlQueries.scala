@@ -340,7 +340,72 @@ object SqlQueries {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC""".stripMargin
 
+  // Q8-shape: national market share — one nation's slice of a region's
+  // part-type revenue per year: CASE-gated decimal sum over the full
+  // 8-relation star (two nation roles), divided by the total in the
+  // same aggregate. The widest join tree in the suite; every dimension
+  // broadcasts, the lineitem⋈orders spine is the only shuffle.
+  private val q8 =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+      |            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+      |    CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+      |  COUNT(*) AS n_lines
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) AS vol,
+      |    sn.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'AFRICA' AND p_type = 'ECONOMY') shares
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // Q15-shape: top supplier by a windowed revenue view — a CTE reused
+  // twice (join back + scalar MAX over it), the view-maximum idiom.
+  // total_revenue values are decimal-exact doubles, so the equality
+  // against MAX is bit-safe cross-engine.
+  private val q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // Q19-shape: disjunctive brand/size/quantity predicate groups — the
+  // OR-of-conjunctions form the optimizer must CNF-extract the common
+  // p_partkey join from (and push the per-branch ranges into both
+  // scans) instead of evaluating post-join.
+  private val q19 =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 21)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q8_market_share" -> ((s, d) => sql(s, d, q8)),
+    "sql_q15_top_supplier" -> ((s, d) => sql(s, d, q15)),
+    "sql_q19_disjunctive" -> ((s, d) => sql(s, d, q19)),
     "sql_q6_forecast_revenue" -> ((s, d) => sql(s, d, q6)),
     "sql_q12_priority_lines" -> ((s, d) => sql(s, d, q12)),
     "sql_q13_custdist" -> ((s, d) => sql(s, d, q13)),
@@ -374,6 +439,9 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q8_market_share" -> q8,
+    "sql_q15_top_supplier" -> q15,
+    "sql_q19_disjunctive" -> q19,
     "sql_q6_forecast_revenue" -> q6,
     "sql_q12_priority_lines" -> q12,
     "sql_q13_custdist" -> q13,
