@@ -200,6 +200,24 @@ object DataPrep {
           round(exp(-col("avg0")), 4).as("ppl"))
     }),
 
+    // L14: deterministic training-order shuffle — every epoch's example
+    // order must be random-looking yet reproducible byte-for-byte across
+    // reruns/engines (resume-from-step, loss-curve comparison). Standard
+    // idiom: order by md5(salt || key) — a keyed hash, not rand(), so
+    // the permutation is a pure function of (salt, corpus). The head
+    // slice is TakeOrderedAndProject (map-side top-k, no global sort —
+    // the full-epoch order would be the o1 range-exchange shape); the
+    // position column is a window over the already-bounded 100 rows, not
+    // the corpus.
+    "l14_epoch_shuffle" -> ((s, d) => {
+      val h = md5(concat(lit("epoch7|"), col("doc_id").cast("string")))
+      val head = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id")).limit(100)
+      val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
+      head.withColumn("shuffle_pos", row_number().over(w))
+    }),
+
     // A15: approx_top_k (Spark 4 frequent-items sketch). maxItemsTracked
     // (1000) ≥ |o_orderpriority domain| (5) ⇒ counts are exact, so the
     // exact GROUP BY oracle matches while the partial/merge sketch path
@@ -322,6 +340,17 @@ object DataPrep {
       """SELECT o_orderpriority AS item, COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY cnt DESC, item ASC""".stripMargin,
+
+    "l14_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, lang, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER)
+        |    AS shuffle_pos
+        |FROM keyed
+        |QUALIFY shuffle_pos <= 100""".stripMargin,
 
     "l5l_unigram_logprob" ->
       """WITH tok AS (
