@@ -223,6 +223,43 @@ object Sync {
         .orderBy("order_year")
     }),
 
+    // Y13: table profile — the per-column stats a sync planner collects
+    // before a first sync (null fractions drive NOT NULL decisions, NDV
+    // picks the partition column, numeric ranges seed the JDBC
+    // range-partitioning bounds). ONE scan: a single wide aggregate
+    // (Catalyst plans the multi-distinct via Expand) unpivoted to one
+    // row per column with stack(). Numeric min/max only (int64 < 2^53
+    // is double-exact); timestamp/string rendering differs between
+    // engines and stays out of the hashed surface.
+    "y13_table_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def nn(c: String) = sum(col(c).isNull.cast("long")).as(s"nn_$c")
+      def nd(c: String) = count_distinct(col(c)).as(s"nd_$c")
+      val wide = o.agg(
+        count(lit(1)).as("n_rows"),
+        nn("o_orderkey"), nd("o_orderkey"),
+        min(col("o_orderkey")).cast("double").as("mn_o_orderkey"),
+        max(col("o_orderkey")).cast("double").as("mx_o_orderkey"),
+        nn("o_custkey"), nd("o_custkey"),
+        min(col("o_custkey")).cast("double").as("mn_o_custkey"),
+        max(col("o_custkey")).cast("double").as("mx_o_custkey"),
+        nn("o_orderstatus"), nd("o_orderstatus"),
+        nn("o_totalprice"), nd("o_totalprice"),
+        min(col("o_totalprice")).as("mn_o_totalprice"),
+        max(col("o_totalprice")).as("mx_o_totalprice"),
+        nn("o_orderdate"), nd("o_orderdate"),
+        nn("o_orderpriority"), nd("o_orderpriority"))
+      wide.selectExpr("n_rows", """stack(6,
+        |'o_orderkey', nn_o_orderkey, nd_o_orderkey, mn_o_orderkey, mx_o_orderkey,
+        |'o_custkey', nn_o_custkey, nd_o_custkey, mn_o_custkey, mx_o_custkey,
+        |'o_orderstatus', nn_o_orderstatus, nd_o_orderstatus, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |'o_totalprice', nn_o_totalprice, nd_o_totalprice, mn_o_totalprice, mx_o_totalprice,
+        |'o_orderdate', nn_o_orderdate, nd_o_orderdate, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |'o_orderpriority', nn_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |AS (col_name, n_nulls, ndv, min_num, max_num)""".stripMargin)
+        .orderBy("col_name")
+    }),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -328,6 +365,34 @@ object Sync {
          |  CAST(SUM(CAST(concat('0x', substr(${rowHashSql("src")}, 1, 15)) AS BIGINT)
          |    % 1000000000) AS BIGINT) AS digest
          |FROM src""".stripMargin,
+
+    "y13_table_profile" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+        |    COUNT(DISTINCT o_orderkey) AS nd_k,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn_k, CAST(MAX(o_orderkey) AS DOUBLE) AS mx_k,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+        |    COUNT(DISTINCT o_custkey) AS nd_c,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn_c, CAST(MAX(o_custkey) AS DOUBLE) AS mx_c,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
+        |    COUNT(DISTINCT o_orderstatus) AS nd_s,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+        |    COUNT(DISTINCT o_totalprice) AS nd_p,
+        |    MIN(o_totalprice) AS mn_p, MAX(o_totalprice) AS mx_p,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+        |    COUNT(DISTINCT o_orderdate) AS nd_d,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o,
+        |    COUNT(DISTINCT o_orderpriority) AS nd_o
+        |  FROM orders)
+        |SELECT n_rows, 'o_orderkey' AS col_name, nn_k AS n_nulls, nd_k AS ndv,
+        |       mn_k AS min_num, mx_k AS max_num FROM w
+        |UNION ALL SELECT n_rows, 'o_custkey', nn_c, nd_c, mn_c, mx_c FROM w
+        |UNION ALL SELECT n_rows, 'o_orderstatus', nn_s, nd_s, NULL, NULL FROM w
+        |UNION ALL SELECT n_rows, 'o_totalprice', nn_p, nd_p, mn_p, mx_p FROM w
+        |UNION ALL SELECT n_rows, 'o_orderdate', nn_d, nd_d, NULL, NULL FROM w
+        |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o, NULL, NULL FROM w
+        |ORDER BY col_name""".stripMargin,
 
     "y12_partition_digest" ->
       s"""WITH $sourceCte,
