@@ -243,7 +243,7 @@ object Aggregates {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
-        |FROM orders GROUP BY 1""".stripMargin,
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // The verdict columns compare DuckDB's own HLL estimate against the
     // exact count with the same tolerance the Spark side applies to its

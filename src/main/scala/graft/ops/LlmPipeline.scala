@@ -987,17 +987,38 @@ object LlmPipeline {
 
     // L5i: sample packing — assign docs to fixed-budget (2048-token)
     // training bins, greedy in doc_id order per language: pack_id =
-    // floor(exclusive-running-token-count / budget). ONE window scan per
-    // lang partition (the shuffle key), no driver state — the standard
-    // streaming-packing shape; at 100 TB each lang partition packs
-    // independently.
+    // floor(exclusive-running-token-count / budget).
+    //
+    // Distributed PREFIX SUM, not a per-language window: language mass is
+    // Zipfian, so `Window.partitionBy(lang)` would put most of a real
+    // corpus into ONE task sorting tens of TB. Instead the classic
+    // three-stage shape (same output, every partition bounded):
+    //   1. chunk docs by a doc_id-monotone range key (floor(doc_id/1024) —
+    //      monotone, so chunk-major order == doc_id order within a lang)
+    //      and hash-agg per-(lang, chunk) token totals — a 1024×-smaller
+    //      intermediate;
+    //   2. exclusive prefix-sum those chunk totals per lang (a window over
+    //      the TINY chunk-level table — rows = |corpus|/1024) to get each
+    //      chunk's starting offset;
+    //   3. broadcast the offsets back and run the running sum as a LOCAL
+    //      window inside (lang, chunk) — every window partition ≤1024 rows
+    //      no matter how skewed languages are.
     "l5i_pack" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toksExpr).as("n_toks"),
+          floor(col("doc_id") / 1024L).cast("long").as("chunk"))
+      val wChunk = Window.partitionBy("lang").orderBy("chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), size(toksExpr).as("n_toks"))
+      val offsets = docs.groupBy(col("lang"), col("chunk"))
+        .agg(sum(col("n_toks")).as("chunk_toks"))
+        .withColumn("chunk_offset",
+          coalesce(sum(col("chunk_toks")).over(wChunk), lit(0L)))
+        .select(col("lang"), col("chunk"), col("chunk_offset"))
+      val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(offsets), Seq("lang", "chunk"))
         .withColumn("cum_before",
-          coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          col("chunk_offset") + coalesce(sum(col("n_toks")).over(wLocal), lit(0L)))
         .select(col("doc_id"), col("lang"), col("n_toks"),
           floor(col("cum_before").cast("double") / 2048.0).cast("long")
             .as("pack_id"))

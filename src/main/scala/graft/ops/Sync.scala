@@ -260,6 +260,40 @@ object Sync {
         .orderBy("col_name")
     }),
 
+    // Y13b: APPROX table profile — the form a 100 TB sync planner
+    // actually runs. y13's exact NDV stays as the small-table path; its
+    // five count_distincts make Catalyst plan an Expand that multiplies
+    // every row ~6× into the exchange and shuffles each column's full
+    // distinct domain. Here the profile itself is ONE scan of mergeable
+    // HLL++ sketches (approx_count_distinct, rsd 0.02): no Expand, no
+    // distinct-domain shuffle, bounded sketch bytes per partition —
+    // pinned Expand-free in PlanAuditSuite. Raw HLL estimates differ per
+    // engine, so the scored surface is the a5 idiom: exact NDV plus a
+    // tolerance verdict on this engine's own estimate (rsd 0.02 ⇒
+    // |est/exact − 1| < 0.06 ≈ 3σ). The exacts are oracle scaffolding —
+    // each one a SEPARATE single-distinct agg precisely so no Expand
+    // appears anywhere in the pinned plan; at 100 TB you ship `prof`
+    // alone and skip them.
+    "y13b_table_profile_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val profAggs = cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
+      val prof = o.agg(count(lit(1)).as("n_rows"), profAggs: _*)
+      val exacts = cols
+        .map(c => o.agg(count_distinct(col(c)).as(s"nd_$c")))
+        .reduce(_.crossJoin(_))
+      val stackRows = cols.map(c =>
+        s"'$c', nn_$c, nd_$c, abs(CAST(andv_$c AS DOUBLE) / nd_$c - 1) < 0.06")
+      prof.crossJoin(exacts)
+        .selectExpr("n_rows",
+          s"stack(${cols.size}, ${stackRows.mkString(", ")}) " +
+            "AS (col_name, n_nulls, ndv, approx_ok)")
+        .orderBy("col_name")
+    }),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -392,6 +426,42 @@ object Sync {
         |UNION ALL SELECT n_rows, 'o_totalprice', nn_p, nd_p, mn_p, mx_p FROM w
         |UNION ALL SELECT n_rows, 'o_orderdate', nn_d, nd_d, NULL, NULL FROM w
         |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o, NULL, NULL FROM w
+        |ORDER BY col_name""".stripMargin,
+
+    "y13b_table_profile_approx" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+        |    approx_count_distinct(o_orderkey) AS andv_k,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+        |    approx_count_distinct(o_custkey) AS andv_c,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+        |    approx_count_distinct(o_orderstatus) AS andv_s,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_p,
+        |    approx_count_distinct(o_totalprice) AS andv_p,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+        |    approx_count_distinct(o_orderdate) AS andv_d,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_o,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_o,
+        |    approx_count_distinct(o_orderpriority) AS andv_o
+        |  FROM orders)
+        |SELECT n_rows, 'o_orderkey' AS col_name, nn_k AS n_nulls, nd_k AS ndv,
+        |       abs(CAST(andv_k AS DOUBLE) / nd_k - 1) < 0.06 AS approx_ok FROM w
+        |UNION ALL SELECT n_rows, 'o_custkey', nn_c, nd_c,
+        |       abs(CAST(andv_c AS DOUBLE) / nd_c - 1) < 0.06 FROM w
+        |UNION ALL SELECT n_rows, 'o_orderstatus', nn_s, nd_s,
+        |       abs(CAST(andv_s AS DOUBLE) / nd_s - 1) < 0.06 FROM w
+        |UNION ALL SELECT n_rows, 'o_totalprice', nn_p, nd_p,
+        |       abs(CAST(andv_p AS DOUBLE) / nd_p - 1) < 0.06 FROM w
+        |UNION ALL SELECT n_rows, 'o_orderdate', nn_d, nd_d,
+        |       abs(CAST(andv_d AS DOUBLE) / nd_d - 1) < 0.06 FROM w
+        |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o,
+        |       abs(CAST(andv_o AS DOUBLE) / nd_o - 1) < 0.06 FROM w
         |ORDER BY col_name""".stripMargin,
 
     "y12_partition_digest" ->

@@ -360,4 +360,29 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       l.contains("FileScan parquet") && l.contains("customer"))
     assert(customerScans == 1, s"customer must be scanned once, saw $customerScans")
   }
+
+  test("L5i: packing is a distributed prefix sum — no whole-language window") {
+    // language mass is Zipfian: a running sum windowed by lang alone puts
+    // most of a 100 TB corpus into ONE task. The doc-level window must be
+    // co-keyed by the doc_id-range chunk (bounded ≤1024-row partitions)
+    // with chunk offsets broadcast back.
+    val p = plan("l5i_pack")
+    val docWindows = p.split("\n").filter(l =>
+      l.contains("Window [") && l.contains("doc_id#"))
+    assert(docWindows.nonEmpty, s"doc-level window missing:\n$p")
+    assert(docWindows.forall(l => l.matches(""".*\[lang#\d+, chunk#\d+L?\].*""")),
+      s"doc-level running sum must partition by (lang, chunk), not lang alone:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"chunk offsets must broadcast back to the docs, not shuffle them:\n$p")
+  }
+
+  test("Y13b: approx profile plans HLL sketches with no Expand") {
+    // y13's exact form Expand-multiplies every row ~6× for multi-column
+    // NDV; the approx twin must plan mergeable HLL++ sketches in one scan
+    // with no Expand node anywhere (its exact-NDV oracle scaffolding is
+    // split into single-distinct aggs for the same reason).
+    val p = plan("y13b_table_profile_approx")
+    assert(p.contains("approx_count_distinct"), s"HLL sketch aggregate missing:\n$p")
+    assert(!p.contains("Expand"), s"approx profile must not plan an Expand:\n$p")
+  }
 }
