@@ -402,7 +402,124 @@ object SqlQueries {
       |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  // The corpus ships no partsupp table, so the last four TPC-H shapes
+  // (q2/q9/q11/q20) run over a DERIVED surrogate: the TPC-H generator's
+  // own supplier-assignment rule — for i in 0..3, suppkey =
+  // (partkey + i·(S/4 + (partkey−1)/S)) mod S + 1, S = |supplier| —
+  // plus hash-formula availqty/supplycost. Every term is integer-exact
+  // arithmetic in the shared dialect (floor-division spelled
+  // CAST(floor(x/y) AS BIGINT), the recursiveQ idiom), so the IDENTICAL
+  // text builds the identical table in Spark and DuckDB, making all four
+  // oracle-checkable. At scale the CTE is a projection over part
+  // (4 rows/part, no shuffle); S comes from a one-row broadcast scalar.
+  private val partsuppCte =
+    """WITH ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    CAST((p_partkey + iv.i * (CAST(floor(sc.ns / 4.0) AS BIGINT)
+      |        + CAST(floor((p_partkey - 1) / CAST(sc.ns AS DOUBLE)) AS BIGINT))) % sc.ns + 1
+      |      AS BIGINT) AS ps_suppkey
+      |  FROM part, (SELECT COUNT(*) AS ns FROM supplier) sc,
+      |       (VALUES (0), (1), (2), (3)) iv(i)),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((ps_partkey * 31 + ps_suppkey * 17) % 100000 AS DOUBLE) / 100.0 + 1.0
+      |      AS ps_supplycost
+      |  FROM ps0)""".stripMargin
+
+  // Q2-shape: minimum-cost supplier per part within a region — the
+  // correlated scalar-MIN subquery re-reading partsupp through the same
+  // region filter; Catalyst decorrelates it into a per-part min aggregate
+  // joined back on the key (pinned in PlanAuditSuite).
+  private val q2 = partsuppCte +
+    """
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+      |FROM part
+      |JOIN partsupp ON p_partkey = ps_partkey
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size <= 10 AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  AND ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM partsupp ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      |LIMIT 100""".stripMargin
+
+  // Q9-shape: product-type profit by nation and year — revenue minus
+  // supply cost over the 6-relation star; amounts are decimal-cast before
+  // the sum so both engines add the identical exact values.
+  private val q9 = partsuppCte +
+    """
+      |SELECT nation, o_year,
+      |  CAST(SUM(amount) AS DOUBLE) AS sum_profit, COUNT(*) AS n_lines
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) - ps_supplycost * l_quantity
+      |         AS DECIMAL(28,6)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%e%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation ASC, o_year DESC""".stripMargin
+
+  // Q11-shape: important-stock share — per-part supply value within one
+  // nation HAVING above a fraction of that nation's total (the
+  // HAVING-over-uncorrelated-scalar form). Both sides of the comparison
+  // are exact decimal sums cast to double, so the threshold is bit-equal.
+  private val q11 = partsuppCte +
+    """
+      |SELECT ps_partkey,
+      |  CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4))) AS DOUBLE) AS value
+      |FROM partsupp
+      |JOIN supplier ON ps_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |GROUP BY ps_partkey
+      |HAVING CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4))) AS DOUBLE) > (
+      |  SELECT CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4))) AS DOUBLE) * 0.01
+      |  FROM partsupp
+      |  JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3')
+      |ORDER BY value DESC, ps_partkey ASC""".stripMargin
+
+  // Q20-shape: potential part promotion — the double-nested IN with a
+  // correlated scalar inside (suppliers holding more than half a year's
+  // shipped quantity of any 'b%' part): the deepest decorrelation chain
+  // in the suite — IN → semi join, inner IN → semi join, correlated
+  // scalar → per-(part,supp) aggregate joined back (pinned in
+  // PlanAuditSuite: no cartesian, two semi joins).
+  private val q20 = partsuppCte +
+    """
+      |SELECT s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |  AND s_suppkey IN (
+      |    SELECT ps_suppkey FROM partsupp
+      |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+      |      AND ps_availqty > (
+      |        SELECT 0.5 * SUM(l_quantity) FROM lineitem
+      |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_name ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q2_min_cost_supplier" -> ((s, d) => sql(s, d, q2)),
+    "sql_q9_product_profit" -> ((s, d) => sql(s, d, q9)),
+    "sql_q11_important_stock" -> ((s, d) => sql(s, d, q11)),
+    "sql_q20_promotion_parts" -> ((s, d) => sql(s, d, q20)),
     "sql_q8_market_share" -> ((s, d) => sql(s, d, q8)),
     "sql_q15_top_supplier" -> ((s, d) => sql(s, d, q15)),
     "sql_q19_disjunctive" -> ((s, d) => sql(s, d, q19)),
@@ -439,6 +556,10 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q2_min_cost_supplier" -> q2,
+    "sql_q9_product_profit" -> q9,
+    "sql_q11_important_stock" -> q11,
+    "sql_q20_promotion_parts" -> q20,
     "sql_q8_market_share" -> q8,
     "sql_q15_top_supplier" -> q15,
     "sql_q19_disjunctive" -> q19,

@@ -361,6 +361,21 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(customerScans == 1, s"customer must be scanned once, saw $customerScans")
   }
 
+  test("Q2/Q20: partsupp-surrogate subqueries decorrelate into joins") {
+    // q2's correlated scalar MIN must become a per-part aggregate joined
+    // back on the key; q20's double-nested IN (+ correlated scalar) must
+    // become a semi-join chain. A cartesian or per-row re-execution in
+    // either is unrunnable at 100 TB.
+    val p2 = plan("sql_q2_min_cost_supplier")
+    assert(!p2.contains("CartesianProduct"), s"q2 fell back to cartesian:\n$p2")
+    assert(p2.split("HashAggregate").length >= 3,
+      s"q2's per-part min-cost must plan as an aggregate joined back:\n$p2")
+    val p20 = plan("sql_q20_promotion_parts")
+    assert(!p20.contains("CartesianProduct"), s"q20 fell back to cartesian:\n$p20")
+    assert(p20.split("LeftSemi").length >= 3,
+      s"q20's nested INs must both become semi joins:\n$p20")
+  }
+
   test("L5i: packing is a distributed prefix sum — no whole-language window") {
     // language mass is Zipfian: a running sum windowed by lang alone puts
     // most of a 100 TB corpus into ONE task. The doc-level window must be
