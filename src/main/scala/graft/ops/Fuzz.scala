@@ -174,15 +174,21 @@ object Fuzz {
     base ++ extra
   }
 
-  /** Generate the seed's query pair. Seeds are stable forever: the shape
-    * is seed % 6 (java.util.Random's FIRST power-of-2 nextInt is heavily
-    * correlated across sequential seeds — measured: seeds 1..40 all gave
-    * the same first nextInt(4)) and every inner draw comes from
-    * `new Random(seed)` warmed up past the correlated initial state. */
+  /** Generate the seed's query pair. Seeds are stable forever WITHIN a
+    * shape count: the shape is seed % 9 (java.util.Random's FIRST
+    * power-of-2 nextInt is heavily correlated across sequential seeds —
+    * measured: seeds 1..40 all gave the same first nextInt(4)) and every
+    * inner draw comes from `new Random(seed)` warmed up past the
+    * correlated initial state. Round 7 widened 6 → 9 shapes (outer-join
+    * null propagation, grouping lattices, EXISTS/IN subqueries — the
+    * corners where engines historically disagree), which re-bucketed
+    * shape = seed % n; the promoted seeds were re-picked to keep each
+    * name on its shape. */
   def build(seed: Int): Built = {
+    require(seed >= 0, s"Fuzz.build: seed must be non-negative, got $seed")
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 6) match {
+    (seed % 9) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)
@@ -273,20 +279,103 @@ object Fuzz {
             " ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn " +
             s"FROM orders WHERE ${p.sql}) t WHERE rn <= $k",
           "window_topk")
+      case 6 => // LEFT OUTER join with an ON-clause right-side predicate,
+        // then a WHERE over the NULLABLE side — the null-propagation
+        // corner (IS NULL anti-pattern, COALESCE over a null slot) where
+        // outer-join semantics actually bite. The DataFrame twin uses the
+        // outer-join identity LEFT JOIN t ON k AND p(t) ≡ LEFT JOIN
+        // (t WHERE p) ON k.
+        val po = genPred(r, ordersMeta, 1)
+        val where: Option[(String, Column)] = r.nextInt(3) match {
+          case 0 => Some("o_orderkey IS NULL" -> col("o_orderkey").isNull)
+          case 1 => Some("COALESCE(o_totalprice, 0.0) <= 250000.0" ->
+            (coalesce(col("o_totalprice"), lit(0.0)) <= 250000.0))
+          case 2 => None
+        }
+        Built(
+          (s, d) => {
+            val j = customerMeta.load(s, d)
+              .join(ordersMeta.load(s, d).filter(po.col),
+                    col("c_custkey") === col("o_custkey"), "left_outer")
+            where.fold(j)(p => j.filter(p._2))
+              .select(col("c_custkey"), col("o_orderkey"),
+                      coalesce(col("o_totalprice"), lit(-1.0)).as("tp"),
+                      col("o_orderstatus").isNull.cast("int").as("missed"))
+          },
+          "SELECT c_custkey, o_orderkey, COALESCE(o_totalprice, -1.0) AS tp, " +
+            "CAST(o_orderstatus IS NULL AS INTEGER) AS missed " +
+            s"FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND ${po.sql}" +
+            where.map(p => s" WHERE ${p._1}").getOrElse(""),
+          "outer_join")
+      case 7 => // ROLLUP/CUBE lattice with grouping() markers — NULL group
+        // keys plus the marker columns that disambiguate them from real
+        // NULLs, the second null-semantics corner (markers CAST to INT:
+        // grouping() is tinyint in Spark, boolean-ish in other dialects).
+        val t = pick(r, Seq(lineitemMeta, ordersMeta))
+        val p = genPred(r, t, 1)
+        val Seq(g1, g2) = t.strs.map(_.name)
+        val as = aggs(r, t)
+        val form = pick(r, Seq("ROLLUP", "CUBE"))
+        Built(
+          (s, d) => {
+            val base = t.load(s, d).filter(p.col)
+            val gd = if (form == "ROLLUP") base.rollup(col(g1), col(g2))
+                     else base.cube(col(g1), col(g2))
+            val aggCols = as.map(_._2) ++ Seq(
+              grouping(col(g1)).cast("int").as("gg1"),
+              grouping(col(g2)).cast("int").as("gg2"))
+            gd.agg(aggCols.head, aggCols.tail: _*)
+          },
+          s"SELECT $g1, $g2, ${as.map(_._1).mkString(", ")}, " +
+            s"CAST(grouping($g1) AS INTEGER) AS gg1, " +
+            s"CAST(grouping($g2) AS INTEGER) AS gg2 " +
+            s"FROM ${t.name} WHERE ${p.sql} GROUP BY $form($g1, $g2)",
+          "grouping")
+      case 8 => // correlated EXISTS / NOT EXISTS / IN / NOT IN over orders —
+        // the decorrelation corner. The DataFrame twin is the semi/anti
+        // join Catalyst rewrites each form into (NOT IN ≡ anti join here
+        // because o_custkey is null-free in this corpus; a nullable
+        // subquery side would make NOT IN null-aware and inequivalent).
+        val pc = genPred(r, customerMeta, 1)
+        val po = genPred(r, ordersMeta, 1)
+        val (kw, joinType) = pick(r, Seq(
+          ("EXISTS", "left_semi"), ("NOT EXISTS", "left_anti"),
+          ("IN", "left_semi"), ("NOT IN", "left_anti")))
+        val sub = kw match {
+          case "EXISTS" | "NOT EXISTS" =>
+            s"$kw (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND ${po.sql})"
+          case "IN" =>
+            s"c_custkey IN (SELECT o_custkey FROM orders WHERE ${po.sql})"
+          case "NOT IN" =>
+            s"c_custkey NOT IN (SELECT o_custkey FROM orders WHERE ${po.sql})"
+        }
+        Built(
+          (s, d) => customerMeta.load(s, d).filter(pc.col)
+            .join(ordersMeta.load(s, d).filter(po.col),
+                  col("c_custkey") === col("o_custkey"), joinType)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
+            s"WHERE ${pc.sql} AND $sub",
+          "subquery_semi")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
-    * counts at sf0.01 (FuzzSuite prints the coverage table). These six
+    * counts at sf0.01 (FuzzSuite prints the coverage table). These nine
     * run through the driver's DuckDB gate every round, cross-checking
-    * the generator's dialect parity against a second engine. */
+    * the generator's dialect parity against a second engine. (Re-seeded
+    * in round 7 when the shape count went 6 → 9: shape = seed % 9, so
+    * each name needed a seed in its shape's new residue class.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 12,
-    "fz2_agg_groupby" -> 7,
-    "fz3_join_agg" -> 8,
-    "fz4_join_filter" -> 9,
-    "fz5_set_op" -> 10,
-    "fz6_window_topk" -> 11)
+    "fz1_filter_project" -> 18,
+    "fz2_agg_groupby" -> 19,
+    "fz3_join_agg" -> 20,
+    "fz4_join_filter" -> 12,
+    "fz5_set_op" -> 22,
+    "fz6_window_topk" -> 14,
+    "fz7_outer_join" -> 15,
+    "fz8_grouping" -> 16,
+    "fz9_subquery" -> 35)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

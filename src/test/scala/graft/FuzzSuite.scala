@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * and shared-dialect SQL must produce the identical multiset of rows
   * and the identical schema. This amplifies the hand-authored oracle
   * corpus with generated compositions of filters, projections,
-  * aggregates, set-ops and window top-k; the six promoted seeds
-  * additionally go through the driver's DuckDB gate (fz1-fz6).
+  * aggregates, set-ops, window top-k, outer joins, grouping lattices
+  * and semi/anti subqueries; the nine promoted seeds
+  * additionally go through the driver's DuckDB gate (fz1-fz9).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
@@ -42,14 +43,14 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 6, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 9, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
   }
 
   test("promoted seeds keep their shape and return rows") {
-    // fz1-fz6 are CORRECTNESS rows; pin that each promoted seed still
+    // fz1-fz9 are CORRECTNESS rows; pin that each promoted seed still
     // generates the shape its name claims and is non-trivial at sf0.001
     val want = Map(
       "fz1_filter_project" -> "filter_project",
@@ -57,7 +58,10 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       "fz3_join_agg" -> "join_agg",
       "fz4_join_filter" -> "join_filter",
       "fz5_set_op" -> "set_op",
-      "fz6_window_topk" -> "window_topk")
+      "fz6_window_topk" -> "window_topk",
+      "fz7_outer_join" -> "outer_join",
+      "fz8_grouping" -> "grouping",
+      "fz9_subquery" -> "subquery_semi")
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
       assert(b.shape == want(name), s"$name (seed $seed) is shape ${b.shape}")
