@@ -147,17 +147,15 @@ object StreamOps {
     * deterministic latest-wins row per PK, then MERGEd into the JDBC
     * target from the EXECUTORS (foreachPartition) — nothing is collected
     * to the driver, so the sink scales with the cluster like any batch
-    * JDBC write. The MERGE text is Derby/DB2 dialect (the embedded test
-    * DB); MS-SQL swaps the USING clause, the shape is identical.
+    * JDBC write. The MERGE text comes from the dialect-parameterized
+    * [[graft.sync.MergeSql]] builder (Derby here — the embedded test DB;
+    * the T-SQL rendering is pinned offline in SyncJobSuite).
     */
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
-                   driver: String) = {
-    // The table name is interpolated into the MERGE text (identifiers
-    // cannot be bound as JDBC parameters), so validate it as a plain
-    // [schema.]identifier — rejects injection and names that would need
-    // dialect quoting.
-    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
-      s"upsertToJdbc: invalid table identifier '$table'")
+                   driver: String,
+                   dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {
+    val mergeStmt = graft.sync.MergeSql.upsert(dialect, table, "user_id",
+      Seq("event_type", "val"))
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = batch.groupBy(col("user_id"))
@@ -171,15 +169,15 @@ object StreamOps {
             val conn = java.sql.DriverManager.getConnection(url)
             try {
               conn.setAutoCommit(false)
-              val ps = conn.prepareStatement(
-                s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON t.user_id = ? " +
-                "WHEN MATCHED THEN UPDATE SET event_type = ?, val = ? " +
-                "WHEN NOT MATCHED THEN INSERT (user_id, event_type, val) " +
-                "VALUES (?, ?, ?)")
+              val ps = conn.prepareStatement(mergeStmt.sql)
               rows.foreach { r =>
-                ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
-                ps.setDouble(3, r.getDouble(2)); ps.setLong(4, r.getLong(0))
-                ps.setString(5, r.getString(1)); ps.setDouble(6, r.getDouble(2))
+                mergeStmt.bindOrder.zipWithIndex.foreach { case (cn, i) =>
+                  cn match {
+                    case "user_id"    => ps.setLong(i + 1, r.getLong(0))
+                    case "event_type" => ps.setString(i + 1, r.getString(1))
+                    case "val"        => ps.setDouble(i + 1, r.getDouble(2))
+                  }
+                }
                 ps.addBatch()
               }
               ps.executeBatch()
@@ -296,15 +294,18 @@ object StreamOps {
     * from the executors. Pair with a checkpointLocation and
     * Trigger.AvailableNow for the scheduled incremental-sync shape; the
     * state store makes the whole pipeline idempotent under restart and
-    * out-of-order delivery. The MERGE text is Derby/DB2 dialect
-    * (USING SYSIBM.SYSDUMMY1 — the embedded test DB, like
-    * [[upsertToJdbc]]); MS-SQL swaps the USING clause, the shape is
-    * identical.
+    * out-of-order delivery. The MERGE/DELETE text comes from the
+    * dialect-parameterized [[graft.sync.MergeSql]] builder (Derby here —
+    * the embedded test DB; the T-SQL rendering for the MS-SQL-shaped
+    * production target is pinned offline in SyncJobSuite) and each row is
+    * bound through the statement's own bind order, so swapping dialects
+    * swaps only the `dialect` argument.
     */
   def cdcToJdbc(changes: Dataset[Change], url: String, table: String,
-                driver: String) = {
-    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
-      s"cdcToJdbc: invalid table identifier '$table'")
+                driver: String,
+                dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {
+    val mergeStmt = graft.sync.MergeSql.upsert(dialect, table, "k", Seq("v", "ver"))
+    val delStmt = graft.sync.MergeSql.delete(dialect, table, "k")
     import changes.sparkSession.implicits._
     changes.groupByKey(_.k)
       .transformWithState(new LatestWinsProcessor,
@@ -318,21 +319,32 @@ object StreamOps {
             val conn = java.sql.DriverManager.getConnection(url)
             try {
               conn.setAutoCommit(false)
-              val merge = conn.prepareStatement(
-                s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON t.k = ? " +
-                "WHEN MATCHED THEN UPDATE SET v = ?, ver = ? " +
-                "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (?, ?, ?)")
-              val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
+              val merge = conn.prepareStatement(mergeStmt.sql)
+              val del = conn.prepareStatement(delStmt.sql)
+              def bind(ps: java.sql.PreparedStatement, order: Seq[String],
+                       c: Change): Unit =
+                order.zipWithIndex.foreach { case (cn, i) => cn match {
+                  case "k"   => ps.setLong(i + 1, c.k)
+                  case "v"   => ps.setString(i + 1, c.v)
+                  case "ver" => ps.setLong(i + 1, c.ver)
+                }}
               try {
                 rows.foreach { r =>
                   val c = Change(r.getLong(0), if (r.isNullAt(1)) null
                     else r.getString(1), r.getString(2), r.getLong(3))
-                  if (c.op == "D") { del.setLong(1, c.k); del.addBatch() }
-                  else {
-                    merge.setLong(1, c.k); merge.setString(2, c.v)
-                    merge.setLong(3, c.ver); merge.setLong(4, c.k)
-                    merge.setString(5, c.v); merge.setLong(6, c.ver)
-                    merge.addBatch()
+                  c.op match {
+                    case "D" =>
+                      bind(del, delStmt.bindOrder, c); del.addBatch()
+                    case "I" | "U" =>
+                      bind(merge, mergeStmt.bindOrder, c); merge.addBatch()
+                    case other =>
+                      // Change's contract is op ∈ {I,U,D}; anything else
+                      // (malformed changelog JSON decodes op as null) must
+                      // fail the batch, not silently merge corrupt rows —
+                      // the rollback path below keeps the target untouched
+                      throw new IllegalArgumentException(
+                        s"cdcToJdbc: unknown changelog op '$other' for key ${c.k} " +
+                          "(expected I, U or D)")
                   }
                 }
                 merge.executeBatch(); del.executeBatch()

@@ -292,4 +292,33 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
   // microsoft.sql.Types.DATETIMEOFFSET = -155 (the driver constant; the
   // jar is absent offline, so the code is inlined)
   private def microsoft(): Int = -155
+
+  test("MergeSql: T-SQL rendering pinned offline, Derby rendering binds twice") {
+    import graft.sync.MergeSql
+    // the production target is MS-SQL-shaped but unreachable offline —
+    // pin the exact statement text the sink would send, the TypeMapping
+    // DDL-parity idiom applied to DML
+    val t = MergeSql.upsert(MergeSql.TSql, "dbo.kv", "k", Seq("v", "ver"))
+    assert(t.sql ==
+      "MERGE INTO dbo.kv AS t USING (VALUES (?, ?, ?)) AS s (k, v, ver) " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v, ver = s.ver " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (s.k, s.v, s.ver);")
+    assert(t.bindOrder == Seq("k", "v", "ver"),
+      "T-SQL binds the row once into the VALUES source constructor")
+    val d = MergeSql.upsert(MergeSql.Derby, "kv", "k", Seq("v", "ver"))
+    assert(d.sql ==
+      "MERGE INTO kv t USING SYSIBM.SYSDUMMY1 ON t.k = ? " +
+        "WHEN MATCHED THEN UPDATE SET v = ?, ver = ? " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (?, ?, ?)")
+    assert(d.bindOrder == Seq("k", "v", "ver", "k", "v", "ver"),
+      "Derby repeats every column across the UPDATE and INSERT branches")
+    assert(MergeSql.delete(MergeSql.TSql, "dbo.kv", "k").sql ==
+      "DELETE FROM dbo.kv WHERE k = ?")
+    intercept[IllegalArgumentException] {
+      MergeSql.upsert(MergeSql.TSql, "kv; DROP TABLE x", "k", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeSql.upsert(MergeSql.Derby, "kv", "k", Seq("v FROM x--"))
+    }
+  }
 }
