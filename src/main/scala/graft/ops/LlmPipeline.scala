@@ -110,15 +110,22 @@ object LlmPipeline {
     * exchange. `.getField("cent_id")` / `.getField("cos")` project the
     * assignment. */
   private def bestCell(v: Column, cb: Codebook): Column = {
+    // an empty codebook (empty embeddings input to seedCodebook) would
+    // otherwise surface as an opaque zero-arg greatest() analysis error
+    require(cb.nonEmpty, "bestCell: empty codebook — the codebook source " +
+      "(seedCodebook/lloydCodebook input) selected no vectors")
     val scored = cb.map { case (id, cv) => scoredCell(v, id, cv) }
     if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
   }
 
   /** All ≤16 scored cells of one row, best first — the probe-list form
     * (only ever evaluated on the ≤8 query rows). */
-  private def rankedCells(v: Column, cb: Codebook): Column =
+  private def rankedCells(v: Column, cb: Codebook): Column = {
+    require(cb.nonEmpty, "rankedCells: empty codebook — the codebook " +
+      "source (seedCodebook/lloydCodebook input) selected no vectors")
     reverse(array_sort(array(cb.map { case (id, cv) =>
       scoredCell(v, id, cv) }.toSeq: _*)))
+  }
 
   /** Lloyd iterations shared by l4e/l4d (training loop of the oracle twin
     * in [[lloydSqlCtes]]). */
@@ -225,20 +232,21 @@ object LlmPipeline {
     * float widening, so the cosines match Spark's bit-for-bit; see
     * CosineSim numerics note).
     */
-  private def lloydSqlCtes(iters: Int): String = {
+  private def lloydSqlCtes(iters: Int, src: String = "e",
+                           cb: String = "cb", la: String = "la"): String = {
     val meanArr = (1 to Dim).map(i => s"round(avg(v[$i]), 6)")
       .mkString("[", ", ", "]")
     val sb = new StringBuilder(
-      "cb0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16)")
+      s"${cb}0 AS (SELECT vec_id AS cent_id, v AS cv FROM $src WHERE vec_id < 16)")
     for (k <- 1 to iters) {
       sb.append(s""",
-         |la$k AS (
+         |$la$k AS (
          |  SELECT vec_id, v, cent_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
-         |  FROM e CROSS JOIN cb${k - 1}),
-         |cb$k AS (SELECT cent_id, $meanArr AS cv
-         |         FROM la$k WHERE arn = 1 GROUP BY cent_id)""".stripMargin)
+         |  FROM $src CROSS JOIN $cb${k - 1}),
+         |$cb$k AS (SELECT cent_id, $meanArr AS cv
+         |         FROM $la$k WHERE arn = 1 GROUP BY cent_id)""".stripMargin)
     }
     sb.toString
   }
@@ -808,6 +816,17 @@ object LlmPipeline {
       // (ivfMatchesBoth) — 2 search passes instead of 4
       val seed = seedCodebook(e)
       val trained = lloydCodebook(e, LloydIters)
+      // the 100 TB training arm: Lloyd over a DETERMINISTIC md5-bucket
+      // ~50% sample (the l13 idiom — subset-stable, engine-identical, so
+      // the same vectors train at every SF), quantization still measured
+      // over the FULL corpus. This is the audit's "does sample training
+      // suffice" column: at 100 TB nobody runs Lloyd over the corpus, so
+      // quant_sampled ≈ quant_trained is the evidence that the sample
+      // path (the only one that scales) loses nothing.
+      val es = e.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2 === 0)
+      val sampled = lloydCodebook(es, LloydIters)
       val seedM = ivfMatchesBoth(e, seed)
         .select(col("qid"), col("m1").as("ivf1_id"), col("m2").as("ivf2_id"))
       val trainM = ivfMatchesBoth(e, trained)
@@ -827,6 +846,8 @@ object LlmPipeline {
           recall("tr2_id", "recall_trained2"))
         .crossJoin(assignQuality(e, seed, "quant_seed"))
         .crossJoin(assignQuality(e, trained, "quant_trained"))
+        .crossJoin(assignQuality(e, sampled, "quant_sampled"))
+        .crossJoin(es.agg(count(lit(1)).as("n_train_sample")))
     }),
 
     // L5a: term frequency with stopword filter — top-20 terms.
@@ -1723,14 +1744,24 @@ object LlmPipeline {
          |  SELECT qid, a.vec_id AS tr2_id FROM tassigned a JOIN tq2 USING (cell)
          |  WHERE a.vec_id <> qid
          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1)
+         |    ${cosSql("qv", "a.v")} DESC, a.vec_id ASC) = 1),
+         |es AS (SELECT vec_id, v FROM e
+         |       WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 2 = 0),
+         |${lloydSqlCtes(LloydIters, "es", "scb", "sla")},
+         |scells AS (
+         |  SELECT vec_id, ${cosSql("v", "cv")} AS c_cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      ${cosSql("v", "cv")} DESC, cent_id ASC) AS arn
+         |  FROM e CROSS JOIN scb$LloydIters)
          |SELECT COUNT(*) AS n_queries,
          |  round(avg(CAST(COALESCE(ivf1_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe1,
          |  round(avg(CAST(COALESCE(ivf2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_nprobe2,
          |  round(avg(CAST(COALESCE(tr1_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_trained1,
          |  round(avg(CAST(COALESCE(tr2_id = bf_id, FALSE) AS INTEGER)), 6) AS recall_trained2,
          |  (SELECT round(avg(c_cos), 6) FROM cells WHERE arn = 1) AS quant_seed,
-         |  (SELECT round(avg(c_cos), 6) FROM tcells WHERE arn = 1) AS quant_trained
+         |  (SELECT round(avg(c_cos), 6) FROM tcells WHERE arn = 1) AS quant_trained,
+         |  (SELECT round(avg(c_cos), 6) FROM scells WHERE arn = 1) AS quant_sampled,
+         |  (SELECT COUNT(*) FROM es) AS n_train_sample
          |FROM bf LEFT JOIN ivf1 USING (qid) LEFT JOIN ivf2 USING (qid)
          |        LEFT JOIN tr1 USING (qid) LEFT JOIN tr2 USING (qid)""".stripMargin,
 
