@@ -143,6 +143,39 @@ object StreamOps {
       }
   }
 
+  final case class IdleCount(user_id: Long, n_events: Int, total_value: Double)
+
+  /** T7 (processing-time arm): accumulate a per-user running count and
+    * flush it once the user has been idle for `idleMs` of WALL-CLOCK time
+    * — `ProcessingTimeTimeout`, the complement of [[sessionize]]'s
+    * event-time timer. This is the right timeout for operational flushes
+    * (emit what we have if the source goes quiet) where event time may
+    * stall entirely — an event-time timer never fires when the watermark
+    * stops moving. No watermark is required; state stays bounded because
+    * every key's timer eventually fires and removes it.
+    */
+  def idleFlushCounts(events: Dataset[Event], idleMs: Long): Dataset[IdleCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, IdleCount](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(IdleCount(user, b.n, b.total))
+          } else {
+            val prev = state.getOption.getOrElse(SessionBuf(0, 0L, 0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { e => n += 1; total += e.value }
+            state.update(SessionBuf(n, prev.first, prev.last, total))
+            state.setTimeoutDuration(idleMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** T8+Y5: streaming upsert — each micro-batch is reduced to a
     * deterministic latest-wins row per PK, then MERGEd into the JDBC
     * target from the EXECUTORS (foreachPartition) — nothing is collected

@@ -117,6 +117,64 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
       s"unmatched purchase must emit once with null view cols: ${u2.toSeq}")
   }
 
+  test("T6d stream-stream FULL OUTER join emits unmatched rows on BOTH sides") {
+    // full outer = T6c's held-purchase semantics PLUS the symmetric case:
+    // a view that never finds a purchase must also emit (null purchase
+    // cols) once the watermark proves no matching purchase can arrive
+    val rows = runToSink("t6d")(
+      s => purchaseViewJoin(s.toDF(), joinType = "full_outer"),
+      Seq(
+        Seq(ev(10, 80, 1, "view", 0.0),
+            ev(11, 100, 1, "purchase", 5.0),
+            ev(12, 100, 2, "purchase", 7.0),  // no view for user 2
+            ev(17, 90, 4, "view", 0.0)),      // no purchase for user 4
+        Seq(ev(13, 400, 3, "view", 0.0), ev(14, 400, 3, "purchase", 1.0)),
+        Seq(ev(15, 401, 3, "view", 0.0), ev(16, 401, 3, "purchase", 1.0))))
+    val u1 = rows.filter(r =>
+      !r.isNullAt(r.fieldIndex("p_user")) && r.getAs[Long]("p_user") == 1L)
+    assert(u1.length == 1 && u1.head.getAs[Long]("v_id") == 10L)
+    val u2 = rows.filter(r =>
+      !r.isNullAt(r.fieldIndex("p_user")) && r.getAs[Long]("p_user") == 2L)
+    assert(u2.length == 1 && u2.head.isNullAt(u2.head.fieldIndex("v_id")),
+      s"unmatched purchase must emit once with null view cols: ${u2.toSeq}")
+    val u4 = rows.filter(r =>
+      !r.isNullAt(r.fieldIndex("v_user")) && r.getAs[Long]("v_user") == 4L)
+    assert(u4.length == 1 && u4.head.isNullAt(u4.head.fieldIndex("p_id")),
+      s"unmatched view must emit once with null purchase cols: ${u4.toSeq}")
+  }
+
+  test("T7c flatMapGroupsWithState ProcessingTimeTimeout flushes idle users") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.idleFlushCounts(src.toDS(), idleMs = 200).toDF()
+      .writeStream.format("memory").queryName("t7c")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      src.addData(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 2.0))
+      // do NOT processAllAvailable here: a registered ProcessingTimeTimeout
+      // makes FlatMapGroupsWithStateExec report shouldRunAnotherBatch, so
+      // the engine schedules a batch after every batch and the no-new-data
+      // latch processAllAvailable waits on never latches (observed: the
+      // call livelocks at 150% CPU). The same re-batching is what fires
+      // the timer with no further input — so just poll the sink.
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!rows.exists(_.getAs[Long]("user_id") == 1L) &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("t7c").collect()
+      }
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      assert(u1.length == 1, s"idle user 1 must flush exactly once: ${rows.toSeq}")
+      assert(u1.head.getAs[Int]("n_events") == 2)
+      assert(u1.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("T6b stream-static join enriches events from a batch dimension") {
     // The dimension-enrich shape: the static side is re-read per micro-batch
     // (no state store involved), so broadcast applies exactly as in batch.
