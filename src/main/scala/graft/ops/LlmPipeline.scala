@@ -1019,15 +1019,26 @@ object LlmPipeline {
     //      and hash-agg per-(lang, chunk) token totals — a 1024×-smaller
     //      intermediate;
     //   2. exclusive prefix-sum those chunk totals per lang (a window over
-    //      the TINY chunk-level table — rows = |corpus|/1024) to get each
-    //      chunk's starting offset;
-    //   3. broadcast the offsets back and run the running sum as a LOCAL
-    //      window inside (lang, chunk) — every window partition ≤1024 rows
-    //      no matter how skewed languages are.
+    //      the 1024×-smaller chunk-level table; a deeper corpus recurses
+    //      the same chunking on the chunk table);
+    //   3. join the offsets back on (lang, chunk) and run the running sum
+    //      as a LOCAL window inside (lang, chunk) — every window partition
+    //      ≤1024 rows no matter how skewed languages are. No broadcast
+    //      hint: the offsets side is |corpus|/1024 rows (too big to force
+    //      to the driver at 100 TB); the join key equals the window's
+    //      partitioning key, so a shuffle join shares the exchange the
+    //      window needs anyway, and Spark auto-broadcasts when the side
+    //      is actually small.
+    // The projected (doc_id, lang, n_toks, chunk) intermediate feeds BOTH
+    // the offsets aggregate and the final join; persist materializes the
+    // tokenize once (~tens of bytes/doc, MEMORY_AND_DISK) instead of
+    // re-scanning + re-tokenizing the corpus per consumer — the l2a
+    // persist idiom; Verify/Bench sweep persists after each query.
     "l5i_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), size(toksExpr).as("n_toks"),
           floor(col("doc_id") / 1024L).cast("long").as("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wChunk = Window.partitionBy("lang").orderBy("chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = docs.groupBy(col("lang"), col("chunk"))
@@ -1037,7 +1048,7 @@ object LlmPipeline {
         .select(col("lang"), col("chunk"), col("chunk_offset"))
       val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      docs.join(broadcast(offsets), Seq("lang", "chunk"))
+      docs.join(offsets, Seq("lang", "chunk"))
         .withColumn("cum_before",
           col("chunk_offset") + coalesce(sum(col("n_toks")).over(wLocal), lit(0L)))
         .select(col("doc_id"), col("lang"), col("n_toks"),

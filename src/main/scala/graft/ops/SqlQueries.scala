@@ -410,11 +410,16 @@ object SqlQueries {
   // arithmetic in the shared dialect (floor-division spelled
   // CAST(floor(x/y) AS BIGINT), the recursiveQ idiom), so the IDENTICAL
   // text builds the identical table in Spark and DuckDB, making all four
-  // oracle-checkable. At scale the CTE is a projection over part
-  // (4 rows/part, no shuffle); S comes from a one-row broadcast scalar.
+  // oracle-checkable. The DISTINCT enforces the (ps_partkey, ps_suppkey)
+  // PK the real table has: at small S the generator rule collides (e.g.
+  // S=10, increment 5·i or 10·i yields only 1-2 distinct suppkeys per
+  // part), and duplicate pairs would double-count through q9's join and
+  // violate the y11 keys-UNIQUE contract the sync ops rest on. At scale
+  // the CTE is a projection over part (≤4 rows/part; the dedup hash-aggs
+  // those ≤4-row groups); S comes from a one-row broadcast scalar.
   private val partsuppCte =
     """WITH ps0 AS (
-      |  SELECT p_partkey AS ps_partkey,
+      |  SELECT DISTINCT p_partkey AS ps_partkey,
       |    CAST((p_partkey + iv.i * (CAST(floor(sc.ns / 4.0) AS BIGINT)
       |        + CAST(floor((p_partkey - 1) / CAST(sc.ns AS DOUBLE)) AS BIGINT))) % sc.ns + 1
       |      AS BIGINT) AS ps_suppkey

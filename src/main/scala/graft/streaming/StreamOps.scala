@@ -145,6 +145,11 @@ object StreamOps {
 
   final case class IdleCount(user_id: Long, n_events: Int, total_value: Double)
 
+  /** State for [[idleFlushCounts]] — just the running (count, sum); a
+    * reused SessionBuf would carry two dead always-zero timestamp fields
+    * in every key's state-store entry. */
+  final case class IdleBuf(n: Int, total: Double)
+
   /** T7 (processing-time arm): accumulate a per-user running count and
     * flush it once the user has been idle for `idleMs` of WALL-CLOCK time
     * — `ProcessingTimeTimeout`, the complement of [[sessionize]]'s
@@ -157,19 +162,19 @@ object StreamOps {
   def idleFlushCounts(events: Dataset[Event], idleMs: Long): Dataset[IdleCount] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionBuf, IdleCount](
+      .flatMapGroupsWithState[IdleBuf, IdleCount](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+        (user: Long, rows: Iterator[Event], state: GroupState[IdleBuf]) =>
           if (state.hasTimedOut) {
             val b = state.get
             state.remove()
             Iterator.single(IdleCount(user, b.n, b.total))
           } else {
-            val prev = state.getOption.getOrElse(SessionBuf(0, 0L, 0L, 0.0))
+            val prev = state.getOption.getOrElse(IdleBuf(0, 0.0))
             var n = prev.n
             var total = prev.total
             rows.foreach { e => n += 1; total += e.value }
-            state.update(SessionBuf(n, prev.first, prev.last, total))
+            state.update(IdleBuf(n, total))
             state.setTimeoutDuration(idleMs)
             Iterator.empty
           }

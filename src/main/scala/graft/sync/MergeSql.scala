@@ -55,8 +55,13 @@ object MergeSql {
           s"WHEN NOT MATCHED THEN INSERT (${all.mkString(", ")}) " +
           s"VALUES (${all.map(_ => "?").mkString(", ")})",
         (key +: valueCols) ++ all)
+      // WITH (HOLDLOCK): MERGE under SQL Server's default isolation is a
+      // documented upsert race — two concurrent statements for the same
+      // absent key both see NOT MATCHED, both INSERT, one dies on the PK.
+      // Task retries/speculative execution make that a real path; HOLDLOCK
+      // serializes the key-range scan so the second waits and MATCHES.
       case TSql => Stmt(
-        s"MERGE INTO $table AS t " +
+        s"MERGE INTO $table WITH (HOLDLOCK) AS t " +
           s"USING (VALUES (${all.map(_ => "?").mkString(", ")})) AS s (${all.mkString(", ")}) " +
           s"ON t.$key = s.$key " +
           s"WHEN MATCHED THEN UPDATE SET ${valueCols.map(c => s"$c = s.$c").mkString(", ")} " +

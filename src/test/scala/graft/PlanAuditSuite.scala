@@ -379,16 +379,20 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
   test("L5i: packing is a distributed prefix sum — no whole-language window") {
     // language mass is Zipfian: a running sum windowed by lang alone puts
     // most of a 100 TB corpus into ONE task. The doc-level window must be
-    // co-keyed by the doc_id-range chunk (bounded ≤1024-row partitions)
-    // with chunk offsets broadcast back.
+    // co-keyed by the doc_id-range chunk (bounded ≤1024-row partitions),
+    // and the tokenized projection must be cached so the corpus is
+    // scanned+tokenized once even though offsets and join both consume it
+    // (no broadcast pin: the offsets side grows with the corpus, so
+    // forcing it to the driver is exactly the non-scalable shape).
     val p = plan("l5i_pack")
     val docWindows = p.split("\n").filter(l =>
       l.contains("Window [") && l.contains("doc_id#"))
     assert(docWindows.nonEmpty, s"doc-level window missing:\n$p")
     assert(docWindows.forall(l => l.matches(""".*\[lang#\d+, chunk#\d+L?\].*""")),
       s"doc-level running sum must partition by (lang, chunk), not lang alone:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"chunk offsets must broadcast back to the docs, not shuffle them:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"tokenized (doc_id, lang, n_toks, chunk) projection must be persisted " +
+        s"so both consumers share one corpus pass:\n$p")
   }
 
   test("Y13b: approx profile plans HLL sketches with no Expand") {

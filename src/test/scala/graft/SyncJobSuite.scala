@@ -300,7 +300,7 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     // DDL-parity idiom applied to DML
     val t = MergeSql.upsert(MergeSql.TSql, "dbo.kv", "k", Seq("v", "ver"))
     assert(t.sql ==
-      "MERGE INTO dbo.kv AS t USING (VALUES (?, ?, ?)) AS s (k, v, ver) " +
+      "MERGE INTO dbo.kv WITH (HOLDLOCK) AS t USING (VALUES (?, ?, ?)) AS s (k, v, ver) " +
         "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v, ver = s.ver " +
         "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (s.k, s.v, s.ver);")
     assert(t.bindOrder == Seq("k", "v", "ver"),
