@@ -520,7 +520,24 @@ object SqlQueries {
       |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
       |ORDER BY s_name ASC""".stripMargin
 
+  // Q16 TRUE form over the surrogate (the q16 above predates partsupp and
+  // adapts lineitem): brand exclusion + size IN-list + NOT IN supplier
+  // exclusion feeding COUNT(DISTINCT ps_suppkey) — the spec's actual
+  // shape: anti join into a distinct aggregate over the association
+  // table. (s_acctbal < 0 stands in for the spec's comment-LIKE
+  // exclusion; the corpus ships no s_comment.)
+  private val q16b = partsuppCte +
+    """
+      |SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM partsupp JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 14, 19, 22, 25)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q16b_partsupp" -> ((s, d) => sql(s, d, q16b)),
     "sql_q2_min_cost_supplier" -> ((s, d) => sql(s, d, q2)),
     "sql_q9_product_profit" -> ((s, d) => sql(s, d, q9)),
     "sql_q11_important_stock" -> ((s, d) => sql(s, d, q11)),
@@ -561,6 +578,7 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q16b_partsupp" -> q16b,
     "sql_q2_min_cost_supplier" -> q2,
     "sql_q9_product_profit" -> q9,
     "sql_q11_important_stock" -> q11,

@@ -294,6 +294,40 @@ object Sync {
         .orderBy("col_name")
     }),
 
+    // Y14: partition-bounds planning — the query a JDBC range-partitioned
+    // sync (S4's ReadPartitioning) runs FIRST: approximate quartiles of
+    // the partition column pick split points that balance per-partition
+    // row counts even when the key is skewed (min/max alone would split
+    // a sparse key range into empty + overloaded partitions). The OP is
+    // one scan of a mergeable quantile sketch (percentile_approx,
+    // rank-error ≤ 1/10000) + min/max/count — bounded state per
+    // partition, no sort, no Expand. Raw sketch outputs differ per
+    // engine, so the scored surface is the a5/y13b idiom: exact
+    // interpolated percentiles (oracle scaffolding, a SEPARATE agg —
+    // exact percentile buffers every value, the thing the sketch
+    // exists to avoid at 100 TB) plus a tolerance verdict of the
+    // engine's own sketch against them (bound: 2% of the key range).
+    "y14_partition_bounds" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val prof = o.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi"),
+        percentile_approx(col("o_orderkey"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ab"))
+      val exact = o.agg(
+        expr("percentile(o_orderkey, array(0.25D, 0.5D, 0.75D))").as("eb"))
+      def ok(i: Int, as: String) =
+        ((abs(col("ab").getItem(i).cast("double") - col("eb").getItem(i)) /
+          (col("hi") - col("lo")).cast("double")) < 0.02).as(as)
+      prof.crossJoin(exact).select(
+        col("n_rows"), col("lo"), col("hi"),
+        col("eb").getItem(0).as("q25"),
+        col("eb").getItem(1).as("q50"),
+        col("eb").getItem(2).as("q75"),
+        ok(0, "b25_ok"), ok(1, "b50_ok"), ok(2, "b75_ok"))
+    }),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -463,6 +497,24 @@ object Sync {
         |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o,
         |       abs(CAST(andv_o AS DOUBLE) / nd_o - 1) < 0.06 FROM w
         |ORDER BY col_name""".stripMargin,
+
+    "y14_partition_bounds" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+        |    approx_quantile(o_orderkey, 0.25) AS a25,
+        |    approx_quantile(o_orderkey, 0.5) AS a50,
+        |    approx_quantile(o_orderkey, 0.75) AS a75
+        |  FROM orders),
+        |e AS (
+        |  SELECT quantile_cont(o_orderkey, 0.25) AS q25,
+        |    quantile_cont(o_orderkey, 0.5) AS q50,
+        |    quantile_cont(o_orderkey, 0.75) AS q75
+        |  FROM orders)
+        |SELECT n_rows, lo, hi, q25, q50, q75,
+        |  abs(CAST(a25 AS DOUBLE) - q25) / CAST(hi - lo AS DOUBLE) < 0.02 AS b25_ok,
+        |  abs(CAST(a50 AS DOUBLE) - q50) / CAST(hi - lo AS DOUBLE) < 0.02 AS b50_ok,
+        |  abs(CAST(a75 AS DOUBLE) - q75) / CAST(hi - lo AS DOUBLE) < 0.02 AS b75_ok
+        |FROM a, e""".stripMargin,
 
     "y12_partition_digest" ->
       s"""WITH $sourceCte,
