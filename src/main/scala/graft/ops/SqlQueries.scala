@@ -417,7 +417,7 @@ object SqlQueries {
   // violate the y11 keys-UNIQUE contract the sync ops rest on. At scale
   // the CTE is a projection over part (≤4 rows/part; the dedup hash-aggs
   // those ≤4-row groups); S comes from a one-row broadcast scalar.
-  private val partsuppCte =
+  private[graft] val partsuppCte =
     """WITH ps0 AS (
       |  SELECT DISTINCT p_partkey AS ps_partkey,
       |    CAST((p_partkey + iv.i * (CAST(floor(sc.ns / 4.0) AS BIGINT)

@@ -514,4 +514,34 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     out.foreach(r => assert(r.getAs[Long]("exact_customers") ==
       exactByRegion(r.getAs[Int]("n_regionkey"))))
   }
+
+  test("partsupp surrogate: (ps_partkey, ps_suppkey) is a true PK at every SF") {
+    // the round-7 review finding, pinned: at small supplier counts the
+    // raw TPC-H increment rule collides (S=10 → only 1-2 distinct
+    // suppkeys for some parts); the surrogate's DISTINCT must hold the
+    // keys-UNIQUE contract (y11) that q9's join and q2's output rest on
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      graft.ops.Tables.table(spark, d, "part").createOrReplaceTempView("part")
+      graft.ops.Tables.table(spark, d, "supplier").createOrReplaceTempView("supplier")
+      val r = spark.sql(graft.ops.SqlQueries.partsuppCte +
+        """
+          |SELECT MAX(cnt) AS max_mult, COUNT(*) AS n_pairs FROM (
+          |  SELECT ps_partkey, ps_suppkey, COUNT(*) AS cnt
+          |  FROM partsupp GROUP BY ps_partkey, ps_suppkey)""".stripMargin)
+        .collect().head
+      assert(r.getAs[Long]("max_mult") == 1L,
+        s"$d: duplicate (ps_partkey, ps_suppkey) pairs in the surrogate")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
+    val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
+    val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
+    val qs = Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"), r.getAs[Double]("q75"))
+    assert((lo +: qs :+ hi).sliding(2).forall(p => p.head <= p.last),
+      s"bounds not monotone: lo=$lo $qs hi=$hi")
+    Seq("b25_ok", "b50_ok", "b75_ok").foreach(c =>
+      assert(r.getAs[Boolean](c), s"sketch verdict $c false at $sf"))
+  }
 }
