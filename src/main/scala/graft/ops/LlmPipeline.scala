@@ -777,7 +777,11 @@ object LlmPipeline {
     // shuffle-free on the corpus side.
     "l4e_ivf_lloyd" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
+      // each Lloyd iteration + the search re-read the vectors — persist
+      // the (vec_id, v) projection so the parquet is scanned once
+      // (Verify/Bench sweep persists after each query)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ivfMatches(e, lloydCodebook(e, LloydIters), nprobe = 2)
     }),
 
@@ -800,7 +804,12 @@ object LlmPipeline {
     // subtree runs exactly once across all four audit arms.
     "l4d_ann_recall" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
+      // the audit makes ~a dozen passes over the vectors (brute force,
+      // three Lloyd trainings, two searches, three quality scans) —
+      // persist the (vec_id, v) projection so the parquet is scanned once
+      // (Verify/Bench sweep persists after each query)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       // exact neighbor per query: max_by hash-agg (partial phase bounds

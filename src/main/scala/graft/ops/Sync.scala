@@ -278,6 +278,9 @@ object Sync {
       val o = Tables.orders(s, d)
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
+      // (no persist across the scaffolding aggs: measured 1.6→2.1 s at
+      // sf0.1 — cache materialization costs more than the re-scans of a
+      // footer-cached parquet table, and at 100 TB only `prof` ships)
       val profAggs = cols.flatMap(c => Seq(
         sum(col(c).isNull.cast("long")).as(s"nn_$c"),
         approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
