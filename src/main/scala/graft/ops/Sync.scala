@@ -37,6 +37,20 @@ object Sync {
     kept.unionByName(inserted)
   }
 
+  /** Deterministic mutated view of customer — the DIMENSION drift side
+    * (y15's ΔB): every 11th customer changes market segment. */
+  def custView(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).withColumn("c_mktsegment",
+      when(col("c_custkey") % 11 === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")))
+
+  /** Same customer mutation as a DuckDB CTE (lockstep with custView). */
+  val custCte: String =
+    """csrc AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer)""".stripMargin
+
   /** Same mutation as a DuckDB CTE (keep in lockstep with sourceView). */
   val sourceCte: String =
     """src AS (
@@ -297,6 +311,54 @@ object Sync {
         .orderBy("col_name")
     }),
 
+    // Y15: incremental JOIN-view maintenance (r7) — keep a materialized
+    // join view V = orders ⋈ customer in sync while BOTH base tables
+    // mutate, without recomputing the join: the classic Δ(A⋈B) delta rule
+    // with updates as delete+insert.
+    //   K_o = fact keys touched (y3-style full-outer hash diff: I/U/D),
+    //   K_c = dimension keys touched;
+    //   V' = (V − V[o_orderkey∈K_o] − V[o_custkey∈K_c, not already removed])
+    //        ∪ O'[K_o] ⋈ C'
+    //        ∪ O'[o_custkey∈K_c, o_orderkey∉K_o] ⋈ C'.
+    // Scale: the standing view is only ANTI-JOINED against two broadcast
+    // change-key sets (change sets are the ~% of rows the changelog
+    // names — V itself never reshuffles), and the re-derivation joins
+    // touch delta rows only. The oracle is the full recompute over the
+    // mutated tables — y9's incremental ≡ recompute law, for joins.
+    "y15_incremental_join_view" -> ((s, d) => {
+      val oldO = Tables.orders(s, d)
+      val newO = sourceView(s, d)
+      val oldC = Tables.customer(s, d)
+      val newC = custView(s, d)
+      def proj(df: DataFrame) = df.select(
+        col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("o_totalprice"))
+      val vOld = proj(oldO.join(oldC, col("o_custkey") === col("c_custkey")))
+      val ko = newO.select(col("o_orderkey").as("k"), rowHash(c => col(c)).as("sh"))
+        .join(oldO.select(col("o_orderkey").as("k"), rowHash(c => col(c)).as("th")),
+              Seq("k"), "full_outer")
+        .filter(col("sh").isNull || col("th").isNull || col("sh") =!= col("th"))
+        .select(col("k"))
+      val kc = newC.select(col("c_custkey").as("ck"), col("c_mktsegment").as("sm"))
+        .join(oldC.select(col("c_custkey").as("ck"), col("c_mktsegment").as("tm")),
+              Seq("ck"), "full_outer")
+        .filter(col("sm").isNull || col("tm").isNull || col("sm") =!= col("tm"))
+        .select(col("ck"))
+      val addsO = proj(newO.join(broadcast(ko), col("o_orderkey") === col("k"))
+        .join(newC, col("o_custkey") === col("c_custkey")))
+      val addsC = proj(newO
+        .join(broadcast(kc), col("o_custkey") === col("ck"))
+        .join(broadcast(ko), col("o_orderkey") === col("k"), "left_anti")
+        .join(newC, col("o_custkey") === col("c_custkey")))
+      vOld
+        .join(broadcast(ko), col("o_orderkey") === col("k"), "left_anti")
+        .join(broadcast(kc), col("o_custkey") === col("ck"), "left_anti")
+        .unionByName(addsO)
+        .unionByName(addsC)
+    }),
+
     // Y14: partition-bounds planning — the query a JDBC range-partitioned
     // sync (S4's ReadPartitioning) runs FIRST: approximate quartiles of
     // the partition column pick split points that balance per-partition
@@ -500,6 +562,12 @@ object Sync {
         |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o,
         |       abs(CAST(andv_o AS DOUBLE) / nd_o - 1) < 0.06 FROM w
         |ORDER BY col_name""".stripMargin,
+
+    "y15_incremental_join_view" ->
+      s"""WITH $sourceCte, $custCte
+         |SELECT o_orderkey, o_custkey, c_mktsegment, o_orderstatus,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         |FROM src JOIN csrc ON o_custkey = c_custkey""".stripMargin,
 
     "y14_partition_bounds" ->
       """WITH a AS (

@@ -535,6 +535,23 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Y15 incremental join view ≡ full recompute, both delta sides active") {
+    val inc = SparkEntry.queries("y15_incremental_join_view")(spark, sf)
+    val full = Sync.sourceView(spark, sf)
+      .join(Sync.custView(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("o_totalprice"))
+    assert(inc.exceptAll(full).isEmpty, "incremental produced rows recompute lacks")
+    assert(full.exceptAll(inc).isEmpty, "incremental missed rows recompute has")
+    // the law is only meaningful if BOTH delta sides actually fire here
+    assert(Sync.custView(spark, sf)
+      .filter(col("c_mktsegment") === "MOVED").count() > 0,
+      "dimension delta empty — K_c side untested")
+    assert(inc.count() > 0)
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
