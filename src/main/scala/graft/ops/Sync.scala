@@ -393,6 +393,49 @@ object Sync {
         ok(0, "b25_ok"), ok(1, "b50_ok"), ok(2, "b75_ok"))
     }),
 
+    // Y16: dirty-partition selective sync (r7) — the y12 planner
+    // EXECUTED: plan dirty partitions from the per-partition
+    // (count, keyed-digest) compare, copy ONLY those partitions from the
+    // source (clean target partitions untouched), then re-validate per
+    // partition. Output: (order_year, dirty, n_copied, clean_after) with
+    // clean_after uniformly true — which the oracle recomputes
+    // value-by-value from the mutated CTEs. Scale: one fact scan per
+    // side for the plan, a partition-pruned copy of only the dirty
+    // slices (the dirty-year set broadcasts), and the post-state digest
+    // from the same single-pass rollup — never a full-table diff. A
+    // partition that vanished from the source (src_rows 0) validates
+    // clean-after-deletion via the −1 digest sentinel on both sides.
+    "y16_dirty_partition_sync" -> ((s, d) => {
+      val keyedHash = md5(concat_ws("|",
+        col("o_orderkey"), rowHash(c => col(c))))
+      def side(df: DataFrame, rows: String, dig: String) =
+        df.groupBy(year(col("o_orderdate")).as("order_year"))
+          .agg(count(lit(1)).as(rows),
+            sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
+              .cast("long"), lit(1000000000L))).as(dig))
+      val plan = side(sourceView(s, d), "src_rows", "src_digest")
+        .join(side(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
+          Seq("order_year"), "full_outer")
+        .select(col("order_year"),
+          coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+          (!(coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
+             coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L))))
+            .as("dirty"),
+          coalesce(col("src_digest"), lit(-1L)).as("src_digest"))
+      val dirtyYears = plan.filter(col("dirty")).select(col("order_year"))
+      val tgtKeep = Tables.orders(s, d).join(broadcast(dirtyYears),
+        year(col("o_orderdate")) === col("order_year"), "left_anti")
+      val srcCopy = sourceView(s, d).join(broadcast(dirtyYears),
+        year(col("o_orderdate")) === col("order_year"), "left_semi")
+      val after = side(tgtKeep.unionByName(srcCopy), "after_rows", "after_digest")
+      plan.join(after, Seq("order_year"), "left")
+        .select(col("order_year"), col("dirty"),
+          when(col("dirty"), col("src_rows")).otherwise(lit(0L)).as("n_copied"),
+          (coalesce(col("after_digest"), lit(-1L)) === col("src_digest"))
+            .as("clean_after"))
+        .orderBy("order_year")
+    }),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -562,6 +605,49 @@ object Sync {
         |UNION ALL SELECT n_rows, 'o_orderpriority', nn_o, nd_o,
         |       abs(CAST(andv_o AS DOUBLE) / nd_o - 1) < 0.06 FROM w
         |ORDER BY col_name""".stripMargin,
+
+    "y16_dirty_partition_sync" ->
+      s"""WITH $sourceCte,
+         |ss AS (
+         |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', src.o_orderkey, ${rowHashSql("src")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS src_digest
+         |  FROM src GROUP BY 1),
+         |tt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS tgt_digest
+         |  FROM orders GROUP BY 1),
+         |pl AS (
+         |  SELECT COALESCE(ss.order_year, tt.order_year) AS order_year,
+         |    COALESCE(src_rows, 0) AS src_rows,
+         |    NOT (COALESCE(src_rows, 0) = COALESCE(tgt_rows, 0) AND
+         |         COALESCE(src_digest, -1) = COALESCE(tgt_digest, -1)) AS dirty,
+         |    COALESCE(src_digest, -1) AS src_digest
+         |  FROM ss FULL OUTER JOIN tt ON ss.order_year = tt.order_year),
+         |u AS (
+         |  SELECT * FROM orders
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) NOT IN
+         |        (SELECT order_year FROM pl WHERE dirty)
+         |  UNION ALL
+         |  SELECT * FROM src
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM pl WHERE dirty)),
+         |af AS (
+         |  SELECT CAST(EXTRACT(year FROM u.o_orderdate) AS INTEGER) AS order_year,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', u.o_orderkey, ${rowHashSql("u")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS after_digest
+         |  FROM u GROUP BY 1)
+         |SELECT pl.order_year, dirty,
+         |  CASE WHEN dirty THEN src_rows ELSE 0 END AS n_copied,
+         |  COALESCE(after_digest, -1) = src_digest AS clean_after
+         |FROM pl LEFT JOIN af ON pl.order_year = af.order_year
+         |ORDER BY pl.order_year""".stripMargin,
 
     "y15_incremental_join_view" ->
       s"""WITH $sourceCte, $custCte

@@ -552,6 +552,18 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(inc.count() > 0)
   }
 
+  test("Y16: selective sync leaves every partition clean, copies only dirty ones") {
+    val rows = SparkEntry.queries("y16_dirty_partition_sync")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("clean_after")),
+      s"a partition stayed dirty after the selective sync: ${rows.toSeq}")
+    assert(rows.exists(_.getAs[Boolean]("dirty")),
+      "no dirty partitions at this SF — the planner path is untested")
+    rows.filterNot(_.getAs[Boolean]("dirty")).foreach(r =>
+      assert(r.getAs[Long]("n_copied") == 0L,
+        "a clean partition was copied — selectivity violated"))
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
