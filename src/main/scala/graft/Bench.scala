@@ -36,13 +36,19 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
-      // sweep persisted RDDs (the dedup family's full-corpus shingle
-      // builds) after the action completes: queries run sequentially and
-      // never share a persisted RDD, so without this each pass
+      // sweep caches after the action completes: queries run sequentially
+      // and never share cached data, so without this each pass
       // accumulates cache blocks until the ContextCleaner happens to GC —
-      // unbounded memory/local-disk growth across ~270 timed runs. The
-      // async unpersist sits outside the timed window; building the
-      // persisted blocks (the real cost) is inside it.
+      // unbounded memory/local-disk growth across ~270 timed runs. TWO
+      // levels, both required: clearCache() drops Dataset-level persists
+      // from the CacheManager (an RDD-level unpersist alone leaves the
+      // CacheManager entry behind, and the NEXT query persisting the
+      // identical plan would hit "already cached", no-op, and recompute
+      // through the dead InMemoryRelation every consumer); the RDD sweep
+      // catches the dedup family's explicit RDD-level persists, which the
+      // CacheManager never sees. Both sit outside the timed window;
+      // building the cached blocks (the real cost) is inside it.
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       name -> (if (ok) t else -1.0)

@@ -40,10 +40,11 @@ object Verify {
       }
     tasks.foreach(_.get())
     pool.shutdown()
-    // sweep persisted RDDs (dedup shingle builds) once all tasks are done
-    // — not per-task: tasks run concurrently and an unpersist mid-flight
-    // would force another task's recompute. Lineage makes it safe; this
-    // makes it free.
+    // sweep caches once all tasks are done — not per-task: tasks run
+    // concurrently and an unpersist mid-flight would force another
+    // task's recompute. Two levels (see Bench for why): Dataset-level
+    // CacheManager entries, then explicit RDD-level persists.
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     // summary so a thrown query can't silently vanish from the gate

@@ -779,7 +779,7 @@ object LlmPipeline {
       graft.functions.CosineSim.register(s)
       // each Lloyd iteration + the search re-read the vectors — persist
       // the (vec_id, v) projection so the parquet is scanned once
-      // (Verify/Bench sweep persists after each query)
+      // (Verify/Bench sweep unpersists after each query)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ivfMatches(e, lloydCodebook(e, LloydIters), nprobe = 2)
@@ -807,7 +807,7 @@ object LlmPipeline {
       // the audit makes ~a dozen passes over the vectors (brute force,
       // three Lloyd trainings, two searches, three quality scans) —
       // persist the (vec_id, v) projection so the parquet is scanned once
-      // (Verify/Bench sweep persists after each query)
+      // (Verify/Bench sweep unpersists after each query)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
@@ -1042,7 +1042,7 @@ object LlmPipeline {
     // the offsets aggregate and the final join; persist materializes the
     // tokenize once (~tens of bytes/doc, MEMORY_AND_DISK) instead of
     // re-scanning + re-tokenizing the corpus per consumer — the l2a
-    // persist idiom; Verify/Bench sweep persists after each query.
+    // persist idiom; Verify/Bench sweep unpersists after each query.
     "l5i_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), size(toksExpr).as("n_toks"),

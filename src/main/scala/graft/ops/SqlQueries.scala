@@ -524,15 +524,17 @@ object SqlQueries {
   // adapts lineitem): brand exclusion + size IN-list + NOT IN supplier
   // exclusion feeding COUNT(DISTINCT ps_suppkey) — the spec's actual
   // shape: anti join into a distinct aggregate over the association
-  // table. (s_acctbal < 0 stands in for the spec's comment-LIKE
-  // exclusion; the corpus ships no s_comment.)
+  // table. (s_acctbal < 1000 stands in for the spec's comment-LIKE
+  // exclusion — the corpus ships no s_comment; the 1000 threshold
+  // excludes ≥1 supplier at EVERY shipped SF, so the NOT IN branch is
+  // always live, where < 0 matched nothing at sf0.001.)
   private val q16b = partsuppCte +
     """
       |SELECT p_brand, p_type, p_size,
       |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
       |FROM partsupp JOIN part ON p_partkey = ps_partkey
       |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 14, 19, 22, 25)
-      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
 

@@ -83,6 +83,53 @@ object Sync {
     s"md5(concat_ws('|', $a.o_custkey, $a.o_orderstatus, " +
     s"CAST(CAST($a.o_totalprice AS DECIMAL(18,2)) AS VARCHAR), $a.o_orderpriority))"
 
+  /** y12/y16 shared per-partition rollup: ONE (count, keyed-digest) row
+    * per order_year. The digest is the y6 idiom with the PK folded in
+    * (see y12's comment for why the PK must be inside it); a single
+    * definition so y12's plan and y16's execution can never
+    * desynchronize from each other or from their oracle CTEs. */
+  private def partitionSide(df: DataFrame, rows: String, dig: String) = {
+    val keyedHash = md5(concat_ws("|",
+      col("o_orderkey"), rowHash(c => col(c))))
+    df.groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as(rows),
+        sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as(dig))
+  }
+
+  /** The y16 engine, parameterized over the two sides so the law test
+    * can drive it with a narrower mutation than sourceView's (one dirty
+    * year, one vanished year, the rest clean — exercising the
+    * selectivity and the −1 sentinel branches sourceView's all-years
+    * mutation cannot). The |years|-row plan is persisted: it feeds the
+    * dirty-set semi/anti joins AND the final join, and without the pin
+    * the two fact rollups would replan per consumer. */
+  def dirtyPartitionSync(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val plan = partitionSide(src, "src_rows", "src_digest")
+      .join(partitionSide(tgt, "tgt_rows", "tgt_digest"),
+        Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        (!(coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
+           coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L))))
+          .as("dirty"),
+        coalesce(col("src_digest"), lit(-1L)).as("src_digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirtyYears = plan.filter(col("dirty")).select(col("order_year"))
+    val tgtKeep = tgt.join(broadcast(dirtyYears),
+      year(col("o_orderdate")) === col("order_year"), "left_anti")
+    val srcCopy = src.join(broadcast(dirtyYears),
+      year(col("o_orderdate")) === col("order_year"), "left_semi")
+    val after = partitionSide(tgtKeep.unionByName(srcCopy),
+      "after_rows", "after_digest")
+    plan.join(after, Seq("order_year"), "left")
+      .select(col("order_year"), col("dirty"),
+        when(col("dirty"), col("src_rows")).otherwise(lit(0L)).as("n_copied"),
+        (coalesce(col("after_digest"), lit(-1L)) === col("src_digest"))
+          .as("clean_after"))
+      .orderBy("order_year")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Y1: schema introspection — StructType surfaced as rows (JDBC-side
@@ -218,15 +265,8 @@ object Sync {
     // payload as k') keeps count and payload-hash unchanged and would
     // otherwise report the partition clean.
     "y12_partition_digest" -> ((s, d) => {
-      val keyedHash = md5(concat_ws("|",
-        col("o_orderkey"), rowHash(c => col(c))))
-      def side(df: DataFrame, rows: String, dig: String) =
-        df.groupBy(year(col("o_orderdate")).as("order_year"))
-          .agg(count(lit(1)).as(rows),
-            sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
-              .cast("long"), lit(1000000000L))).as(dig))
-      side(sourceView(s, d), "src_rows", "src_digest")
-        .join(side(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
+      partitionSide(sourceView(s, d), "src_rows", "src_digest")
+        .join(partitionSide(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
           Seq("order_year"), "full_outer")
         .select(col("order_year"),
           coalesce(col("src_rows"), lit(0L)).as("src_rows"),
@@ -320,11 +360,15 @@ object Sync {
     //   V' = (V − V[o_orderkey∈K_o] − V[o_custkey∈K_c, not already removed])
     //        ∪ O'[K_o] ⋈ C'
     //        ∪ O'[o_custkey∈K_c, o_orderkey∉K_o] ⋈ C'.
-    // Scale: the standing view is only ANTI-JOINED against two broadcast
-    // change-key sets (change sets are the ~% of rows the changelog
-    // names — V itself never reshuffles), and the re-derivation joins
-    // touch delta rows only. The oracle is the full recompute over the
-    // mutated tables — y9's incremental ≡ recompute law, for joins.
+    // Scale: the standing view is only anti-joined against the two
+    // change-key sets, and the re-derivation joins touch delta rows
+    // only. No broadcast hints: change sets are fact-proportional at a
+    // high change rate (this corpus's mutation touches ~28% of keys), so
+    // forcing them to the driver is the same non-scalable shape l5i
+    // dropped — Spark auto-broadcasts them when small, and otherwise the
+    // anti-join shuffles on the key, which is the correct fallback. The
+    // oracle is the full recompute over the mutated tables — y9's
+    // incremental ≡ recompute law, for joins.
     "y15_incremental_join_view" -> ((s, d) => {
       val oldO = Tables.orders(s, d)
       val newO = sourceView(s, d)
@@ -346,15 +390,15 @@ object Sync {
               Seq("ck"), "full_outer")
         .filter(col("sm").isNull || col("tm").isNull || col("sm") =!= col("tm"))
         .select(col("ck"))
-      val addsO = proj(newO.join(broadcast(ko), col("o_orderkey") === col("k"))
+      val addsO = proj(newO.join(ko, col("o_orderkey") === col("k"))
         .join(newC, col("o_custkey") === col("c_custkey")))
       val addsC = proj(newO
-        .join(broadcast(kc), col("o_custkey") === col("ck"))
-        .join(broadcast(ko), col("o_orderkey") === col("k"), "left_anti")
+        .join(kc, col("o_custkey") === col("ck"))
+        .join(ko, col("o_orderkey") === col("k"), "left_anti")
         .join(newC, col("o_custkey") === col("c_custkey")))
       vOld
-        .join(broadcast(ko), col("o_orderkey") === col("k"), "left_anti")
-        .join(broadcast(kc), col("o_custkey") === col("ck"), "left_anti")
+        .join(ko, col("o_orderkey") === col("k"), "left_anti")
+        .join(kc, col("o_custkey") === col("ck"), "left_anti")
         .unionByName(addsO)
         .unionByName(addsC)
     }),
@@ -405,36 +449,8 @@ object Sync {
     // from the same single-pass rollup — never a full-table diff. A
     // partition that vanished from the source (src_rows 0) validates
     // clean-after-deletion via the −1 digest sentinel on both sides.
-    "y16_dirty_partition_sync" -> ((s, d) => {
-      val keyedHash = md5(concat_ws("|",
-        col("o_orderkey"), rowHash(c => col(c))))
-      def side(df: DataFrame, rows: String, dig: String) =
-        df.groupBy(year(col("o_orderdate")).as("order_year"))
-          .agg(count(lit(1)).as(rows),
-            sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
-              .cast("long"), lit(1000000000L))).as(dig))
-      val plan = side(sourceView(s, d), "src_rows", "src_digest")
-        .join(side(Tables.orders(s, d), "tgt_rows", "tgt_digest"),
-          Seq("order_year"), "full_outer")
-        .select(col("order_year"),
-          coalesce(col("src_rows"), lit(0L)).as("src_rows"),
-          (!(coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
-             coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L))))
-            .as("dirty"),
-          coalesce(col("src_digest"), lit(-1L)).as("src_digest"))
-      val dirtyYears = plan.filter(col("dirty")).select(col("order_year"))
-      val tgtKeep = Tables.orders(s, d).join(broadcast(dirtyYears),
-        year(col("o_orderdate")) === col("order_year"), "left_anti")
-      val srcCopy = sourceView(s, d).join(broadcast(dirtyYears),
-        year(col("o_orderdate")) === col("order_year"), "left_semi")
-      val after = side(tgtKeep.unionByName(srcCopy), "after_rows", "after_digest")
-      plan.join(after, Seq("order_year"), "left")
-        .select(col("order_year"), col("dirty"),
-          when(col("dirty"), col("src_rows")).otherwise(lit(0L)).as("n_copied"),
-          (coalesce(col("after_digest"), lit(-1L)) === col("src_digest"))
-            .as("clean_after"))
-        .orderBy("order_year")
-    }),
+    "y16_dirty_partition_sync" -> ((s, d) =>
+      dirtyPartitionSync(sourceView(s, d), Tables.orders(s, d))),
 
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per

@@ -553,15 +553,34 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
   }
 
   test("Y16: selective sync leaves every partition clean, copies only dirty ones") {
-    val rows = SparkEntry.queries("y16_dirty_partition_sync")(spark, sf).collect()
-    assert(rows.nonEmpty)
+    // sourceView's %7/%10/%13 mutation dirties EVERY year at every SF, so
+    // selectivity and the vanished-partition sentinel need a narrower
+    // fixture: year 1997 updated, year 1999 dropped, the rest untouched
+    val tgt = Tables.orders(spark, sf)
+    val src = tgt
+      .filter(year(col("o_orderdate")) =!= 1999)
+      .withColumn("o_totalprice",
+        when(year(col("o_orderdate")) === 1997, col("o_totalprice") + 1d)
+          .otherwise(col("o_totalprice")))
+    val rows = Sync.dirtyPartitionSync(src, tgt).collect()
     assert(rows.forall(_.getAs[Boolean]("clean_after")),
       s"a partition stayed dirty after the selective sync: ${rows.toSeq}")
-    assert(rows.exists(_.getAs[Boolean]("dirty")),
-      "no dirty partitions at this SF — the planner path is untested")
+    val dirtyYears = rows.filter(_.getAs[Boolean]("dirty"))
+      .map(_.getAs[Int]("order_year")).toSet
+    assert(dirtyYears == Set(1997, 1999),
+      s"expected exactly {1997, 1999} dirty, got $dirtyYears")
     rows.filterNot(_.getAs[Boolean]("dirty")).foreach(r =>
       assert(r.getAs[Long]("n_copied") == 0L,
         "a clean partition was copied — selectivity violated"))
+    // the vanished year is dirty but copies nothing; its clean_after
+    // comes from the −1 digest sentinel on both sides
+    val vanished = rows.find(_.getAs[Int]("order_year") == 1999).get
+    assert(vanished.getAs[Long]("n_copied") == 0L)
+    assert(vanished.getAs[Boolean]("clean_after"))
+    // and the production query (over sourceView) still validates all-clean
+    val q = SparkEntry.queries("y16_dirty_partition_sync")(spark, sf).collect()
+    assert(q.nonEmpty && q.forall(_.getAs[Boolean]("clean_after")))
+    assert(q.exists(_.getAs[Boolean]("dirty")))
   }
 
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
