@@ -64,43 +64,95 @@ object Bench {
       spark.range(10000000L).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val s0 = sentinel()
+    // A pass is HEALTHY-BRACKETED when the sentinels immediately before
+    // and after it both read inside the healthy band (~10-90 ms on this
+    // host; 0.4 s is well above any healthy reading and well below the
+    // stall regime's hundreds-of-ms-to-seconds readings). Round 7 showed
+    // min-of-two cannot defend when the stall phase covers a whole pass
+    // (driver r7: sentinels 0.48/0.336 -> scored 69.4 s vs 48.2-57.4 s
+    // for the same build), so: if ANY sentinel around passes 1-2 is
+    // unhealthy, wait until a fresh sentinel reads healthy (bounded),
+    // run a third pass, and take the per-query min over healthy-
+    // bracketed passes only. All sentinels are still emitted.
+    val healthyMax = 0.4
+    def healthy(a: Double, b: Double): Boolean = a <= healthyMax && b <= healthyMax
+    val sentinelLog = scala.collection.mutable.ArrayBuffer[Double]()
+    // The sentinels that BRACKET a timed pass (excludes retry-wait
+    // readings) - this is what the compact final stdout line carries; the
+    // full log, including the wait readings, goes to bench_queries.json.
+    val bracketSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val s0 = sentinel(); sentinelLog += s0
     val p1 = pass()
-    val s1 = sentinel()
+    val s1 = sentinel(); sentinelLog += s1
     val p2 = pass()
-    val s2 = sentinel()
-    // min over SUCCEEDED passes only: a query that ran clean in one pass
-    // keeps its valid timing even if the other pass threw; a query that
-    // failed both passes stays a visible -1 sentinel but is EXCLUDED from
-    // the summed total (a failure must not lower the reported seconds).
-    val results = p1.map { case (k, v1) =>
-      val ok = Seq(v1, p2.getOrElse(k, -1.0)).filter(_ >= 0.0)
-      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    val s2 = sentinel(); sentinelLog += s2
+    bracketSentinels ++= Seq(s0, s1, s2)
+    val passes = scala.collection.mutable.ArrayBuffer[(Map[String, Double], Boolean)](
+      (p1, healthy(s0, s1)),
+      (p2, healthy(s1, s2)))
+    if (sentinelLog.exists(_ > healthyMax)) {
+      // Stall detected somewhere around passes 1-2. Wait (bounded ~90 s)
+      // for the host to recover - a sentinel issued DURING a stall blocks
+      // for the stall's duration, so the loop self-paces - then re-time
+      // the whole suite once with healthy brackets.
+      var pre = sentinel(); sentinelLog += pre
+      var tries = 0
+      while (pre > healthyMax && tries < 20) {
+        Thread.sleep(3000)
+        pre = sentinel(); sentinelLog += pre
+        tries += 1
+      }
+      val p3 = pass()
+      val post = sentinel(); sentinelLog += post
+      passes += ((p3, healthy(pre, post)))
+      bracketSentinels ++= Seq(pre, post)
     }
+    // Score over healthy-bracketed passes when any exist; otherwise (host
+    // stalled through every window, including the retry) fall back to all
+    // passes - a number must always be produced, and the emitted sentinel
+    // log discloses that none of its passes were clean.
+    val counted = {
+      val h = passes.filter(_._2).map(_._1)
+      if (h.nonEmpty) h.toSeq else passes.map(_._1).toSeq
+    }
+    // min over SUCCEEDED runs of the counted passes only: a query that ran
+    // clean in one pass keeps its valid timing even if another pass threw;
+    // a query that failed every counted pass stays a visible -1 sentinel
+    // but is EXCLUDED from the summed total (a failure must not lower the
+    // reported seconds).
+    val results = p1.keys.map { k =>
+      val ok = counted.flatMap(_.get(k)).filter(_ >= 0.0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }.toMap
     val failed = results.count(_._2 < 0.0)
     // Per-query timings go to a file + a non-final stdout line; the driver's
     // tail-capture window only reliably holds the LAST line, so the scored
     // summary is a compact (<200 char) total-only JSON line printed last.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // Per-query spread (max/min over the two passes): ~1 means both passes
-    // agreed; a large ratio means the slower pass hit a stall window and
-    // the min is the trustworthy number. Only emitted where both passed.
-    val spread = p1.flatMap { case (k, v1) =>
-      val v2 = p2.getOrElse(k, -1.0)
-      if (v1 > 0.0 && v2 > 0.0)
-        Some("\"" + k + "\":" + f"${math.max(v1, v2) / math.min(v1, v2)}%.1f")
+    // Per-query spread (max/min over the COUNTED passes): ~1 means the
+    // counted passes agreed; a large ratio means one of them still hit a
+    // stall window and the min is the trustworthy number. Only emitted
+    // where >=2 counted passes succeeded for the query.
+    val spread = p1.keys.flatMap { k =>
+      val ok = counted.flatMap(_.get(k)).filter(_ > 0.0)
+      if (ok.size >= 2)
+        Some("\"" + k + "\":" + f"${ok.max / ok.min}%.1f")
       else None
     }.mkString("{", ",", "}")
-    val sentinels = f"[$s0%.3f,$s1%.3f,$s2%.3f]"
+    // Full sentinel log (including retry-wait readings) -> file; compact
+    // bracket-only list + per-pass health flags -> final stdout line.
+    val sentinelsFull = sentinelLog.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val sentinels = bracketSentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val passHealth = passes.map(_._2).mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0.0).sum
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"queries":$qs,"spread":$spread,"sentinel_sec":$sentinels,"sf":"$sfDir"}""")
+      s"""{"queries":$qs,"spread":$spread,"sentinel_sec":$sentinelsFull,"pass_healthy":$passHealth,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"perquery":$qs}""")
     println(s"""{"spread":$spread}""")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sentinel_sec":$sentinels,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sentinel_sec":$sentinels,"pass_healthy":$passHealth,"sf":"$sfDir"}""")
   }
 }
