@@ -97,6 +97,175 @@ object Sync {
           .cast("long"), lit(1000000000L))).as(dig))
   }
 
+  /** Deterministic mutated lineitem — the CHILD side of y17's source,
+    * FK-consistent with [[sourceView]] by construction: children of
+    * deleted orders (key%10=0) vanish, inserted orders (the +10M rekey
+    * of key%13=0) bring re-keyed copies of their children, and every
+    * 9th surviving order's lines get a quantity bump — a CHILD-ONLY
+    * change whose parent row is untouched, so the child's own digest
+    * compare (not the parent's) must flag those partitions. Projected
+    * to PK (l_orderkey, l_linenumber) + the digest payload. */
+  def lineSourceView(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+      "l_quantity", "l_extendedprice", "l_returnflag").map(col)
+    val l = Tables.lineitem(s, d)
+    val kept = l.filter(col("l_orderkey") % 10 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 9 === 0, col("l_quantity") + 5d)
+          .otherwise(col("l_quantity")))
+      .select(cols: _*)
+    val inserted = l.filter(col("l_orderkey") % 13 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+      .select(cols: _*)
+    kept.unionByName(inserted)
+  }
+
+  /** Same child mutation as a DuckDB CTE (lockstep with lineSourceView). */
+  val lineSourceCte: String =
+    """lsrc AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CASE WHEN l_orderkey % 9 = 0 THEN l_quantity + 5.0 ELSE l_quantity END AS l_quantity,
+      |    l_extendedprice, l_returnflag
+      |  FROM lineitem WHERE l_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT l_orderkey + 10000000, l_linenumber, l_partkey, l_quantity,
+      |    l_extendedprice, l_returnflag
+      |  FROM lineitem WHERE l_orderkey % 13 = 0)""".stripMargin
+
+  /** y17 child rollup: ONE (count, keyed-digest) row per parent
+    * order_year. The child's partition key is the PARENT's (that is what
+    * FK-consistent partitioning means), so the year is derived through
+    * the FK — each side's child joins ITS OWN side's parent, which is
+    * the one join a child-table sync cannot avoid (in prod you
+    * denormalize the partition column onto the child or bucket both
+    * tables on the FK; BucketingSuite pins that shape). Digest is the
+    * y12 idiom with the composite PK folded in. */
+  private def childSide(child: DataFrame, parent: DataFrame,
+                        rows: String, dig: String) = {
+    val keyedHash = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_returnflag")))
+    child.join(parent.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as(rows),
+        sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))).as(dig))
+  }
+
+  private val childHashSql = (a: String) =>
+    s"md5(concat_ws('|', $a.l_orderkey, $a.l_linenumber, $a.l_partkey, " +
+    s"CAST(CAST($a.l_quantity AS DECIMAL(18,2)) AS VARCHAR), " +
+    s"CAST(CAST($a.l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), $a.l_returnflag))"
+
+  /** Y17 engine: FK-consistent parent+child dirty-partition sync,
+    * parameterized over all four sides so the law test can drive it with
+    * narrow mutations (one child-only-dirty year, one parent-dirty year,
+    * an orphan-corrupted target) that sourceView's all-years mutation
+    * cannot exercise.
+    *
+    * The rule that makes it FK-consistent: a child partition is dirty
+    * when ITS OWN digest differs OR its parent partition is dirty —
+    * parent and child partitions for a dirty year always ship together,
+    * so the target never holds a child row whose parent vanished
+    * mid-sync. The output validates exactly that: per year, both sides'
+    * clean_after digests plus an orphan count over the post-sync pair
+    * (child anti-joined to parent on the FK), which must be uniformly 0.
+    *
+    * Scale: the plan is two y12-style single-scan rollups per table
+    * (the child's includes the one unavoidable FK join); the copy is
+    * partition-pruned on the broadcast ≤|years| dirty sets; the orphan
+    * audit is one FK shuffle join over the post-state — the same
+    * validation a production sync runs, and AQE skew-splits it. */
+  def fkConsistentSync(srcO: DataFrame, tgtO: DataFrame,
+                       srcL: DataFrame, tgtL: DataFrame): DataFrame = {
+    val pPlan = partitionSide(srcO, "p_src_rows", "p_src_digest")
+      .join(partitionSide(tgtO, "p_tgt_rows", "p_tgt_digest"),
+        Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        coalesce(col("p_src_rows"), lit(0L)).as("p_src_rows"),
+        (!(coalesce(col("p_src_rows"), lit(0L)) === coalesce(col("p_tgt_rows"), lit(0L)) &&
+           coalesce(col("p_src_digest"), lit(-1L)) === coalesce(col("p_tgt_digest"), lit(-1L))))
+          .as("parent_dirty"),
+        coalesce(col("p_src_digest"), lit(-1L)).as("p_src_digest"))
+    val cPlan = childSide(srcL, srcO, "c_src_rows", "c_src_digest")
+      .join(childSide(tgtL, tgtO, "c_tgt_rows", "c_tgt_digest"),
+        Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        coalesce(col("c_src_rows"), lit(0L)).as("c_src_rows"),
+        (!(coalesce(col("c_src_rows"), lit(0L)) === coalesce(col("c_tgt_rows"), lit(0L)) &&
+           coalesce(col("c_src_digest"), lit(-1L)) === coalesce(col("c_tgt_digest"), lit(-1L))))
+          .as("child_own_dirty"),
+        coalesce(col("c_src_digest"), lit(-1L)).as("c_src_digest"))
+    // ≤|years| rows; persisted because it feeds the two dirty-set
+    // broadcasts, the copy pruning, and the final report (callers:
+    // Bench/Verify sweep caches per query; direct library callers should
+    // clearCache() after materializing the result — see ADVICE r7).
+    val plan = pPlan.join(cPlan, Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        coalesce(col("p_src_rows"), lit(0L)).as("p_src_rows"),
+        coalesce(col("parent_dirty"), lit(false)).as("parent_dirty"),
+        coalesce(col("p_src_digest"), lit(-1L)).as("p_src_digest"),
+        coalesce(col("c_src_rows"), lit(0L)).as("c_src_rows"),
+        (coalesce(col("parent_dirty"), lit(false)) ||
+         coalesce(col("child_own_dirty"), lit(false))).as("child_dirty"),
+        coalesce(col("c_src_digest"), lit(-1L)).as("c_src_digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirtyP = plan.filter(col("parent_dirty")).select(col("order_year"))
+    val dirtyC = plan.filter(col("child_dirty")).select(col("order_year"))
+    // parent copy: y16's shape
+    val parentAfter = tgtO.join(broadcast(dirtyP),
+        year(col("o_orderdate")) === col("order_year"), "left_anti")
+      .unionByName(srcO.join(broadcast(dirtyP),
+        year(col("o_orderdate")) === col("order_year"), "left_semi"))
+    // child copy: each side year-tagged through its own parent, pruned
+    // on the child dirty set
+    def tagged(child: DataFrame, parent: DataFrame) =
+      child.join(parent.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("l_year", year(col("o_orderdate")))
+        .drop("o_orderkey", "o_orderdate")
+    val childAfter = tagged(tgtL, tgtO).join(broadcast(dirtyC),
+        col("l_year") === col("order_year"), "left_anti")
+      .unionByName(tagged(srcL, srcO).join(broadcast(dirtyC),
+        col("l_year") === col("order_year"), "left_semi"))
+    val pAfter = partitionSide(parentAfter, "pa_rows", "pa_digest")
+    val keyedHash = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_returnflag")))
+    val cAfter = childAfter
+      .groupBy(col("l_year").as("order_year"))
+      .agg(sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
+        .cast("long"), lit(1000000000L))).as("ca_digest"))
+    // the FK law, audited over the POST-sync pair: a child row with no
+    // parent is exactly the inconsistency this operator exists to prevent
+    val orphans = childAfter
+      .join(parentAfter.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .groupBy(col("l_year").as("order_year"))
+      .agg(count(lit(1)).as("n_orph"))
+    plan
+      .join(pAfter.select(col("order_year"), col("pa_digest")),
+        Seq("order_year"), "left")
+      .join(cAfter, Seq("order_year"), "left")
+      .join(orphans, Seq("order_year"), "left")
+      .select(col("order_year"), col("parent_dirty"), col("child_dirty"),
+        when(col("parent_dirty"), col("p_src_rows")).otherwise(lit(0L))
+          .as("n_parent_copied"),
+        when(col("child_dirty"), col("c_src_rows")).otherwise(lit(0L))
+          .as("n_child_copied"),
+        (coalesce(col("pa_digest"), lit(-1L)) === col("p_src_digest"))
+          .as("parent_clean_after"),
+        (coalesce(col("ca_digest"), lit(-1L)) === col("c_src_digest"))
+          .as("child_clean_after"),
+        coalesce(col("n_orph"), lit(0L)).as("n_orphans_after"))
+      .orderBy("order_year")
+  }
+
   /** The y16 engine, parameterized over the two sides so the law test
     * can drive it with a narrower mutation than sourceView's (one dirty
     * year, one vanished year, the rest clean — exercising the
@@ -452,6 +621,21 @@ object Sync {
     "y16_dirty_partition_sync" -> ((s, d) =>
       dirtyPartitionSync(sourceView(s, d), Tables.orders(s, d))),
 
+    // Y17: multi-table FK-CONSISTENT sync (r8) — y16 generalized to a
+    // parent+child pair (orders + lineitem). A real table-sync utility
+    // never ships a parent partition without its children: the child's
+    // dirty set is the union of its own digest-dirty years and the
+    // parent's dirty years, both sides copy together, and the post-sync
+    // audit proves (a) both tables digest-clean per year and (b) zero
+    // orphaned child rows. The oracle recomputes every cell from the
+    // mutated CTEs — the y16 idiom across two tables.
+    "y17_fk_consistent_sync" -> ((s, d) =>
+      fkConsistentSync(sourceView(s, d), Tables.orders(s, d),
+        lineSourceView(s, d),
+        // both child sides must share the digest schema (PK + payload)
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"))),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -663,6 +847,110 @@ object Sync {
          |  CASE WHEN dirty THEN src_rows ELSE 0 END AS n_copied,
          |  COALESCE(after_digest, -1) = src_digest AS clean_after
          |FROM pl LEFT JOIN af ON pl.order_year = af.order_year
+         |ORDER BY pl.order_year""".stripMargin,
+
+    "y17_fk_consistent_sync" ->
+      s"""WITH $sourceCte, $lineSourceCte,
+         |pps AS (
+         |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS p_src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', src.o_orderkey, ${rowHashSql("src")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS p_src_digest
+         |  FROM src GROUP BY 1),
+         |ppt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS p_tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS p_tgt_digest
+         |  FROM orders GROUP BY 1),
+         |ppl AS (
+         |  SELECT COALESCE(pps.order_year, ppt.order_year) AS order_year,
+         |    COALESCE(p_src_rows, 0) AS p_src_rows,
+         |    NOT (COALESCE(p_src_rows, 0) = COALESCE(p_tgt_rows, 0) AND
+         |         COALESCE(p_src_digest, -1) = COALESCE(p_tgt_digest, -1)) AS parent_dirty,
+         |    COALESCE(p_src_digest, -1) AS p_src_digest
+         |  FROM pps FULL OUTER JOIN ppt ON pps.order_year = ppt.order_year),
+         |ccs AS (
+         |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS c_src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      ${childHashSql("lsrc")}, 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS c_src_digest
+         |  FROM lsrc JOIN src ON lsrc.l_orderkey = src.o_orderkey GROUP BY 1),
+         |cct AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS c_tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      ${childHashSql("lineitem")}, 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS c_tgt_digest
+         |  FROM lineitem JOIN orders ON lineitem.l_orderkey = orders.o_orderkey GROUP BY 1),
+         |ccl AS (
+         |  SELECT COALESCE(ccs.order_year, cct.order_year) AS order_year,
+         |    COALESCE(c_src_rows, 0) AS c_src_rows,
+         |    NOT (COALESCE(c_src_rows, 0) = COALESCE(c_tgt_rows, 0) AND
+         |         COALESCE(c_src_digest, -1) = COALESCE(c_tgt_digest, -1)) AS child_own_dirty,
+         |    COALESCE(c_src_digest, -1) AS c_src_digest
+         |  FROM ccs FULL OUTER JOIN cct ON ccs.order_year = cct.order_year),
+         |pl AS (
+         |  SELECT COALESCE(ppl.order_year, ccl.order_year) AS order_year,
+         |    COALESCE(p_src_rows, 0) AS p_src_rows,
+         |    COALESCE(parent_dirty, FALSE) AS parent_dirty,
+         |    COALESCE(p_src_digest, -1) AS p_src_digest,
+         |    COALESCE(c_src_rows, 0) AS c_src_rows,
+         |    (COALESCE(parent_dirty, FALSE) OR COALESCE(child_own_dirty, FALSE)) AS child_dirty,
+         |    COALESCE(c_src_digest, -1) AS c_src_digest
+         |  FROM ppl FULL OUTER JOIN ccl ON ppl.order_year = ccl.order_year),
+         |pa AS (
+         |  SELECT * FROM orders
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) NOT IN
+         |        (SELECT order_year FROM pl WHERE parent_dirty)
+         |  UNION ALL
+         |  SELECT * FROM src
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM pl WHERE parent_dirty)),
+         |ca AS (
+         |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+         |    l.l_extendedprice, l.l_returnflag,
+         |    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS l_year
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) NOT IN
+         |        (SELECT order_year FROM pl WHERE child_dirty)
+         |  UNION ALL
+         |  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+         |    l.l_extendedprice, l.l_returnflag,
+         |    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS l_year
+         |  FROM lsrc l JOIN src o ON l.l_orderkey = o.o_orderkey
+         |  WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM pl WHERE child_dirty)),
+         |paf AS (
+         |  SELECT CAST(EXTRACT(year FROM pa.o_orderdate) AS INTEGER) AS order_year,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', pa.o_orderkey, ${rowHashSql("pa")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS pa_digest
+         |  FROM pa GROUP BY 1),
+         |caf AS (
+         |  SELECT l_year AS order_year,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      ${childHashSql("ca")}, 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS ca_digest
+         |  FROM ca GROUP BY 1),
+         |orph AS (
+         |  SELECT l_year AS order_year, COUNT(*) AS n_orph
+         |  FROM ca
+         |  WHERE NOT EXISTS (SELECT 1 FROM pa WHERE pa.o_orderkey = ca.l_orderkey)
+         |  GROUP BY 1)
+         |SELECT pl.order_year, parent_dirty, child_dirty,
+         |  CASE WHEN parent_dirty THEN p_src_rows ELSE 0 END AS n_parent_copied,
+         |  CASE WHEN child_dirty THEN c_src_rows ELSE 0 END AS n_child_copied,
+         |  COALESCE(pa_digest, -1) = p_src_digest AS parent_clean_after,
+         |  COALESCE(ca_digest, -1) = c_src_digest AS child_clean_after,
+         |  COALESCE(n_orph, 0) AS n_orphans_after
+         |FROM pl
+         |LEFT JOIN paf ON pl.order_year = paf.order_year
+         |LEFT JOIN caf ON pl.order_year = caf.order_year
+         |LEFT JOIN orph ON pl.order_year = orph.order_year
          |ORDER BY pl.order_year""".stripMargin,
 
     "y15_incremental_join_view" ->

@@ -583,6 +583,62 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(q.exists(_.getAs[Boolean]("dirty")))
   }
 
+  test("Y17: child partitions follow parent dirt, both sides clean after, zero orphans") {
+    val tgtO = Tables.orders(spark, sf)
+    val tgtL = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    // year 1997: PARENT-only update (child rows untouched — the child
+    // copy there happens purely through the FK rule); year 1995:
+    // CHILD-only update (parent partition stays digest-clean — the
+    // child's own compare must flag it); every other year untouched.
+    val srcO = tgtO.withColumn("o_totalprice",
+      when(year(col("o_orderdate")) === 1997, col("o_totalprice") + 1d)
+        .otherwise(col("o_totalprice")))
+    val k95 = tgtO.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey").as("k95"))
+    val srcL = tgtL.join(k95, col("l_orderkey") === col("k95"), "left")
+      .withColumn("l_quantity",
+        when(col("k95").isNotNull, col("l_quantity") + 1d)
+          .otherwise(col("l_quantity")))
+      .drop("k95")
+    val rows = Sync.fkConsistentSync(srcO, tgtO, srcL, tgtL).collect()
+    spark.catalog.clearCache() // fkConsistentSync persists its ≤|years| plan
+    val pDirty = rows.filter(_.getAs[Boolean]("parent_dirty"))
+      .map(_.getAs[Int]("order_year")).toSet
+    val cDirty = rows.filter(_.getAs[Boolean]("child_dirty"))
+      .map(_.getAs[Int]("order_year")).toSet
+    assert(pDirty == Set(1997), s"expected only 1997 parent-dirty: $pDirty")
+    assert(cDirty == Set(1995, 1997),
+      s"child dirty set must be own dirt ∪ parent's dirt: $cDirty")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parent_clean_after"), s"parent dirty after sync: $r")
+      assert(r.getAs[Boolean]("child_clean_after"), s"child dirty after sync: $r")
+      assert(r.getAs[Long]("n_orphans_after") == 0L, s"FK orphans after sync: $r")
+    }
+    rows.filterNot(_.getAs[Boolean]("parent_dirty")).foreach(r =>
+      assert(r.getAs[Long]("n_parent_copied") == 0L,
+        "a clean parent partition was copied"))
+    rows.filterNot(_.getAs[Boolean]("child_dirty")).foreach(r =>
+      assert(r.getAs[Long]("n_child_copied") == 0L,
+        "a clean child partition was copied"))
+    // 1997's children are digest-identical on both sides; they ship
+    // anyway because their PARENT partition is dirty — the FK rule
+    val y97 = rows.find(_.getAs[Int]("order_year") == 1997).get
+    assert(y97.getAs[Long]("n_child_copied") > 0L,
+      "child partition of a parent-dirty year must ship with it")
+    // and 1995's parents stay put while its children ship
+    val y95 = rows.find(_.getAs[Int]("order_year") == 1995).get
+    assert(y95.getAs[Long]("n_parent_copied") == 0L)
+    assert(y95.getAs[Long]("n_child_copied") > 0L)
+    // the production query (full sourceView mutation) validates all-clean
+    val q = SparkEntry.queries("y17_fk_consistent_sync")(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(q.nonEmpty && q.forall(_.getAs[Boolean]("parent_clean_after")))
+    assert(q.forall(_.getAs[Boolean]("child_clean_after")))
+    assert(q.forall(_.getAs[Long]("n_orphans_after") == 0L))
+    assert(q.exists(_.getAs[Boolean]("child_dirty")))
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
