@@ -14,7 +14,7 @@ import scala.util.Random
   * and DuckDB). FuzzSuite asserts DataFrame ≡ spark.sql over 120 seeds
   * every test run — a differential check that the declarative surface
   * and the SQL surface agree on arbitrary compositions, not just the
-  * curated queries. Six fixed seeds ([[promoted]], one per shape) are
+  * curated queries. Twelve fixed seeds ([[promoted]], one per shape) are
   * first-class `SparkEntry.queries` rows, so the driver's DuckDB gate
   * cross-checks the generator's dialect parity per round.
   *
@@ -174,21 +174,42 @@ object Fuzz {
     base ++ extra
   }
 
+  /** Generator version: bumped whenever the SHAPE COUNT (or any draw
+    * order) changes, because shape = seed % n re-buckets every seed — a
+    * seed recorded under an older version silently generates a
+    * DIFFERENT query under a newer one. v1 = 6 shapes (r6), v2 = 9
+    * shapes (r7), v3 = 12 shapes (r8: temporal trunc/extract + string
+    * functions). Persist (version, seed) pairs together and replay via
+    * [[build(seed, recordedVersion)]], which fails loudly on mismatch
+    * instead of reproducing the wrong query. */
+  val generatorVersion: Int = 3
+
+  /** Replay guard for externally recorded seeds: refuses to build a
+    * seed recorded under a different generator version. */
+  def build(seed: Int, recordedVersion: Int): Built = {
+    require(recordedVersion == generatorVersion,
+      s"Fuzz.build: seed $seed was recorded under generator v$recordedVersion " +
+        s"but this build is v$generatorVersion (shape = seed % n re-bucketed); " +
+        "re-pick the seed against the current generator")
+    build(seed)
+  }
+
   /** Generate the seed's query pair. Seeds are stable forever WITHIN a
-    * shape count: the shape is seed % 9 (java.util.Random's FIRST
+    * shape count: the shape is seed % 12 (java.util.Random's FIRST
     * power-of-2 nextInt is heavily correlated across sequential seeds —
     * measured: seeds 1..40 all gave the same first nextInt(4)) and every
     * inner draw comes from `new Random(seed)` warmed up past the
     * correlated initial state. Round 7 widened 6 → 9 shapes (outer-join
-    * null propagation, grouping lattices, EXISTS/IN subqueries — the
-    * corners where engines historically disagree), which re-bucketed
-    * shape = seed % n; the promoted seeds were re-picked to keep each
-    * name on its shape. */
+    * null propagation, grouping lattices, EXISTS/IN subqueries), round 8
+    * widened 9 → 12 (date_trunc/EXTRACT temporal keys and string-function
+    * projections — the timestamp/collation corners where engine dialects
+    * drift); each widening re-buckets shape = seed % n, bumps
+    * [[generatorVersion]], and re-picks the promoted seeds. */
   def build(seed: Int): Built = {
     require(seed >= 0, s"Fuzz.build: seed must be non-negative, got $seed")
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 9) match {
+    (seed % 12) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)
@@ -357,25 +378,108 @@ object Fuzz {
           "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
             s"WHERE ${pc.sql} AND $sub",
           "subquery_semi")
+      case 9 => // date_trunc-keyed rollup under a date BETWEEN — the
+        // calendar-bucket corner (both engines must truncate the same
+        // timestamp to the same bucket boundary; 'week' is excluded:
+        // week-start conventions differ across dialects).
+        val t = pick(r, Seq(lineitemMeta, ordersMeta))
+        val (dcol, dlits) = t.dateCol.get
+        val two = r.shuffle(dlits.toList).take(2).sorted
+        val (lo, hi) = (two.head, two.last)
+        val unit = pick(r, Seq("month", "quarter", "year"))
+        val as = aggs(r, t)
+        Built(
+          (s, d) => t.load(s, d)
+            .filter(col(dcol).between(
+              lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+            .groupBy(date_trunc(unit, col(dcol)).as("bucket"))
+            .agg(as.head._2, as.tail.map(_._2): _*),
+          s"SELECT date_trunc('$unit', $dcol) AS bucket, " +
+            s"${as.map(_._1).mkString(", ")} FROM ${t.name} " +
+            s"WHERE $dcol BETWEEN CAST('$lo' AS TIMESTAMP) " +
+            s"AND CAST('$hi' AS TIMESTAMP) " +
+            s"GROUP BY date_trunc('$unit', $dcol)",
+          "temporal_trunc")
+      case 10 => // EXTRACT group keys (year / year+month / month) under a
+        // date edge + a regular predicate — EXTRACT returns different
+        // widths per dialect (Spark INT, DuckDB BIGINT), so every key is
+        // CAST to INTEGER in the shared text, same as the fz6 rn cast.
+        val t = pick(r, Seq(lineitemMeta, ordersMeta))
+        val (dcol, dlits) = t.dateCol.get
+        val dlit = pick(r, dlits)
+        val op = pick(r, Seq(">=", "<"))
+        val p = genPred(r, t, 1)
+        val parts = pick(r, Seq(Seq("YEAR"), Seq("YEAR", "MONTH"), Seq("MONTH")))
+        val as = aggs(r, t)
+        val sparkKeys = parts.map {
+          case "YEAR"  => year(col(dcol)).as("year_key")
+          case "MONTH" => month(col(dcol)).as("month_key")
+        }
+        val sqlKeys = parts.map(u =>
+          s"CAST(EXTRACT($u FROM $dcol) AS INTEGER) AS ${u.toLowerCase}_key")
+        val sqlGroup = parts.map(u => s"EXTRACT($u FROM $dcol)")
+        val dateP =
+          if (op == ">=") col(dcol) >= lit(dlit).cast("timestamp")
+          else col(dcol) < lit(dlit).cast("timestamp")
+        Built(
+          (s, d) => t.load(s, d).filter(dateP && p.col)
+            .groupBy(sparkKeys: _*).agg(as.head._2, as.tail.map(_._2): _*),
+          s"SELECT ${sqlKeys.mkString(", ")}, ${as.map(_._1).mkString(", ")} " +
+            s"FROM ${t.name} WHERE $dcol $op CAST('$dlit' AS TIMESTAMP) " +
+            s"AND ${p.sql} GROUP BY ${sqlGroup.mkString(", ")}",
+          "temporal_extract")
+      case 11 => // string-function projection under a LIKE prefix — the
+        // collation/slicing corner (substring indexing is 1-based in both
+        // dialects; LIKE is case-sensitive in both; pools are corpus-true
+        // so prefixes select real rows).
+        val t = pick(r, Seq(customerMeta, ordersMeta))
+        val sc = pick(r, t.strs)
+        val prefix = pick(r, sc.pool).take(1 + r.nextInt(3))
+        val p = genPred(r, t, 1)
+        val n = 2 + r.nextInt(4)
+        val caseFn = pick(r, Seq("upper", "lower"))
+        val caseCol = if (caseFn == "upper") upper(col(sc.name)) else lower(col(sc.name))
+        val keys = t.keys.take(2)
+        Built(
+          (s, d) => t.load(s, d)
+            .filter(col(sc.name).like(s"$prefix%") && p.col)
+            .select(keys.map(col) ++ Seq(
+              substring(col(sc.name), 1, n).as("pre"),
+              caseCol.as("cased"),
+              concat_ws("#", col(sc.name), substring(col(sc.name), 1, n))
+                .as("tagged"),
+              length(col(sc.name)).as("len")): _*),
+          s"SELECT ${keys.mkString(", ")}, " +
+            s"substring(${sc.name}, 1, $n) AS pre, " +
+            s"$caseFn(${sc.name}) AS cased, " +
+            s"concat_ws('#', ${sc.name}, substring(${sc.name}, 1, $n)) AS tagged, " +
+            // length is INT in Spark, BIGINT in DuckDB — cast unifies
+            s"CAST(length(${sc.name}) AS INTEGER) AS len " +
+            s"FROM ${t.name} WHERE ${sc.name} LIKE '$prefix%' AND ${p.sql}",
+          "string_funcs")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
-    * counts at sf0.01 (FuzzSuite prints the coverage table). These nine
-    * run through the driver's DuckDB gate every round, cross-checking
-    * the generator's dialect parity against a second engine. (Re-seeded
-    * in round 7 when the shape count went 6 → 9: shape = seed % 9, so
-    * each name needed a seed in its shape's new residue class.) */
+    * counts at sf0.01 (FuzzSuite prints the coverage table). These
+    * twelve run through the driver's DuckDB gate every round,
+    * cross-checking the generator's dialect parity against a second
+    * engine. (Re-seeded in round 8 when the shape count went 9 → 12:
+    * shape = seed % 12, so each name needed a seed in its shape's new
+    * residue class — recorded under [[generatorVersion]] 3.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 18,
-    "fz2_agg_groupby" -> 19,
-    "fz3_join_agg" -> 20,
-    "fz4_join_filter" -> 12,
-    "fz5_set_op" -> 22,
-    "fz6_window_topk" -> 14,
-    "fz7_outer_join" -> 15,
-    "fz8_grouping" -> 16,
-    "fz9_subquery" -> 35)
+    "fz1_filter_project" -> 12,
+    "fz2_agg_groupby" -> 25,
+    "fz3_join_agg" -> 14,
+    "fz4_join_filter" -> 15,
+    "fz5_set_op" -> 16,
+    "fz6_window_topk" -> 17,
+    "fz7_outer_join" -> 18,
+    "fz8_grouping" -> 19,
+    "fz9_subquery" -> 20,
+    "fz10_temporal_trunc" -> 21,
+    "fz11_temporal_extract" -> 34,
+    "fz12_string_funcs" -> 23)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

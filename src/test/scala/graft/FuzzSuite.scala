@@ -7,9 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * and shared-dialect SQL must produce the identical multiset of rows
   * and the identical schema. This amplifies the hand-authored oracle
   * corpus with generated compositions of filters, projections,
-  * aggregates, set-ops, window top-k, outer joins, grouping lattices
-  * and semi/anti subqueries; the nine promoted seeds
-  * additionally go through the driver's DuckDB gate (fz1-fz9).
+  * aggregates, set-ops, window top-k, outer joins, grouping lattices,
+  * semi/anti subqueries, temporal date_trunc/EXTRACT keys and string
+  * functions; the twelve promoted seeds additionally go through the
+  * driver's DuckDB gate (fz1-fz12).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
@@ -43,7 +44,7 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 9, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 12, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
@@ -61,11 +62,24 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       "fz6_window_topk" -> "window_topk",
       "fz7_outer_join" -> "outer_join",
       "fz8_grouping" -> "grouping",
-      "fz9_subquery" -> "subquery_semi")
+      "fz9_subquery" -> "subquery_semi",
+      "fz10_temporal_trunc" -> "temporal_trunc",
+      "fz11_temporal_extract" -> "temporal_extract",
+      "fz12_string_funcs" -> "string_funcs")
+    assert(Fuzz.promoted.keySet == want.keySet)
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
       assert(b.shape == want(name), s"$name (seed $seed) is shape ${b.shape}")
       assert(b.df(spark, sf).count() > 0, s"$name returns no rows")
     }
+  }
+
+  test("generator-version replay guard: stale recorded seeds fail loudly") {
+    // same seed, same version → identical query text
+    assert(Fuzz.build(21, Fuzz.generatorVersion).sql == Fuzz.build(21).sql)
+    // a seed recorded under the r7 generator (9 shapes) must NOT
+    // silently reproduce a different query under the current one
+    val e = intercept[IllegalArgumentException](Fuzz.build(18, 2))
+    assert(e.getMessage.contains("generator v2"))
   }
 }
