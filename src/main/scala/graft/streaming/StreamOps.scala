@@ -339,6 +339,78 @@ object StreamOps {
     * bound through the statement's own bind order, so swapping dialects
     * swaps only the `dialect` argument.
     */
+  /** Streaming SCD2 (Y7 ∘ Z3): the CDC apply with HISTORY — instead of
+    * overwriting the key's row, each applied change CLOSES the key's
+    * current version (valid_to = ver, is_current = 0; the
+    * `valid_from < ver` guard makes replay a no-op) and, for I/U, OPENS
+    * the new one via a MERGE keyed on (k, valid_from) (a replayed change
+    * re-updates the same history row instead of duplicating it). A
+    * delete closes without opening — the key's history survives, which
+    * is the point of SCD2. Cross-batch ordering is the same
+    * LatestWinsProcessor state as [[cdcToJdbc]]: a stale replayed
+    * version can neither regress the open row nor interleave history.
+    * Close batch executes before open batch; per key a micro-batch
+    * carries at most one (winning) change, so the pair is atomic within
+    * the partition's transaction. Both statement texts come from the
+    * dialect-parameterized builders (Derby e2e here; T-SQL renderings
+    * pinned offline in SyncJobSuite).
+    */
+  def cdcToJdbcScd2(changes: Dataset[Change], url: String, table: String,
+                    driver: String,
+                    dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {
+    val closeStmt = graft.sync.MergeSql.scd2Close(dialect, table, "k")
+    val openStmt = graft.sync.MergeSql.scd2Open(dialect, table, "k", "v")
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .transformWithState(new LatestWinsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.hasNext) {
+            Class.forName(driver)
+            val conn = java.sql.DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val close = conn.prepareStatement(closeStmt.sql)
+              val open = conn.prepareStatement(openStmt.sql)
+              def bind(ps: java.sql.PreparedStatement, order: Seq[String],
+                       c: Change): Unit =
+                order.zipWithIndex.foreach { case (cn, i) => cn match {
+                  case "k"   => ps.setLong(i + 1, c.k)
+                  case "v"   => ps.setString(i + 1, c.v)
+                  case "ver" => ps.setLong(i + 1, c.ver)
+                }}
+              try {
+                rows.foreach { r =>
+                  val c = Change(r.getLong(0), if (r.isNullAt(1)) null
+                    else r.getString(1), r.getString(2), r.getLong(3))
+                  c.op match {
+                    case "D" =>
+                      bind(close, closeStmt.bindOrder, c); close.addBatch()
+                    case "I" | "U" =>
+                      bind(close, closeStmt.bindOrder, c); close.addBatch()
+                      bind(open, openStmt.bindOrder, c); open.addBatch()
+                    case other =>
+                      throw new IllegalArgumentException(
+                        s"cdcToJdbcScd2: unknown changelog op '$other' for key ${c.k} " +
+                          "(expected I, U or D)")
+                  }
+                }
+                close.executeBatch(); open.executeBatch()
+                conn.commit()
+              } catch {
+                case e: Throwable =>
+                  try conn.rollback() catch { case _: Throwable => () }
+                  throw e
+              } finally { close.close(); open.close() }
+            } finally conn.close()
+          }
+        }
+      }
+  }
+
   def cdcToJdbc(changes: Dataset[Change], url: String, table: String,
                 driver: String,
                 dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {

@@ -76,4 +76,49 @@ object MergeSql {
     validate(table, Seq(key))
     Stmt(s"DELETE FROM $table WHERE $key = ?", Seq(key))
   }
+
+  /** SCD2 step 1 — close the key's current version: stamp valid_to with
+    * the incoming change's version and clear is_current. The
+    * `valid_from < ?` guard makes replay idempotent: after the change
+    * applied once, the new open row has valid_from = ver (not < ver), so
+    * re-running the same change matches nothing. is_current is SMALLINT
+    * 0/1, the one encoding Derby and T-SQL (BIT) both accept without
+    * dialect-splitting the text. Same text in both dialects. */
+  def scd2Close(dialect: Dialect, table: String, key: String): Stmt = {
+    validate(table, Seq(key))
+    Stmt(
+      s"UPDATE $table SET valid_to = ?, is_current = 0 " +
+        s"WHERE $key = ? AND is_current = 1 AND valid_from < ?",
+      Seq("ver", key, "ver"))
+  }
+
+  /** SCD2 step 2 (I/U only; a delete just closes) — open the new
+    * version: a MERGE keyed on ($key, valid_from) so a replayed change
+    * re-UPDATEs the same history row instead of duplicating it. */
+  def scd2Open(dialect: Dialect, table: String, key: String,
+               valueCol: String): Stmt = {
+    validate(table, Seq(key, valueCol))
+    val ins = s"($key, $valueCol, valid_from, valid_to, is_current)"
+    dialect match {
+      // Derby needs the NULL typed inside a MERGE INSERT branch (an
+      // untyped NULL NPEs at prepare time — type inference runs before
+      // the column binding there)
+      case Derby => Stmt(
+        s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 " +
+          s"ON t.$key = ? AND t.valid_from = ? " +
+          s"WHEN MATCHED THEN UPDATE SET $valueCol = ? " +
+          s"WHEN NOT MATCHED THEN INSERT $ins " +
+          "VALUES (?, ?, ?, CAST(NULL AS BIGINT), 1)",
+        Seq(key, "ver", valueCol, key, valueCol, "ver"))
+      // HOLDLOCK for the same documented upsert race as [[upsert]]
+      case TSql => Stmt(
+        s"MERGE INTO $table WITH (HOLDLOCK) AS t " +
+          s"USING (VALUES (?, ?, ?)) AS s ($key, $valueCol, valid_from) " +
+          s"ON t.$key = s.$key AND t.valid_from = s.valid_from " +
+          s"WHEN MATCHED THEN UPDATE SET $valueCol = s.$valueCol " +
+          s"WHEN NOT MATCHED THEN INSERT $ins " +
+          s"VALUES (s.$key, s.$valueCol, s.valid_from, NULL, 1);",
+        Seq(key, valueCol, "ver"))
+    }
+  }
 }

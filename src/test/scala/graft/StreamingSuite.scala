@@ -398,6 +398,134 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Streaming SCD2: CDC stream maintains history in Derby; restart + full redelivery idempotent") {
+    // Y7 ∘ Z3 (r8): the CDC lifecycle with HISTORY — each applied change
+    // closes the key's current version and opens the new one, a delete
+    // closes without opening. Then the strongest replay law available
+    // offline: rerun the ENTIRE changelog with a FRESH checkpoint (state
+    // store empty — simulating total redelivery past the latest-wins
+    // guard) and assert the history table is byte-identical, which only
+    // holds if the close guard (valid_from < ver) and the (k, valid_from)
+    // open-MERGE key make every statement a no-op on replay.
+    val spark0 = spark
+    import spark0.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val url = s"jdbc:derby:$base/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        "CREATE TABLE hist (k BIGINT, v VARCHAR(32), valid_from BIGINT, " +
+          "valid_to BIGINT, is_current SMALLINT, PRIMARY KEY (k, valid_from))")
+      conn.createStatement().execute(
+        "INSERT INTO hist VALUES (1, 'a0', 0, NULL, 1)")
+      conn.close()
+      def runOnce(ck: String): Unit = {
+        val src = spark.readStream
+          .schema("k LONG, v STRING, op STRING, ver LONG").json(in)
+          .as[StreamOps.Change]
+        val q = StreamOps.cdcToJdbcScd2(src, url, "hist", driver)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(120000), "SCD2 query did not self-terminate")
+      }
+      def hist(): Set[(Long, String, Long, Long, Int)] = spark.read.format("jdbc")
+        .options(Map("url" -> url, "dbtable" -> "hist", "driver" -> driver))
+        .load().collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getAs[Number](4).intValue)).toSet
+      // phase 1: update k=1 (ver 2); insert+update k=3 — the intra-batch
+      // latest-wins guard must apply ONLY ver 3 (one history row, not two)
+      Seq(StreamOps.Change(1, "a1", "U", 2), StreamOps.Change(3, "c1", "I", 1),
+          StreamOps.Change(3, "c2", "U", 3))
+        .toDF().coalesce(1).write.mode("append").json(in)
+      runOnce(s"$base/ck")
+      assert(hist() == Set(
+        (1L, "a0", 0L, 2L, 0), (1L, "a1", 2L, -1L, 1),
+        (3L, "c2", 3L, -1L, 1)), s"phase-1 history wrong: ${hist()}")
+      // phase 2 lands while the query is DOWN: a stale version for k=1
+      // (checkpoint-recovered state must suppress it), a new key k=2,
+      // a delete of k=3 (closes its history, keeps it)
+      Seq(StreamOps.Change(1, "aSTALE", "U", 1), StreamOps.Change(2, "b1", "I", 4),
+          StreamOps.Change(3, null, "D", 5))
+        .toDF().coalesce(1).write.mode("append").json(in)
+      runOnce(s"$base/ck")
+      val expected = Set(
+        (1L, "a0", 0L, 2L, 0), (1L, "a1", 2L, -1L, 1),
+        (2L, "b1", 4L, -1L, 1),
+        (3L, "c2", 3L, 5L, 0))
+      assert(hist() == expected, s"phase-2 history wrong: ${hist()}")
+      // full-redelivery idempotence: fresh checkpoint, every file replays
+      runOnce(s"$base/ck2")
+      assert(hist() == expected,
+        "replaying the whole changelog changed the history — SCD2 apply is not idempotent")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("CDC MERGE idempotence law: full redelivery of the changelog is a no-op") {
+    // r8 verdict item 5: the plain (non-SCD2) cdcToJdbc MERGE/DELETE
+    // path replayed from scratch — fresh checkpoint, empty state store,
+    // same files — must leave the target exactly as the first run did:
+    // MERGE re-updates to identical values, DELETE of an absent key is
+    // a no-op. This is what makes task retry + restart redelivery safe.
+    val spark0 = spark
+    import spark0.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_idem").toString
+      val in = s"$base/in"
+      new java.io.File(in).mkdirs()
+      val url = s"jdbc:derby:$base/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        "CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR(32), ver BIGINT)")
+      conn.close()
+      def runOnce(ck: String): Unit = {
+        val src = spark.readStream
+          .schema("k LONG, v STRING, op STRING, ver LONG").json(in)
+          .as[StreamOps.Change]
+        val q = StreamOps.cdcToJdbc(src, url, "t", driver)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(120000), "CDC query did not self-terminate")
+      }
+      def target(): Map[Long, (String, Long)] = spark.read.format("jdbc")
+        .options(Map("url" -> url, "dbtable" -> "t", "driver" -> driver))
+        .load().collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      Seq(StreamOps.Change(1, "a1", "I", 1), StreamOps.Change(2, "b1", "I", 2),
+          StreamOps.Change(1, "a2", "U", 3), StreamOps.Change(2, null, "D", 4))
+        .toDF().coalesce(1).write.mode("append").json(in)
+      runOnce(s"$base/ck")
+      val once = target()
+      assert(once == Map(1L -> ("a2", 3L)), s"first apply wrong: $once")
+      runOnce(s"$base/ck2") // full redelivery, fresh state
+      assert(target() == once,
+        "replaying the same changelog changed the target — MERGE path not idempotent")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("T7b transformWithState sessionize (RocksDB state store, event-time timers)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -321,4 +321,39 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
       MergeSql.upsert(MergeSql.Derby, "kv", "k", Seq("v FROM x--"))
     }
   }
+
+  test("MergeSql SCD2: close/open renderings pinned offline, both dialects") {
+    import graft.sync.MergeSql
+    // close is dialect-shared; the valid_from < ? guard is the replay
+    // idempotence mechanism — pin it so a refactor can't drop it
+    val c = MergeSql.scd2Close(MergeSql.TSql, "dbo.hist", "k")
+    assert(c.sql ==
+      "UPDATE dbo.hist SET valid_to = ?, is_current = 0 " +
+        "WHERE k = ? AND is_current = 1 AND valid_from < ?")
+    assert(c.bindOrder == Seq("ver", "k", "ver"))
+    assert(MergeSql.scd2Close(MergeSql.Derby, "hist", "k").sql ==
+      "UPDATE hist SET valid_to = ?, is_current = 0 " +
+        "WHERE k = ? AND is_current = 1 AND valid_from < ?")
+    // open MERGEs on (k, valid_from) so replay re-updates, not duplicates
+    val t = MergeSql.scd2Open(MergeSql.TSql, "dbo.hist", "k", "v")
+    assert(t.sql ==
+      "MERGE INTO dbo.hist WITH (HOLDLOCK) AS t " +
+        "USING (VALUES (?, ?, ?)) AS s (k, v, valid_from) " +
+        "ON t.k = s.k AND t.valid_from = s.valid_from " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, valid_from, valid_to, is_current) " +
+        "VALUES (s.k, s.v, s.valid_from, NULL, 1);")
+    assert(t.bindOrder == Seq("k", "v", "ver"))
+    val d = MergeSql.scd2Open(MergeSql.Derby, "hist", "k", "v")
+    assert(d.sql ==
+      "MERGE INTO hist t USING SYSIBM.SYSDUMMY1 " +
+        "ON t.k = ? AND t.valid_from = ? " +
+        "WHEN MATCHED THEN UPDATE SET v = ? " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, valid_from, valid_to, is_current) " +
+        "VALUES (?, ?, ?, CAST(NULL AS BIGINT), 1)")
+    assert(d.bindOrder == Seq("k", "ver", "v", "k", "v", "ver"))
+    intercept[IllegalArgumentException] {
+      MergeSql.scd2Open(MergeSql.TSql, "hist", "k", "v; DROP TABLE x")
+    }
+  }
 }
