@@ -163,6 +163,58 @@ object LlmPipeline {
     cb
   }
 
+  /** TWO Lloyd trainings (full corpus + a flagged sample) fused into ONE
+    * corpus pass per iteration — l4d's audit needs both codebooks, and
+    * run separately they cost 2 seed collects + 2 assign-agg jobs per
+    * iteration of driver-sequential latency (measured: the sample arm
+    * added ~0.6 s at sf0.1, almost all job overhead, not compute). Here
+    * each iteration scores every row against the full-arm codebook and —
+    * only for sample rows, CaseWhen keeps the argmax lazy — against the
+    * sample-arm codebook, expands to (arm, cent_id) pairs, and one
+    * grouped agg + one collect yields both next codebooks. The per-arm
+    * means are the same round(avg(double), 6) over the same row sets as
+    * two separate [[lloydCodebook]] runs, so the codebooks (and the
+    * oracle twin's CTE chain) are bit-identical. Seeds come from one
+    * pruned vec_id<16 scan carrying the sample flag. */
+  private def lloydCodebookPair(e: DataFrame, inSample: Column,
+                                iters: Int): (Codebook, Codebook) = {
+    val seedRows = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v"), inSample.as("s")).collect()
+      .map { r =>
+        val cv = r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }.toArray
+        (r.getLong(0), cv, r.getBoolean(2))
+      }.sortBy(_._1)
+    var cbF: Codebook = seedRows.map(t => (t._1, t._2))
+    var cbS: Codebook = seedRows.filter(_._3).map(t => (t._1, t._2))
+    for (_ <- 1 to iters) {
+      val fCell = bestCell(col("v"), cbF).getField("cent_id")
+      val sCell = bestCell(col("v"), cbS).getField("cent_id")
+      val means = (0 until Dim).map(i =>
+        round(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
+      val rows = e.select(col("v"), explode(filter(array(
+            struct(lit(0).as("arm"), fCell.as("cent_id")),
+            struct(lit(1).as("arm"), when(inSample, sCell).as("cent_id"))),
+          x => x.getField("cent_id").isNotNull)).as("ac"))
+        .groupBy(col("ac.arm").as("arm"), col("ac.cent_id").as("cent_id"))
+        .agg(means.head, means.tail: _*)
+        .select(col("arm"), col("cent_id"),
+          array((0 until Dim).map(i => col(s"m$i")): _*).as("cv"))
+        .collect()
+      def arm(a: Int): Codebook = rows.filter(_.getInt(0) == a).map { r =>
+        (r.getLong(1), r.getSeq[Any](2).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.sortBy(_._1)
+      cbF = arm(0)
+      cbS = arm(1)
+    }
+    (cbF, cbS)
+  }
+
   /** Codebook quantization quality: mean over the corpus of each
     * vector's cosine to its assigned (nearest) centroid — THE metric
     * Lloyd provably improves, and the one l4d's audit should trust on a
@@ -808,7 +860,13 @@ object LlmPipeline {
       // three Lloyd trainings, two searches, three quality scans) —
       // persist the (vec_id, v) projection so the parquet is scanned once
       // (Verify/Bench sweep unpersists after each query)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      // in_sample (the l13 md5-bucket idiom) is computed ONCE into the
+      // cached projection: every later pass filters a cached boolean
+      // instead of re-hashing per row
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").as("v"),
+          (conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2 === 0).as("in_sample"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -824,18 +882,17 @@ object LlmPipeline {
       // both probe depths per codebook in ONE scored pass each
       // (ivfMatchesBoth) — 2 search passes instead of 4
       val seed = seedCodebook(e)
-      val trained = lloydCodebook(e, LloydIters)
       // the 100 TB training arm: Lloyd over a DETERMINISTIC md5-bucket
       // ~50% sample (the l13 idiom — subset-stable, engine-identical, so
       // the same vectors train at every SF), quantization still measured
       // over the FULL corpus. This is the audit's "does sample training
       // suffice" column: at 100 TB nobody runs Lloyd over the corpus, so
       // quant_sampled ≈ quant_trained is the evidence that the sample
-      // path (the only one that scales) loses nothing.
-      val es = e.filter(
-        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 2 === 0)
-      val sampled = lloydCodebook(es, LloydIters)
+      // path (the only one that scales) loses nothing. Both trainings
+      // run FUSED — one assign-agg job per iteration emits both
+      // codebooks (bit-identical to separate runs; see lloydCodebookPair)
+      val (trained, sampled) = lloydCodebookPair(e, col("in_sample"), LloydIters)
+      val es = e.filter(col("in_sample"))
       val seedM = ivfMatchesBoth(e, seed)
         .select(col("qid"), col("m1").as("ivf1_id"), col("m2").as("ivf2_id"))
       val trainM = ivfMatchesBoth(e, trained)

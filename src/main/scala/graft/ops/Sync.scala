@@ -272,7 +272,12 @@ object Sync {
     * selectivity and the −1 sentinel branches sourceView's all-years
     * mutation cannot). The |years|-row plan is persisted: it feeds the
     * dirty-set semi/anti joins AND the final join, and without the pin
-    * the two fact rollups would replan per consumer. */
+    * the two fact rollups would replan per consumer. The pin cannot be
+    * released inside this function (the returned DataFrame is lazy and
+    * still reads it) — Bench/Verify sweep caches after every query;
+    * direct library callers should `spark.catalog.clearCache()` (or
+    * unpersist the plan) after materializing the result, as the
+    * OperatorSuite tests do. */
   def dirtyPartitionSync(src: DataFrame, tgt: DataFrame): DataFrame = {
     val plan = partitionSide(src, "src_rows", "src_digest")
       .join(partitionSide(tgt, "tgt_rows", "tgt_digest"),

@@ -563,6 +563,7 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
         when(year(col("o_orderdate")) === 1997, col("o_totalprice") + 1d)
           .otherwise(col("o_totalprice")))
     val rows = Sync.dirtyPartitionSync(src, tgt).collect()
+    spark.catalog.clearCache() // release the engine's ≤|years| plan pin
     assert(rows.forall(_.getAs[Boolean]("clean_after")),
       s"a partition stayed dirty after the selective sync: ${rows.toSeq}")
     val dirtyYears = rows.filter(_.getAs[Boolean]("dirty"))
@@ -579,6 +580,7 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(vanished.getAs[Boolean]("clean_after"))
     // and the production query (over sourceView) still validates all-clean
     val q = SparkEntry.queries("y16_dirty_partition_sync")(spark, sf).collect()
+    spark.catalog.clearCache()
     assert(q.nonEmpty && q.forall(_.getAs[Boolean]("clean_after")))
     assert(q.exists(_.getAs[Boolean]("dirty")))
   }

@@ -169,7 +169,12 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
         rows = spark.table("t7c").collect()
       }
       val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
-      assert(u1.length == 1, s"idle user 1 must flush exactly once: ${rows.toSeq}")
+      // on timeout, report the query's own progress: a host stall shows
+      // up as batches still advancing (durationMs inflated) vs a real
+      // timer regression where batches run but never emit the flush
+      assert(u1.length == 1,
+        s"idle user 1 must flush exactly once: ${rows.toSeq}; " +
+          s"lastProgress=${Option(q.lastProgress).map(_.json).getOrElse("none")}")
       assert(u1.head.getAs[Int]("n_events") == 2)
       assert(u1.head.getAs[Double]("total_value") == 3.0)
     } finally q.stop()
