@@ -404,4 +404,16 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(p.contains("approx_count_distinct"), s"HLL sketch aggregate missing:\n$p")
     assert(!p.contains("Expand"), s"approx profile must not plan an Expand:\n$p")
   }
+
+  test("Y17: FK sync broadcasts the dirty-year sets, never a cartesian") {
+    // the copy pruning must ship only the ≤|years| dirty sets to the
+    // fact/child scans (a shuffled year-join or a cartesian here scans
+    // or exchanges the fact tables at 100 TB); the FK year-derivation
+    // and orphan-audit joins are equi-joins on the key
+    val p = plan("y17_fk_consistent_sync")
+    assert(p.contains("BroadcastHashJoin"), s"dirty-set broadcast missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the FK sync:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback join in the FK sync:\n$p")
+  }
 }
