@@ -663,8 +663,98 @@ object Sync {
         (sum(when(col("mult") > 1, 1).otherwise(0)) === 0 &&
           sum(when(col("l_orderkey").isNull, lit(1)).otherwise(0)) === 0)
           .as("pk_valid"))
+    }),
+
+    // Y18: CDC changelog COMPACTION (r8) — replaying a long change feed
+    // row-by-row is the slow path; a sync utility first collapses each
+    // key's op-sequence to its net effect and applies ONE change per
+    // key. Classification needs only the FIRST and LAST op per key:
+    // I···D annihilates (the key was born and died inside the window —
+    // a consistent base never saw it, so there is nothing to apply);
+    // first=I → net I with the latest payload; last=D → net D;
+    // anything else → net U. That is one two-phase min_by/max_by
+    // hash-agg — no window, no sort, no join — and the output is
+    // bounded by |keys|, not |changes|: at 100 TB of changelog this is
+    // the same partial/final rollup shape as any aggregate, and the
+    // compacted set is what the (expensive) MERGE actually ships. LAW
+    // in OperatorSuite: applying the compacted log to a consistent base
+    // ≡ applying the full log.
+    "y18_changelog_compact" -> ((s, d) =>
+      changeLog(s, d).groupBy("pk").agg(
+          min_by(col("op"), col("version")).as("first_op"),
+          max_by(col("op"), col("version")).as("last_op"),
+          max_by(col("payload_type"), col("version")).as("last_type"),
+          max_by(col("payload_value"), col("version")).as("last_value"),
+          max(col("version")).as("last_version"),
+          count(lit(1)).as("n_ops"))
+        .filter(!(col("first_op") === "I" && col("last_op") === "D"))
+        .select(col("pk"),
+          when(col("first_op") === "I", "I")
+            .when(col("last_op") === "D", "D")
+            .otherwise("U").as("net_op"),
+          col("last_type"), col("last_value"), col("last_version"),
+          col("n_ops"))),
+
+    // Y19: changelog hygiene AUDIT (r8) — the checks a CDC consumer
+    // runs BEFORE trusting a feed: (a) updates arriving after a delete
+    // with no re-insert (applying them would resurrect a tombstone),
+    // (b) event time running backwards against the version order
+    // (clock skew / replay — ordering by version and by time disagree),
+    // and (c) keys with multiple changes inside one batch-date slot —
+    // when a feed's effective version is a batch date (a daily extract),
+    // latest-wins inside the slot is ambiguous and y4/y18 need the
+    // fine-grained tie-break. One lag-window pass ordered by version +
+    // one (pk, day) rollup, both equi-shuffles on pk; global rollups of
+    // each are single rows, so the final crossJoin is trivial.
+    "y19_changelog_audit" -> ((s, d) => {
+      val log = changeLog(s, d)
+      val w = Window.partitionBy("pk").orderBy("version")
+      val seqAgg = log
+        .withColumn("prev_op", lag(col("op"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .agg(
+          countDistinct(col("pk")).as("n_keys"),
+          sum(when(col("prev_op") === "D" && col("op") === "U", 1)
+            .otherwise(0)).cast("long").as("n_upd_after_del"),
+          sum(when(col("prev_ts") > col("ts"), 1).otherwise(0)).cast("long")
+            .as("n_ts_inversions"))
+      val dupAgg = log
+        .groupBy(col("pk"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("mult"))
+        .agg(
+          sum(when(col("mult") > 1, 1).otherwise(0)).cast("long")
+            .as("n_dup_day_slots"),
+          countDistinct(when(col("mult") > 1, col("pk")))
+            .as("n_dup_day_keys"))
+      seqAgg.crossJoin(dupAgg)
     })
   )
+
+  /** Events recast as a CDC changelog (pk, op, version, payload):
+    * signup → I, error → D (tombstone), everything else → U; version =
+    * event_id (unique and arrival-ordered, so latest-wins is
+    * deterministic). Kept in lockstep with [[logCte]]. */
+  def changeLog(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id").as("pk"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("op"),
+      col("event_id").as("version"),
+      col("event_type").as("payload_type"),
+      col("value").as("payload_value"),
+      col("ts"))
+
+  /** Same changelog recast as a DuckDB CTE (lockstep with [[changeLog]]). */
+  private val logCte =
+    """lg AS (
+      |  SELECT user_id AS pk,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D'
+      |         ELSE 'U' END AS op,
+      |    event_id AS version, event_type AS payload_type,
+      |    value AS payload_value, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)""".stripMargin
 
   private val evCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
@@ -1021,7 +1111,50 @@ object Sync {
          |  lead(ts, 1) OVER w IS NULL AS is_current
          |FROM ev
          |WHERE event_type IN ('signup', 'purchase', 'error')
-         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "y18_changelog_compact" ->
+      s"""WITH $logCte,
+         |c AS (
+         |  SELECT pk,
+         |    arg_min(op, version) AS first_op,
+         |    arg_max(op, version) AS last_op,
+         |    arg_max(payload_type, version) AS last_type,
+         |    arg_max(payload_value, version) AS last_value,
+         |    MAX(version) AS last_version,
+         |    COUNT(*) AS n_ops
+         |  FROM lg GROUP BY pk)
+         |SELECT pk,
+         |  CASE WHEN first_op = 'I' THEN 'I'
+         |       WHEN last_op = 'D' THEN 'D'
+         |       ELSE 'U' END AS net_op,
+         |  last_type, last_value, last_version, n_ops
+         |FROM c
+         |WHERE NOT (first_op = 'I' AND last_op = 'D')""".stripMargin,
+
+    "y19_changelog_audit" ->
+      s"""WITH $logCte,
+         |sq AS (
+         |  SELECT pk, op, ts,
+         |    LAG(op) OVER (PARTITION BY pk ORDER BY version) AS prev_op,
+         |    LAG(ts) OVER (PARTITION BY pk ORDER BY version) AS prev_ts
+         |  FROM lg),
+         |sa AS (
+         |  SELECT COUNT(DISTINCT pk) AS n_keys,
+         |    CAST(SUM(CASE WHEN prev_op = 'D' AND op = 'U' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_upd_after_del,
+         |    CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ts_inversions
+         |  FROM sq),
+         |dm AS (
+         |  SELECT pk, date_trunc('day', ts) AS day, COUNT(*) AS mult
+         |  FROM lg GROUP BY 1, 2),
+         |da AS (
+         |  SELECT CAST(SUM(CASE WHEN mult > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_day_slots,
+         |    COUNT(DISTINCT CASE WHEN mult > 1 THEN pk END) AS n_dup_day_keys
+         |  FROM dm)
+         |SELECT * FROM sa CROSS JOIN da""".stripMargin
   )
 
   /** Y9 kernel, public: maintain a per-`key` summary (sum of `value`,

@@ -641,6 +641,39 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(q.exists(_.getAs[Boolean]("child_dirty")))
   }
 
+  test("Y18 law: applying the compacted changelog equals applying the full log") {
+    val log = Sync.changeLog(spark, sf)
+    // A CONSISTENT base: exactly the keys whose first in-window op is
+    // not an insert pre-exist (first=I means the key was born inside
+    // the window — a base that already held it would make the feed
+    // itself inconsistent, and I···D annihilation unsound).
+    val base = log.groupBy("pk")
+      .agg(min_by(col("op"), col("version")).as("first_op"))
+      .filter(col("first_op") =!= "I")
+      .select(col("pk"), lit("base").as("payload_type"),
+              lit(0.0).as("payload_value"))
+    // full replay: latest op per key wins; D removes, I/U upsert
+    val last = log.groupBy("pk").agg(
+      max_by(col("op"), col("version")).as("op"),
+      max_by(col("payload_type"), col("version")).as("payload_type"),
+      max_by(col("payload_value"), col("version")).as("payload_value"))
+    val fullApply = base.join(last, Seq("pk"), "left_anti")
+      .unionByName(last.filter(col("op") =!= "D").drop("op"))
+    // compacted apply: net I/U upsert, net D removes, annihilated keys
+    // (absent from the compacted set) leave the base untouched
+    val compacted = SparkEntry.queries("y18_changelog_compact")(spark, sf)
+    val compactApply = base.join(compacted, Seq("pk"), "left_anti")
+      .unionByName(compacted.filter(col("net_op") =!= "D")
+        .select(col("pk"), col("last_type").as("payload_type"),
+                col("last_value").as("payload_value")))
+    assert(fullApply.exceptAll(compactApply).isEmpty &&
+           compactApply.exceptAll(fullApply).isEmpty,
+      "compacted apply diverged from full replay")
+    // and compaction genuinely compacts: one row per surviving key
+    val c = compacted.groupBy("pk").count().filter(col("count") > 1).count()
+    assert(c == 0L, "compaction emitted multiple rows for a key")
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
