@@ -304,6 +304,84 @@ object Sync {
       .orderBy("order_year")
   }
 
+  /** Deterministic LOCALIZED-churn view of orders — y20's source side.
+    * Mutations are confined to two calendar months (March: every 7th
+    * order's price/status drifts; November: every 10th order vanishes)
+    * so hierarchical narrowing has something to narrow TO — sourceView's
+    * all-partition churn would mark every month dirty and hide the
+    * point of the drill-down. */
+  def monthDriftView(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(!(month(col("o_orderdate")) === 11 && col("o_orderkey") % 10 === 0))
+      .withColumn("o_totalprice",
+        when(month(col("o_orderdate")) === 3 && col("o_orderkey") % 7 === 0,
+          col("o_totalprice") + 1000d).otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(month(col("o_orderdate")) === 3 && col("o_orderkey") % 7 === 0,
+          lit("F")).otherwise(col("o_orderstatus")))
+
+  /** Same localized mutation as a DuckDB CTE (lockstep with
+    * [[monthDriftView]]). */
+  val monthDriftCte: String =
+    """mdr AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN EXTRACT(month FROM o_orderdate) = 3 AND o_orderkey % 7 = 0
+      |         THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN EXTRACT(month FROM o_orderdate) = 3 AND o_orderkey % 7 = 0
+      |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders
+      |  WHERE NOT (EXTRACT(month FROM o_orderdate) = 11 AND o_orderkey % 10 = 0))""".stripMargin
+
+  /** y20 engine: HIERARCHICAL digest narrowing — the rsync/Merkle
+    * algorithm on tables. Level 1 is y12's per-year (count, digest)
+    * rollup on both sides; only the years whose level-1 cells disagree
+    * are re-scanned at (year, month) grain, so the shipped unit shrinks
+    * from a year-partition to a month-partition wherever churn is
+    * localized. At 100 TB with a date-partitioned layout the level-2
+    * scan touches ONLY dirty-year partitions (the ≤|years| dirty set
+    * broadcasts into a semi-join the scan can prune on) and the copy
+    * plan that comes out is 12× finer than y16's for point churn —
+    * recursing the same split (month → day) is the standard next step
+    * and needs no new machinery. The |years|-row level-1 plan is
+    * persisted (it feeds both level-2 sides); as with
+    * [[dirtyPartitionSync]], callers outside Bench/Verify should
+    * `spark.catalog.clearCache()` after materializing the result. */
+  def hierarchicalDigestNarrow(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val plan = partitionSide(src, "src_rows", "src_digest")
+      .join(partitionSide(tgt, "tgt_rows", "tgt_digest"),
+        Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        (!(coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
+           coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L))))
+          .as("year_dirty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirtyYears = plan.filter(col("year_dirty")).select(col("order_year"))
+    def monthSide(df: DataFrame, rows: String, dig: String) = {
+      val keyedHash = md5(concat_ws("|",
+        col("o_orderkey"), rowHash(c => col(c))))
+      df.join(broadcast(dirtyYears),
+          year(col("o_orderdate")) === col("order_year"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as(rows),
+          sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
+            .cast("long"), lit(1000000000L))).as(dig))
+    }
+    monthSide(src, "src_rows", "src_digest")
+      .join(monthSide(tgt, "tgt_rows", "tgt_digest"),
+        Seq("order_year", "order_month"), "full_outer")
+      .select(col("order_year"), col("order_month"),
+        (!(coalesce(col("src_rows"), lit(0L)) === coalesce(col("tgt_rows"), lit(0L)) &&
+           coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-1L))))
+          .as("month_dirty"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"))
+      .select(col("order_year"), col("order_month"), col("month_dirty"),
+        when(col("month_dirty"), col("src_rows")).otherwise(lit(0L))
+          .as("n_ship_rows"))
+      .orderBy("order_year", "order_month")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Y1: schema introspection — StructType surfaced as rows (JDBC-side
@@ -727,7 +805,16 @@ object Sync {
           countDistinct(when(col("mult") > 1, col("pk")))
             .as("n_dup_day_keys"))
       seqAgg.crossJoin(dupAgg)
-    })
+    }),
+
+    // Y20: hierarchical digest NARROWING (r8) — year-level Merkle compare
+    // drills into month grain for dirty years only; see
+    // [[hierarchicalDigestNarrow]]. Driven by the localized
+    // monthDriftView churn (March updates, November deletes) so the
+    // output demonstrates real narrowing: every year is level-1 dirty,
+    // but only 2 of its 12 months ship.
+    "y20_hierarchical_narrow" -> ((s, d) =>
+      hierarchicalDigestNarrow(monthDriftView(s, d), Tables.orders(s, d)))
   )
 
   /** Events recast as a CDC changelog (pk, op, version, payload):
@@ -1154,7 +1241,62 @@ object Sync {
          |      AS n_dup_day_slots,
          |    COUNT(DISTINCT CASE WHEN mult > 1 THEN pk END) AS n_dup_day_keys
          |  FROM dm)
-         |SELECT * FROM sa CROSS JOIN da""".stripMargin
+         |SELECT * FROM sa CROSS JOIN da""".stripMargin,
+
+    "y20_hierarchical_narrow" ->
+      s"""WITH $monthDriftCte,
+         |ys AS (
+         |  SELECT CAST(EXTRACT(year FROM mdr.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', mdr.o_orderkey, ${rowHashSql("mdr")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS src_digest
+         |  FROM mdr GROUP BY 1),
+         |yt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS tgt_digest
+         |  FROM orders GROUP BY 1),
+         |yd AS (
+         |  SELECT COALESCE(ys.order_year, yt.order_year) AS order_year,
+         |    NOT (COALESCE(src_rows, 0) = COALESCE(tgt_rows, 0) AND
+         |         COALESCE(src_digest, -1) = COALESCE(tgt_digest, -1)) AS year_dirty
+         |  FROM ys FULL OUTER JOIN yt ON ys.order_year = yt.order_year),
+         |ms AS (
+         |  SELECT CAST(EXTRACT(year FROM mdr.o_orderdate) AS INTEGER) AS order_year,
+         |    CAST(EXTRACT(month FROM mdr.o_orderdate) AS INTEGER) AS order_month,
+         |    COUNT(*) AS src_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', mdr.o_orderkey, ${rowHashSql("mdr")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS src_digest
+         |  FROM mdr
+         |  WHERE CAST(EXTRACT(year FROM mdr.o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM yd WHERE year_dirty)
+         |  GROUP BY 1, 2),
+         |mt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    CAST(EXTRACT(month FROM orders.o_orderdate) AS INTEGER) AS order_month,
+         |    COUNT(*) AS tgt_rows,
+         |    CAST(SUM(CAST(concat('0x', substr(
+         |      md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15)) AS BIGINT)
+         |      % 1000000000) AS BIGINT) AS tgt_digest
+         |  FROM orders
+         |  WHERE CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM yd WHERE year_dirty)
+         |  GROUP BY 1, 2),
+         |ml AS (
+         |  SELECT COALESCE(ms.order_year, mt.order_year) AS order_year,
+         |    COALESCE(ms.order_month, mt.order_month) AS order_month,
+         |    NOT (COALESCE(ms.src_rows, 0) = COALESCE(mt.tgt_rows, 0) AND
+         |         COALESCE(ms.src_digest, -1) = COALESCE(mt.tgt_digest, -1)) AS month_dirty,
+         |    COALESCE(ms.src_rows, 0) AS src_rows
+         |  FROM ms FULL OUTER JOIN mt
+         |    ON ms.order_year = mt.order_year AND ms.order_month = mt.order_month)
+         |SELECT order_year, order_month, month_dirty,
+         |  CASE WHEN month_dirty THEN src_rows ELSE 0 END AS n_ship_rows
+         |FROM ml ORDER BY order_year, order_month""".stripMargin
   )
 
   /** Y9 kernel, public: maintain a per-`key` summary (sum of `value`,

@@ -683,4 +683,27 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     Seq("b25_ok", "b50_ok", "b75_ok").foreach(c =>
       assert(r.getAs[Boolean](c), s"sketch verdict $c false at $sf"))
   }
+
+  test("Y20: narrowing flags exactly the mutated months; clean months ship nothing") {
+    val res = SparkEntry.queries("y20_hierarchical_narrow")(spark, sf).collect()
+    spark.catalog.clearCache() // hierarchicalDigestNarrow persists its level-1 plan
+    // ground truth recomputed from the data: a month is dirty iff the
+    // monthDriftView mutation actually touched a row in it
+    val expected = Tables.orders(spark, sf).filter(
+        (month(col("o_orderdate")) === 3 && col("o_orderkey") % 7 === 0) ||
+        (month(col("o_orderdate")) === 11 && col("o_orderkey") % 10 === 0))
+      .select(year(col("o_orderdate")), month(col("o_orderdate")))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val dirty = res.filter(_.getAs[Boolean]("month_dirty"))
+      .map(r => (r.getAs[Int]("order_year"), r.getAs[Int]("order_month"))).toSet
+    assert(dirty == expected,
+      s"dirty-month set diverged from the mutation: got $dirty, want $expected")
+    res.filterNot(_.getAs[Boolean]("month_dirty")).foreach(r =>
+      assert(r.getAs[Long]("n_ship_rows") == 0L,
+        s"a clean month was shipped: $r"))
+    // the point of the drill-down: localized churn leaves most months clean
+    assert(res.count(!_.getAs[Boolean]("month_dirty")) >
+           res.count(_.getAs[Boolean]("month_dirty")),
+      "narrowing should leave most months clean under localized churn")
+  }
 }

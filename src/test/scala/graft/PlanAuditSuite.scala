@@ -416,4 +416,21 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"non-equi fallback join in the FK sync:\n$p")
   }
+
+  test("Y20: month-level rescan is semi-join-pruned on the broadcast dirty-year set") {
+    // the whole point of hierarchical narrowing: the finer-grain scan
+    // must be gated by the ≤|years| level-1 dirty set shipped as a
+    // broadcast LeftSemi (at 100 TB with date-partitioned layout this
+    // is the join partition pruning hangs off); a shuffled year-join or
+    // a non-equi fallback would re-exchange the fact table at full width
+    val p = plan("y20_hierarchical_narrow")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"broadcast semi-join gate on dirty years missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the narrowing plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback join in the narrowing plan:\n$p")
+    // level 1 is computed once and feeds both level-2 sides via the cache
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"level-1 year plan should be shared (persisted), not recomputed per side:\n$p")
+  }
 }
