@@ -382,7 +382,97 @@ object Sync {
       .orderBy("order_year", "order_month")
   }
 
+  /** y21 engine: retention-aware sync planning — change tracking's
+    * min-valid-version contract (MS-SQL's
+    * CHANGE_TRACKING_MIN_VALID_VERSION, Debezium/ Kafka topic retention:
+    * the same shape everywhere). A changelog feed is only usable when it
+    * still reaches back to the target's last-synced version: entries
+    * older than the retention horizon are PURGED, so an incremental
+    * apply from a stale target silently misses the purged changes —
+    * worst case it resurrects a deleted row whose tombstone aged out.
+    * The only correct move then is a full snapshot re-diff. This is that
+    * decision operator: compare (targetVersion, minValidVersion), then
+    * execute the chosen arm:
+    *  - INCREMENTAL (target still inside the horizon): latest-wins tail
+    *    (version > targetVersion) of the available log merged over
+    *    targetState — y5's merge shape plus tombstone deletes; one PK
+    *    shuffle over |tail| + |target|, never a source rescan.
+    *  - FULL_RESYNC (target older than the horizon): recompute from the
+    *    source of truth; targetState and the (gappy) log are not
+    *    trusted at all. At 100 TB this is the expensive arm — which is
+    *    exactly why the decision must be explicit, not implicit.
+    * Both arms return the same (pk, last_type, last_value) schema so the
+    * downstream MERGE is arm-agnostic. LAW (OperatorSuite): a target
+    * older than the horizon never applies a partial log — the chosen
+    * arm's output equals the full recompute even when the incremental
+    * arm, forced, would diverge. */
+  def retentionSync(sourceState: DataFrame, targetState: DataFrame,
+                    availableLog: DataFrame,
+                    targetVersion: Long, minValidVersion: Long): DataFrame =
+    if (targetVersion >= minValidVersion) {
+      val w = Window.partitionBy("pk").orderBy(col("version").desc)
+      val tail = availableLog.filter(col("version") > targetVersion)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      targetState.join(tail.select("pk"), Seq("pk"), "left_anti")
+        .unionByName(tail.filter(col("op") =!= "D")
+          .select(col("pk"), col("payload_type").as("last_type"),
+            col("payload_value").as("last_value")))
+    } else sourceState
+
   val queries: Map[String, Q] = Map(
+
+    // Y21: retention-loss fallback — [[retentionSync]]'s decision
+    // surface as a scored query. The horizon and two scenario cursors
+    // (A: inside the horizon, B: staler than it) derive from the log's
+    // own version bounds by integer arithmetic (identical both
+    // engines), so the CASE genuinely evaluates both ways in one run.
+    // Per scenario: the decision, what the chosen arm SHIPS (tail keys
+    // for incremental — what a y18-compacted MERGE would carry — vs
+    // every live key for the full resync), and the final-state rollup
+    // (count + order-insensitive digest), which the invariant makes
+    // identical across scenarios: a valid incremental lands on exactly
+    // the full-recompute state. Scan cost: two passes over the log
+    // (state window + 2-row-broadcast tail count) + a 1-row agg —
+    // the decision itself is metadata-only at scale.
+    "y21_retention_fallback" -> ((s, d) => {
+      val log = changeLog(s, d)
+      val scenarios = log
+        .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"))
+        .select(explode(array(
+            struct(lit("A_recent").as("scenario"),
+              expr("vmin + (vmax - vmin) * 6 div 10").as("target_version")),
+            struct(lit("B_stale").as("scenario"),
+              expr("vmin + (vmax - vmin) * 1 div 10").as("target_version"))))
+            .as("sc"),
+          expr("vmin + (vmax - vmin) * 3 div 10").as("min_valid_version"))
+        .select(col("sc.scenario").as("scenario"),
+          col("sc.target_version").as("target_version"),
+          col("min_valid_version"))
+      val w = Window.partitionBy("pk").orderBy(col("version").desc)
+      val stateAgg = log
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("op") =!= "D")
+        .agg(count(lit(1)).as("n_final_keys"),
+          sum(pmod(conv(substring(md5(concat_ws("|",
+              col("pk"), col("payload_type"),
+              col("payload_value").cast("decimal(18,2)").cast("string"))),
+            1, 15), 16, 10).cast("long"), lit(1000000000L)))
+            .as("final_digest"))
+      log.crossJoin(broadcast(scenarios))
+        .groupBy("scenario", "target_version", "min_valid_version")
+        .agg(countDistinct(when(col("version") > col("target_version"),
+          col("pk"))).as("n_tail_keys"))
+        .crossJoin(broadcast(stateAgg))
+        .select(col("scenario"), col("target_version"),
+          col("min_valid_version"),
+          when(col("target_version") >= col("min_valid_version"),
+            "INCREMENTAL").otherwise("FULL_RESYNC").as("decision"),
+          when(col("target_version") >= col("min_valid_version"),
+            col("n_tail_keys")).otherwise(col("n_final_keys"))
+            .as("n_shipped"),
+          col("n_final_keys"), col("final_digest"))
+        .orderBy("scenario")
+    }),
 
     // Y1: schema introspection — StructType surfaced as rows (JDBC-side
     // introspection is exercised in SyncJdbcSuite; no DB in this env).
@@ -1218,6 +1308,42 @@ object Sync {
          |  last_type, last_value, last_version, n_ops
          |FROM c
          |WHERE NOT (first_op = 'I' AND last_op = 'D')""".stripMargin,
+
+    "y21_retention_fallback" ->
+      s"""WITH $logCte,
+         |b AS (SELECT MIN(version) AS vmin, MAX(version) AS vmax FROM lg),
+         |sc AS (
+         |  SELECT 'A_recent' AS scenario,
+         |    vmin + (vmax - vmin) * 6 // 10 AS target_version,
+         |    vmin + (vmax - vmin) * 3 // 10 AS min_valid_version FROM b
+         |  UNION ALL
+         |  SELECT 'B_stale',
+         |    vmin + (vmax - vmin) * 1 // 10,
+         |    vmin + (vmax - vmin) * 3 // 10 FROM b),
+         |st AS (
+         |  SELECT pk, op, payload_type, payload_value
+         |  FROM lg
+         |  QUALIFY row_number() OVER (PARTITION BY pk ORDER BY version DESC) = 1),
+         |sa AS (
+         |  SELECT COUNT(*) AS n_final_keys,
+         |    CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|', pk,
+         |      payload_type,
+         |      CAST(CAST(payload_value AS DECIMAL(18,2)) AS VARCHAR))), 1, 15))
+         |      AS BIGINT) % 1000000000) AS BIGINT) AS final_digest
+         |  FROM st WHERE op <> 'D'),
+         |tc AS (
+         |  SELECT sc.scenario, sc.target_version, sc.min_valid_version,
+         |    COUNT(DISTINCT CASE WHEN lg.version > sc.target_version
+         |      THEN lg.pk END) AS n_tail_keys
+         |  FROM lg CROSS JOIN sc GROUP BY 1, 2, 3)
+         |SELECT tc.scenario, tc.target_version, tc.min_valid_version,
+         |  CASE WHEN tc.target_version >= tc.min_valid_version
+         |       THEN 'INCREMENTAL' ELSE 'FULL_RESYNC' END AS decision,
+         |  CASE WHEN tc.target_version >= tc.min_valid_version
+         |       THEN tc.n_tail_keys ELSE sa.n_final_keys END AS n_shipped,
+         |  sa.n_final_keys, sa.final_digest
+         |FROM tc CROSS JOIN sa
+         |ORDER BY scenario""".stripMargin,
 
     "y19_changelog_audit" ->
       s"""WITH $logCte,

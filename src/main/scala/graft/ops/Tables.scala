@@ -51,28 +51,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos (legacy
-    * conf, set once per session by the entry points via [[prepare]] —
-    * query builders are conf-pure) and floor-divide to µs — bit-identical
-    * to DuckDB's CAST(ts_ns AS TIMESTAMP) truncation in every oracle query.
+  /** events.ts has drifted across corpus regenerations — parquet
+    * TIMESTAMP(NANOS) in one vintage, TIMESTAMP(MICROS) in another — so
+    * the loader adapts to the footer's ACTUAL type rather than
+    * hard-coding either vintage (r8's 23-dead-query lesson):
+    *   - LongType: the file is TIMESTAMP(NANOS), readable only through
+    *     the nanosAsLong legacy conf ([[prepare]] sets it; without it the
+    *     scan itself throws PARQUET_TYPE_ILLEGAL before we get here).
+    *     Floor-divide to µs — bit-identical to DuckDB's
+    *     CAST(ts_ns AS TIMESTAMP) truncation in every oracle query.
+    *   - TimestampNTZType: TIMESTAMP(MICROS, isAdjustedToUTC=false).
+    *     Cast to TimestampType — value-preserving under the UTC session
+    *     timezone every entry point sets — so downstream queries see the
+    *     same type regardless of corpus vintage.
+    *   - TimestampType: already what every query expects; pass through.
+    * All arms are oracle-identical: DuckDB's CAST(ts AS TIMESTAMP) on its
+    * side is equally type-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // fail with a pointer at the fix, not the raw PARQUET_TYPE_ILLEGAL a
-    // prepare-less session would hit deep inside the scan
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): call Tables.prepare(spark) " +
-        "once per session before building queries over events")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _: org.apache.spark.sql.types.TimestampType => raw
+      case other => sys.error(
+        s"events.ts: unsupported parquet physical type $other — extend " +
+          "Tables.events for this corpus vintage")
+    }
   }
 
   /** One-time session setup every entry point (Verify, Bench, test
     * fixture, plan dumps) runs before building queries: the legacy
-    * nanos-as-long parquet read the `events` table needs. Kept OUT of the
-    * query builders — a conf mutation inside a plan-building function is
-    * a surprise to callers and runs once per query instead of once per
-    * session.
+    * nanos-as-long parquet read the TIMESTAMP(NANOS) vintage of `events`
+    * needs (harmless for the MICROS vintage — the conf only affects NANOS
+    * columns). Kept OUT of the query builders — a conf mutation inside a
+    * plan-building function is a surprise to callers and runs once per
+    * query instead of once per session.
     */
   def prepare(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

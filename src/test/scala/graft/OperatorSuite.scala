@@ -674,6 +674,66 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(c == 0L, "compaction emitted multiple rows for a key")
   }
 
+  test("Y21 law: a target older than the horizon never applies a partial log") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Synthetic feed with a retention horizon at version 10: everything
+    // older is PURGED from the available log. The trap rows: pk=1's
+    // update and pk=2's tombstone both fall inside the purged window
+    // (versions 5-6), so an incremental apply from a stale target
+    // (last-synced v4) would keep pk=1's stale payload and RESURRECT
+    // the deleted pk=2.
+    val fullLog = Seq(
+      (1L, "I", 1L, "signup", 1.0), (1L, "U", 5L, "purchase", 1.5),
+      (2L, "I", 2L, "signup", 1.0), (2L, "D", 6L, "error", 0.0),
+      (3L, "I", 3L, "signup", 1.0), (3L, "U", 12L, "purchase", 3.5),
+      (4L, "I", 11L, "signup", 4.0)
+    ).toDF("pk", "op", "version", "payload_type", "payload_value")
+    val minValid = 10L
+    val availableLog = fullLog.filter(col("version") >= minValid)
+    def stateAsOf(v: Long) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pk").orderBy(col("version").desc)
+      fullLog.filter(col("version") <= v)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("op") =!= "D")
+        .select(col("pk"), col("payload_type").as("last_type"),
+          col("payload_value").as("last_value"))
+    }
+    val truth = stateAsOf(Long.MaxValue)
+    val staleTarget = stateAsOf(4L)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // THE LAW: stale target (4 < 10) → the chosen arm is the full
+    // resync; output equals the ground-truth recompute exactly
+    assert(same(
+      Sync.retentionSync(truth, staleTarget, availableLog, 4L, minValid),
+      truth), "stale target did not fall back to full resync")
+    // the trap is real: FORCING the incremental arm (lying that the
+    // horizon is 0) resurrects pk=2 and keeps pk=1's purged update lost
+    val forced = Sync.retentionSync(truth, staleTarget, availableLog, 4L, 0L)
+    assert(!same(forced, truth), "forced incremental should diverge")
+    assert(forced.filter(col("pk") === 2L).count() == 1L,
+      "purged tombstone must resurrect under forced incremental")
+    assert(forced.filter(col("pk") === 1L && col("last_value") === 1.0)
+      .count() == 1L, "purged update must be lost under forced incremental")
+    // and a VALID incremental (target v11 ≥ horizon) lands on the truth
+    assert(same(
+      Sync.retentionSync(truth, stateAsOf(11L), availableLog, 11L, minValid),
+      truth), "valid incremental diverged from full recompute")
+    // scored-query invariants: scenario A takes the incremental arm, B
+    // the full arm, and both land on the same final state digest
+    val q = SparkEntry.queries("y21_retention_fallback")(spark, sf)
+      .collect().sortBy(_.getAs[String]("scenario"))
+    assert(q.map(_.getAs[String]("decision")).toSeq ==
+      Seq("INCREMENTAL", "FULL_RESYNC"))
+    assert(q.map(_.getAs[Long]("final_digest")).distinct.length == 1)
+    // (no ordering claim between the two n_shipped values: the
+    // incremental arm ships tombstones — keys absent from the final
+    // live state — so it can exceed the full arm's live-key count)
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
