@@ -474,6 +474,27 @@ object Sync {
         .orderBy("scenario")
     }),
 
+    // Y22: column-subset sync — [[graft.sync.SyncJob.applySubset]] as a
+    // scored query. The target carries a target-OWNED audit column
+    // (sync_note = 't-<key>'); the source carries its own audit values
+    // ('s-<key>', i.e. EVERY surviving row churns in the excluded
+    // column) on top of the usual payload drift. The hash-checked
+    // output therefore pins the law end-to-end: sync_note reads 't-…'
+    // on every S/U/D row (target value preserved — the all-rows audit
+    // churn shipped nothing by itself), NULL on inserts, and only the
+    // genuinely payload-drifted rows classify U.
+    "y22_column_subset_sync" -> ((s, d) => {
+      val cmp = Seq("o_orderstatus", "o_totalprice", "o_orderpriority")
+      val tgt = Tables.orders(s, d).select(
+        (Seq(col("o_orderkey")) ++ cmp.map(col)) :+
+          concat(lit("t-"), col("o_orderkey")).as("sync_note"): _*)
+      val src = sourceView(s, d).select(
+        (Seq(col("o_orderkey")) ++ cmp.map(col)) :+
+          concat(lit("s-"), col("o_orderkey")).as("sync_note"): _*)
+      graft.sync.SyncJob.applySubset(src, tgt,
+        graft.sync.SyncJob.SyncConfig(Seq("o_orderkey"), cmp))
+    }),
+
     // Y1: schema introspection — StructType surfaced as rows (JDBC-side
     // introspection is exercised in SyncJdbcSuite; no DB in this env).
     "y1_schema_introspect" -> ((s, d) => {
@@ -1308,6 +1329,37 @@ object Sync {
          |  last_type, last_value, last_version, n_ops
          |FROM c
          |WHERE NOT (first_op = 'I' AND last_op = 'D')""".stripMargin,
+
+    "y22_column_subset_sync" ->
+      s"""WITH $sourceCte,
+         |tgt AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |    concat('t-', o_orderkey) AS sync_note FROM orders),
+         |s2 AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |    concat('s-', o_orderkey) AS sync_note FROM src),
+         |j AS (
+         |  SELECT s2.o_orderkey AS s_key, tgt.o_orderkey AS t_key,
+         |    s2.o_orderstatus AS s_status, s2.o_totalprice AS s_price,
+         |    s2.o_orderpriority AS s_prio,
+         |    tgt.o_orderstatus AS t_status, tgt.o_totalprice AS t_price,
+         |    tgt.o_orderpriority AS t_prio, tgt.sync_note AS t_note
+         |  FROM s2 FULL OUTER JOIN tgt ON s2.o_orderkey = tgt.o_orderkey),
+         |c AS (
+         |  SELECT *,
+         |    CASE WHEN t_key IS NULL THEN 'I'
+         |         WHEN s_key IS NULL THEN 'D'
+         |         WHEN s_status IS DISTINCT FROM t_status
+         |           OR s_price IS DISTINCT FROM t_price
+         |           OR s_prio IS DISTINCT FROM t_prio THEN 'U'
+         |         ELSE 'S' END AS op
+         |  FROM j)
+         |SELECT COALESCE(s_key, t_key) AS o_orderkey, op,
+         |  CASE WHEN op IN ('I','U') THEN s_status ELSE t_status END AS o_orderstatus,
+         |  CASE WHEN op IN ('I','U') THEN s_price ELSE t_price END AS o_totalprice,
+         |  CASE WHEN op IN ('I','U') THEN s_prio ELSE t_prio END AS o_orderpriority,
+         |  t_note AS sync_note
+         |FROM c""".stripMargin,
 
     "y21_retention_fallback" ->
       s"""WITH $logCte,

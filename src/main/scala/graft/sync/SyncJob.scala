@@ -82,6 +82,51 @@ object SyncJob {
       target.join(source.select(cfg.keyCols.map(col): _*),
         cfg.keyCols, "left_anti"))
 
+  /** Column-subset apply — the most common real sync config after PK
+    * choice: the target carries columns the sync does NOT own (audit
+    * stamps, computed/defaulted columns), so "has this row changed" must
+    * be judged on `cfg.compareCols` alone and an apply must (a) ship
+    * ONLY rows whose compared subset drifted (I/U under [[diff]]) and
+    * (b) never overwrite the target-owned columns — churn confined to
+    * them classifies S and ships nothing (the law SyncJobSuite pins).
+    *
+    * Result schema = target's plus a leading `op` column (the diff
+    * class, so callers/oracles can audit what shipped): U rows take the
+    * source's compare columns but KEEP the target's other columns; I
+    * rows carry source compare values and null target-owned columns; S
+    * and (unless `deleteMissing`) D rows pass through untouched.
+    *
+    * One PK shuffle: the classification and the apply ride the same
+    * full-outer sort-merge join — no second pass over either side.
+    */
+  def applySubset(source: DataFrame, target: DataFrame,
+                  cfg: SyncConfig): DataFrame = {
+    val sCols = (cfg.keyCols ++ cfg.compareCols).distinct
+    val s = source.select(
+      sCols.map(c => col(c).as(s"s_$c")) :+
+        rowDigest(cfg.compareCols).as("s_hash"): _*)
+    val tAll = target.columns.toSeq
+    val t = target.select(
+      tAll.map(c => col(c).as(s"t_$c")) :+
+        rowDigest(cfg.compareCols).as("t_hash"): _*)
+    val cond = cfg.keyCols.map(k => col(s"s_$k") === col(s"t_$k")).reduce(_ && _)
+    val op = when(col("t_hash").isNull, "I")
+      .when(col("s_hash").isNull, "D")
+      .when(col("s_hash") =!= col("t_hash"), "U")
+      .otherwise("S")
+    val shipped = op.isin("I", "U")
+    s.join(t, cond, "full_outer")
+      .select(
+        cfg.keyCols.map(k => coalesce(col(s"s_$k"), col(s"t_$k")).as(k)) ++
+          Seq(op.as("op")) ++
+          tAll.filterNot(cfg.keyCols.contains).map { c =>
+            if (cfg.compareCols.contains(c))
+              when(shipped, col(s"s_$c")).otherwise(col(s"t_$c")).as(c)
+            else col(s"t_$c").as(c) // target-owned: never overwritten
+          }: _*)
+      .filter(if (cfg.deleteMissing) col("op") =!= "D" else lit(true))
+  }
+
   /** Y6 generalized: the applied result must re-diff clean against the
     * source — no I (missing row), no U (stale row), and no D when the sync
     * deletes; D rows are expected leftovers for incremental syncs.

@@ -55,6 +55,41 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(result.exceptAll(source).isEmpty && source.exceptAll(result).isEmpty)
   }
 
+  test("column-subset apply: excluded-column churn ships nothing") {
+    val cmp = Seq("o_orderstatus", "o_totalprice", "o_orderpriority")
+    val subsetCfg = SyncConfig(Seq("o_orderkey"), cmp)
+    val tgt = Tables.orders(spark, sf).select(
+      (Seq(col("o_orderkey")) ++ cmp.map(col)) :+
+        concat(lit("t-"), col("o_orderkey")).as("sync_note"): _*)
+    // source #1: IDENTICAL compared subset, every row churning in the
+    // excluded audit column — the law: nothing ships, target unchanged
+    val srcAuditOnly = tgt.withColumn("sync_note",
+      concat(lit("s-"), col("o_orderkey")))
+    val quiet = SyncJob.applySubset(srcAuditOnly, tgt, subsetCfg)
+    assert(quiet.filter(col("op").isin("I", "U")).count() == 0L,
+      "audit-only churn must classify every row S")
+    assert(quiet.drop("op").exceptAll(tgt).isEmpty &&
+           tgt.exceptAll(quiet.drop("op")).isEmpty,
+      "audit-only churn must leave the target bit-identical")
+    // source #2: real payload drift on top of all-rows audit churn —
+    // U rows take source compare values but KEEP the target audit value
+    val src = Sync.sourceView(spark, sf).select(
+      (Seq(col("o_orderkey")) ++ cmp.map(col)) :+
+        concat(lit("s-"), col("o_orderkey")).as("sync_note"): _*)
+    val out = SyncJob.applySubset(src, tgt, subsetCfg)
+    assert(out.filter(col("op") === "U").count() > 0L)
+    assert(out.filter(col("op") =!= "I" &&
+        !col("sync_note").startsWith("t-")).count() == 0L,
+      "a shipped row overwrote the target-owned column")
+    assert(out.filter(col("op") === "I" && col("sync_note").isNotNull)
+      .count() == 0L, "an insert fabricated a target-owned value")
+    // U rows really carry the source payload
+    val stale = out.filter(col("op") === "U").as("r")
+      .join(src.as("s"), Seq("o_orderkey"))
+      .filter(col("r.o_totalprice") =!= col("s.o_totalprice")).count()
+    assert(stale == 0L, "a U row kept the stale compare payload")
+  }
+
   test("lifecycle over JDBC endpoints: Derby target catches up to the source") {
     import graft.sources.JdbcSync._
     import org.apache.spark.sql.SaveMode
