@@ -140,25 +140,133 @@ object Sync {
     * denormalize the partition column onto the child or bucket both
     * tables on the FK; BucketingSuite pins that shape). Digest is the
     * y12 idiom with the composite PK folded in. */
-  private def childSide(child: DataFrame, parent: DataFrame,
-                        rows: String, dig: String) = {
-    val keyedHash = md5(concat_ws("|",
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-      col("l_quantity").cast("decimal(18,2)").cast("string"),
-      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
-      col("l_returnflag")))
-    child.join(parent.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(year(col("o_orderdate")).as("order_year"))
-      .agg(count(lit(1)).as(rows),
-        sum(pmod(conv(substring(keyedHash, 1, 15), 16, 10)
-          .cast("long"), lit(1000000000L))).as(dig))
+  /** Materialize a plan-persisting operator's result and release the
+    * caches it pinned — the library-caller companion to
+    * [[dirtyPartitionSync]] / [[fkConsistentSync]] /
+    * [[fkConsistentSyncMulti]] / [[hierarchicalDigestNarrow]], whose
+    * ≤|years|-row planning DataFrames persist because they feed several
+    * consumers of the SAME returned (lazy) plan and therefore cannot be
+    * unpersisted inside the operator. Bench/Verify sweep caches after
+    * every query; a direct caller should go through this instead:
+    *
+    *   val rows = Sync.collectAndSweep(Sync.fkConsistentSync(...))
+    *
+    * The sweep is session-wide (CacheManager + explicit RDD persists) —
+    * callers holding their OWN caches across the call should unpersist
+    * the operator's plan selectively instead. */
+  def collectAndSweep(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    try df.collect()
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
   }
+
+  /** The order-insensitive digest idiom (y6/y12): 15-hex-digit slice of
+    * a row hash, mod 1e9, summed per group. */
+  private def digestOf(h: org.apache.spark.sql.Column) =
+    sum(pmod(conv(substring(h, 1, 15), 16, 10).cast("long"),
+      lit(1000000000L)))
+
+  /** [[childSide]] generalized over the child's FK column and keyed row
+    * hash, so any FK-child of orders (lineitem, a returns feed, …) can
+    * roll up per parent-year with its own digest schema. */
+  private def childSideG(child: DataFrame, parent: DataFrame, fk: String,
+                         keyedHash: org.apache.spark.sql.Column,
+                         rows: String, dig: String) =
+    child.join(parent.select(col("o_orderkey"), col("o_orderdate")),
+        col(fk) === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as(rows), digestOf(keyedHash).as(dig))
+
+  private val lineHashCols = Seq(
+    col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+    col("l_quantity").cast("decimal(18,2)").cast("string"),
+    col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+    col("l_returnflag"))
+
+  private def childSide(child: DataFrame, parent: DataFrame,
+                        rows: String, dig: String) =
+    childSideG(child, parent, "l_orderkey",
+      md5(concat_ws("|", lineHashCols: _*)), rows, dig)
 
   private val childHashSql = (a: String) =>
     s"md5(concat_ws('|', $a.l_orderkey, $a.l_linenumber, $a.l_partkey, " +
     s"CAST(CAST($a.l_quantity AS DECIMAL(18,2)) AS VARCHAR), " +
     s"CAST(CAST($a.l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), $a.l_returnflag))"
+
+  private val returnsHashSql = (a: String) =>
+    s"md5(concat_ws('|', $a.l_orderkey, $a.l_linenumber, " +
+    s"CAST(CAST($a.r_refund AS DECIMAL(18,2)) AS VARCHAR)))"
+
+  /** DuckDB spelling of [[digestOf]]. */
+  private def digSql(h: String) =
+    s"CAST(SUM(CAST(concat('0x', substr($h, 1, 15)) AS BIGINT) % 1000000000) AS BIGINT)"
+
+  /** Per-child oracle CTE block for y17b — the SQL twin of one
+    * [[FkChild]] pass through [[fkConsistentSyncMulti]] (suffix `n`
+    * disambiguates the CTEs; shares ppl/pa/paf from the parent block). */
+  private def multiChildCteSql(n: String, srcRel: String, tgtRel: String,
+      fk: String, cols: Seq[String], hashSql: String => String): String = {
+    def colList(a: String) = cols.map(c => s"$a.$c AS $c").mkString(", ")
+    s"""ccs_$n AS (
+       |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+       |    COUNT(*) AS c_src_rows, ${digSql(hashSql(srcRel))} AS c_src_digest
+       |  FROM $srcRel JOIN src ON $srcRel.$fk = src.o_orderkey GROUP BY 1),
+       |cct_$n AS (
+       |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+       |    COUNT(*) AS c_tgt_rows, ${digSql(hashSql(tgtRel))} AS c_tgt_digest
+       |  FROM $tgtRel JOIN orders ON $tgtRel.$fk = orders.o_orderkey GROUP BY 1),
+       |ccl_$n AS (
+       |  SELECT COALESCE(ccs_$n.order_year, cct_$n.order_year) AS order_year,
+       |    COALESCE(c_src_rows, 0) AS c_src_rows,
+       |    NOT (COALESCE(c_src_rows, 0) = COALESCE(c_tgt_rows, 0) AND
+       |         COALESCE(c_src_digest, -1) = COALESCE(c_tgt_digest, -1)) AS child_own_dirty,
+       |    COALESCE(c_src_digest, -1) AS c_src_digest
+       |  FROM ccs_$n FULL OUTER JOIN cct_$n ON ccs_$n.order_year = cct_$n.order_year),
+       |pl_$n AS (
+       |  SELECT COALESCE(ppl.order_year, ccl_$n.order_year) AS order_year,
+       |    COALESCE(p_src_rows, 0) AS p_src_rows,
+       |    COALESCE(parent_dirty, FALSE) AS parent_dirty,
+       |    COALESCE(p_src_digest, -1) AS p_src_digest,
+       |    COALESCE(c_src_rows, 0) AS c_src_rows,
+       |    (COALESCE(parent_dirty, FALSE) OR COALESCE(child_own_dirty, FALSE)) AS child_dirty,
+       |    COALESCE(c_src_digest, -1) AS c_src_digest
+       |  FROM ppl FULL OUTER JOIN ccl_$n ON ppl.order_year = ccl_$n.order_year),
+       |ca_$n AS (
+       |  SELECT ${colList("c")},
+       |    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS c_year
+       |  FROM $tgtRel c JOIN orders o ON c.$fk = o.o_orderkey
+       |  WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) NOT IN
+       |        (SELECT order_year FROM pl_$n WHERE child_dirty)
+       |  UNION ALL
+       |  SELECT ${colList("c")},
+       |    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS c_year
+       |  FROM $srcRel c JOIN src o ON c.$fk = o.o_orderkey
+       |  WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) IN
+       |        (SELECT order_year FROM pl_$n WHERE child_dirty)),
+       |caf_$n AS (
+       |  SELECT c_year AS order_year, ${digSql(hashSql(s"ca_$n"))} AS ca_digest
+       |  FROM ca_$n GROUP BY 1),
+       |orph_$n AS (
+       |  SELECT c_year AS order_year, COUNT(*) AS n_orph FROM ca_$n
+       |  WHERE NOT EXISTS (SELECT 1 FROM pa WHERE pa.o_orderkey = ca_$n.$fk)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def multiChildSelectSql(n: String, label: String): String =
+    s"""SELECT '$label' AS child, pl_$n.order_year, parent_dirty, child_dirty,
+       |  CASE WHEN parent_dirty THEN p_src_rows ELSE 0 END AS n_parent_copied,
+       |  CASE WHEN child_dirty THEN c_src_rows ELSE 0 END AS n_child_copied,
+       |  COALESCE(pa_digest, -1) = p_src_digest AS parent_clean_after,
+       |  COALESCE(caf_$n.ca_digest, -1) = c_src_digest AS child_clean_after,
+       |  COALESCE(n_orph, 0) AS n_orphans_after
+       |FROM pl_$n
+       |LEFT JOIN paf ON pl_$n.order_year = paf.order_year
+       |LEFT JOIN caf_$n ON pl_$n.order_year = caf_$n.order_year
+       |LEFT JOIN orph_$n ON pl_$n.order_year = orph_$n.order_year""".stripMargin
 
   /** Y17 engine: FK-consistent parent+child dirty-partition sync,
     * parameterized over all four sides so the law test can drive it with
@@ -265,6 +373,144 @@ object Sync {
         coalesce(col("n_orph"), lit(0L)).as("n_orphans_after"))
       .orderBy("order_year")
   }
+
+  /** One FK-child of the parent table for [[fkConsistentSyncMulti]]:
+    * both sides share a schema; `fk` names the child column referencing
+    * the parent PK; `hashCols` are the composite-PK + payload columns
+    * (numerics pre-cast to decimal strings) feeding the keyed digest. */
+  final case class FkChild(name: String, src: DataFrame, tgt: DataFrame,
+                           fk: String,
+                           hashCols: Seq[org.apache.spark.sql.Column])
+
+  /** [[fkConsistentSync]] generalized to a CHILD LIST — the real-schema
+    * shape: one parent, many referencing children (orders → lineitem +
+    * a returns feed + …). The FK rule applies per child independently:
+    * child i's partition is dirty when its OWN digest differs or the
+    * parent partition is dirty, so every child ships with its parent
+    * but children never force each other (child A's churn does not ship
+    * child B — the independence law OperatorSuite pins). The parent
+    * plan, copy, and post-digest are computed ONCE and shared across
+    * all children; per child the cost is the y17 child path (two
+    * single-scan rollups through the FK join, a pruned copy, one
+    * orphan-audit join vs the shared post-sync parent). Output is long
+    * format: one report row per (child, order_year).
+    *
+    * The |years|-row plans persist (they feed broadcasts + the report);
+    * Bench/Verify sweep caches per query — direct library callers
+    * should clearCache() after materializing, as the suite tests do. */
+  def fkConsistentSyncMulti(srcO: DataFrame, tgtO: DataFrame,
+                            children: Seq[FkChild]): DataFrame = {
+    require(children.nonEmpty, "fkConsistentSyncMulti needs >= 1 child")
+    val pPlan = partitionSide(srcO, "p_src_rows", "p_src_digest")
+      .join(partitionSide(tgtO, "p_tgt_rows", "p_tgt_digest"),
+        Seq("order_year"), "full_outer")
+      .select(col("order_year"),
+        coalesce(col("p_src_rows"), lit(0L)).as("p_src_rows"),
+        (!(coalesce(col("p_src_rows"), lit(0L)) === coalesce(col("p_tgt_rows"), lit(0L)) &&
+           coalesce(col("p_src_digest"), lit(-1L)) === coalesce(col("p_tgt_digest"), lit(-1L))))
+          .as("parent_dirty"),
+        coalesce(col("p_src_digest"), lit(-1L)).as("p_src_digest"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirtyP = pPlan.filter(col("parent_dirty")).select(col("order_year"))
+    val parentAfter = tgtO.join(broadcast(dirtyP),
+        year(col("o_orderdate")) === col("order_year"), "left_anti")
+      .unionByName(srcO.join(broadcast(dirtyP),
+        year(col("o_orderdate")) === col("order_year"), "left_semi"))
+    val pAfter = partitionSide(parentAfter, "pa_rows", "pa_digest")
+      .select(col("order_year"), col("pa_digest"))
+    val reports = children.map { ch =>
+      val keyedHash = md5(concat_ws("|", ch.hashCols: _*))
+      val cPlan = childSideG(ch.src, srcO, ch.fk, keyedHash,
+          "c_src_rows", "c_src_digest")
+        .join(childSideG(ch.tgt, tgtO, ch.fk, keyedHash,
+          "c_tgt_rows", "c_tgt_digest"), Seq("order_year"), "full_outer")
+        .select(col("order_year"),
+          coalesce(col("c_src_rows"), lit(0L)).as("c_src_rows"),
+          (!(coalesce(col("c_src_rows"), lit(0L)) === coalesce(col("c_tgt_rows"), lit(0L)) &&
+             coalesce(col("c_src_digest"), lit(-1L)) === coalesce(col("c_tgt_digest"), lit(-1L))))
+            .as("child_own_dirty"),
+          coalesce(col("c_src_digest"), lit(-1L)).as("c_src_digest"))
+      val plan = pPlan.join(cPlan, Seq("order_year"), "full_outer")
+        .select(col("order_year"),
+          coalesce(col("p_src_rows"), lit(0L)).as("p_src_rows"),
+          coalesce(col("parent_dirty"), lit(false)).as("parent_dirty"),
+          coalesce(col("p_src_digest"), lit(-1L)).as("p_src_digest"),
+          coalesce(col("c_src_rows"), lit(0L)).as("c_src_rows"),
+          (coalesce(col("parent_dirty"), lit(false)) ||
+           coalesce(col("child_own_dirty"), lit(false))).as("child_dirty"),
+          coalesce(col("c_src_digest"), lit(-1L)).as("c_src_digest"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dirtyC = plan.filter(col("child_dirty")).select(col("order_year"))
+      def tagged(child: DataFrame, parent: DataFrame) =
+        child.join(parent.select(col("o_orderkey"), col("o_orderdate")),
+            col(ch.fk) === col("o_orderkey"))
+          .withColumn("c_year", year(col("o_orderdate")))
+          .drop("o_orderkey", "o_orderdate")
+      val childAfter = tagged(ch.tgt, tgtO).join(broadcast(dirtyC),
+          col("c_year") === col("order_year"), "left_anti")
+        .unionByName(tagged(ch.src, srcO).join(broadcast(dirtyC),
+          col("c_year") === col("order_year"), "left_semi"))
+      val cAfter = childAfter.groupBy(col("c_year").as("order_year"))
+        .agg(digestOf(keyedHash).as("ca_digest"))
+      val orphans = childAfter
+        .join(parentAfter.select(col("o_orderkey")),
+          col(ch.fk) === col("o_orderkey"), "left_anti")
+        .groupBy(col("c_year").as("order_year"))
+        .agg(count(lit(1)).as("n_orph"))
+      plan
+        .join(pAfter, Seq("order_year"), "left")
+        .join(cAfter, Seq("order_year"), "left")
+        .join(orphans, Seq("order_year"), "left")
+        .select(lit(ch.name).as("child"), col("order_year"),
+          col("parent_dirty"), col("child_dirty"),
+          when(col("parent_dirty"), col("p_src_rows")).otherwise(lit(0L))
+            .as("n_parent_copied"),
+          when(col("child_dirty"), col("c_src_rows")).otherwise(lit(0L))
+            .as("n_child_copied"),
+          (coalesce(col("pa_digest"), lit(-1L)) === col("p_src_digest"))
+            .as("parent_clean_after"),
+          (coalesce(col("ca_digest"), lit(-1L)) === col("c_src_digest"))
+            .as("child_clean_after"),
+          coalesce(col("n_orph"), lit(0L)).as("n_orphans_after"))
+    }
+    reports.reduce(_.unionByName(_)).orderBy("child", "order_year")
+  }
+
+  /** Deterministic returns-feed child of orders — a SECOND child table
+    * for y17b, derived from lineitem's 'R' rows and mutated
+    * FK-consistently with [[sourceView]] (children of deleted orders
+    * vanish, inserted orders bring re-keyed children) plus a
+    * returns-ONLY payload churn (refund bump on every 17th order) that
+    * is invisible to the lineitem child — so the two children go dirty
+    * independently. */
+  def returnsSourceView(s: SparkSession, d: String): DataFrame = {
+    val r = returnsTargetView(s, d)
+    r.filter(col("l_orderkey") % 10 =!= 0)
+      .withColumn("r_refund",
+        when(col("l_orderkey") % 17 === 0, col("r_refund") + 50d)
+          .otherwise(col("r_refund")))
+      .unionByName(r.filter(col("l_orderkey") % 13 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+  }
+
+  def returnsTargetView(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("r_refund"))
+
+  /** Returns-feed mutation as DuckDB CTEs (lockstep with the two views). */
+  val returnsCte: String =
+    """rtgt AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice AS r_refund
+      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |rsrc AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 17 = 0 THEN l_extendedprice + 50.0
+      |         ELSE l_extendedprice END AS r_refund
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT l_orderkey + 10000000, l_linenumber, l_extendedprice
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 13 = 0)""".stripMargin
 
   /** The y16 engine, parameterized over the two sides so the law test
     * can drive it with a narrower mutation than sourceView's (one dirty
@@ -830,6 +1076,21 @@ object Sync {
         Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
           "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"))),
 
+    // Y17b: the multi-child FK graph — orders → {lineitem, returns
+    // feed} via [[fkConsistentSyncMulti]]. The returns child churns on
+    // its own key set (%17 refund bumps) invisible to lineitem, so the
+    // long-format report shows the children going dirty independently
+    // while both follow the parent's dirt through the FK rule.
+    "y17b_fk_multi_child" -> ((s, d) =>
+      fkConsistentSyncMulti(sourceView(s, d), Tables.orders(s, d), Seq(
+        FkChild("lineitem", lineSourceView(s, d),
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+            "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+          "l_orderkey", lineHashCols),
+        FkChild("returns", returnsSourceView(s, d), returnsTargetView(s, d),
+          "l_orderkey", Seq(col("l_orderkey"), col("l_linenumber"),
+            col("r_refund").cast("decimal(18,2)").cast("string")))))),
+
     // Y11: PK-uniqueness audit — the precondition every diff/upsert in
     // this library rests on (SyncConfig's contract: keys UNIQUE per
     // side; violated keys multiply rows through the full-outer diff and
@@ -1245,6 +1506,47 @@ object Sync {
          |LEFT JOIN caf ON pl.order_year = caf.order_year
          |LEFT JOIN orph ON pl.order_year = orph.order_year
          |ORDER BY pl.order_year""".stripMargin,
+
+    "y17b_fk_multi_child" ->
+      s"""WITH $sourceCte, $lineSourceCte, $returnsCte,
+         |pps AS (
+         |  SELECT CAST(EXTRACT(year FROM src.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS p_src_rows,
+         |    ${digSql(s"md5(concat_ws('|', src.o_orderkey, ${rowHashSql("src")}))")} AS p_src_digest
+         |  FROM src GROUP BY 1),
+         |ppt AS (
+         |  SELECT CAST(EXTRACT(year FROM orders.o_orderdate) AS INTEGER) AS order_year,
+         |    COUNT(*) AS p_tgt_rows,
+         |    ${digSql(s"md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")}))")} AS p_tgt_digest
+         |  FROM orders GROUP BY 1),
+         |ppl AS (
+         |  SELECT COALESCE(pps.order_year, ppt.order_year) AS order_year,
+         |    COALESCE(p_src_rows, 0) AS p_src_rows,
+         |    NOT (COALESCE(p_src_rows, 0) = COALESCE(p_tgt_rows, 0) AND
+         |         COALESCE(p_src_digest, -1) = COALESCE(p_tgt_digest, -1)) AS parent_dirty,
+         |    COALESCE(p_src_digest, -1) AS p_src_digest
+         |  FROM pps FULL OUTER JOIN ppt ON pps.order_year = ppt.order_year),
+         |pa AS (
+         |  SELECT * FROM orders
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) NOT IN
+         |        (SELECT order_year FROM ppl WHERE parent_dirty)
+         |  UNION ALL
+         |  SELECT * FROM src
+         |  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) IN
+         |        (SELECT order_year FROM ppl WHERE parent_dirty)),
+         |paf AS (
+         |  SELECT CAST(EXTRACT(year FROM pa.o_orderdate) AS INTEGER) AS order_year,
+         |    ${digSql(s"md5(concat_ws('|', pa.o_orderkey, ${rowHashSql("pa")}))")} AS pa_digest
+         |  FROM pa GROUP BY 1),
+         |${multiChildCteSql("ln", "lsrc", "lineitem", "l_orderkey",
+             Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+               "l_extendedprice", "l_returnflag"), childHashSql)},
+         |${multiChildCteSql("rt", "rsrc", "rtgt", "l_orderkey",
+             Seq("l_orderkey", "l_linenumber", "r_refund"), returnsHashSql)}
+         |${multiChildSelectSql("ln", "lineitem")}
+         |UNION ALL
+         |${multiChildSelectSql("rt", "returns")}
+         |ORDER BY child, order_year""".stripMargin,
 
     "y15_incremental_join_view" ->
       s"""WITH $sourceCte, $custCte

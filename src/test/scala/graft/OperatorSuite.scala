@@ -641,6 +641,69 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(q.exists(_.getAs[Boolean]("child_dirty")))
   }
 
+  test("Y17b law: children go dirty independently, each follows parent dirt") {
+    val tgtO = Tables.orders(spark, sf)
+    val tgtL = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber",
+      "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val tgtR = Sync.returnsTargetView(spark, sf)
+    // 1997: PARENT-only churn; 1995: lineitem-ONLY churn; 1996:
+    // returns-ONLY churn — three disjoint dirt sources, so the FK rule
+    // and the children's independence are separately observable
+    // (corpus orders span 1995-2001; all three years exist)
+    val srcO = tgtO.withColumn("o_totalprice",
+      when(year(col("o_orderdate")) === 1997, col("o_totalprice") + 1d)
+        .otherwise(col("o_totalprice")))
+    def orderKeysOf(y: Int) = tgtO.filter(year(col("o_orderdate")) === y)
+      .select(col("o_orderkey").as("yk"))
+    val srcL = tgtL.join(orderKeysOf(1995),
+        col("l_orderkey") === col("yk"), "left")
+      .withColumn("l_quantity",
+        when(col("yk").isNotNull, col("l_quantity") + 1d)
+          .otherwise(col("l_quantity")))
+      .drop("yk")
+    val srcR = tgtR.join(orderKeysOf(1996),
+        col("l_orderkey") === col("yk"), "left")
+      .withColumn("r_refund",
+        when(col("yk").isNotNull, col("r_refund") + 1d)
+          .otherwise(col("r_refund")))
+      .drop("yk")
+    val lineHash = Seq(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_quantity").cast("decimal(18,2)").cast("string"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_returnflag"))
+    val rows = Sync.fkConsistentSyncMulti(srcO, tgtO, Seq(
+      Sync.FkChild("lineitem", srcL, tgtL, "l_orderkey", lineHash),
+      Sync.FkChild("returns", srcR, tgtR, "l_orderkey",
+        Seq(col("l_orderkey"), col("l_linenumber"),
+          col("r_refund").cast("decimal(18,2)").cast("string"))))).collect()
+    spark.catalog.clearCache() // the multi plan persists per-child plans
+    def dirtyYears(child: String) = rows
+      .filter(r => r.getAs[String]("child") == child &&
+        r.getAs[Boolean]("child_dirty"))
+      .map(_.getAs[Int]("order_year")).toSet
+    assert(rows.filter(_.getAs[Boolean]("parent_dirty"))
+      .map(_.getAs[Int]("order_year")).toSet == Set(1997),
+      "parent dirt must be exactly 1997 (seen identically by every child)")
+    assert(dirtyYears("lineitem") == Set(1995, 1997),
+      s"lineitem dirt must be own (1995) + parent's (1997): ${dirtyYears("lineitem")}")
+    assert(dirtyYears("returns") == Set(1996, 1997),
+      s"returns dirt must be own (1996) + parent's (1997): ${dirtyYears("returns")}")
+    // independence: one child's churn never ships the other
+    val li96 = rows.find(r => r.getAs[String]("child") == "lineitem" &&
+      r.getAs[Int]("order_year") == 1996).get
+    val rt95 = rows.find(r => r.getAs[String]("child") == "returns" &&
+      r.getAs[Int]("order_year") == 1995).get
+    assert(li96.getAs[Long]("n_child_copied") == 0L &&
+           rt95.getAs[Long]("n_child_copied") == 0L,
+      "a child shipped a partition only the OTHER child dirtied")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parent_clean_after"), s"parent dirty after: $r")
+      assert(r.getAs[Boolean]("child_clean_after"), s"child dirty after: $r")
+      assert(r.getAs[Long]("n_orphans_after") == 0L, s"FK orphans after: $r")
+    }
+  }
+
   test("Y18 law: applying the compacted changelog equals applying the full log") {
     val log = Sync.changeLog(spark, sf)
     // A CONSISTENT base: exactly the keys whose first in-window op is
