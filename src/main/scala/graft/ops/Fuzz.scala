@@ -179,10 +179,11 @@ object Fuzz {
     * seed recorded under an older version silently generates a
     * DIFFERENT query under a newer one. v1 = 6 shapes (r6), v2 = 9
     * shapes (r7), v3 = 12 shapes (r8: temporal trunc/extract + string
-    * functions). Persist (version, seed) pairs together and replay via
+    * functions), v4 = 13 shapes (r9: events windows). Persist
+    * (version, seed) pairs together and replay via
     * [[build(seed, recordedVersion)]], which fails loudly on mismatch
     * instead of reproducing the wrong query. */
-  val generatorVersion: Int = 3
+  val generatorVersion: Int = 4
 
   /** Replay guard for externally recorded seeds: refuses to build a
     * seed recorded under a different generator version. */
@@ -195,7 +196,7 @@ object Fuzz {
   }
 
   /** Generate the seed's query pair. Seeds are stable forever WITHIN a
-    * shape count: the shape is seed % 12 (java.util.Random's FIRST
+    * shape count: the shape is seed % 13 (java.util.Random's FIRST
     * power-of-2 nextInt is heavily correlated across sequential seeds —
     * measured: seeds 1..40 all gave the same first nextInt(4)) and every
     * inner draw comes from `new Random(seed)` warmed up past the
@@ -203,13 +204,15 @@ object Fuzz {
     * null propagation, grouping lattices, EXISTS/IN subqueries), round 8
     * widened 9 → 12 (date_trunc/EXTRACT temporal keys and string-function
     * projections — the timestamp/collation corners where engine dialects
-    * drift); each widening re-buckets shape = seed % n, bumps
+    * drift), round 9 widened 12 → 13 (per-user events windows, so the
+    * events dialect corner that r8's corpus drift broke is continuously
+    * fuzzed); each widening re-buckets shape = seed % n, bumps
     * [[generatorVersion]], and re-picks the promoted seeds. */
   def build(seed: Int): Built = {
     require(seed >= 0, s"Fuzz.build: seed must be non-negative, got $seed")
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 12) match {
+    (seed % 13) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)
@@ -457,29 +460,112 @@ object Fuzz {
             s"CAST(length(${sc.name}) AS INTEGER) AS len " +
             s"FROM ${t.name} WHERE ${sc.name} LIKE '$prefix%' AND ${p.sql}",
           "string_funcs")
+      case 12 => // per-user windows over the EVENTS stream — the fuzzed
+        // form of the w2–w6/y4 dialect corner (timestamp ordering with
+        // the event_id tie-break, LAG null slots, rank-k filters) that
+        // round 8's corpus drift broke silently. The shared text reads
+        // through an `ev` CTE whose CAST(ts AS TIMESTAMP) is a no-op on
+        // both engines whatever physical ts type the corpus vintage
+        // carries, so any future drift the loader mishandles fails
+        // loudly here, in FuzzSuite, not at the driver.
+        val types = Seq("view", "click", "purchase", "signup", "error")
+        val subset = r.shuffle(types.toList).take(2 + r.nextInt(2)).sorted
+        val typePred =
+          s"event_type IN (${subset.map(t => s"'$t'").mkString(", ")})"
+        val typeCol = col("event_type").isin(subset: _*)
+        val evSql = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+          "user_id, event_type, value FROM events)"
+        def evDf(s: SparkSession, d: String) = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        r.nextInt(3) match {
+          case 0 => // LAG/LEAD gap projection (null first/last slots)
+            val off = 1 + r.nextInt(2)
+            Built(
+              (s, d) => {
+                val w = Window.partitionBy("user_id")
+                  .orderBy(col("ts"), col("event_id"))
+                evDf(s, d).filter(typeCol)
+                  .select(col("user_id"), col("event_id"),
+                    lag(col("value"), off).over(w).as("prev_value"),
+                    lead(col("event_type"), 1).over(w).as("next_type"),
+                    (col("value") -
+                      coalesce(lag(col("value"), off).over(w), lit(0.0)))
+                      .as("delta"))
+              },
+              s"WITH $evSql SELECT user_id, event_id, " +
+                s"LAG(value, $off) OVER w AS prev_value, " +
+                "LEAD(event_type, 1) OVER w AS next_type, " +
+                s"value - COALESCE(LAG(value, $off) OVER w, 0.0) AS delta " +
+                s"FROM ev WHERE $typePred " +
+                "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+              "event_window")
+          case 1 => // running COUNT/MIN/MAX rows-frame (order-insensitive
+            // accumulators only: a running double SUM would hinge on
+            // addition order, the one thing §7.3 bans)
+            Built(
+              (s, d) => {
+                val w = Window.partitionBy("user_id")
+                  .orderBy(col("ts"), col("event_id"))
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                evDf(s, d).filter(typeCol)
+                  .select(col("user_id"), col("event_id"),
+                    count(lit(1)).over(w).cast("int").as("n_so_far"),
+                    min(col("value")).over(w).as("min_so_far"),
+                    max(col("value")).over(w).as("max_so_far"))
+              },
+              s"WITH $evSql SELECT user_id, event_id, " +
+                "CAST(COUNT(*) OVER w AS INTEGER) AS n_so_far, " +
+                "MIN(value) OVER w AS min_so_far, " +
+                "MAX(value) OVER w AS max_so_far " +
+                s"FROM ev WHERE $typePred " +
+                "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+              "event_window")
+          case 2 => // latest-k per user (the y4 latest-wins shape with a
+            // rank filter; rn cast to INT as in fz6)
+            val k = 2 + r.nextInt(4)
+            Built(
+              (s, d) => {
+                val w = Window.partitionBy("user_id")
+                  .orderBy(col("ts").desc, col("event_id").desc)
+                evDf(s, d).filter(typeCol)
+                  .withColumn("rn", row_number().over(w).cast("int"))
+                  .filter(col("rn") <= k)
+                  .select(col("user_id"), col("event_id"),
+                    col("event_type"), col("rn"))
+              },
+              s"WITH $evSql SELECT user_id, event_id, event_type, rn FROM (" +
+                "SELECT user_id, event_id, event_type, " +
+                "CAST(row_number() OVER (PARTITION BY user_id " +
+                "ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn " +
+                s"FROM ev WHERE $typePred) t WHERE rn <= $k",
+              "event_window")
+        }
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
-    * counts at sf0.01 (FuzzSuite prints the coverage table). These
-    * twelve run through the driver's DuckDB gate every round,
+    * counts at sf0.001+ (FuzzSuite prints the coverage table). These
+    * thirteen run through the driver's DuckDB gate every round,
     * cross-checking the generator's dialect parity against a second
-    * engine. (Re-seeded in round 8 when the shape count went 9 → 12:
-    * shape = seed % 12, so each name needed a seed in its shape's new
-    * residue class — recorded under [[generatorVersion]] 3.) */
+    * engine. (Re-seeded in round 9 when the shape count went 12 → 13:
+    * shape = seed % 13, so each name needed a seed in its shape's new
+    * residue class — recorded under [[generatorVersion]] 4.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 12,
-    "fz2_agg_groupby" -> 25,
-    "fz3_join_agg" -> 14,
-    "fz4_join_filter" -> 15,
-    "fz5_set_op" -> 16,
-    "fz6_window_topk" -> 17,
-    "fz7_outer_join" -> 18,
-    "fz8_grouping" -> 19,
-    "fz9_subquery" -> 20,
-    "fz10_temporal_trunc" -> 21,
-    "fz11_temporal_extract" -> 34,
-    "fz12_string_funcs" -> 23)
+    "fz1_filter_project" -> 13,
+    "fz2_agg_groupby" -> 14,
+    "fz3_join_agg" -> 15,
+    "fz4_join_filter" -> 16,
+    "fz5_set_op" -> 30,
+    "fz6_window_topk" -> 18,
+    "fz7_outer_join" -> 19,
+    "fz8_grouping" -> 20,
+    "fz9_subquery" -> 34,
+    "fz10_temporal_trunc" -> 35,
+    "fz11_temporal_extract" -> 23,
+    "fz12_string_funcs" -> 37,
+    "fz13_event_window" -> 25)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * and the identical schema. This amplifies the hand-authored oracle
   * corpus with generated compositions of filters, projections,
   * aggregates, set-ops, window top-k, outer joins, grouping lattices,
-  * semi/anti subqueries, temporal date_trunc/EXTRACT keys and string
-  * functions; the twelve promoted seeds additionally go through the
-  * driver's DuckDB gate (fz1-fz12).
+  * semi/anti subqueries, temporal date_trunc/EXTRACT keys, string
+  * functions and per-user events windows; the thirteen promoted seeds
+  * additionally go through the driver's DuckDB gate (fz1-fz13).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
@@ -26,6 +26,9 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
     Tables.orders(spark, sf).createOrReplaceTempView("orders")
     Tables.customer(spark, sf).createOrReplaceTempView("customer")
+    // the loader-normalized events view: the shared SQL's
+    // CAST(ts AS TIMESTAMP) is a no-op here and on DuckDB's raw parquet
+    Tables.events(spark, sf).createOrReplaceTempView("events")
     var nonEmpty = 0
     val shapes = scala.collection.mutable.Map.empty[String, Int]
     for (seed <- 1 to 120) {
@@ -44,7 +47,7 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 12, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 13, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
@@ -65,7 +68,8 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       "fz9_subquery" -> "subquery_semi",
       "fz10_temporal_trunc" -> "temporal_trunc",
       "fz11_temporal_extract" -> "temporal_extract",
-      "fz12_string_funcs" -> "string_funcs")
+      "fz12_string_funcs" -> "string_funcs",
+      "fz13_event_window" -> "event_window")
     assert(Fuzz.promoted.keySet == want.keySet)
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
