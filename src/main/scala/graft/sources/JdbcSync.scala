@@ -53,7 +53,77 @@ object JdbcSync {
                 part: Option[ReadPartitioning]): DataFrame =
     spark.read.format("jdbc").options(readOptions(cfg, part)).load()
 
-  /** S5: batched JDBC write. */
+  /** S5: batched JDBC write.
+    *
+    * NOT idempotent under task retry in Append mode: Spark's JDBC sink
+    * has no transactional coordination across tasks, so a task that
+    * fails AFTER inserting some batches re-runs and re-inserts them —
+    * duplicate rows. Use [[idempotentAppend]] for keyed targets; plain
+    * Append is only exactly-once when the write is known
+    * retry-free (e.g. staging into a fresh table that is atomically
+    * swapped/validated afterwards). */
   def writeTable(df: DataFrame, cfg: JdbcConfig, mode: SaveMode): Unit =
     df.write.format("jdbc").options(writeOptions(cfg)).mode(mode).save()
+
+  /** Retry-idempotent keyed append: each partition MERGEs its rows into
+    * the target on the PK (the [[graft.sync.MergeSql]] dialect builder —
+    * Derby for the embedded e2e tests, T-SQL for the MS-SQL-shaped
+    * target), so a retried task re-MERGEs the same keys into the same
+    * final state instead of duplicating inserts — the exactly-once
+    * closure for the append path that plain [[writeTable]] lacks
+    * (its scaladoc). LAW (JdbcSyncSuite): running the same append twice
+    * — the worst-case retry — leaves the table equal to running it once.
+    *
+    * Executor-side like any batch JDBC write (foreachPartition, batched
+    * statements, one commit per partition): nothing funnels through the
+    * driver, parallelism = input partitions. The input must be unique
+    * per key (pre-aggregate latest-wins first — y4's shape — as the
+    * streaming sink does); duplicate in-batch keys would race their own
+    * MERGEs. Cost vs plain INSERT is the per-row match probe — the
+    * price of exactly-once on a non-transactional sink. */
+  def idempotentAppend(df: DataFrame, cfg: JdbcConfig, key: String,
+      dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby,
+      batchSize: Int = 1000): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    val valueCols = schema.fieldNames.filterNot(_ == key).toSeq
+    val stmt = graft.sync.MergeSql.upsert(dialect, cfg.table, key, valueCols)
+    val (url, driver, user, password) = (cfg.url, cfg.driver, cfg.user, cfg.password)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        Class.forName(driver)
+        val conn =
+          if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+          else java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(stmt.sql)
+          var pending = 0
+          rows.foreach { r =>
+            stmt.bindOrder.zipWithIndex.foreach { case (cn, pos) =>
+              val i = schema.fieldIndex(cn)
+              if (r.isNullAt(i))
+                ps.setObject(pos + 1, null)
+              else schema(i).dataType match {
+                case LongType      => ps.setLong(pos + 1, r.getLong(i))
+                case IntegerType   => ps.setInt(pos + 1, r.getInt(i))
+                case DoubleType    => ps.setDouble(pos + 1, r.getDouble(i))
+                case FloatType     => ps.setFloat(pos + 1, r.getFloat(i))
+                case StringType    => ps.setString(pos + 1, r.getString(i))
+                case BooleanType   => ps.setBoolean(pos + 1, r.getBoolean(i))
+                case TimestampType => ps.setTimestamp(pos + 1, r.getTimestamp(i))
+                case DateType      => ps.setDate(pos + 1, r.getDate(i))
+                case _: DecimalType => ps.setBigDecimal(pos + 1, r.getDecimal(i))
+                case _             => ps.setObject(pos + 1, r.get(i))
+              }
+            }
+            ps.addBatch(); pending += 1
+            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
 }

@@ -37,6 +37,37 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(o).count() == 0 && o.exceptAll(back).count() == 0)
   }
 
+  test("idempotentAppend law: a retried append leaves the table identical") {
+    val cfg2 = cfg.copy(table = "ORDERS_IDEM")
+    // UPPERCASE aliases: Spark's JDBC writer quotes column identifiers
+    // at CREATE, and MergeSql interpolates them unquoted (Derby folds
+    // unquoted to upper) — the unquoted-DDL naming convention the
+    // rowDigest scaladoc documents for JDBC sync targets
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("O_ORDERKEY"),
+        col("o_custkey").as("O_CUSTKEY"),
+        col("o_totalprice").as("O_TOTALPRICE"),
+        col("o_orderstatus").as("O_ORDERSTATUS"))
+      .limit(500)
+    // seed the table shape via a normal write of 0 rows, then append
+    writeTable(o.limit(0), cfg2, SaveMode.Overwrite)
+    idempotentAppend(o, cfg2, "O_ORDERKEY")
+    val once = readTable(spark, cfg2, None).collect().toSet
+    // the worst-case task retry: the ENTIRE append runs again
+    idempotentAppend(o, cfg2, "O_ORDERKEY")
+    val twice = readTable(spark, cfg2, None).collect().toSet
+    assert(once.size == 500 && twice == once,
+      "re-running the append must not duplicate or alter rows")
+    // and a retry carrying NEW payload for existing keys updates in place
+    val bumped = o.withColumn("O_TOTALPRICE", col("O_TOTALPRICE") + 1d)
+    idempotentAppend(bumped, cfg2, "O_ORDERKEY")
+    val after = readTable(spark, cfg2, None)
+    assert(after.count() == 500)
+    assert(after.agg(sum("O_TOTALPRICE")).collect()(0).getDouble(0) >
+      once.toSeq.map(_.getDouble(2)).sum + 499,
+      "updated payload must land on every existing key")
+  }
+
   test("S4 filters and column pruning push into the JDBC scan (100 TB extract shape)") {
     // The property a sync's incremental extract lives on: the WHERE and
     // the column list must reach the database — a scan that ships every
