@@ -665,7 +665,107 @@ object Sync {
             col("payload_value").as("last_value")))
     } else sourceState
 
+  /** y23 engine: THREE-way diff — the bidirectional-sync primitive.
+    * Given a common ancestor (base) and two divergent replicas A and B,
+    * classify every key by which side(s) actually changed relative to
+    * the ancestor — the git-merge semantics on rows:
+    *  - unchanged:  A ≡ base ≡ B (null-safe on the row hash)
+    *  - a_only / b_only: one side drifted, the other is still at base —
+    *    ship the drifted version across (insert/update/delete uniformly:
+    *    an absent hash IS the delete case, no special-casing)
+    *  - convergent: both drifted to the SAME row (or both deleted) —
+    *    nothing to ship, nothing to resolve
+    *  - conflict:   both drifted, differently — the one class no sync
+    *    tool may auto-apply; surfaced with a 'manual' action
+    * A two-sided diff (y3) cannot distinguish conflict from convergent
+    * from b_only — without the ancestor every difference looks like
+    * drift to ship, and bidirectional replication corrupts data exactly
+    * there.
+    *
+    * Scale: NO joins — each side projects (pk, hash) and the three
+    * streams union into ONE hash-aggregate keyed on the PK (conditional
+    * max per side), so the cost is three scans + a single equi-shuffle,
+    * the same shape as any two-phase agg; AQE skew-splits it. The row
+    * hash rides as TWO 60-bit longs (120 of md5's 128 bits — collision
+    * odds 2^-120 per key, same class as the digest idiom) rather than
+    * the hex string: string-valued aggregate buffers force Spark's
+    * SortAggregate fallback, and the all-long buffer keeps the
+    * two-phase HashAggregate (pinned in PlanAuditSuite). */
+  def threeWayDiff(base: DataFrame, a: DataFrame, b: DataFrame): DataFrame = {
+    def tag(df: DataFrame, side: String) = {
+      val h = rowHash(c => col(c))
+      df.select(col("o_orderkey"), lit(side).as("side"),
+        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 16, 15), 16, 10).cast("long").as("h2"))
+    }
+    def side(s: String, part: String) =
+      max(when(col("side") === s, col(part))).as(s"${s}_$part")
+    def same(x: String, y: String) =
+      (col(s"${x}_h1") <=> col(s"${y}_h1")) &&
+        (col(s"${x}_h2") <=> col(s"${y}_h2"))
+    val aCh = !same("a", "base")
+    val bCh = !same("b", "base")
+    tag(base, "base").unionByName(tag(a, "a")).unionByName(tag(b, "b"))
+      .groupBy("o_orderkey")
+      .agg(side("base", "h1"), side("base", "h2"),
+        side("a", "h1"), side("a", "h2"), side("b", "h1"), side("b", "h2"))
+      .select(col("o_orderkey"),
+        when(!aCh && !bCh, "unchanged")
+          .when(aCh && !bCh, "a_only")
+          .when(bCh && !aCh, "b_only")
+          .when(same("a", "b"), "convergent")
+          .otherwise("conflict").as("verdict"),
+        when(!aCh && !bCh, "none")
+          .when(aCh && !bCh,
+            when(col("a_h1").isNull, "delete_in_b").otherwise("upsert_to_b"))
+          .when(bCh && !aCh,
+            when(col("b_h1").isNull, "delete_in_a").otherwise("upsert_to_a"))
+          .when(same("a", "b"), "none")
+          .otherwise("manual").as("action"))
+  }
+
+  /** Replica-B mutation of orders for y23 — key classes chosen so every
+    * verdict is populated and OVERLAPS with [[sourceView]]'s A-side
+    * churn are deterministic: %7∩%11 keys update on both sides with
+    * different payloads (conflict), %10∩%19 delete on both
+    * (convergent), the rest drift one-sided. Lockstep with
+    * [[bSourceCte]]. */
+  def bSourceView(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 19 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("P"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 500d)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 23 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("O")))
+  }
+
+  val bSourceCte: String =
+    """bsrc AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 19 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 23 = 0
+      |)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+
+    // Y23: three-way diff / conflict detection — [[threeWayDiff]] over
+    // base = orders, A = sourceView, B = bSourceView. The key-class
+    // arithmetic guarantees every verdict appears: %7∩%11 → conflict
+    // (different updates), %10∩%19 → convergent (both deleted),
+    // %13 vs %23 inserts at different rekey offsets → a_only/b_only
+    // inserts, and the disjoint churn remainder → one-sided drift.
+    "y23_three_way_diff" -> ((s, d) =>
+      threeWayDiff(Tables.orders(s, d), sourceView(s, d), bSourceView(s, d))),
 
     // Y21: retention-loss fallback — [[retentionSync]]'s decision
     // surface as a scored query. The horizon and two scenario cursors
@@ -682,33 +782,40 @@ object Sync {
     // the decision itself is metadata-only at scale.
     "y21_retention_fallback" -> ((s, d) => {
       val log = changeLog(s, d)
-      val scenarios = log
-        .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"))
+      // ONE windowed scan yields BOTH the version bounds (plain min/max
+      // over all rows) and the final-state rollup (conditional aggs over
+      // the rn=1, non-tombstone subset) — at a 100 TB changelog the
+      // second full scan this fuses away is the expensive part; only the
+      // per-scenario tail count needs a second pass (its predicate
+      // depends on the bounds-derived cursors).
+      val w = Window.partitionBy("pk").orderBy(col("version").desc)
+      val isFinal = col("rn") === 1 && col("op") =!= "D"
+      val stateAgg = log
+        .withColumn("rn", row_number().over(w))
+        .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"),
+          count(when(isFinal, 1)).as("n_final_keys"),
+          sum(when(isFinal, pmod(conv(substring(md5(concat_ws("|",
+              col("pk"), col("payload_type"),
+              col("payload_value").cast("decimal(18,2)").cast("string"))),
+            1, 15), 16, 10).cast("long"), lit(1000000000L))))
+            .as("final_digest"))
+      val scenarios = stateAgg
         .select(explode(array(
             struct(lit("A_recent").as("scenario"),
               expr("vmin + (vmax - vmin) * 6 div 10").as("target_version")),
             struct(lit("B_stale").as("scenario"),
               expr("vmin + (vmax - vmin) * 1 div 10").as("target_version"))))
             .as("sc"),
-          expr("vmin + (vmax - vmin) * 3 div 10").as("min_valid_version"))
+          expr("vmin + (vmax - vmin) * 3 div 10").as("min_valid_version"),
+          col("n_final_keys"), col("final_digest"))
         .select(col("sc.scenario").as("scenario"),
           col("sc.target_version").as("target_version"),
-          col("min_valid_version"))
-      val w = Window.partitionBy("pk").orderBy(col("version").desc)
-      val stateAgg = log
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .filter(col("op") =!= "D")
-        .agg(count(lit(1)).as("n_final_keys"),
-          sum(pmod(conv(substring(md5(concat_ws("|",
-              col("pk"), col("payload_type"),
-              col("payload_value").cast("decimal(18,2)").cast("string"))),
-            1, 15), 16, 10).cast("long"), lit(1000000000L)))
-            .as("final_digest"))
+          col("min_valid_version"), col("n_final_keys"), col("final_digest"))
       log.crossJoin(broadcast(scenarios))
-        .groupBy("scenario", "target_version", "min_valid_version")
+        .groupBy("scenario", "target_version", "min_valid_version",
+          "n_final_keys", "final_digest")
         .agg(countDistinct(when(col("version") > col("target_version"),
           col("pk"))).as("n_tail_keys"))
-        .crossJoin(broadcast(stateAgg))
         .select(col("scenario"), col("target_version"),
           col("min_valid_version"),
           when(col("target_version") >= col("min_valid_version"),
@@ -1631,6 +1738,40 @@ object Sync {
          |  last_type, last_value, last_version, n_ops
          |FROM c
          |WHERE NOT (first_op = 'I' AND last_op = 'D')""".stripMargin,
+
+    "y23_three_way_diff" ->
+      s"""WITH $sourceCte, $bSourceCte,
+         |u AS (
+         |  SELECT o_orderkey, 'base' AS side, ${rowHashSql("orders")} AS h FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, 'a', ${rowHashSql("src")} FROM src
+         |  UNION ALL
+         |  SELECT o_orderkey, 'b', ${rowHashSql("bsrc")} FROM bsrc),
+         |g AS (
+         |  SELECT o_orderkey,
+         |    MAX(CASE WHEN side = 'base' THEN h END) AS base_h,
+         |    MAX(CASE WHEN side = 'a' THEN h END) AS a_h,
+         |    MAX(CASE WHEN side = 'b' THEN h END) AS b_h
+         |  FROM u GROUP BY 1),
+         |c AS (
+         |  SELECT o_orderkey, base_h, a_h, b_h,
+         |    (a_h IS DISTINCT FROM base_h) AS ach,
+         |    (b_h IS DISTINCT FROM base_h) AS bch
+         |  FROM g)
+         |SELECT o_orderkey,
+         |  CASE WHEN NOT ach AND NOT bch THEN 'unchanged'
+         |       WHEN ach AND NOT bch THEN 'a_only'
+         |       WHEN bch AND NOT ach THEN 'b_only'
+         |       WHEN a_h IS NOT DISTINCT FROM b_h THEN 'convergent'
+         |       ELSE 'conflict' END AS verdict,
+         |  CASE WHEN NOT ach AND NOT bch THEN 'none'
+         |       WHEN ach AND NOT bch THEN
+         |         CASE WHEN a_h IS NULL THEN 'delete_in_b' ELSE 'upsert_to_b' END
+         |       WHEN bch AND NOT ach THEN
+         |         CASE WHEN b_h IS NULL THEN 'delete_in_a' ELSE 'upsert_to_a' END
+         |       WHEN a_h IS NOT DISTINCT FROM b_h THEN 'none'
+         |       ELSE 'manual' END AS action
+         |FROM c""".stripMargin,
 
     "y22_column_subset_sync" ->
       s"""WITH $sourceCte,

@@ -704,6 +704,56 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Y23 law: verdicts match the mutation arithmetic; disjoint churn never conflicts") {
+    val base = Tables.orders(spark, sf)
+    // rule-computed expectation per BASE key, straight from the two
+    // mutation definitions: A deletes %10 / updates %7; B deletes %19 /
+    // updates %11. Both-deleted converges; any other both-changed pair
+    // conflicts (update payloads always differ across sides).
+    val aDel = col("o_orderkey") % 10 === 0
+    val aUpd = col("o_orderkey") % 7 === 0 && !aDel
+    val bDel = col("o_orderkey") % 19 === 0
+    val bUpd = col("o_orderkey") % 11 === 0 && !bDel
+    val aCh = aDel || aUpd
+    val bCh = bDel || bUpd
+    val expected = base.select(col("o_orderkey"),
+      when(!aCh && !bCh, "unchanged")
+        .when(aCh && !bCh, "a_only")
+        .when(bCh && !aCh, "b_only")
+        .when(aDel && bDel, "convergent")
+        .otherwise("conflict").as("verdict"))
+    val got = Sync.queries("y23_three_way_diff")(spark, sf)
+      .filter(col("o_orderkey") < 10000000L) // base keys; inserts below
+    assert(got.select("o_orderkey", "verdict")
+      .exceptAll(expected).isEmpty &&
+      expected.exceptAll(got.select("o_orderkey", "verdict")).isEmpty,
+      "three-way verdicts diverged from the mutation arithmetic")
+    // every verdict class is genuinely populated at this SF
+    val verdicts = got.select("verdict").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("unchanged", "a_only", "b_only",
+      "convergent", "conflict"), s"missing verdict classes: $verdicts")
+    // conflicts are exactly the 'manual' actions — never auto-applied
+    val g2 = Sync.queries("y23_three_way_diff")(spark, sf)
+    assert(g2.filter((col("verdict") === "conflict") =!=
+      (col("action") === "manual")).count() == 0L)
+    // rekeyed inserts surface as one-sided upserts
+    assert(g2.filter(col("o_orderkey") >= 20000000L &&
+      (col("verdict") =!= "b_only" || col("action") =!= "upsert_to_a"))
+      .count() == 0L, "B-side inserts must classify b_only/upsert_to_a")
+    // THE LAW: churn on disjoint key sets can never conflict
+    val aSide = base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1d)
+      .unionByName(base.filter(col("o_orderkey") % 2 =!= 0))
+    val bSide = base.filter(col("o_orderkey") % 2 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2d)
+      .unionByName(base.filter(col("o_orderkey") % 2 === 0))
+    val disjoint = Sync.threeWayDiff(base, aSide, bSide)
+    assert(disjoint.filter(col("verdict") === "conflict").count() == 0L,
+      "disjoint churn produced a conflict")
+    assert(disjoint.filter(col("verdict") === "convergent").count() == 0L)
+  }
+
   test("Y18 law: applying the compacted changelog equals applying the full log") {
     val log = Sync.changeLog(spark, sf)
     // A CONSISTENT base: exactly the keys whose first in-window op is

@@ -439,6 +439,16 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"non-equi fallback join in the multi-child sync:\n$p")
   }
 
+  test("Y23: three-way diff is union + ONE hash-aggregate — no joins at all") {
+    // the scale claim: three tagged scans union into a single PK-keyed
+    // aggregate; any join here means a per-pair diff crept back in and
+    // the shuffle count doubled
+    val p = plan("y23_three_way_diff")
+    assert(!p.contains("Join"), s"three-way diff must not join:\n$p")
+    assert(p.contains("Union"), s"tagged union missing:\n$p")
+    assert(p.contains("HashAggregate"), s"keyed aggregate missing:\n$p")
+  }
+
   test("Y20: month-level rescan is semi-join-pruned on the broadcast dirty-year set") {
     // the whole point of hierarchical narrowing: the finer-grain scan
     // must be gated by the ≤|years| level-1 dirty set shipped as a
