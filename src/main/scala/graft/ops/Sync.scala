@@ -848,6 +848,46 @@ object Sync {
         graft.sync.SyncJob.SyncConfig(Seq("o_orderkey"), cmp))
     }),
 
+    // Y24: SAMPLED sync validation — y6 at 100 TB. A full two-sided
+    // validation scan per sync cycle is unaffordable at scale; the
+    // monitoring form diffs a DETERMINISTIC hash-bucket sample of keys
+    // (md5(pk) mod 100 < pct — identical membership in both engines and
+    // across runs, unlike rand()-sampling) and extrapolates: drift rate
+    // over the sample, absolute drift estimate against the full target
+    // count (a count-only scan — parquet answers it from footers), and
+    // a 95% normal-approximation half-width so the consumer knows how
+    // much to trust the estimate. The expensive part — the full-outer
+    // PK shuffle — carries ONLY the sample: validation cost scales with
+    // pct, not the table. Float policy: drift_rate/ci are fixed
+    // IEEE arithmetic TREES over exact counts (no float reductions), so
+    // both engines produce bit-identical doubles (§7.3).
+    "y24_sampled_validation" -> ((s, d) => {
+      val pct = 10L
+      def inSample(k: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(k.cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L)) < pct
+      val t = Tables.orders(s, d).filter(inSample(col("o_orderkey")))
+        .select(col("o_orderkey").as("t_key"), rowHash(c => col(c)).as("t_hash"))
+      val sv = sourceView(s, d).filter(inSample(col("o_orderkey")))
+        .select(col("o_orderkey").as("s_key"), rowHash(c => col(c)).as("s_hash"))
+      val drifted = !(col("s_hash") <=> col("t_hash"))
+      val sampleAgg = sv.join(t, col("s_key") === col("t_key"), "full_outer")
+        .agg(count(lit(1)).as("n_sampled"),
+          count(when(drifted, 1)).as("n_drifted"))
+      val total = Tables.orders(s, d).agg(count(lit(1)).as("n_target_total"))
+      sampleAgg.crossJoin(total)
+        .select(col("n_target_total"), col("n_sampled"), col("n_drifted"),
+          (col("n_drifted").cast("double") / col("n_sampled").cast("double"))
+            .as("drift_rate"),
+          (col("n_drifted").cast("double") / col("n_sampled").cast("double") *
+            col("n_target_total").cast("double")).as("est_drift_total"),
+          (lit(1.96) * sqrt(
+            col("n_drifted").cast("double") / col("n_sampled").cast("double") *
+              (lit(1.0) - col("n_drifted").cast("double") /
+                col("n_sampled").cast("double")) /
+              col("n_sampled").cast("double"))).as("ci_half"))
+    }),
+
     // Y1: schema introspection — StructType surfaced as rows (JDBC-side
     // introspection is exercised in SyncJdbcSuite; no DB in this env).
     "y1_schema_introspect" -> ((s, d) => {
@@ -1738,6 +1778,28 @@ object Sync {
          |  last_type, last_value, last_version, n_ops
          |FROM c
          |WHERE NOT (first_op = 'I' AND last_op = 'D')""".stripMargin,
+
+    "y24_sampled_validation" ->
+      s"""WITH $sourceCte,
+         |t AS (
+         |  SELECT o_orderkey AS t_key, ${rowHashSql("orders")} AS t_hash FROM orders
+         |  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10),
+         |s AS (
+         |  SELECT o_orderkey AS s_key, ${rowHashSql("src")} AS s_hash FROM src
+         |  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10),
+         |sa AS (
+         |  SELECT COUNT(*) AS n_sampled,
+         |    COUNT(CASE WHEN s_hash IS DISTINCT FROM t_hash THEN 1 END) AS n_drifted
+         |  FROM s FULL OUTER JOIN t ON s_key = t_key),
+         |tot AS (SELECT COUNT(*) AS n_target_total FROM orders)
+         |SELECT n_target_total, n_sampled, n_drifted,
+         |  CAST(n_drifted AS DOUBLE) / CAST(n_sampled AS DOUBLE) AS drift_rate,
+         |  CAST(n_drifted AS DOUBLE) / CAST(n_sampled AS DOUBLE)
+         |    * CAST(n_target_total AS DOUBLE) AS est_drift_total,
+         |  1.96 * sqrt(CAST(n_drifted AS DOUBLE) / CAST(n_sampled AS DOUBLE)
+         |    * (1.0 - CAST(n_drifted AS DOUBLE) / CAST(n_sampled AS DOUBLE))
+         |    / CAST(n_sampled AS DOUBLE)) AS ci_half
+         |FROM sa CROSS JOIN tot""".stripMargin,
 
     "y23_three_way_diff" ->
       s"""WITH $sourceCte, $bSourceCte,

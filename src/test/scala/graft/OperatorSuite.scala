@@ -704,6 +704,30 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Y24 law: sampled drift estimate brackets the true rate; sample is deterministic") {
+    val r = Sync.queries("y24_sampled_validation")(spark, sf).collect().head
+    val (nS, nD) = (r.getAs[Long]("n_sampled"), r.getAs[Long]("n_drifted"))
+    assert(nS > 0 && nD > 0, "sample must hit both clean and drifted keys")
+    // rough size check: a 10% hash sample of a ~16k-key full-outer diff
+    assert(nS > r.getAs[Long]("n_target_total") / 20,
+      s"sample implausibly small: $nS")
+    // true drift rate from the FULL y3 diff (the thing y24 exists to
+    // avoid computing every cycle — affordable at sf0.001)
+    val full = Sync.queries("y3_snapshot_diff")(spark, sf)
+    val (tot, drift) = (full.count(),
+      full.filter(col("op") =!= "S").count())
+    val trueRate = drift.toDouble / tot.toDouble
+    val (rate, ci) = (r.getAs[Double]("drift_rate"), r.getAs[Double]("ci_half"))
+    // hash-sampling is as-if-random over keys: the fixed corpus's
+    // deviation sits inside the normal bound with margin (deterministic
+    // corpus => deterministic verdict; 2x guards the approximation)
+    assert(math.abs(rate - trueRate) <= 2 * ci,
+      s"estimate $rate ± $ci missed true rate $trueRate")
+    // deterministic: a second run returns the identical row
+    val r2 = Sync.queries("y24_sampled_validation")(spark, sf).collect().head
+    assert(r2 == r, "hash-bucket sampling must be run-stable")
+  }
+
   test("Y23 law: verdicts match the mutation arithmetic; disjoint churn never conflicts") {
     val base = Tables.orders(spark, sf)
     // rule-computed expectation per BASE key, straight from the two
