@@ -724,6 +724,55 @@ object Sync {
           .otherwise("manual").as("action"))
   }
 
+  /** y23b engine: three-way MERGE under an explicit conflict policy —
+    * what a bidirectional sync actually executes on top of
+    * [[threeWayDiff]]'s classification. Non-conflicting classes have
+    * exactly one correct outcome (the drifted side's row, or absence
+    * for a one-sided/convergent delete); conflicts have NO correct
+    * outcome, only a policy: 'prefer_a' / 'prefer_b' pick a side,
+    * anything else refuses loudly (the default a real tool should ship
+    * with — silently picking a side IS the data-corruption mode
+    * bidirectional replication is infamous for).
+    *
+    * One extra equi-shuffle beyond the diff: the verdict table joins
+    * each replica on the PK (left joins — absent rows stay absent) and
+    * a CASE projects the surviving row. LAW (OperatorSuite): the merge
+    * contains no conflict leftovers, reproduces A exactly under
+    * prefer_a when B never drifted alone, and equals the
+    * non-conflicting union otherwise. */
+  def resolveThreeWay(base: DataFrame, a: DataFrame, b: DataFrame,
+                      policy: String): DataFrame = {
+    require(policy == "prefer_a" || policy == "prefer_b",
+      s"resolveThreeWay: unresolvable conflicts under policy '$policy' — " +
+        "choose 'prefer_a' or 'prefer_b', or resolve manually first")
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    def prefixed(df: DataFrame, p: String) = df.select(
+      col("o_orderkey").as(s"${p}_key") +: cols.map(c => col(c).as(s"${p}_$c")): _*)
+    // every key's outcome is ONE side's row (or absence): unchanged →
+    // base; one-sided drift → the drifted side; convergent → A (≡ B);
+    // conflict → the policy side. A key whose chosen side lacks the row
+    // (one-sided / convergent / policy-side delete) drops via the
+    // presence filter — deletes need no special casing anywhere.
+    val side = when(col("verdict") === "unchanged", "base")
+      .when(col("verdict") === "a_only", "a")
+      .when(col("verdict") === "b_only", "b")
+      .when(col("verdict") === "convergent", "a")
+      .otherwise(lit(if (policy == "prefer_a") "a" else "b"))
+    threeWayDiff(base, a, b)
+      .join(prefixed(a, "a"), col("o_orderkey") === col("a_key"), "left")
+      .join(prefixed(b, "b"), col("o_orderkey") === col("b_key"), "left")
+      .join(prefixed(base, "base"), col("o_orderkey") === col("base_key"), "left")
+      .withColumn("side", side)
+      .filter((col("side") === "base") ||
+        (col("side") === "a" && col("a_key").isNotNull) ||
+        (col("side") === "b" && col("b_key").isNotNull))
+      .select(col("o_orderkey") +: cols.map(c =>
+        when(col("side") === "base", col(s"base_$c"))
+          .when(col("side") === "a", col(s"a_$c"))
+          .otherwise(col(s"b_$c")).as(c)): _*)
+  }
+
   /** Replica-B mutation of orders for y23 — key classes chosen so every
     * verdict is populated and OVERLAPS with [[sourceView]]'s A-side
     * churn are deterministic: %7∩%11 keys update on both sides with
@@ -766,6 +815,14 @@ object Sync {
     // inserts, and the disjoint churn remainder → one-sided drift.
     "y23_three_way_diff" -> ((s, d) =>
       threeWayDiff(Tables.orders(s, d), sourceView(s, d), bSourceView(s, d))),
+
+    // Y23b: the merge EXECUTED under prefer_a — [[resolveThreeWay]]'s
+    // one-side-per-key CASE over the same three tables; the full merged
+    // table is hash-checked, so every per-key side choice (including
+    // delete-wins-under-policy and convergent-delete absence) is pinned.
+    "y23b_three_way_merge" -> ((s, d) =>
+      resolveThreeWay(Tables.orders(s, d), sourceView(s, d),
+        bSourceView(s, d), "prefer_a")),
 
     // Y21: retention-loss fallback — [[retentionSync]]'s decision
     // surface as a scored query. The horizon and two scenario cursors
@@ -1365,6 +1422,27 @@ object Sync {
   private val evCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
+  /** Shared y23/y23b classification CTEs: tagged union → per-key side
+    * hashes → changed-vs-base flags (lockstep with [[threeWayDiff]]). */
+  private lazy val threeWayClassifyCte: String =
+    s"""u AS (
+       |  SELECT o_orderkey, 'base' AS side, ${rowHashSql("orders")} AS h FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 'a', ${rowHashSql("src")} FROM src
+       |  UNION ALL
+       |  SELECT o_orderkey, 'b', ${rowHashSql("bsrc")} FROM bsrc),
+       |g AS (
+       |  SELECT o_orderkey,
+       |    MAX(CASE WHEN side = 'base' THEN h END) AS base_h,
+       |    MAX(CASE WHEN side = 'a' THEN h END) AS a_h,
+       |    MAX(CASE WHEN side = 'b' THEN h END) AS b_h
+       |  FROM u GROUP BY 1),
+       |c AS (
+       |  SELECT o_orderkey, base_h, a_h, b_h,
+       |    (a_h IS DISTINCT FROM base_h) AS ach,
+       |    (b_h IS DISTINCT FROM base_h) AS bch
+       |  FROM g)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Y1's oracle is the EXPECTED schema as literals — introspection is
     // checked against the pinned contract, not against itself.
@@ -1801,25 +1879,31 @@ object Sync {
          |    / CAST(n_sampled AS DOUBLE)) AS ci_half
          |FROM sa CROSS JOIN tot""".stripMargin,
 
-    "y23_three_way_diff" ->
-      s"""WITH $sourceCte, $bSourceCte,
-         |u AS (
-         |  SELECT o_orderkey, 'base' AS side, ${rowHashSql("orders")} AS h FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey, 'a', ${rowHashSql("src")} FROM src
-         |  UNION ALL
-         |  SELECT o_orderkey, 'b', ${rowHashSql("bsrc")} FROM bsrc),
-         |g AS (
+    "y23b_three_way_merge" ->
+      s"""WITH $sourceCte, $bSourceCte, $threeWayClassifyCte,
+         |sd AS (
          |  SELECT o_orderkey,
-         |    MAX(CASE WHEN side = 'base' THEN h END) AS base_h,
-         |    MAX(CASE WHEN side = 'a' THEN h END) AS a_h,
-         |    MAX(CASE WHEN side = 'b' THEN h END) AS b_h
-         |  FROM u GROUP BY 1),
-         |c AS (
-         |  SELECT o_orderkey, base_h, a_h, b_h,
-         |    (a_h IS DISTINCT FROM base_h) AS ach,
-         |    (b_h IS DISTINCT FROM base_h) AS bch
-         |  FROM g)
+         |    CASE WHEN NOT ach AND NOT bch THEN 'base'
+         |         WHEN ach AND NOT bch THEN 'a'
+         |         WHEN bch AND NOT ach THEN 'b'
+         |         ELSE 'a' END AS side
+         |  FROM c)
+         |SELECT sd.o_orderkey,
+         |  CASE sd.side WHEN 'base' THEN o.o_custkey WHEN 'a' THEN sa.o_custkey ELSE sb.o_custkey END AS o_custkey,
+         |  CASE sd.side WHEN 'base' THEN o.o_orderstatus WHEN 'a' THEN sa.o_orderstatus ELSE sb.o_orderstatus END AS o_orderstatus,
+         |  CASE sd.side WHEN 'base' THEN o.o_totalprice WHEN 'a' THEN sa.o_totalprice ELSE sb.o_totalprice END AS o_totalprice,
+         |  CASE sd.side WHEN 'base' THEN o.o_orderdate WHEN 'a' THEN sa.o_orderdate ELSE sb.o_orderdate END AS o_orderdate,
+         |  CASE sd.side WHEN 'base' THEN o.o_orderpriority WHEN 'a' THEN sa.o_orderpriority ELSE sb.o_orderpriority END AS o_orderpriority
+         |FROM sd
+         |LEFT JOIN orders o ON sd.o_orderkey = o.o_orderkey
+         |LEFT JOIN src sa ON sd.o_orderkey = sa.o_orderkey
+         |LEFT JOIN bsrc sb ON sd.o_orderkey = sb.o_orderkey
+         |WHERE sd.side = 'base'
+         |   OR (sd.side = 'a' AND sa.o_orderkey IS NOT NULL)
+         |   OR (sd.side = 'b' AND sb.o_orderkey IS NOT NULL)""".stripMargin,
+
+    "y23_three_way_diff" ->
+      s"""WITH $sourceCte, $bSourceCte, $threeWayClassifyCte
          |SELECT o_orderkey,
          |  CASE WHEN NOT ach AND NOT bch THEN 'unchanged'
          |       WHEN ach AND NOT bch THEN 'a_only'

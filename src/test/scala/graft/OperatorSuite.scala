@@ -778,6 +778,38 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(disjoint.filter(col("verdict") === "convergent").count() == 0L)
   }
 
+  test("Y23b law: inert B degrades to one-way sync; policy decides every conflict; bad policy refuses") {
+    val base = Tables.orders(spark, sf)
+    val a = Sync.sourceView(spark, sf)
+    val b = Sync.bSourceView(spark, sf)
+    // inert B (≡ base): the three-way merge must reproduce A exactly,
+    // under EITHER policy — no conflicts exist to break the tie on
+    Seq("prefer_a", "prefer_b").foreach { pol =>
+      val m = Sync.resolveThreeWay(base, a, base, pol)
+      assert(m.exceptAll(a).isEmpty && a.exceptAll(m).isEmpty,
+        s"inert-B merge under $pol diverged from plain A")
+    }
+    // production merge under prefer_a: every conflict key's outcome is
+    // A's row (or absence when A deleted it) — never B's
+    val merged = Sync.resolveThreeWay(base, a, b, "prefer_a")
+    val conflicts = Sync.threeWayDiff(base, a, b)
+      .filter(col("verdict") === "conflict").select("o_orderkey")
+    val aProj = a.select(col("o_orderkey"),
+      col("o_totalprice").as("a_price"))
+    val bad = merged.join(conflicts, Seq("o_orderkey"), "left_semi")
+      .join(aProj, Seq("o_orderkey"), "left")
+      .filter(col("a_price").isNull || col("o_totalprice") =!= col("a_price"))
+    assert(bad.isEmpty, "a conflict key did not take A's row under prefer_a")
+    val aDeletedConflicts = conflicts.join(a.select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    assert(merged.join(aDeletedConflicts, Seq("o_orderkey"), "left_semi")
+      .isEmpty, "an A-deleted conflict key survived under prefer_a")
+    // no silent side-picking: an unknown policy refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Sync.resolveThreeWay(base, a, b, "fail"))
+    assert(e.getMessage.contains("unresolvable"))
+  }
+
   test("Y18 law: applying the compacted changelog equals applying the full log") {
     val log = Sync.changeLog(spark, sf)
     // A CONSISTENT base: exactly the keys whose first in-window op is
