@@ -24,6 +24,22 @@ object LlmPipeline {
   private val toksExpr: Column =
     filter(split(lower(col("text")), " +"), t => t =!= "")
 
+  /** l5m scrub patterns — ONE definition drives the Spark query, the
+    * DuckDB oracle, and the idempotence law test. Portable regex subset
+    * (char classes, bounded repetition, \b): identical semantics under
+    * Java regex and RE2. Replacement tags are UPPERCASE on a lowercased
+    * corpus, so a redacted text can never re-match a pattern — the
+    * scrub is idempotent by construction (law-tested). */
+  private[graft] object PiiPatterns {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val entity = "\\b(customer|supplier)\\b"
+    /** The full scrub chain over an already-lowercased column. */
+    def redact(t: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(
+        t, email, "<EMAIL>"), ipv4, "<IP>"), entity, "<ENT>")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH, shared verbatim
     * between the Spark literals and the oracle SQL (seeded LCG, 6 dp).
     */
@@ -439,6 +455,42 @@ object LlmPipeline {
     charShingles(md, text, if (mod8) _ % 8 == 0 else _ => true)
   }
 
+  /** The l2b LSH band table — (doc_id, band, band_hash), 4 rows per
+    * non-empty doc. Signature build = one compiled per-doc pass
+    * (minhashLanes): zero shuffle before any consumer's band stage. The
+    * previous relational form (posexplode + lead() windows + 8-lane
+    * hash-agg) was right about avoiding interpreted array lambdas
+    * (measured 100×+ slower) but still paid a Window.partitionBy(doc)
+    * shuffle+sort of every token in the corpus just to build the
+    * trigrams. lower() stays relational for engine-shared lowercase
+    * semantics. Shared by l2b (bucket stats), l13 (incremental dedup
+    * probe) and the l13 law test — one definition, so a kernel fix can
+    * never reach one consumer and not another. */
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsOf(s, Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("text")))
+
+  /** [[minhashBands]] over an arbitrary (doc_id, text) base — text must
+    * already be lowercased. Lets pipeline stages band a FILTERED
+    * survivor set (l14) instead of the whole corpus. */
+  private[graft] def minhashBandsOf(s: SparkSession, base: DataFrame): DataFrame = {
+    val sEnc = s
+    import sEnc.implicits._
+    val sig = base.as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        val toks = text.split(" +").filter(_.nonEmpty)
+        val m = minhashLanes(md, clampedNgrams(toks, 3), 8)
+        if (m == null) None
+        else Some((id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7)))
+      }
+    }.toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(b => md5(concat_ws(",",
+        col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
   /** Sort + in-place dedupe — the primitive-long twin of the item SET the
     * string form kept in a LinkedHashSet (order is irrelevant downstream:
     * items are exploded into an equi-join). */
@@ -577,31 +629,7 @@ object LlmPipeline {
     // shingle total (not per lane) — the lanes are 3 integer ops each.
     // No overflow under ANSI: (p−1)·aᵢ < 2⁶² fits a long.
     "l2b_minhash_lsh" -> ((s, d) => {
-      // Signature build = one compiled per-doc pass (minhashLanes): zero
-      // shuffle before the band-bucket stage. The previous relational
-      // form (posexplode + lead() windows + 8-lane hash-agg) was right
-      // about avoiding interpreted array lambdas (measured 100×+ slower)
-      // but still paid a Window.partitionBy(doc) shuffle+sort of every
-      // token in the corpus just to build the trigrams. lower() stays
-      // relational for engine-shared lowercase semantics.
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("text"))
-      val sEnc = s
-      import sEnc.implicits._
-      val sig = base.as[(Long, String)].mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val toks = text.split(" +").filter(_.nonEmpty)
-          val m = minhashLanes(md, clampedNgrams(toks, 3), 8)
-          if (m == null) None
-          else Some((id, m(0), m(1), m(2), m(3), m(4), m(5), m(6), m(7)))
-        }
-      }.toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
-      val bands = sig.select(col("doc_id"), posexplode(array(
-        (0 until 4).map(b => md5(concat_ws(",",
-          col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      bands.groupBy(col("band"), col("band_hash"))
+      minhashBands(s, d).groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("bucket_size"))
         .filter(col("bucket_size") > 1)
         .groupBy(col("band"))
@@ -1016,6 +1044,38 @@ object LlmPipeline {
         col("doc_id"), sig.as("sig_md5"), rolling.as("rolling_hash"))
     }),
 
+    // L5m: PII / sensitive-pattern scrub — the redaction stage every
+    // training-data pipeline runs before tokenization. Three pattern
+    // classes, all portable between Java regex and DuckDB's RE2 (char
+    // classes + bounded repetition + \b only — no lookaround, so ONE
+    // regex text drives both engines): emails and IPv4 literals
+    // (structurally absent from this synthetic corpus — the zero counts
+    // ARE the assertion that a clean corpus passes untouched) and an
+    // entity-word class ("customer"/"supplier") standing in for the
+    // domain denylist a real pipeline carries. Per-row codegen'd regex
+    // work — one scan, one bounded hash-agg by lang, no shuffle of the
+    // corpus; the redacted-corpus digest (60-bit md5 prefix summed mod
+    // 1e9, the y12 idiom) pins the exact redacted BYTES, not just the
+    // hit counts, so a replacement-order or boundary-semantics drift
+    // between engines fails the oracle loudly.
+    "l5m_pii_scrub" -> ((s, d) => {
+      import PiiPatterns.{email, ipv4, entity}
+      val t = lower(col("text"))
+      val red = PiiPatterns.redact(t)
+      Tables.documents(s, d)
+        .select(col("lang"), t.as("t"), red.as("red"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("t"), lit(email))).as("email_hits"),
+          sum(regexp_count(col("t"), lit(ipv4))).as("ip_hits"),
+          sum(regexp_count(col("t"), lit(entity))).as("entity_hits"),
+          sum(when(col("red") =!= col("t"), 1L).otherwise(0L))
+            .as("docs_redacted"),
+          sum(conv(substring(md5(col("red")), 1, 15), 16, 10).cast("long")
+            % 1000000000L).as("redacted_digest"))
+        .orderBy("lang")
+    }),
+
     // L6: multimodal columns — embeddings joined to documents (vector +
     // text + scalars through one shuffle), then per-label centroid via
     // posexplode/regroup (the distributed vector-mean shape).
@@ -1219,6 +1279,54 @@ object LlmPipeline {
       comp.join(comp.groupBy("comp").agg(count(lit(1)).as("comp_size")), "comp")
         .select(col("id").as("doc_id"), col("comp").as("dup_group"),
           col("comp_size"))
+    }),
+
+    // L13: INCREMENTAL corpus dedup — the only dedup shape that runs at
+    // 100 TB steady-state. A corpus is deduped ONCE; every day after
+    // that, a new batch arrives and must be deduped against the standing
+    // corpus without touching it. Here the "indexed corpus" is
+    // doc_id % 3 != 0 and the "arriving batch" is doc_id % 3 == 0;
+    // signatures come from the shared compiled l2b kernel (same 60-bit
+    // md5 base hash, same lane constants, same band digest — the
+    // signature parity with the oracle is already proven by l2b). A
+    // batch doc is verdict'd dup_index if any of its 4 LSH bands
+    // collides with an indexed doc's band, else dup_batch if it collides
+    // with a LOWER-id batch doc (greedy keep-first within the batch),
+    // else keep.
+    //   Scale shape: the index side NEVER shuffles — the batch's band
+    // probes (4 rows/doc, batch-sized) broadcast into an inner join that
+    // streams over the index scan, and the output is bounded by the
+    // batch. The within-batch self-join is batch×batch via broadcast —
+    // only batch-sized state is ever quadratic. At real scale `idx` is a
+    // persisted band table (append survivors' bands after each batch),
+    // not recomputed from the corpus; recomputing here is only because
+    // this harness's single stored artifact is the corpus itself, and
+    // the probe-join shape is identical either way.
+    "l13_incremental_dedup" -> ((s, d) => {
+      val bands = minhashBands(s, d)
+      val isNew = col("doc_id") % 3 === 0
+      val nb = bands.filter(isNew)
+      // batch docs colliding with the index: index streams, probe side
+      // broadcasts — zero index shuffle, output bounded by the batch.
+      val hitIndex = bands.filter(!isNew)
+        .join(broadcast(nb.select(col("doc_id").as("new_id"),
+          col("band"), col("band_hash"))), Seq("band", "band_hash"))
+        .select(col("new_id")).distinct()
+      // batch docs colliding with an earlier batch doc (keep-first).
+      val hitBatch = nb.join(broadcast(nb.select(col("doc_id").as("prev_id"),
+          col("band"), col("band_hash"))), Seq("band", "band_hash"))
+        .where(col("prev_id") < col("doc_id"))
+        .select(col("doc_id").as("new_id")).distinct()
+      Tables.documents(s, d).filter(isNew).select(col("doc_id"))
+        .join(broadcast(hitIndex.withColumn("in_idx", lit(1))),
+          col("doc_id") === col("new_id"), "left").drop("new_id")
+        .join(broadcast(hitBatch.withColumn("in_batch", lit(1))),
+          col("doc_id") === col("new_id"), "left").drop("new_id")
+        .select(col("doc_id"),
+          when(col("in_idx") === 1, "dup_index")
+            .when(col("in_batch") === 1, "dup_batch")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1942,6 +2050,78 @@ object LlmPipeline {
         |       AS DOUBLE) / 1073741824 / COUNT(*) AS mean_val,
         |  COUNT(*) AS n
         |FROM embeddings JOIN documents ON vec_id = doc_id, range(1, 65) t(i)
-        |GROUP BY label, i""".stripMargin
+        |GROUP BY label, i""".stripMargin,
+
+    // Same regex texts as the Spark side (portable subset: char classes,
+    // bounded repetition, \b), same replacement order, same digest idiom.
+    // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all; counts come from len(regexp_extract_all).
+    "l5m_pii_scrub" -> {
+      import PiiPatterns.{email, ipv4, entity}
+      s"""WITH t AS (
+         |  SELECT lang, lower(text) AS t,
+         |    regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |      '$entity', '<ENT>', 'g') AS red
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(t, '$email'))) AS BIGINT) AS email_hits,
+         |  CAST(sum(len(regexp_extract_all(t, '$ipv4'))) AS BIGINT) AS ip_hits,
+         |  CAST(sum(len(regexp_extract_all(t, '$entity'))) AS BIGINT) AS entity_hits,
+         |  CAST(sum(CASE WHEN red <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+         |  CAST(sum(CAST('0x' || substr(md5(red), 1, 15) AS BIGINT)
+         |    % 1000000000) AS BIGINT) AS redacted_digest
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // Same signature pipeline as the l2b oracle (same 60-bit base hash,
+    // lane constants, band digest), then the incremental classification:
+    // index collision beats batch collision beats keep.
+    "l13_incremental_dedup" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min((h * ${minHashA(i)} + ${minHashB(i)}) % $MinHashP) AS m$i")
+        .mkString(",\n  ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, " +
+          s"m${2 * b + 1}, '$b')) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+         |                   toks[CAST(i AS INTEGER) + 1],
+         |                   toks[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM docs),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $MinHashP AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |  $lanes
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel),
+         |nb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+         |idx AS (SELECT band, band_hash FROM bands WHERE doc_id % 3 <> 0),
+         |hit_index AS (
+         |  SELECT DISTINCT nb.doc_id FROM nb JOIN idx USING (band, band_hash)),
+         |hit_batch AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM nb a JOIN nb b ON a.band = b.band
+         |    AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN hi.doc_id IS NOT NULL THEN 'dup_index'
+         |       WHEN hb.doc_id IS NOT NULL THEN 'dup_batch'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN hit_index hi ON d.doc_id = hi.doc_id
+         |LEFT JOIN hit_batch hb ON d.doc_id = hb.doc_id
+         |WHERE d.doc_id % 3 = 0
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 }
