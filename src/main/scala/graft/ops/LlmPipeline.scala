@@ -463,8 +463,8 @@ object LlmPipeline {
     * (measured 100×+ slower) but still paid a Window.partitionBy(doc)
     * shuffle+sort of every token in the corpus just to build the
     * trigrams. lower() stays relational for engine-shared lowercase
-    * semantics. Shared by l2b (bucket stats), l13 (incremental dedup
-    * probe) and the l13 law test — one definition, so a kernel fix can
+    * semantics. Shared by l2b (bucket stats), l16 (incremental dedup
+    * probe) and the l16 law test — one definition, so a kernel fix can
     * never reach one consumer and not another. */
   private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
     minhashBandsOf(s, Tables.documents(s, d)
@@ -472,7 +472,7 @@ object LlmPipeline {
 
   /** [[minhashBands]] over an arbitrary (doc_id, text) base — text must
     * already be lowercased. Lets pipeline stages band a FILTERED
-    * survivor set (l14) instead of the whole corpus. */
+    * survivor set (l17) instead of the whole corpus. */
   private[graft] def minhashBandsOf(s: SparkSession, base: DataFrame): DataFrame = {
     val sEnc = s
     import sEnc.implicits._
@@ -1281,7 +1281,7 @@ object LlmPipeline {
           col("comp_size"))
     }),
 
-    // L13: INCREMENTAL corpus dedup — the only dedup shape that runs at
+    // L16: INCREMENTAL corpus dedup — the only dedup shape that runs at
     // 100 TB steady-state. A corpus is deduped ONCE; every day after
     // that, a new batch arrives and must be deduped against the standing
     // corpus without touching it. Here the "indexed corpus" is
@@ -1302,7 +1302,7 @@ object LlmPipeline {
     // not recomputed from the corpus; recomputing here is only because
     // this harness's single stored artifact is the corpus itself, and
     // the probe-join shape is identical either way.
-    "l13_incremental_dedup" -> ((s, d) => {
+    "l16_incremental_dedup" -> ((s, d) => {
       val bands = minhashBands(s, d)
       val isNew = col("doc_id") % 3 === 0
       val nb = bands.filter(isNew)
@@ -1327,6 +1327,53 @@ object LlmPipeline {
             .when(col("in_batch") === 1, "dup_batch")
             .otherwise("keep").as("verdict"))
         .orderBy("doc_id")
+    }),
+
+    // L17: the END-TO-END training-data prep pipeline as ONE query — the
+    // composition a user of this library actually ships, each stage the
+    // idiom its standalone operator established: language filter →
+    // token-length quality gate → exact dedup (min-id per content hash)
+    // → near-dedup (LSH bands over the SURVIVORS, rep = bucket minimum —
+    // the l8 star shape, Σk not Σk² edges) → benchmark decontamination
+    // (eval docs and their exact-hash matches leave; eval set broadcast)
+    // → deterministic md5-bucket train/val split → per-stratum
+    // datasheet. Funnel at sf0.01: 500 → 425 → 387 → 387 → 365 → 362.
+    //   One corpus scan feeds the whole chain; shuffles are the content-
+    // hash window (dup groups are tiny — no skew), the band-bucket agg +
+    // rep join, and the bounded final agg. Everything else is per-row
+    // codegen or a broadcast anti-join, so the chain's cost at 100 TB is
+    // ~the near-dedup stage alone — which is why pipelines fuse stages
+    // like this instead of materializing each one.
+    "l17_e2e_pipeline" -> ((s, d) => {
+      val d0 = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"), col("lang"))
+      val d1 = d0.filter(col("lang").isin("en", "de", "es", "fr"))
+      val nToks = size(filter(split(col("t"), " +"), x => x =!= ""))
+      val d2 = d1.withColumn("n_toks", nToks).filter(col("n_toks") >= 20)
+        .withColumn("th", md5(col("t")))
+      val w = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+      val d3 = d2.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      val bands = minhashBandsOf(s, d3.select(col("doc_id"), col("t").as("text")))
+      val reps = bands.groupBy("band", "band_hash").agg(min(col("doc_id")).as("mn"))
+      val drop4 = bands.join(reps, Seq("band", "band_hash"))
+        .where(col("doc_id") > col("mn"))
+        .select("doc_id").distinct()
+      val d4 = d3.join(drop4, Seq("doc_id"), "left_anti")
+      val evalH = d0.filter(col("doc_id") % 97 === 0)
+        .select(md5(col("t")).as("eh")).distinct()
+      val d5 = d4.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalH), col("th") === col("eh"), "left_anti")
+      // md5-bucket split: stable under re-runs AND corpus growth — a
+      // doc's split never changes when neighbors arrive (l11's idiom).
+      val isTrain = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 10 < 8
+      d5.withColumn("split", when(isTrain, "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_tokens"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("lang", "split")
     })
   )
 
@@ -2077,7 +2124,7 @@ object LlmPipeline {
     // Same signature pipeline as the l2b oracle (same 60-bit base hash,
     // lane constants, band digest), then the incremental classification:
     // index collision beats batch collision beats keep.
-    "l13_incremental_dedup" -> {
+    "l16_incremental_dedup" -> {
       val lanes = (0 until 8).map(i =>
         s"min((h * ${minHashA(i)} + ${minHashB(i)}) % $MinHashP) AS m$i")
         .mkString(",\n  ")
@@ -2122,6 +2169,72 @@ object LlmPipeline {
          |LEFT JOIN hit_batch hb ON d.doc_id = hb.doc_id
          |WHERE d.doc_id % 3 = 0
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // The same six-stage funnel as the Spark side, stage for stage; the
+    // near-dedup stage reuses the l2b signature CTEs over the d3
+    // survivor set, and the rep-join drop rule (doc_id > bucket min) is
+    // the exact algebraic twin of the pairwise lower-id-collision rule.
+    "l17_e2e_pipeline" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min((h * ${minHashA(i)} + ${minHashB(i)}) % $MinHashP) AS m$i")
+        .mkString(",\n  ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, " +
+          s"m${2 * b + 1}, '$b')) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH d0 AS (
+         |  SELECT doc_id, lower(text) AS t, lang FROM documents),
+         |d1 AS (SELECT * FROM d0 WHERE lang IN ('en', 'de', 'es', 'fr')),
+         |d2 AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, t, lang,
+         |      len(list_filter(string_split_regex(t, ' +'), x -> x <> '')) AS n_toks,
+         |      md5(t) AS th
+         |    FROM d1) WHERE n_toks >= 20),
+         |d3 AS (
+         |  SELECT * FROM d2
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM d2 GROUP BY th)),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(t, ' +'), x -> x <> '') AS toks
+         |  FROM d3),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+         |                   toks[CAST(i AS INTEGER) + 1],
+         |                   toks[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM docs),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $MinHashP AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |  $lanes
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel),
+         |reps AS (
+         |  SELECT band, band_hash, min(doc_id) AS mn
+         |  FROM bands GROUP BY band, band_hash),
+         |drop4 AS (
+         |  SELECT DISTINCT b.doc_id FROM bands b JOIN reps r
+         |  ON b.band = r.band AND b.band_hash = r.band_hash
+         |  WHERE b.doc_id > r.mn),
+         |d4 AS (SELECT * FROM d3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop4)),
+         |eh AS (SELECT DISTINCT md5(t) AS eh FROM d0 WHERE doc_id % 97 = 0),
+         |d5 AS (SELECT * FROM d4 WHERE doc_id % 97 <> 0
+         |  AND th NOT IN (SELECT eh FROM eh)),
+         |d6 AS (
+         |  SELECT *, CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |    1, 15) AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END AS split
+         |  FROM d5)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM d6 GROUP BY lang, split ORDER BY lang, split""".stripMargin
     }
   )
 }

@@ -189,6 +189,78 @@ object StreamOps {
     * [[graft.sync.MergeSql]] builder (Derby here — the embedded test DB;
     * the T-SQL rendering is pinned offline in SyncJobSuite).
     */
+  /** Streaming incremental corpus dedup — the production form of the
+    * batch l16 operator: documents arrive as a stream, the standing
+    * corpus's LSH band index lives as a parquet dir, and each
+    * micro-batch (1) probes the index — any band collision ⇒ dup_index;
+    * (2) clusters the remaining docs on shared bands (star edges to the
+    * bucket minimum — the l8 shape) and keeps the min doc per connected
+    * component ⇒ others are dup_batch; (3) appends survivors' bands to
+    * the index and per-doc verdicts to `verdictDir`.
+    *
+    * The invariant this buys (law-tested in StreamingSuite): ACROSS THE
+    * WHOLE RUN, no two surviving docs ever share a band hash — batch
+    * boundaries cannot manufacture duplicate survivors, because a later
+    * batch probes an index that already holds every earlier survivor's
+    * bands, and within a batch one doc per collision-cluster survives.
+    *
+    * Scale: the probe is the l16 shape (index streams, batch bands
+    * broadcast); the CC loop touches only the batch's collision graph.
+    * The parquet appends are NOT exactly-once under foreachBatch retry —
+    * a retried batch re-appends its band/verdict rows. Verdicts carry
+    * batch_id so readers can dedupe on (doc_id, batch_id); the index
+    * tolerates duplicate band rows semantically (collision is an EXISTS,
+    * not a count), so retries cost space, never correctness.
+    *
+    * Caller binds source and checkpoint: `incrementalDedup(docs, i, v)
+    * .option("checkpointLocation", ck).start()`.
+    */
+  def incrementalDedup(docs: DataFrame, indexDir: String,
+                       verdictDir: String) = {
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bands = graft.ops.LlmPipeline.minhashBandsOf(s,
+            batch.select(col("doc_id"), lower(col("text")).as("text")))
+          .persist()
+        // the stored index keeps doc_id (provenance / compaction); the
+        // probe needs only the band key
+        val idx =
+          if (new java.io.File(indexDir).exists())
+            s.read.parquet(indexDir).select("band", "band_hash")
+          else bands.filter(lit(false)).select("band", "band_hash")
+        val hitIdx = idx.join(broadcast(bands
+            .select(col("doc_id"), col("band"), col("band_hash"))),
+            Seq("band", "band_hash"))
+          .select("doc_id").distinct()
+        val rest = bands.join(hitIdx, Seq("doc_id"), "left_anti")
+        val reps = rest.groupBy("band", "band_hash")
+          .agg(min(col("doc_id")).as("u"))
+        val edges = rest.join(reps, Seq("band", "band_hash"))
+          .where(col("doc_id") =!= col("u"))
+          .select(col("u"), col("doc_id").as("v"))
+        val dupBatch = graft.ops.LlmPipeline.connectedComponents(edges)
+          .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+        val verdicts = batch.select(col("doc_id"))
+          .join(hitIdx.withColumn("vi", lit(1)), Seq("doc_id"), "left")
+          .join(dupBatch.withColumn("vb", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("vi") === 1, "dup_index")
+              .when(col("vb") === 1, "dup_batch")
+              .otherwise("keep").as("verdict"),
+            lit(batchId).as("batch_id"))
+          .persist()
+        verdicts.write.mode("append").parquet(verdictDir)
+        bands.join(verdicts.filter(col("verdict") === "keep")
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id", "band", "band_hash")
+          .write.mode("append").parquet(indexDir)
+        verdicts.unpersist()
+        bands.unpersist()
+        ()
+      }
+  }
+
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
                    driver: String,
                    dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {

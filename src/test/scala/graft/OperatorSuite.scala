@@ -936,11 +936,11 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "narrowing should leave most months clean under localized churn")
   }
 
-  test("L13 law: verdicts match a declarative reclassification; all classes populated") {
+  test("L16 law: verdicts match a declarative reclassification; all classes populated") {
     // sf0.01's documents table is the same 500 docs — use it so every
     // verdict class (dup_index / dup_batch / keep) is genuinely hit.
     val d = "/root/testdata/sf0.01"
-    val got = SparkEntry.queries("l13_incremental_dedup")(spark, d)
+    val got = SparkEntry.queries("l16_incremental_dedup")(spark, d)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // Independent restatement: same band table (the shared kernel — its
     // cross-engine parity is l2b's oracle), but the classification
@@ -948,10 +948,10 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     // join assembly. Catches precedence / join-direction / null-handling
     // bugs in the DataFrame form.
     graft.ops.LlmPipeline.minhashBands(spark, d)
-      .createOrReplaceTempView("l13_bands")
+      .createOrReplaceTempView("l16_bands")
     val want = spark.sql(
-      """WITH nb AS (SELECT * FROM l13_bands WHERE doc_id % 3 = 0),
-        |idx AS (SELECT band, band_hash FROM l13_bands WHERE doc_id % 3 <> 0),
+      """WITH nb AS (SELECT * FROM l16_bands WHERE doc_id % 3 = 0),
+        |idx AS (SELECT band, band_hash FROM l16_bands WHERE doc_id % 3 <> 0),
         |hi AS (SELECT DISTINCT nb.doc_id FROM nb JOIN idx USING (band, band_hash)),
         |hb AS (SELECT DISTINCT a.doc_id FROM nb a JOIN nb b
         |       ON a.band = b.band AND a.band_hash = b.band_hash
@@ -972,8 +972,8 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     // kept doc shares no band with the index (re-checked via the view)
     val keepSet = got.filter(_._2 == "keep").keySet
     val leak = spark.sql(
-      """SELECT DISTINCT nb.doc_id FROM l13_bands nb
-        |JOIN (SELECT band, band_hash FROM l13_bands WHERE doc_id % 3 <> 0) i
+      """SELECT DISTINCT nb.doc_id FROM l16_bands nb
+        |JOIN (SELECT band, band_hash FROM l16_bands WHERE doc_id % 3 <> 0) i
         |USING (band, band_hash) WHERE nb.doc_id % 3 = 0""".stripMargin)
       .collect().map(_.getLong(0)).toSet
     assert(keepSet.intersect(leak).isEmpty, "a kept batch doc collides with the index")

@@ -552,4 +552,45 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("incremental dedup stream: survivors never share a band; run is deterministic") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    def run(tag: String): Map[Long, String] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"dedup_$tag").toString
+      val src = MemoryStream[(Long, String)]
+      val q = StreamOps.incrementalDedup(
+          src.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/verdicts")
+        .option("checkpointLocation", s"$dir/ck").start()
+      try {
+        src.addData(b1.toSeq: _*); q.processAllAvailable()
+        src.addData(b2.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$dir/verdicts").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    }
+    val v1 = run("a")
+    assert(v1.size == docs.length, "some doc got no (or several) verdicts")
+    Seq("keep", "dup_index", "dup_batch").foreach(c =>
+      assert(v1.values.exists(_ == c), s"verdict class $c never produced"))
+    // THE invariant batching cannot break: the survivor set is
+    // band-independent — no two kept docs share any LSH band hash.
+    val kept = v1.filter(_._2 == "keep").keys.toSeq.toDF("doc_id")
+    val keptBands = ops.LlmPipeline.minhashBands(spark, sfDir)
+      .join(kept, Seq("doc_id"), "left_semi").persist()
+    val clash = keptBands.as("a").join(keptBands.as("b"),
+      $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+        $"a.doc_id" < $"b.doc_id").count()
+    keptBands.unpersist()
+    assert(clash == 0, s"$clash surviving pairs share a band")
+    // determinism: an identical second run produces identical verdicts
+    assert(run("b") == v1, "re-run diverged — the sink is order-dependent")
+  }
 }
