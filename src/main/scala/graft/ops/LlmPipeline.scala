@@ -24,20 +24,21 @@ object LlmPipeline {
   private val toksExpr: Column =
     filter(split(lower(col("text")), " +"), t => t =!= "")
 
-  /** l5m scrub patterns — ONE definition drives the Spark query, the
+  /** l5m denylist patterns — ONE definition drives the Spark query, the
     * DuckDB oracle, and the idempotence law test. Portable regex subset
-    * (char classes, bounded repetition, \b): identical semantics under
-    * Java regex and RE2. Replacement tags are UPPERCASE on a lowercased
-    * corpus, so a redacted text can never re-match a pattern — the
-    * scrub is idempotent by construction (law-tested). */
-  private[graft] object PiiPatterns {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    * (alternation + \b only): identical semantics under Java regex and
+    * RE2. Replacement tags are UPPERCASE on a lowercased corpus, so a
+    * redacted text can never re-match a pattern — the scrub is
+    * idempotent by construction (law-tested). PII-class patterns
+    * (email/phone) are l5k's job; this is the complementary
+    * domain-denylist scrub (entity names, reserved terms) every
+    * pipeline carries alongside it. */
+  private[graft] object DenylistPatterns {
     val entity = "\\b(customer|supplier)\\b"
+    val term = "\\b(spark|hash)\\b"
     /** The full scrub chain over an already-lowercased column. */
     def redact(t: Column): Column =
-      regexp_replace(regexp_replace(regexp_replace(
-        t, email, "<EMAIL>"), ipv4, "<IP>"), entity, "<ENT>")
+      regexp_replace(regexp_replace(t, entity, "<ENT>"), term, "<TERM>")
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH, shared verbatim
@@ -1044,31 +1045,28 @@ object LlmPipeline {
         col("doc_id"), sig.as("sig_md5"), rolling.as("rolling_hash"))
     }),
 
-    // L5m: PII / sensitive-pattern scrub — the redaction stage every
-    // training-data pipeline runs before tokenization. Three pattern
-    // classes, all portable between Java regex and DuckDB's RE2 (char
-    // classes + bounded repetition + \b only — no lookaround, so ONE
-    // regex text drives both engines): emails and IPv4 literals
-    // (structurally absent from this synthetic corpus — the zero counts
-    // ARE the assertion that a clean corpus passes untouched) and an
-    // entity-word class ("customer"/"supplier") standing in for the
-    // domain denylist a real pipeline carries. Per-row codegen'd regex
-    // work — one scan, one bounded hash-agg by lang, no shuffle of the
-    // corpus; the redacted-corpus digest (60-bit md5 prefix summed mod
-    // 1e9, the y12 idiom) pins the exact redacted BYTES, not just the
-    // hit counts, so a replacement-order or boundary-semantics drift
-    // between engines fails the oracle loudly.
-    "l5m_pii_scrub" -> ((s, d) => {
-      import PiiPatterns.{email, ipv4, entity}
+    // L5m: domain-DENYLIST scrub — the redaction stage that runs
+    // alongside the PII scrub (l5k owns email/phone with seeded hits):
+    // entity names and reserved terms a data-governance rule says may
+    // not reach training, both classes with REAL hits on this corpus.
+    // Patterns are portable between Java regex and DuckDB's RE2
+    // (alternation + \b only — no lookaround, so ONE regex text drives
+    // both engines). Per-row codegen'd regex work — one scan, one
+    // bounded hash-agg by lang, no shuffle of the corpus; the
+    // redacted-corpus digest (60-bit md5 prefix summed mod 1e9, the y12
+    // idiom) pins the exact redacted BYTES, not just the hit counts, so
+    // a replacement-order or boundary-semantics drift between engines
+    // fails the oracle loudly.
+    "l5m_denylist_scrub" -> ((s, d) => {
+      import DenylistPatterns.{entity, term}
       val t = lower(col("text"))
-      val red = PiiPatterns.redact(t)
+      val red = DenylistPatterns.redact(t)
       Tables.documents(s, d)
         .select(col("lang"), t.as("t"), red.as("red"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(regexp_count(col("t"), lit(email))).as("email_hits"),
-          sum(regexp_count(col("t"), lit(ipv4))).as("ip_hits"),
           sum(regexp_count(col("t"), lit(entity))).as("entity_hits"),
+          sum(regexp_count(col("t"), lit(term))).as("term_hits"),
           sum(when(col("red") =!= col("t"), 1L).otherwise(0L))
             .as("docs_redacted"),
           sum(conv(substring(md5(col("red")), 1, 15), 16, 10).cast("long")
@@ -2099,22 +2097,20 @@ object LlmPipeline {
         |FROM embeddings JOIN documents ON vec_id = doc_id, range(1, 65) t(i)
         |GROUP BY label, i""".stripMargin,
 
-    // Same regex texts as the Spark side (portable subset: char classes,
-    // bounded repetition, \b), same replacement order, same digest idiom.
-    // DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    // Same regex texts as the Spark side (portable subset: alternation +
+    // \b), same replacement order, same digest idiom. DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all; counts come from len(regexp_extract_all).
-    "l5m_pii_scrub" -> {
-      import PiiPatterns.{email, ipv4, entity}
+    "l5m_denylist_scrub" -> {
+      import DenylistPatterns.{entity, term}
       s"""WITH t AS (
          |  SELECT lang, lower(text) AS t,
-         |    regexp_replace(regexp_replace(regexp_replace(lower(text),
-         |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
-         |      '$entity', '<ENT>', 'g') AS red
+         |    regexp_replace(regexp_replace(lower(text),
+         |      '$entity', '<ENT>', 'g'), '$term', '<TERM>', 'g') AS red
          |  FROM documents)
          |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(len(regexp_extract_all(t, '$email'))) AS BIGINT) AS email_hits,
-         |  CAST(sum(len(regexp_extract_all(t, '$ipv4'))) AS BIGINT) AS ip_hits,
          |  CAST(sum(len(regexp_extract_all(t, '$entity'))) AS BIGINT) AS entity_hits,
+         |  CAST(sum(len(regexp_extract_all(t, '$term'))) AS BIGINT) AS term_hits,
          |  CAST(sum(CASE WHEN red <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
          |  CAST(sum(CAST('0x' || substr(md5(red), 1, 15) AS BIGINT)
          |    % 1000000000) AS BIGINT) AS redacted_digest

@@ -261,6 +261,30 @@ object StreamOps {
       }
   }
 
+  /** Compact [[incrementalDedup]]'s band index. Micro-batches append
+    * small files and a retried batch appends duplicate rows — both cost
+    * probe-scan time and space, never correctness (collision is an
+    * EXISTS). One distinct + coalesced rewrite (the s13 small-file
+    * idiom) restores the minimal index; returns its row count. The
+    * rewrite goes through a sibling temp dir and an FS rename — on a
+    * real object store you'd write a new versioned prefix and flip a
+    * manifest pointer instead, but the Spark plan is identical.
+    * Run it between batches (the caller owns the quiesce window). */
+  def compactBandIndex(s: org.apache.spark.sql.SparkSession,
+                       indexDir: String, parts: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    val tmp = indexDir + ".compacting"
+    val compacted = s.read.parquet(indexDir).distinct()
+    compacted.coalesce(parts).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(indexDir), true)
+    if (!fs.rename(new Path(tmp), new Path(indexDir)))
+      throw new java.io.IOException(
+        s"compactBandIndex: rename $tmp -> $indexDir failed")
+    s.read.parquet(indexDir).count()
+  }
+
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
                    driver: String,
                    dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {

@@ -979,22 +979,20 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(keepSet.intersect(leak).isEmpty, "a kept batch doc collides with the index")
   }
 
-  test("L5m law: scrub is idempotent; clean-pattern counts stay zero; denylist hits") {
+  test("L5m law: denylist scrub is idempotent; both pattern classes hit") {
     import org.apache.spark.sql.functions._
-    val agg = SparkEntry.queries("l5m_pii_scrub")(spark, sf).collect()
+    val agg = SparkEntry.queries("l5m_denylist_scrub")(spark, sf).collect()
     assert(agg.nonEmpty)
-    agg.foreach { r =>
-      assert(r.getAs[Long]("email_hits") == 0L &&
-             r.getAs[Long]("ip_hits") == 0L,
-        s"synthetic corpus reported email/ip PII: $r")
-    }
     assert(agg.map(_.getAs[Long]("entity_hits")).sum > 0,
-      "denylist pattern found nothing — the scrub demo is vacuous")
+      "entity pattern found nothing — the scrub demo is vacuous")
+    assert(agg.map(_.getAs[Long]("term_hits")).sum > 0,
+      "term pattern found nothing — the scrub demo is vacuous")
     // idempotence: scrubbing a scrubbed corpus is a no-op (uppercase tags
     // on a lowercased corpus can never re-match a lowercase pattern)
-    val once = ops.LlmPipeline.PiiPatterns.redact(lower(col("text")))
+    val once = ops.LlmPipeline.DenylistPatterns.redact(lower(col("text")))
     val drift = ops.Tables.documents(spark, sf)
-      .select(once.as("r1"), ops.LlmPipeline.PiiPatterns.redact(once).as("r2"))
+      .select(once.as("r1"),
+        ops.LlmPipeline.DenylistPatterns.redact(once).as("r2"))
       .filter(col("r1") =!= col("r2")).count()
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }

@@ -593,4 +593,37 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     // determinism: an identical second run produces identical verdicts
     assert(run("b") == v1, "re-run diverged — the sink is order-dependent")
   }
+
+  test("band-index compaction: probe set invariant, files coalesced") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedup_c").toString
+    val docs = ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).take(90)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedup(
+        src.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/verdicts")
+      .option("checkpointLocation", s"$dir/ck").start()
+    try {
+      docs.grouped(30).foreach { b =>
+        src.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = spark.read.parquet(s"$dir/index")
+      .select("band", "band_hash").distinct().collect().toSet
+    val filesBefore = new java.io.File(s"$dir/index")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val n = StreamOps.compactBandIndex(spark, s"$dir/index")
+    val after = spark.read.parquet(s"$dir/index")
+    assert(after.select("band", "band_hash").distinct().collect().toSet ==
+      before, "compaction changed the probe set")
+    assert(n == after.count(), "reported count diverges from the rewrite")
+    val filesAfter = new java.io.File(s"$dir/index")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter <= math.max(1, filesBefore / 2),
+      s"compaction left $filesAfter of $filesBefore files")
+  }
 }
