@@ -14,7 +14,7 @@ import scala.util.Random
   * and DuckDB). FuzzSuite asserts DataFrame ≡ spark.sql over 120 seeds
   * every test run — a differential check that the declarative surface
   * and the SQL surface agree on arbitrary compositions, not just the
-  * curated queries. Twelve fixed seeds ([[promoted]], one per shape) are
+  * curated queries. Fourteen fixed seeds ([[promoted]], one per shape) are
   * first-class `SparkEntry.queries` rows, so the driver's DuckDB gate
   * cross-checks the generator's dialect parity per round.
   *
@@ -179,11 +179,12 @@ object Fuzz {
     * seed recorded under an older version silently generates a
     * DIFFERENT query under a newer one. v1 = 6 shapes (r6), v2 = 9
     * shapes (r7), v3 = 12 shapes (r8: temporal trunc/extract + string
-    * functions), v4 = 13 shapes (r9: events windows). Persist
+    * functions), v4 = 13 shapes (r9: events windows), v5 = 14 shapes
+    * (r9: decimal fixed-point arithmetic). Persist
     * (version, seed) pairs together and replay via
     * [[build(seed, recordedVersion)]], which fails loudly on mismatch
     * instead of reproducing the wrong query. */
-  val generatorVersion: Int = 4
+  val generatorVersion: Int = 5
 
   /** Replay guard for externally recorded seeds: refuses to build a
     * seed recorded under a different generator version. */
@@ -196,7 +197,7 @@ object Fuzz {
   }
 
   /** Generate the seed's query pair. Seeds are stable forever WITHIN a
-    * shape count: the shape is seed % 13 (java.util.Random's FIRST
+    * shape count: the shape is seed % 14 (java.util.Random's FIRST
     * power-of-2 nextInt is heavily correlated across sequential seeds —
     * measured: seeds 1..40 all gave the same first nextInt(4)) and every
     * inner draw comes from `new Random(seed)` warmed up past the
@@ -206,13 +207,14 @@ object Fuzz {
     * projections — the timestamp/collation corners where engine dialects
     * drift), round 9 widened 12 → 13 (per-user events windows, so the
     * events dialect corner that r8's corpus drift broke is continuously
-    * fuzzed); each widening re-buckets shape = seed % n, bumps
+    * fuzzed) and then 13 → 14 (decimal fixed-point arithmetic — the
+    * money-math corner); each widening re-buckets shape = seed % n, bumps
     * [[generatorVersion]], and re-picks the promoted seeds. */
   def build(seed: Int): Built = {
     require(seed >= 0, s"Fuzz.build: seed must be non-negative, got $seed")
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 13) match {
+    (seed % 14) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)
@@ -542,30 +544,70 @@ object Fuzz {
                 s"FROM ev WHERE $typePred) t WHERE rn <= $k",
               "event_window")
         }
+      case 13 => // decimal fixed-point arithmetic — the money-math corner
+        // where engines must agree bit-for-bit: CAST(col AS DECIMAL(18,2))
+        // chains under +/-/* (division excluded: result-scale rules are
+        // engine-specific), aggregated per low-cardinality key. The
+        // decimal math is exact and order-insensitive, so sums need no
+        // Det.* rounding; results leave as DOUBLE only at the boundary
+        // (§7.3 — one shared rounding, after the exact math).
+        val t = lineitemMeta
+        val p = genPred(r, t, 1)
+        val cols = Seq("l_extendedprice", "l_quantity", "l_tax", "l_discount")
+        val i = r.nextInt(cols.length)
+        val a = cols(i)
+        val b = cols((i + 1 + r.nextInt(cols.length - 1)) % cols.length)
+        val op = pick(r, Seq("+", "-", "*"))
+        val eSql = s"CAST($a AS DECIMAL(18,2)) $op CAST($b AS DECIMAL(18,2))"
+        val eCol = {
+          val (ca, cb) = (col(a).cast("decimal(18,2)"),
+            col(b).cast("decimal(18,2)"))
+          op match {
+            case "+" => ca + cb
+            case "-" => ca - cb
+            case "*" => ca * cb
+          }
+        }
+        val g = pick(r, t.strs).name
+        Built(
+          (s, d) => t.load(s, d).filter(p.col)
+            .groupBy(col(g))
+            .agg(count(lit(1)).as("cnt"),
+              sum(eCol).cast("double").as("dec_sum"),
+              min(eCol).cast("double").as("dec_min"),
+              max(eCol).cast("double").as("dec_max")),
+          s"SELECT $g, COUNT(*) AS cnt, " +
+            s"CAST(SUM($eSql) AS DOUBLE) AS dec_sum, " +
+            s"CAST(MIN($eSql) AS DOUBLE) AS dec_min, " +
+            s"CAST(MAX($eSql) AS DOUBLE) AS dec_max " +
+            s"FROM ${t.name} WHERE ${p.sql} GROUP BY $g",
+          "decimal_arith")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
     * counts at sf0.001+ (FuzzSuite prints the coverage table). These
-    * thirteen run through the driver's DuckDB gate every round,
+    * fourteen run through the driver's DuckDB gate every round,
     * cross-checking the generator's dialect parity against a second
-    * engine. (Re-seeded in round 9 when the shape count went 12 → 13:
-    * shape = seed % 13, so each name needed a seed in its shape's new
-    * residue class — recorded under [[generatorVersion]] 4.) */
+    * engine. (Re-seeded whenever the shape count widens — latest at
+    * 13 → 14: shape = seed % 14, so each name needed a seed in its
+    * shape's new residue class — recorded under [[generatorVersion]]
+    * 5.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 13,
-    "fz2_agg_groupby" -> 14,
-    "fz3_join_agg" -> 15,
-    "fz4_join_filter" -> 16,
-    "fz5_set_op" -> 30,
-    "fz6_window_topk" -> 18,
-    "fz7_outer_join" -> 19,
-    "fz8_grouping" -> 20,
-    "fz9_subquery" -> 34,
-    "fz10_temporal_trunc" -> 35,
-    "fz11_temporal_extract" -> 23,
-    "fz12_string_funcs" -> 37,
-    "fz13_event_window" -> 25)
+    "fz1_filter_project" -> 14,
+    "fz2_agg_groupby" -> 29,
+    "fz3_join_agg" -> 16,
+    "fz4_join_filter" -> 31,
+    "fz5_set_op" -> 32,
+    "fz6_window_topk" -> 47,
+    "fz7_outer_join" -> 34,
+    "fz8_grouping" -> 77,
+    "fz9_subquery" -> 22,
+    "fz10_temporal_trunc" -> 51,
+    "fz11_temporal_extract" -> 38,
+    "fz12_string_funcs" -> 39,
+    "fz13_event_window" -> 40,
+    "fz14_decimal_arith" -> 41)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

@@ -48,6 +48,28 @@ object Multimodal {
     })
   )
 
+  /** M3: media-lake ingestion — the path media actually ENTERS a
+    * pipeline: opaque files on distributed storage read by the built-in
+    * `binaryFile` source into (path, modificationTime, length, content),
+    * keyed by an id parsed from the path, ready to join relational
+    * metadata. No scored oracle is possible (paths/mtimes are
+    * environmental); the OperatorSuite law pins the part that matters —
+    * bytes written as files come back bit-identical and feed the same
+    * decodeStub features as the in-table m1 path.
+    * Scale: binaryFile assigns whole files to tasks (bounded by
+    * `spark.sql.files.maxPartitionBytes` bin-packing) and
+    * `pathGlobFilter` prunes at LISTING time — a non-matching file is
+    * never opened. */
+  def binaryFileIngest(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length"), col("content"))
+
   /** STUB media metadata: a real pipeline would read container headers;
     * here duration/dims derive deterministically from n_chars so the
     * partitioning/explode plumbing is real and oracle-checkable.

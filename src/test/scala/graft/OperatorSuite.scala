@@ -996,4 +996,38 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       .filter(col("r1") =!= col("r2")).count()
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
+
+  test("M3 binaryFile ingest: bytes round-trip; glob prunes; features match m1") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("media_m3")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50).collect()
+    docs.foreach { r =>
+      java.nio.file.Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    // a decoy that must be pruned at listing time, never read
+    java.nio.file.Files.write(dir.resolve("manifest.txt"),
+      "not media".getBytes("UTF-8"))
+    val got = Multimodal.binaryFileIngest(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Array[Byte]]("content"))).toMap
+    assert(got.size == docs.length, "glob filter let the decoy through or dropped a file")
+    docs.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val (len, content) = got(r.getLong(0))
+      assert(len == bytes.length && java.util.Arrays.equals(content, bytes),
+        s"payload for doc ${r.getLong(0)} did not round-trip")
+    }
+    // the ingested payloads feed the same decode path as the in-table m1
+    val viaFiles = got.map { case (id, (_, content)) =>
+      Multimodal.decodeStub(Iterator(
+        Multimodal.MediaDoc(id, content, "", 0L))).next()
+    }.map(f => f.doc_id -> (f.n_bytes, f.first_byte, f.head_sum)).toMap
+    val viaTable = SparkEntry.queries("m1_multimodal_features")(spark, sf)
+      .filter(col("doc_id").isInCollection(viaFiles.keys.toSeq)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(viaFiles == viaTable, "file-ingested features diverged from m1")
+  }
 }
