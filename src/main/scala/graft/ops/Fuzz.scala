@@ -186,6 +186,11 @@ object Fuzz {
     * instead of reproducing the wrong query. */
   val generatorVersion: Int = 5
 
+  /** The shape count — the SINGLE definition `build` buckets by and
+    * FuzzPick strides by (FuzzSuite keeps an independent literal pin on
+    * purpose: an accidental change must fail a test, not re-derive it). */
+  val nShapes: Int = 14
+
   /** Replay guard for externally recorded seeds: refuses to build a
     * seed recorded under a different generator version. */
   def build(seed: Int, recordedVersion: Int): Built = {
@@ -214,7 +219,7 @@ object Fuzz {
     require(seed >= 0, s"Fuzz.build: seed must be non-negative, got $seed")
     val r = new Random(seed)
     r.nextLong(); r.nextLong()
-    (seed % 14) match {
+    (seed % nShapes) match {
       case 0 => // filter + computed projection on lineitem (keeps the PK)
         val p = genPred(r, lineitemMeta, 1 + r.nextInt(2))
         val (e1s, e1c) = arith(r, lineitemMeta)

@@ -1288,9 +1288,15 @@ object LlmPipeline {
     // md5 base hash, same lane constants, same band digest — the
     // signature parity with the oracle is already proven by l2b). A
     // batch doc is verdict'd dup_index if any of its 4 LSH bands
-    // collides with an indexed doc's band, else dup_batch if it collides
-    // with a LOWER-id batch doc (greedy keep-first within the batch),
-    // else keep.
+    // collides with an indexed doc's band, else dup_batch if it
+    // collides with ANY lower-id batch doc — note: any, not only
+    // surviving ones, so this drops a superset of true greedy
+    // keep-first (chain a~b~c keeps {a}, greedy would keep {a,c}); the
+    // SQL-expressible rule, which is what makes the oracle possible.
+    // The streaming form (StreamOps.incrementalDedup) instead keeps one
+    // doc per collision CLUSTER (connected components) — a third point
+    // on the same recall/precision dial; its suite documents and tests
+    // that semantic, this oracle pins this one. Else keep.
     //   Scale shape: the index side NEVER shuffles — the batch's band
     // probes (4 rows/doc, batch-sized) broadcast into an inner join that
     // streams over the index scan, and the output is bounded by the

@@ -69,6 +69,10 @@ object Multimodal {
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
           .cast("long").as("doc_id"),
         col("length"), col("content"))
+      // a *.bin whose name doesn't parse would otherwise flow on with a
+      // null key and silently join nothing — drop it here; callers that
+      // need to ALARM on malformed names diff listing count vs row count
+      .where(col("doc_id").isNotNull)
 
   /** STUB media metadata: a real pipeline would read container headers;
     * here duration/dims derive deterministically from n_chars so the

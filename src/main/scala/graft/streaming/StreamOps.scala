@@ -198,6 +198,12 @@ object StreamOps {
     * component ⇒ others are dup_batch; (3) appends survivors' bands to
     * the index and per-doc verdicts to `verdictDir`.
     *
+    * In-batch rule vs batch l16: l16 drops on collision with ANY
+    * lower-id batch doc (the SQL-expressible, oracle-checkable rule);
+    * this form keeps one doc per collision CLUSTER. Both are standard
+    * points on the LSH dedup recall/precision dial — the cluster rule
+    * is what makes the cross-batch survivor invariant below hold.
+    *
     * The invariant this buys (law-tested in StreamingSuite): ACROSS THE
     * WHOLE RUN, no two surviving docs ever share a band hash — batch
     * boundaries cannot manufacture duplicate survivors, because a later
@@ -224,15 +230,22 @@ object StreamOps {
             batch.select(col("doc_id"), lower(col("text")).as("text")))
           .persist()
         // the stored index keeps doc_id (provenance / compaction); the
-        // probe needs only the band key
+        // probe needs only the band key. Existence goes through the
+        // path's OWN FileSystem — a java.io.File check would read false
+        // on hdfs:///s3a:// and silently probe an empty index forever.
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val idxFs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val idx =
-          if (new java.io.File(indexDir).exists())
+          if (idxFs.exists(idxPath))
             s.read.parquet(indexDir).select("band", "band_hash")
           else bands.filter(lit(false)).select("band", "band_hash")
+        // persisted: both the verdict write and the survivor-band append
+        // consume it — unpersisted, each would rescan the standing index
+        // (the dominant per-batch cost at steady state) a second time.
         val hitIdx = idx.join(broadcast(bands
             .select(col("doc_id"), col("band"), col("band_hash"))),
             Seq("band", "band_hash"))
-          .select("doc_id").distinct()
+          .select("doc_id").distinct().persist()
         val rest = bands.join(hitIdx, Seq("doc_id"), "left_anti")
         val reps = rest.groupBy("band", "band_hash")
           .agg(min(col("doc_id")).as("u"))
@@ -256,6 +269,7 @@ object StreamOps {
           .select("doc_id", "band", "band_hash")
           .write.mode("append").parquet(indexDir)
         verdicts.unpersist()
+        hitIdx.unpersist()
         bands.unpersist()
         ()
       }
@@ -273,15 +287,29 @@ object StreamOps {
   def compactBandIndex(s: org.apache.spark.sql.SparkSession,
                        indexDir: String, parts: Int = 1): Long = {
     import org.apache.hadoop.fs.Path
-    val tmp = indexDir + ".compacting"
-    val compacted = s.read.parquet(indexDir).distinct()
-    compacted.coalesce(parts).write.mode("overwrite").parquet(tmp)
-    val fs = new Path(indexDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(indexDir), true)
-    if (!fs.rename(new Path(tmp), new Path(indexDir)))
+    val tmp = new Path(indexDir + ".compacting")
+    val old = new Path(indexDir + ".old")
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    s.read.parquet(indexDir).distinct()
+      .coalesce(parts).write.mode("overwrite").parquet(tmp.toString)
+    // swap order matters: the live dir is renamed ASIDE (never deleted
+    // while it is the only copy), the replacement renamed IN, and only
+    // then is the old copy dropped — a failure at any step leaves a
+    // complete index under either name. A delete-then-rename would (a)
+    // lose the index if the rename failed, and (b) on HDFS, rename INTO
+    // a surviving destination dir nests tmp inside it and silently
+    // serves the stale files.
+    fs.delete(old, true) // leftover from an earlier failed swap, if any
+    if (!fs.rename(live, old))
       throw new java.io.IOException(
-        s"compactBandIndex: rename $tmp -> $indexDir failed")
+        s"compactBandIndex: could not move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore; the compacted copy stays in tmp
+      throw new java.io.IOException(
+        s"compactBandIndex: rename $tmp -> $live failed (index restored)")
+    }
+    fs.delete(old, true)
     s.read.parquet(indexDir).count()
   }
 

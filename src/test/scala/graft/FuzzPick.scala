@@ -13,9 +13,9 @@ object FuzzPick {
   def main(args: Array[String]): Unit = {
     val spark = SparkFixture.session
     val sf = "/root/testdata/sf0.001"
-    val nShapes = 14
+    val nShapes = Fuzz.nShapes
     (0 until nShapes).foreach { shape =>
-      val cands = (1 to 6).map(k => shape + 14 * k).map { seed =>
+      val cands = (1 to 6).map(k => shape + nShapes * k).map { seed =>
         val b = Fuzz.build(seed)
         val n = try b.df(spark, sf).count() catch { case e: Throwable => -1L }
         (seed, b.shape, n)

@@ -573,8 +573,12 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
         src.addData(b1.toSeq: _*); q.processAllAvailable()
         src.addData(b2.toSeq: _*); q.processAllAvailable()
       } finally q.stop()
-      spark.read.parquet(s"$dir/verdicts").collect()
-        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+      val rows = spark.read.parquet(s"$dir/verdicts").collect()
+      // pin BEFORE collapsing to a map: a duplicated batch write would
+      // survive .toMap and fake a clean size
+      assert(rows.length == docs.length,
+        s"${rows.length} verdict rows for ${docs.length} docs")
+      rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
     }
     val v1 = run("a")
     assert(v1.size == docs.length, "some doc got no (or several) verdicts")
