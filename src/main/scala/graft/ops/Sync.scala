@@ -1090,6 +1090,31 @@ object Sync {
         .orderBy("order_year")
     }),
 
+    // Y12b: the FULL-WIDTH digest — y12's production form. The mod-1e9
+    // sum y12/y16/y20 share is the oracle idiom both engines spell
+    // identically inside BIGINT range, with a documented weakness
+    // (ADVICE r8): a compensating insert+delete pair whose 60-bit
+    // hashes collide mod 1e9 reads clean. Here the SAME keyed hash
+    // sums at full width as DECIMAL(38,0) — a false-clean now needs
+    // the full 60-bit contributions to cancel (~2^-60, not ~2^-30) —
+    // and the digest leaves as STRING at the boundary, because decimal
+    // RENDERING is the one thing the engines' hashed surfaces could
+    // disagree on, while scale-0 digit strings are identical. Month
+    // grain (the y20 drill-down level, where a collision at either
+    // level suppresses a rescan). Same one-scan two-phase hash-agg
+    // plan as y12: full width costs nothing at any scale.
+    "y12b_full_width_digest" -> ((s, d) => {
+      val keyedHash = md5(concat_ws("|",
+        col("o_orderkey"), rowHash(c => col(c))))
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+                 month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(keyedHash, 1, 15), 16, 10)
+            .cast("decimal(38,0)")).cast("string").as("digest_full"))
+        .orderBy("order_year", "order_month")
+    }),
+
     // Y13: table profile — the per-column stats a sync planner collects
     // before a first sync (null fractions drive NOT NULL decisions, NDV
     // picks the partition column, numeric ranges seed the JDBC
@@ -1450,7 +1475,7 @@ object Sync {
       """SELECT * FROM (VALUES
         |  ('o_orderkey', 'bigint', true), ('o_custkey', 'bigint', true),
         |  ('o_orderstatus', 'string', true), ('o_totalprice', 'double', true),
-        |  ('o_orderdate', 'timestamp_ntz', true), ('o_orderpriority', 'string', true)
+        |  ('o_orderdate', 'timestamp', true), ('o_orderpriority', 'string', true)
         |) t(col_name, data_type, nullable)""".stripMargin,
 
     "y2_snapshot_copy" -> "SELECT * FROM nation",
@@ -1796,6 +1821,17 @@ object Sync {
         |  abs(CAST(a50 AS DOUBLE) - q50) / CAST(hi - lo AS DOUBLE) < 0.02 AS b50_ok,
         |  abs(CAST(a75 AS DOUBLE) - q75) / CAST(hi - lo AS DOUBLE) < 0.02 AS b75_ok
         |FROM a, e""".stripMargin,
+
+    // Full-width digit-string digest: scale-0 DECIMAL(38,0) sums render
+    // identically in both engines, unlike general decimal formatting.
+    "y12b_full_width_digest" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+         |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(CAST(concat('0x', substr(
+         |    md5(concat_ws('|', orders.o_orderkey, ${rowHashSql("orders")})), 1, 15))
+         |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS digest_full
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "y12_partition_digest" ->
       s"""WITH $sourceCte,

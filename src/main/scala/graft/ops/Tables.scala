@@ -93,6 +93,19 @@ object Tables {
     */
   def prepare(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The corpus's timestamps are parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false); with NTZ inference on (the default) Spark
+    // types them TimestampNTZ, and ParquetFilters does NOT convert NTZ
+    // predicates into parquet row-group filters — measured: a range-
+    // clustered 8-file write skipped ZERO row groups under an NTZ
+    // range predicate (no FilterCompat predicate was even created) and
+    // 6 of 8 with this conf off (PlanAuditSuite S14 pins the working
+    // path). Reading them as TimestampType (session-UTC wall clock —
+    // value-identical here, and exactly how DuckDB's naive timestamps
+    // render on the oracle side) makes every temporal range predicate
+    // in the suite stats-prunable: at 100 TB, the difference between
+    // scanning a month and scanning a decade.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
