@@ -29,6 +29,10 @@ object ScratchTiming {
       // build-then-time split would silently exclude — Bench times both.
       var q: org.apache.spark.sql.DataFrame = null
       t(s"$name$i") { q = SparkEntry.queries(name)(spark, d); q.count() }
+      // sweep like Bench does per query: otherwise a plan-persisting
+      // operator serves iterations 2+ from the CacheManager and the
+      // timings measure nothing
+      spark.catalog.clearCache()
       if (i == 1) {
         val p = q.queryExecution.executedPlan.toString
         println(s"PLANSTATS $name" +
