@@ -665,6 +665,81 @@ object Sync {
             col("payload_value").as("last_value")))
     } else sourceState
 
+  /** y25 engine: POINT-IN-TIME read (time travel) over a changelog —
+    * reconstruct the table state at any historical version without a
+    * stored snapshot per version. The trick that keeps it one pass: a
+    * single `lead(version)` window per PK turns every change row into a
+    * validity interval [version, next_version), so the live row at cut
+    * c is simply the row whose interval contains c — ONE windowed scan
+    * of the log (equi-shuffle on pk), then a ≤`nCuts`-row BROADCAST
+    * range join fans each row out to exactly the cuts it is live at,
+    * and a hash-agg rolls each cut's state up to (count, digest,
+    * tombstones). Recomputing per cut would cost nCuts log scans; this
+    * costs one + a broadcast — the difference between feasible and not
+    * at 100 TB of changelog. Cuts derive from the log's own version
+    * bounds (vmin + span·k/nCuts, integer arithmetic — identical both
+    * engines); the bounds aggregate is a min/max-only scan parquet
+    * answers from footer stats. Deletes at a cut are counted, not
+    * returned — time travel semantics, not history semantics (that is
+    * y7's SCD2 surface). */
+  def timeTravel(log: DataFrame, nCuts: Int): DataFrame = {
+    val cuts = log
+      .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"))
+      .select(explode(sequence(lit(1), lit(nCuts))).as("k"),
+        col("vmin"), col("vmax"))
+      .select(concat(lit("q"), col("k")).as("cut_label"),
+        (col("vmin") + expr(s"(vmax - vmin) * k div $nCuts"))
+          .as("cut_version"))
+    val w = Window.partitionBy("pk").orderBy("version")
+    val live = col("op") =!= "D"
+    log.withColumn("next_version", lead(col("version"), 1).over(w))
+      .join(broadcast(cuts),
+        col("version") <= col("cut_version") &&
+          (col("next_version").isNull ||
+            col("next_version") > col("cut_version")))
+      .groupBy("cut_label", "cut_version")
+      .agg(count(when(live, 1)).as("n_rows"),
+        sum(when(live, pmod(conv(substring(md5(concat_ws("|",
+            col("pk"), col("payload_type"),
+            col("payload_value").cast("decimal(18,2)").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(1000000000L))))
+          .as("state_digest"),
+        count(when(!live, 1)).as("n_tombstones"))
+      .orderBy("cut_label")
+  }
+
+  /** y26 engine: WATERMARK-consistent multi-table cut. Each replicated
+    * table's log has its own high-water version (replicas lag
+    * independently); snapshotting every table at its OWN max gives each
+    * table internally-latest state but NO cross-table consistency — a
+    * child row can reference a parent the parent replica hasn't shipped
+    * yet, and every FK join over the "snapshot" silently drops or
+    * orphans rows. The consistent cut is the watermark W = min(per-log
+    * high water): every table filtered to version ≤ W is a state that
+    * REALLY EXISTED at version W, so cross-table invariants that held
+    * in the source hold in the snapshot. Cost: the cut is a pushed-down
+    * range predicate per table (parquet stats prune above-watermark
+    * files) + one FK audit join — no new shuffle shape beyond y17's.
+    * Returns one audit row per strategy so the naive cut's orphan
+    * count is OBSERVED, not asserted. */
+  def consistentCut(parents: DataFrame, children: DataFrame,
+                    strategies: DataFrame, fk: Seq[String]): DataFrame = {
+    val pCounts = parents.crossJoin(broadcast(strategies))
+      .groupBy("strategy", "parent_cut", "child_cut")
+      .agg(count(when(col("reg_version") <= col("parent_cut"), 1))
+        .as("n_parents"))
+    val cCounts = children
+      .join(parents, fk)
+      .crossJoin(broadcast(strategies))
+      .groupBy("strategy", "parent_cut", "child_cut")
+      .agg(count(when(col("cversion") <= col("child_cut"), 1))
+          .as("n_children"),
+        count(when(col("cversion") <= col("child_cut") &&
+          col("reg_version") > col("parent_cut"), 1)).as("n_orphans"))
+    pCounts.join(cCounts, Seq("strategy", "parent_cut", "child_cut"))
+      .orderBy("strategy")
+  }
+
   /** y23 engine: THREE-way diff — the bidirectional-sync primitive.
     * Given a common ancestor (base) and two divergent replicas A and B,
     * classify every key by which side(s) actually changed relative to
@@ -882,6 +957,51 @@ object Sync {
             .as("n_shipped"),
           col("n_final_keys"), col("final_digest"))
         .orderBy("scenario")
+    }),
+
+    // Y25: point-in-time read (time travel) — [[timeTravel]] over the
+    // events changelog at four quartile cuts of its own version range.
+    // The four (count, digest, tombstones) rollups pin the WHOLE
+    // reconstruction: a row mis-assigned to any cut (an off-by-one on
+    // either interval edge) moves a digest. q4 sits at vmax, so its row
+    // doubles as the y4 latest-wins state — the law OperatorSuite pins.
+    "y25_time_travel" -> ((s, d) => timeTravel(changeLog(s, d), 4)),
+
+    // Y26: watermark-consistent multi-table cut — [[consistentCut]]
+    // with the parent registry lagging at the 60th percentile of the
+    // version range while the child feed is current. The naive
+    // per-table-max strategy snapshots each table at its own high water
+    // and is OBSERVED shipping orphaned children (purchases whose user
+    // registration hasn't replicated yet); the watermark strategy cuts
+    // both tables at min(high waters) and audits clean. Parent registry
+    // = first event per user (registration version), child feed = the
+    // purchase stream — both derived from the same log so the oracle
+    // shares the CTEs verbatim. The parent is keyed at SESSION grain
+    // (user_id, day): a session "registers" at its first event, so
+    // registrations spread across the whole version range and the
+    // naive strategy's orphans are a real population (~40% of sessions
+    // open after the 60th-percentile cut), not a vacuous zero.
+    "y26_consistent_cut" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val parents = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(col("event_id")).as("reg_version"))
+      val children = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cversion"), col("user_id"),
+          to_date(col("ts")).as("day"))
+      val strategies = ev
+        .agg(min(col("event_id")).as("vmin"),
+          max(col("event_id")).as("vmax"))
+        .select(explode(array(
+          struct(lit("naive_per_table_max").as("strategy"),
+            expr("vmin + (vmax - vmin) * 6 div 10").as("parent_cut"),
+            col("vmax").as("child_cut")),
+          struct(lit("watermark").as("strategy"),
+            expr("vmin + (vmax - vmin) * 6 div 10").as("parent_cut"),
+            expr("vmin + (vmax - vmin) * 6 div 10").as("child_cut"))))
+          .as("st"))
+        .select(col("st.*"))
+      consistentCut(parents, children, strategies, Seq("user_id", "day"))
     }),
 
     // Y22: column-subset sync — [[graft.sync.SyncJob.applySubset]] as a
@@ -2021,6 +2141,69 @@ object Sync {
          |  sa.n_final_keys, sa.final_digest
          |FROM tc CROSS JOIN sa
          |ORDER BY scenario""".stripMargin,
+
+    "y25_time_travel" ->
+      s"""WITH $logCte,
+         |b AS (SELECT MIN(version) AS vmin, MAX(version) AS vmax FROM lg),
+         |cuts AS (
+         |  SELECT 'q' || CAST(k AS VARCHAR) AS cut_label,
+         |    vmin + (vmax - vmin) * k // 4 AS cut_version
+         |  FROM b, (SELECT unnest([1, 2, 3, 4]) AS k)),
+         |v AS (
+         |  SELECT pk, op, payload_type, payload_value, version,
+         |    lead(version) OVER (PARTITION BY pk ORDER BY version)
+         |      AS next_version
+         |  FROM lg),
+         |j AS (
+         |  SELECT c.cut_label, c.cut_version, v.*
+         |  FROM v JOIN cuts c ON v.version <= c.cut_version
+         |    AND (v.next_version IS NULL OR v.next_version > c.cut_version))
+         |SELECT cut_label, cut_version,
+         |  COUNT(CASE WHEN op <> 'D' THEN 1 END) AS n_rows,
+         |  CAST(SUM(CASE WHEN op <> 'D' THEN
+         |    CAST(concat('0x', substr(md5(concat_ws('|', pk, payload_type,
+         |      CAST(CAST(payload_value AS DECIMAL(18,2)) AS VARCHAR))),
+         |      1, 15)) AS BIGINT) % 1000000000 END) AS BIGINT)
+         |    AS state_digest,
+         |  COUNT(CASE WHEN op = 'D' THEN 1 END) AS n_tombstones
+         |FROM j GROUP BY 1, 2 ORDER BY cut_label""".stripMargin,
+
+    "y26_consistent_cut" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    MIN(event_id) AS reg_version
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id AS cversion, user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT MIN(event_id) AS vmin, MAX(event_id) AS vmax
+        |      FROM events),
+        |st AS (
+        |  SELECT 'naive_per_table_max' AS strategy,
+        |    vmin + (vmax - vmin) * 6 // 10 AS parent_cut,
+        |    vmax AS child_cut FROM b
+        |  UNION ALL
+        |  SELECT 'watermark',
+        |    vmin + (vmax - vmin) * 6 // 10,
+        |    vmin + (vmax - vmin) * 6 // 10 FROM b),
+        |pc AS (
+        |  SELECT st.strategy, st.parent_cut, st.child_cut,
+        |    COUNT(CASE WHEN p.reg_version <= st.parent_cut THEN 1 END)
+        |      AS n_parents
+        |  FROM p CROSS JOIN st GROUP BY 1, 2, 3),
+        |cc AS (
+        |  SELECT st.strategy, st.parent_cut, st.child_cut,
+        |    COUNT(CASE WHEN c.cversion <= st.child_cut THEN 1 END)
+        |      AS n_children,
+        |    COUNT(CASE WHEN c.cversion <= st.child_cut
+        |      AND p.reg_version > st.parent_cut THEN 1 END) AS n_orphans
+        |  FROM c JOIN p USING (user_id, day) CROSS JOIN st
+        |  GROUP BY 1, 2, 3)
+        |SELECT strategy, parent_cut, child_cut, n_parents, n_children,
+        |  n_orphans
+        |FROM pc JOIN cc USING (strategy, parent_cut, child_cut)
+        |ORDER BY strategy""".stripMargin,
 
     "y19_changelog_audit" ->
       s"""WITH $logCte,

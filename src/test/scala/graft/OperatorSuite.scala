@@ -903,6 +903,76 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     // live state — so it can exceed the full arm's live-key count)
   }
 
+  test("Y25 law: interval edges are inclusive-left; top cut equals latest-wins state") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Hand-checkable feed: cuts derive as vmin + span*k/3 = 4, 6, 8, and
+    // every cut lands EXACTLY on a version so both interval edges are
+    // exercised: U@4 is live AT cut 4 (left edge inclusive), I@6 at cut
+    // 6, and D@8 tombstones pk=1 exactly at cut 8.
+    val log = Seq(
+      (1L, "I", 2L, "signup", 1.0), (1L, "U", 4L, "purchase", 2.0),
+      (1L, "D", 8L, "error", 0.0), (2L, "I", 6L, "signup", 3.0)
+    ).toDF("pk", "op", "version", "payload_type", "payload_value")
+    val rows = Sync.timeTravel(log, 3).collect()
+    assert(rows.map(_.getAs[Long]("cut_version")).toSeq == Seq(4L, 6L, 8L))
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq == Seq(1L, 2L, 1L))
+    assert(rows.map(_.getAs[Long]("n_tombstones")).toSeq == Seq(0L, 0L, 1L))
+    // Corpus law: the q4 cut sits at vmax, so its (count, digest) IS the
+    // y4 latest-wins state — recomputed here independently (row_number
+    // window, no intervals) and compared field-for-field.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("version").desc)
+    val lw = Sync.changeLog(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "D")
+      .agg(count(lit(1)).as("n"),
+        sum(pmod(conv(substring(md5(concat_ws("|", col("pk"),
+          col("payload_type"),
+          col("payload_value").cast("decimal(18,2)").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(1000000000L))).as("dig"))
+      .collect()(0)
+    val q4 = SparkEntry.queries("y25_time_travel")(spark, sf)
+      .filter(col("cut_label") === "q4").collect()(0)
+    assert(q4.getAs[Long]("n_rows") == lw.getAs[Long]("n"))
+    assert(q4.getAs[Long]("state_digest") == lw.getAs[Long]("dig"))
+  }
+
+  test("Y26 law: watermark cuts are orphan-free at every version; naive lag is not") {
+    val ev = Tables.events(spark, sf)
+    val parents = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("event_id")).as("reg_version"))
+    val children = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("cversion"), col("user_id"),
+        to_date(col("ts")).as("day"))
+    val Array(vmin, vmax) = ev
+      .agg(min(col("event_id")), max(col("event_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    def cutAt(pct: Long) = vmin + (vmax - vmin) * pct / 10
+    val spark0 = spark
+    import spark0.implicits._
+    // watermark rows at three different versions + one lagging-parent
+    // naive row; the law quantifies over the watermark's parameter
+    val strategies = Seq(
+      ("w25", cutAt(2), cutAt(2)), ("w50", cutAt(5), cutAt(5)),
+      ("w90", cutAt(9), cutAt(9)), ("naive", cutAt(5), vmax))
+      .toDF("strategy", "parent_cut", "child_cut")
+    val out = Sync.consistentCut(parents, children, strategies,
+        Seq("user_id", "day")).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    for (wm <- Seq("w25", "w50", "w90"))
+      assert(out(wm).getAs[Long]("n_orphans") == 0L,
+        s"watermark cut $wm must be orphan-free")
+    assert(out("naive").getAs[Long]("n_orphans") > 0L,
+      "lagging parent under per-table-max cut must strand children")
+    // consistency is monotone bookkeeping too: child counts grow with
+    // the cut, and naive (child at vmax) sees at least w90's children
+    val nc = Seq("w25", "w50", "w90", "naive")
+      .map(k => out(k).getAs[Long]("n_children"))
+    assert(nc == nc.sorted, s"child counts must be monotone: $nc")
+  }
+
   test("Y14 partition bounds: quartiles are monotone within [lo, hi], verdicts true") {
     val r = SparkEntry.queries("y14_partition_bounds")(spark, sf).collect().head
     val (lo, hi) = (r.getAs[Long]("lo").toDouble, r.getAs[Long]("hi").toDouble)
