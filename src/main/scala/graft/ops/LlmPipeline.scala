@@ -109,6 +109,41 @@ object LlmPipeline {
       (r.getLong(0), cv)
     }.sortBy(_._1)
 
+  /** l4f product quantization: m=4 subspaces × 16 dims, 8 centroids per
+    * subspace — 8⁴ = 4096 virtual cells from 32 stored sub-centroids,
+    * which is PQ's whole trade: codebook size grows additively in m
+    * while cell count grows multiplicatively. Sub-centroids are the
+    * sub-vectors of corpus rows vec_id<8 (the same deterministic
+    * "trained elsewhere" stand-in as [[seedCodebook]]; per-subspace
+    * Lloyd on a sample is the production training). ~4 KB on the
+    * driver, inlined as literals like every codebook here. */
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+  private val PqK = 8
+  private type PqBook = Array[Array[(Long, Array[Double])]]
+  private def pqSeedBook(e: DataFrame): PqBook = {
+    val rows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.sortBy(_._1)
+    require(rows.nonEmpty, "pqSeedBook: no seed vectors (vec_id < 8)")
+    Array.tabulate(PqM)(sm =>
+      rows.map { case (id, v) =>
+        (id, v.slice(sm * PqSubDim, (sm + 1) * PqSubDim)) })
+  }
+
+  /** Squared L2 as a fixed left-fold expression tree (both engines sum
+    * the 16 lanes in list order → bit-identical doubles, §7.3). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, x) => acc + x)
+  private val l2sqSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
   /** IVF seed codebook: the first 16 corpus vectors — the deterministic
     * "trained on a sample" stand-in l4b/l4c search with; [[lloydCodebook]]
     * refines it for l4e/l4d. One pushdown-pruned scan of ≤16 rows. */
@@ -883,6 +918,57 @@ object LlmPipeline {
     // per-query work is the probed cells only); both codebooks are
     // driver-materialized ONCE and inlined, so the Lloyd training
     // subtree runs exactly once across all four audit arms.
+    // L4f: PQ (product-quantization) ANN — the third classic ANN leg
+    // beside LSH (l4) and IVF (l4b/c/e). Each vector is compressed to
+    // m=4 one-byte codes (nearest sub-centroid per 16-dim subspace —
+    // a per-row codegen'd argmin over the inlined sub-codebook, zero
+    // shuffle, zero expansion; at 100 TB the coded corpus is ~64 B/vec
+    // → 4 B/vec, the compression that lets the index live in RAM).
+    // Search = ADC (asymmetric distance): the query stays exact and its
+    // distance to a code is the sum over subspaces of L2²(query-sub,
+    // centroid[code]) — here a per-row coalesce(CASE) lookup chain, so
+    // the whole scored pass is one broadcast join over the 8-query side
+    // with no corpus shuffle. Top-8 ADC shortlist per query via the
+    // partial/final TopK UDAF, then ONLY the ≤64 shortlisted vectors
+    // are fetched for the exact cosine re-rank (second pruned corpus
+    // scan) — exact math on 64 pairs instead of |corpus|×8, the PQ
+    // contract. Ties: (adc asc, vec_id asc) / (cos desc, vec_id asc).
+    "l4f_pq_ann" -> ((s, d) => {
+      graft.functions.CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), embD.as("v"))
+      val book = pqSeedBook(e)
+      val coded = e.select(col("vec_id") +: (0 until PqM).map { sm =>
+        val sv = slice(col("v"), sm * PqSubDim + 1, PqSubDim)
+        least(book(sm).map { case (id, cv) =>
+          struct(l2sq(sv, lit(cv)).as("dist"), lit(id).as("cid"))
+        }.toSeq: _*).getField("cid").as(s"c$sm")
+      }: _*)
+      val q = e.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val adcCol = (0 until PqM).map { sm =>
+        val qsv = slice(col("qv"), sm * PqSubDim + 1, PqSubDim)
+        coalesce(book(sm).map { case (id, cv) =>
+          when(col(s"c$sm") === id, l2sq(qsv, lit(cv)))
+        }.toSeq: _*)
+      }.reduce(_ + _) // left fold = the oracle's fixed ((d0+d1)+d2)+d3
+      val topk = udaf(new graft.functions.TopKByPrice(8),
+        org.apache.spark.sql.Encoders.product[graft.functions.Ranked])
+      val shortlist = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .groupBy(col("qid"))
+        .agg(topk(-col("adc"), col("vec_id")).as("top"))
+        .select(col("qid"), explode(col("top")).as("cand"))
+        .select(col("qid"), col("cand.key").as("cid"))
+        .join(q, Seq("qid")) // ≤64 rows, carries qv into the re-rank
+      e.join(broadcast(shortlist), col("vec_id") === col("cid"))
+        .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("v")))
+        .groupBy(col("qid"))
+        .agg(max_by(struct(col("cid"), col("cos_raw")),
+          struct(col("cos_raw"), -col("cid"))).as("best"))
+        .select(col("qid"), col("best.cid").as("match_id"),
+          round(col("best.cos_raw"), 6).as("cos"))
+    }),
+
     "l4d_ann_recall" -> ((s, d) => {
       graft.functions.CosineSim.register(s)
       // the audit makes ~a dozen passes over the vectors (brute force,
@@ -1913,6 +1999,46 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l4f_pq_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (SELECT unnest([0, 1, 2, 3]) AS sm),
+         |seeds AS (
+         |  SELECT sm, vec_id AS cid,
+         |    list_slice(v, sm * 16 + 1, sm * 16 + 16) AS cv
+         |  FROM e CROSS JOIN subs WHERE vec_id < 8),
+         |codes AS (
+         |  SELECT vec_id, sm, cid AS code FROM (
+         |    SELECT e.vec_id, s.sm, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, s.sm ORDER BY
+         |        ${l2sqSql("list_slice(e.v, s.sm * 16 + 1, s.sm * 16 + 16)",
+                            "s.cv")} ASC, s.cid ASC) AS rn
+         |    FROM e CROSS JOIN seeds s) t
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id >= 16 AND vec_id < 24),
+         |parts AS (
+         |  SELECT q.qid, c.vec_id, c.sm,
+         |    ${l2sqSql("list_slice(q.qv, c.sm * 16 + 1, c.sm * 16 + 16)",
+                        "s.cv")} AS pd
+         |  FROM codes c JOIN seeds s ON s.sm = c.sm AND s.cid = c.code
+         |  CROSS JOIN q WHERE c.vec_id <> q.qid),
+         |adc AS (
+         |  SELECT qid, vec_id,
+         |    ((MAX(CASE WHEN sm = 0 THEN pd END)
+         |      + MAX(CASE WHEN sm = 1 THEN pd END))
+         |      + MAX(CASE WHEN sm = 2 THEN pd END))
+         |      + MAX(CASE WHEN sm = 3 THEN pd END) AS adc
+         |  FROM parts GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT qid, vec_id FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc ASC, vec_id ASC) <= 8)
+         |SELECT qid, e.vec_id AS match_id,
+         |  round(${cosSql("qv", "e.v")}, 6) AS cos
+         |FROM sl JOIN e ON sl.vec_id = e.vec_id JOIN q USING (qid)
+         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |  ${cosSql("qv", "e.v")} DESC, e.vec_id ASC) = 1""".stripMargin,
 
     "l4e_ivf_lloyd" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

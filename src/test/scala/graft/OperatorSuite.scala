@@ -248,6 +248,52 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(tr2 >= tr1 && seed2 >= seed1, "probe monotonicity broke")
   }
 
+  test("L4f PQ on planted twins: twin shares codes, survives the ADC shortlist, wins re-rank") {
+    // The driver corpus is near-isotropic noise (PQ recall@1 there is
+    // ~0.5 and data-dependent), so the law runs on a fixture where the
+    // right answer is forced: every query vec 16..23 has a planted twin
+    // at vec 100+q (query + 1e-3 noise). The twin's sub-vectors
+    // quantize to the SAME 4 codes as the query's (perturbation ≪
+    // distance to any seed-centroid boundary), its ADC therefore equals
+    // the minimum possible for that query, the shortlist must contain
+    // it, and the exact re-rank must pick it (cos ≈ 1 vs ≈ 0.3 noise).
+    // End-to-end this pins the whole chain: code assignment, ADC
+    // lookup, top-8 shortlist, exact re-rank, tie-breaks.
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = 64
+    var x = 0x6C8E9CF570932BD5L
+    def noise(scale: Double): Float = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 11).toDouble / (1L << 53).toDouble) * scale - scale / 2).toFloat
+    }
+    val base = (0 until 256).map(i =>
+      (i.toLong, Array.fill(dim)(noise(2.0)), i % 8))
+    val rows = base.map { case (id, v, lab) =>
+      if (id >= 100 && id < 108) // twin of query (id - 84): 16..23
+        (id, base(id.toInt - 84)._2.map(f => f + noise(0.002)), lab)
+      else (id, v, lab)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqtwin").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.ops.LlmPipeline.queries("l4f_pq_ann")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("qid"))
+    assert(out.length == 8)
+    for (r <- out) {
+      val qid = r.getAs[Long]("qid")
+      assert(r.getAs[Long]("match_id") == qid + 84,
+        s"query $qid missed its planted twin: got ${r.getAs[Long]("match_id")}")
+      assert(r.getAs[Double]("cos") > 0.99,
+        s"twin cosine should be ~1, got ${r.getAs[Double]("cos")}")
+    }
+    // determinism: the whole chain (codes, ADC, shortlist, re-rank) is
+    // seed-free arithmetic — a rerun must reproduce bit-identical rows
+    val out2 = graft.ops.LlmPipeline.queries("l4f_pq_ann")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("qid"))
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(
