@@ -184,12 +184,12 @@ object Fuzz {
     * (version, seed) pairs together and replay via
     * [[build(seed, recordedVersion)]], which fails loudly on mismatch
     * instead of reproducing the wrong query. */
-  val generatorVersion: Int = 5
+  val generatorVersion: Int = 6
 
   /** The shape count — the SINGLE definition `build` buckets by and
     * FuzzPick strides by (FuzzSuite keeps an independent literal pin on
     * purpose: an accidental change must fail a test, not re-derive it). */
-  val nShapes: Int = 14
+  val nShapes: Int = 15
 
   /** Replay guard for externally recorded seeds: refuses to build a
     * seed recorded under a different generator version. */
@@ -202,7 +202,7 @@ object Fuzz {
   }
 
   /** Generate the seed's query pair. Seeds are stable forever WITHIN a
-    * shape count: the shape is seed % 14 (java.util.Random's FIRST
+    * shape count: the shape is seed % 15 (java.util.Random's FIRST
     * power-of-2 nextInt is heavily correlated across sequential seeds —
     * measured: seeds 1..40 all gave the same first nextInt(4)) and every
     * inner draw comes from `new Random(seed)` warmed up past the
@@ -587,32 +587,81 @@ object Fuzz {
             s"CAST(MAX($eSql) AS DOUBLE) AS dec_max " +
             s"FROM ${t.name} WHERE ${p.sql} GROUP BY $g",
           "decimal_arith")
+
+      case 14 => // null-safe equality join + IS DISTINCT FROM — the
+        // null-semantics corner where engines drift worst: a derived
+        // NULLABLE key (NULLIF over a modulo) joined with
+        // <=> / IS NOT DISTINCT FROM, so null keys MATCH EACH OTHER
+        // (unlike `=`, which drops them), then an IS DISTINCT FROM
+        // filter over derived nullable strings (null vs value IS
+        // distinct, null vs null is NOT). null_pairs in the output pins
+        // that the null-key bucket genuinely joined; Spark plans <=>
+        // as an ordinary equi-join key (sort-merge/hash, no BNLJ).
+        val t = ordersMeta
+        val m = pick(r, Seq(199, 499, 997)) // key-bucket count: bounds
+        val sentinel = r.nextInt(m)         //   the join fan-out at SF
+        val slice = 2 + r.nextInt(3)        // side-B stride: 2..4
+        val pa = genPred(r, t, 1)
+        val sc = pick(r, t.strs)
+        val sv = pick(r, sc.pool)
+        val g = pick(r, t.strs).name
+        val kSql = s"NULLIF(o_custkey % $m, $sentinel)"
+        val nSql = s"NULLIF(${sc.name}, '$sv')"
+        def kCol = nullif(col("o_custkey") % m, lit(sentinel))
+        def nCol = nullif(col(sc.name), lit(sv))
+        Built(
+          (s, d) => {
+            val a = t.load(s, d).filter(pa.col)
+              .select(col("o_totalprice"), col(g),
+                kCol.as("ka"), nCol.as("na"))
+            val b = t.load(s, d)
+              .filter(col("o_orderkey") % slice === 0)
+              .select(kCol.as("kb"), nCol.as("nb"))
+            a.join(b, col("ka") <=> col("kb"))
+              .filter(!(col("na") <=> col("nb")))
+              .groupBy(col(g))
+              .agg(count(lit(1)).as("cnt"),
+                count(when(col("ka").isNull, 1)).as("null_pairs"),
+                Det.dsum(col("o_totalprice")).as("tp_sum"))
+          },
+          s"SELECT $g, COUNT(*) AS cnt, " +
+            "COUNT(CASE WHEN a.ka IS NULL THEN 1 END) AS null_pairs, " +
+            s"${Det.Sql.dsum("a.o_totalprice")} AS tp_sum " +
+            s"FROM (SELECT o_totalprice, $g, $kSql AS ka, $nSql AS na " +
+            s"FROM orders WHERE ${pa.sql}) a " +
+            s"JOIN (SELECT $kSql AS kb, $nSql AS nb " +
+            s"FROM orders WHERE o_orderkey % $slice = 0) b " +
+            "ON a.ka IS NOT DISTINCT FROM b.kb " +
+            "WHERE a.na IS DISTINCT FROM b.nb " +
+            s"GROUP BY $g",
+          "null_semantics")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
     * counts at sf0.001+ (FuzzSuite prints the coverage table). These
-    * fourteen run through the driver's DuckDB gate every round,
+    * fifteen run through the driver's DuckDB gate every round,
     * cross-checking the generator's dialect parity against a second
     * engine. (Re-seeded whenever the shape count widens — latest at
-    * 13 → 14: shape = seed % 14, so each name needed a seed in its
+    * 14 → 15: shape = seed % 15, so each name needed a seed in its
     * shape's new residue class — recorded under [[generatorVersion]]
-    * 5.) */
+    * 6.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 14,
-    "fz2_agg_groupby" -> 29,
-    "fz3_join_agg" -> 16,
-    "fz4_join_filter" -> 31,
-    "fz5_set_op" -> 32,
-    "fz6_window_topk" -> 47,
-    "fz7_outer_join" -> 34,
-    "fz8_grouping" -> 77,
-    "fz9_subquery" -> 22,
-    "fz10_temporal_trunc" -> 51,
-    "fz11_temporal_extract" -> 38,
-    "fz12_string_funcs" -> 39,
-    "fz13_event_window" -> 40,
-    "fz14_decimal_arith" -> 41)
+    "fz1_filter_project" -> 15,
+    "fz2_agg_groupby" -> 16,
+    "fz3_join_agg" -> 17,
+    "fz4_join_filter" -> 18,
+    "fz5_set_op" -> 19,
+    "fz6_window_topk" -> 20,
+    "fz7_outer_join" -> 21,
+    "fz8_grouping" -> 22,
+    "fz9_subquery" -> 23,
+    "fz10_temporal_trunc" -> 24,
+    "fz11_temporal_extract" -> 25,
+    "fz12_string_funcs" -> 26,
+    "fz13_event_window" -> 27,
+    "fz14_decimal_arith" -> 28,
+    "fz15_null_semantics" -> 29)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

@@ -9,9 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * corpus with generated compositions of filters, projections,
   * aggregates, set-ops, window top-k, outer joins, grouping lattices,
   * semi/anti subqueries, temporal date_trunc/EXTRACT keys, string
-  * functions, per-user events windows and decimal fixed-point
-  * arithmetic; the fourteen promoted seeds additionally go through the
-  * driver's DuckDB gate (fz1-fz14).
+  * functions, per-user events windows, decimal fixed-point
+  * arithmetic and null-safe-equality semantics; the fifteen promoted
+  * seeds additionally go through the driver's DuckDB gate (fz1-fz15).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
@@ -48,7 +48,7 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 14, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 15, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
@@ -71,7 +71,8 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       "fz11_temporal_extract" -> "temporal_extract",
       "fz12_string_funcs" -> "string_funcs",
       "fz13_event_window" -> "event_window",
-      "fz14_decimal_arith" -> "decimal_arith")
+      "fz14_decimal_arith" -> "decimal_arith",
+      "fz15_null_semantics" -> "null_semantics")
     assert(Fuzz.promoted.keySet == want.keySet)
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
