@@ -47,7 +47,10 @@ object PlanDump {
       "y22_column_subset_sync" -> "column-subset apply: classification and apply ride ONE full-outer PK sort-merge join, target-owned columns pass through",
       "y23_three_way_diff" -> "three-way diff: tagged union + ONE two-phase HashAggregate on the PK (no joins), hash as two longs to keep the hash-agg path",
       "l16_incremental_dedup" -> "incremental dedup: index side streams (batch band probes broadcast), only batch-sized state quadratic",
-      "l17_e2e_pipeline" -> "end-to-end prep funnel: one corpus scan, content-hash window + band-bucket agg are the only corpus-sized shuffles")
+      "l17_e2e_pipeline" -> "end-to-end prep funnel: one corpus scan, content-hash window + band-bucket agg are the only corpus-sized shuffles",
+      "y25_time_travel" -> "time travel: ONE interval window over the log + 4-row broadcast range join, hash-agg per cut — one scan for N historical states",
+      "y26_consistent_cut" -> "watermark cut: strategy rows broadcast, one FK equi-join audit, counts conditional — no per-strategy rescans",
+      "l4f_pq_ann" -> "PQ ANN: codegen'd per-row code assignment (no shuffle), ADC via CASE lookups against the broadcast query side, exact re-rank only on the broadcast shortlist")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain formatted` for the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at $sf. These are the plans the\n")

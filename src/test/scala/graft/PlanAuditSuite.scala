@@ -470,6 +470,47 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"level-1 year plan should be shared (persisted), not recomputed per side:\n$p")
   }
 
+  test("Y25: time travel is ONE log window + a broadcast cuts join (no per-cut rescans)") {
+    val p = plan("y25_time_travel")
+    // one interval window per pk (the single full-log pass)...
+    assert("WindowExec|Window ".r.findAllIn(p).length >= 1 &&
+      p.split('\n').count(_.trim.startsWith("+- Window")) +
+        p.split('\n').count(_.trim.startsWith(":- Window")) <= 1,
+      s"expected exactly one Window pass over the log:\n$p")
+    // ...fanned to cuts by a broadcast nested-loop with the ≤4-row side
+    // BUILT, never the log side
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"),
+      s"cuts side must broadcast:\n$p")
+    // rollup is the two-phase hash aggregate
+    assert(p.contains("HashAggregate"), s"per-cut rollup fell off hash-agg:\n$p")
+  }
+
+  test("Y26: consistent cut broadcasts strategy rows; audit is one FK equi-join") {
+    val p = plan("y26_consistent_cut")
+    // the 2-row strategies side rides BroadcastExchange into both count
+    // arms; the child→parent audit is a broadcast hash EQUI-join (no
+    // cartesian against the fact-sized sides)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") &&
+      l.contains("BuildRight") && l.contains("Cross")),
+      s"strategy rows must broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("Inner")), s"FK audit must stay an equi-join:\n$p")
+  }
+
+  test("L4f: PQ codes assign with no exchange before the shortlist agg; re-rank joins broadcast") {
+    val p = plan("l4f_pq_ann")
+    // code assignment + ADC scoring happen before the FIRST exchange:
+    // the only corpus-sized exchange is the TopK partial/final boundary
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    assert(firstAgg >= 0, s"shortlist TopK must be a partial/final agg:\n$p")
+    // queries and shortlist both broadcast; the corpus is never the
+    // build side of any join
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ search must not shuffle the corpus into a join:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"queries + shortlist must both broadcast:\n$p")
+  }
+
   test("S14 range-clustered layout: parquet min/max pruning cuts the scan, random layout doesn't") {
     // THE data-layout lever at 100 TB: the same rows, the same filter,
     // 10-100x less IO purely from write-time clustering. Range-partition
