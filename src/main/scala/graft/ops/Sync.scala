@@ -1004,6 +1004,32 @@ object Sync {
       consistentCut(parents, children, strategies, Seq("user_id", "day"))
     }),
 
+    // Y27: schema-migration plan — [[graft.sync.Migration.plan]] scored
+    // against a desired schema exercising every verdict: an add
+    // (o_channel), a safe widen (o_custkey BIGINT→DECIMAL(28,0)), a
+    // lossy narrow (o_totalprice FLOAT→DECIMAL(12,2)), an incompatible
+    // encoding change (o_orderdate DATETIME2→BIGINT → a 'manual' step
+    // with NO ddl), a drop (o_orderpriority), and an unchanged column
+    // (o_orderstatus → no step). The CURRENT schema comes from the
+    // parquet footer in BOTH engines (Spark: StructType; DuckDB:
+    // DESCRIBE), so the plan is derived, not transcribed; the oracle
+    // re-implements the safety matrix for the type pairs in play.
+    // Expand → migrate → contract ordering is visible in step_order.
+    "y27_migration_plan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val desired = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", DecimalType(28, 0)),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DecimalType(12, 2)),
+        StructField("o_orderdate", LongType),
+        StructField("o_channel", StringType)))
+      val steps = graft.sync.Migration.plan(
+        Tables.orders(s, d).schema, desired, "dbo.orders", Seq("o_orderkey"))
+      import s.implicits._
+      steps.toDF().orderBy("step_order", "column")
+    }),
+
     // Y22: column-subset sync — [[graft.sync.SyncJob.applySubset]] as a
     // scored query. The target carries a target-OWNED audit column
     // (sync_note = 't-<key>'); the source carries its own audit values
@@ -2204,6 +2230,78 @@ object Sync {
         |  n_orphans
         |FROM pc JOIN cc USING (strategy, parent_cut, child_cut)
         |ORDER BY strategy""".stripMargin,
+
+    "y27_migration_plan" ->
+      """WITH cur AS (
+        |  SELECT lower(column_name) AS col,
+        |    CASE column_type
+        |      WHEN 'BIGINT' THEN 'BIGINT'
+        |      WHEN 'INTEGER' THEN 'INT'
+        |      WHEN 'SMALLINT' THEN 'SMALLINT'
+        |      WHEN 'VARCHAR' THEN 'NVARCHAR(MAX)'
+        |      WHEN 'DOUBLE' THEN 'FLOAT'
+        |      WHEN 'FLOAT' THEN 'REAL'
+        |      WHEN 'DATE' THEN 'DATE'
+        |      WHEN 'TIMESTAMP' THEN 'DATETIME2(6)'
+        |    END AS ft
+        |  FROM (DESCRIBE orders)),
+        |des(col, tt) AS (
+        |  SELECT * FROM (VALUES
+        |    ('o_orderkey', 'BIGINT'),
+        |    ('o_custkey', 'DECIMAL(28,0)'),
+        |    ('o_orderstatus', 'NVARCHAR(MAX)'),
+        |    ('o_totalprice', 'DECIMAL(12,2)'),
+        |    ('o_orderdate', 'BIGINT'),
+        |    ('o_channel', 'NVARCHAR(MAX)'))),
+        |j AS (
+        |  SELECT coalesce(c.col, d.col) AS col, c.ft, d.tt
+        |  FROM cur c FULL OUTER JOIN des d ON c.col = d.col),
+        |cls AS (
+        |  SELECT col, ft, tt,
+        |    CASE
+        |      WHEN ft IS NULL THEN 'add'
+        |      WHEN tt IS NULL THEN 'drop'
+        |      WHEN ft = tt THEN 'same'
+        |      WHEN ft = 'BIGINT' AND tt LIKE 'DECIMAL(%' AND
+        |        CAST(regexp_extract(tt, 'DECIMAL\((\d+),(\d+)\)', 1) AS INT)
+        |          - CAST(regexp_extract(tt, 'DECIMAL\((\d+),(\d+)\)', 2)
+        |              AS INT) >= 19 THEN 'alter_safe'
+        |      WHEN ft = 'BIGINT' AND tt LIKE 'DECIMAL(%' THEN 'alter_lossy'
+        |      WHEN ft = 'INT' AND tt = 'BIGINT' THEN 'alter_safe'
+        |      WHEN ft = 'SMALLINT' AND tt IN ('INT', 'BIGINT')
+        |        THEN 'alter_safe'
+        |      WHEN ft = 'REAL' AND tt = 'FLOAT' THEN 'alter_safe'
+        |      WHEN ft = 'DATE' AND tt = 'DATETIME2(6)' THEN 'alter_safe'
+        |      WHEN tt = 'NVARCHAR(MAX)' THEN 'alter_safe'
+        |      WHEN ft = 'FLOAT' AND tt LIKE 'DECIMAL(%' THEN 'alter_lossy'
+        |      WHEN ft = 'DATETIME2(6)' AND tt = 'DATE' THEN 'alter_lossy'
+        |      WHEN ft = 'BIGINT' AND tt IN ('INT', 'SMALLINT')
+        |        THEN 'alter_lossy'
+        |      WHEN ft = 'FLOAT' AND tt = 'REAL' THEN 'alter_lossy'
+        |      ELSE 'manual'
+        |    END AS k
+        |  FROM j)
+        |SELECT
+        |  CASE k WHEN 'add' THEN 1 WHEN 'alter_safe' THEN 2
+        |         WHEN 'alter_lossy' THEN 2 WHEN 'manual' THEN 3
+        |         ELSE 4 END AS step_order,
+        |  CASE k WHEN 'add' THEN 'add' WHEN 'manual' THEN 'manual'
+        |         WHEN 'drop' THEN 'drop' ELSE 'alter' END AS action,
+        |  col AS "column", ft AS from_type, tt AS to_type,
+        |  CASE k WHEN 'add' THEN 'safe' WHEN 'alter_safe' THEN 'safe'
+        |         WHEN 'alter_lossy' THEN 'lossy' WHEN 'drop' THEN 'lossy'
+        |         ELSE 'incompatible' END AS safety,
+        |  CASE k
+        |    WHEN 'add' THEN 'ALTER TABLE [dbo].[orders] ADD [' || col
+        |      || '] ' || tt || ' NULL'
+        |    WHEN 'manual' THEN NULL
+        |    WHEN 'drop' THEN 'ALTER TABLE [dbo].[orders] DROP COLUMN ['
+        |      || col || ']'
+        |    ELSE 'ALTER TABLE [dbo].[orders] ALTER COLUMN [' || col
+        |      || '] ' || tt
+        |  END AS ddl
+        |FROM cls WHERE k <> 'same'
+        |ORDER BY step_order, col""".stripMargin,
 
     "y19_changelog_audit" ->
       s"""WITH $logCte,

@@ -123,6 +123,15 @@ object TypeMapping {
     fields.map(f =>
       s"ALTER TABLE ${qualify(table)} ADD ${q(f.name)} ${toSqlServerType(f.dataType)} NULL")
 
+  /** ALTER COLUMN for a type change (the Migration planner's migrate
+    * phase) — same quoting discipline as the other DDL paths. */
+  def alterColumnDdl(table: String, column: String, dt: DataType): String =
+    s"ALTER TABLE ${qualify(table)} ALTER COLUMN ${q(column)} ${toSqlServerType(dt)}"
+
+  /** DROP COLUMN (the contract phase). */
+  def dropColumnDdl(table: String, column: String): String =
+    s"ALTER TABLE ${qualify(table)} DROP COLUMN ${q(column)}"
+
   /** Round-trip stability law (pinned in tests): a Spark schema pushed to
     * T-SQL and read back through the planning mapping is unchanged up to
     * the documented widenings (Byte→Short, both MAX strings).

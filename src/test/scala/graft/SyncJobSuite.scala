@@ -190,6 +190,57 @@ class SyncJobSuite extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.toLowerCase.contains("type drift"))
   }
 
+  test("Y27 Migration: safety matrix, phase ordering, PK refusal, idempotence") {
+    import graft.sync.Migration
+    import org.apache.spark.sql.types._
+    // safety matrix spot-checks — one per rule class, both directions
+    def s(f: DataType, t: DataType) = Migration.changeSafety(f, t)
+    assert(s(IntegerType, LongType) == "safe")
+    assert(s(LongType, IntegerType) == "lossy")
+    assert(s(FloatType, DoubleType) == "safe")
+    assert(s(DoubleType, FloatType) == "lossy")
+    assert(s(LongType, DecimalType(19, 0)) == "safe")  // 19 digits hold a long
+    assert(s(LongType, DecimalType(18, 0)) == "lossy") // 18 do not
+    assert(s(DecimalType(10, 2), DecimalType(12, 2)) == "safe")
+    assert(s(DecimalType(12, 2), DecimalType(12, 4)) == "lossy") // int part shrinks
+    assert(s(DateType, TimestampType) == "safe")
+    assert(s(TimestampType, DateType) == "lossy")
+    assert(s(LongType, StringType) == "safe")
+    assert(s(StringType, LongType) == "incompatible")   // a parse, not a cast
+    assert(s(TimestampType, LongType) == "incompatible") // an encoding choice
+    assert(s(BinaryType, StringType) == "incompatible")  // a charset guess
+    // phase ordering: adds strictly before alters strictly before drops
+    val cur = StructType(Seq(
+      StructField("pk", LongType), StructField("a", IntegerType),
+      StructField("gone", StringType)))
+    val des = StructType(Seq(
+      StructField("pk", LongType), StructField("a", LongType),
+      StructField("fresh", StringType)))
+    val plan = Migration.plan(cur, des, "dbo.t", Seq("pk"))
+    assert(plan.map(_.action) == Seq("add", "alter", "drop"),
+      s"expand→migrate→contract order broke: $plan")
+    assert(plan.map(_.step_order) == plan.map(_.step_order).sorted)
+    // manual steps carry no DDL; every other step carries exactly one
+    assert(plan.forall(st => (st.action == "manual") == st.ddl.isEmpty))
+    // idempotence: desired ≡ current plans nothing
+    assert(Migration.plan(des, des, "dbo.t", Seq("pk")).isEmpty)
+    // PK type change refuses loudly — a key migration is a rebuild
+    val desBadKey = StructType(des.fields.map(f =>
+      if (f.name == "pk") f.copy(dataType = IntegerType) else f))
+    val e = intercept[IllegalArgumentException] {
+      Migration.plan(cur, desBadKey, "dbo.t", Seq("pk"))
+    }
+    assert(e.getMessage.contains("pk") &&
+      e.getMessage.toLowerCase.contains("rebuild"))
+    // injection discipline: a hostile column name stays inside brackets
+    val hostile = StructType(Seq(StructField("pk", LongType),
+      StructField("x] DROP TABLE t --", StringType)))
+    val hp = Migration.plan(StructType(Seq(StructField("pk", LongType))),
+      hostile, "dbo.t", Seq("pk"))
+    assert(hp.head.ddl.get.contains("[x]] DROP TABLE t --]"),
+      s"identifier escape failed: ${hp.head.ddl}")
+  }
+
   test("composite-key diff classifies on the full key") {
     val spark0 = spark
     import spark0.implicits._
