@@ -46,6 +46,66 @@ object Windows {
           .as("gap_sec"))
     }),
 
+    // W7: BATCH gap-sessionization — the exact batch twin of
+    // streaming/StreamOps.sessionize (same 30-min gap, same summary
+    // schema; the batch≡streaming law lives in StreamingSuite). Three
+    // chained steps over ONE (user_id) exchange: lag() marks session
+    // starts (gap > 30 min or first event), a running sum numbers the
+    // sessions, and a per-(user, session) hash-agg rolls up the summary
+    // — sessionization with no self-join and no state store, the shape
+    // that survives 100 TB of events. total_value is a float reduction
+    // → Det decimal detour (§7.3).
+    "w7_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapSec = 30 * 60
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > gapSec)
+            .cast("int"))
+        .withColumn("sess_no", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+            .as("duration_sec"),
+          Det.dsum(col("value")).as("total_value"))
+    }),
+
+    // W8: ordered-stage funnel (view → click-after-view →
+    // purchase-after-click) WITHOUT self-joins: each stage's first
+    // qualifying timestamp is a conditional MIN over the user partition
+    // that references the previous stage's column, so the three Window
+    // operators chain over a SINGLE (user_id) exchange — the classic
+    // funnel query shape that replaces the 3-way self-join (which at
+    // 100 TB of events is three shuffles and a skew bomb). Strict `>`
+    // = "strictly after"; value comparisons, not row order, so ties are
+    // engine-agnostic.
+    "w8_funnel" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("ts") > col("fv"),
+            col("ts"))).over(wu))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("ts") > col("fc"),
+            col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("fv")).as("first_view"),
+          max(col("fc")).as("first_click"),
+          max(col("fp")).as("first_purchase"))
+        .withColumn("stage",
+          when(col("first_purchase").isNotNull, "purchase")
+            .when(col("first_click").isNotNull, "click")
+            .when(col("first_view").isNotNull, "view")
+            .otherwise("none"))
+    }),
+
     // W6: IGNORE NULLS navigation — last-observation-carried-forward, the
     // gap-filling idiom for sparse sensor/metric streams: zeros are
     // nulled out, then the running last non-null value fills forward.
@@ -132,6 +192,54 @@ object Windows {
          |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
          |FROM ev
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "w7_sessionize" ->
+      s"""WITH ev AS ($evSql),
+         |x AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM ev),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR
+         |      CAST(floor(epoch(ts)) AS BIGINT)
+         |        - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS sess_no
+         |  FROM y)
+         |SELECT user_id, sess_no, COUNT(*) AS n_events,
+         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         |  CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         |    - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+         |  ${Det.Sql.dsum("value")} AS total_value
+         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "w8_funnel" ->
+      s"""WITH ev AS ($evSql),
+         |a AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+         |    OVER (PARTITION BY user_id) AS fv
+         |  FROM ev),
+         |b AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > fv
+         |    THEN ts END) OVER (PARTITION BY user_id) AS fc
+         |  FROM a),
+         |c AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > fc
+         |    THEN ts END) OVER (PARTITION BY user_id) AS fp
+         |  FROM b)
+         |SELECT user_id, MAX(fv) AS first_view, MAX(fc) AS first_click,
+         |  MAX(fp) AS first_purchase,
+         |  CASE WHEN MAX(fp) IS NOT NULL THEN 'purchase'
+         |       WHEN MAX(fc) IS NOT NULL THEN 'click'
+         |       WHEN MAX(fv) IS NOT NULL THEN 'view'
+         |       ELSE 'none' END AS stage
+         |FROM c GROUP BY 1""".stripMargin,
 
     "w6_ignore_nulls" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)

@@ -31,6 +31,23 @@ object StreamOps {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** Timestamp ↔ epoch-MICROS. `Timestamp.getTime` is millis and
+    * silently truncates the µs the corpus carries (parquet
+    * TIMESTAMP(MICROS) — the r8 lesson's neighbor): session bounds must
+    * round-trip exactly or the batch≡streaming sessionization law (and
+    * any downstream join on session edges) drifts sub-ms. State buffers
+    * therefore hold µs; only the timer API (ms-granular) sees ms, via
+    * [[msCeil]] so a timer can never fire BEFORE last+gap. */
+  private[streaming] def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private[streaming] def tsOfUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  private[streaming] def msCeil(us: Long): Long =
+    Math.floorDiv(us + 999L, 1000L)
+
   /** T1+T4: watermarked tumbling window aggregate (append mode → a window
     * emits once, when the watermark passes its end; later rows drop).
     */
@@ -112,23 +129,25 @@ object StreamOps {
             val b = state.get
             state.remove()
             Iterator.single(SessionSummary(user, b.n,
-              new Timestamp(b.first), new Timestamp(b.last), b.total))
+              tsOfUs(b.first), tsOfUs(b.last), b.total))
           } else {
             // batch rows are unordered: fold min/max, split on gap later —
             // simplification: one open session per user, extended by any
             // row within gap of the current [first, last] envelope.
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // SessionBuf bounds are epoch-µs ([[usOf]]); the gap compare
+            // runs at full µs precision, the timeout at ms (timer API).
+            val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
             var buf = state.getOption
             val closed = Seq.newBuilder[SessionSummary]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               buf match {
-                case Some(b) if t - b.last <= gapMs =>
+                case Some(b) if t - b.last <= gapMs * 1000L =>
                   buf = Some(SessionBuf(b.n + 1, b.first, math.max(b.last, t),
                     b.total + e.value))
                 case Some(b) =>
-                  closed += SessionSummary(user, b.n, new Timestamp(b.first),
-                    new Timestamp(b.last), b.total)
+                  closed += SessionSummary(user, b.n, tsOfUs(b.first),
+                    tsOfUs(b.last), b.total)
                   buf = Some(SessionBuf(1, t, t, e.value))
                 case None =>
                   buf = Some(SessionBuf(1, t, t, e.value))
@@ -136,7 +155,7 @@ object StreamOps {
             }
             buf.foreach { b =>
               state.update(b)
-              state.setTimeoutTimestamp(b.last + gapMs)
+              state.setTimeoutTimestamp(msCeil(b.last) + gapMs)
             }
             closed.result().iterator
           }
@@ -366,20 +385,21 @@ object StreamOps {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[SessionSummary] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
       var buf = if (session.exists()) Option(session.get()) else None
-      // drop the stale timer before extending; re-registered below
-      buf.foreach(b => getHandle.deleteTimer(b.last + gapMs))
+      // drop the stale timer before extending; re-registered below.
+      // SessionBuf bounds are epoch-µs; timers are ms (msCeil).
+      buf.foreach(b => getHandle.deleteTimer(msCeil(b.last) + gapMs))
       val closed = Seq.newBuilder[SessionSummary]
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = usOf(e.ts)
         buf match {
-          case Some(b) if t - b.last <= gapMs =>
+          case Some(b) if t - b.last <= gapMs * 1000L =>
             buf = Some(SessionBuf(b.n + 1, b.first, math.max(b.last, t),
               b.total + e.value))
           case Some(b) =>
-            closed += SessionSummary(user, b.n, new Timestamp(b.first),
-              new Timestamp(b.last), b.total)
+            closed += SessionSummary(user, b.n, tsOfUs(b.first),
+              tsOfUs(b.last), b.total)
             buf = Some(SessionBuf(1, t, t, e.value))
           case None =>
             buf = Some(SessionBuf(1, t, t, e.value))
@@ -387,7 +407,7 @@ object StreamOps {
       }
       buf.foreach { b =>
         session.update(b)
-        getHandle.registerTimer(b.last + gapMs)
+        getHandle.registerTimer(msCeil(b.last) + gapMs)
       }
       closed.result().iterator
     }
@@ -398,10 +418,10 @@ object StreamOps {
         val b = session.get()
         // a stale timer (session extended after registration) fires early:
         // only close when this timer is the session's current one
-        if (info.getExpiryTimeInMs() >= b.last + gapMs) {
+        if (info.getExpiryTimeInMs() >= msCeil(b.last) + gapMs) {
           session.clear()
-          Iterator.single(SessionSummary(user, b.n, new Timestamp(b.first),
-            new Timestamp(b.last), b.total))
+          Iterator.single(SessionSummary(user, b.n, tsOfUs(b.first),
+            tsOfUs(b.last), b.total))
         } else Iterator.empty
       } else Iterator.empty
   }

@@ -211,6 +211,50 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(u1.head.getAs[Double]("total_value") == 3.5)
   }
 
+  test("W7 batch sessionization ≡ T7 streaming sessionize on the real corpus") {
+    // The batch-twin law for stateful sessionization: the w7 window
+    // query and the flatMapGroupsWithState stream must carve the SAME
+    // corpus into the SAME sessions. All real events arrive in one
+    // ordered batch; two far-future sentinel batches push the watermark
+    // so every real session closes via the event-time timeout path too
+    // (both emission paths exercised). Multiset compare keyed on
+    // (user, first_ts): count, last_ts exact; total_value within 1e-6
+    // (w7 rounds through the Det decimal detour, the stream sums raw).
+    val spark0 = spark
+    import spark0.implicits._
+    val evs = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val day = 86400000L
+    val streamed = runToSink("w7twin")(
+      s => StreamOps.sessionize(s.toDS()).toDF(),
+      Seq(evs,
+        Seq(Event(-1L, new Timestamp(maxTs + 10 * day), -1L, "view", 0.0)),
+        Seq(Event(-2L, new Timestamp(maxTs + 20 * day), -1L, "view", 0.0))))
+      .filter(_.getAs[Long]("user_id") >= 0)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("first_ts")) ->
+        (r.getAs[Int]("n_events").toLong, r.getAs[Timestamp]("last_ts"),
+          r.getAs[Double]("total_value"))).toMap
+    val batch = SparkEntry.queries("w7_sessionize")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("first_ts")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Timestamp]("last_ts"),
+          r.getAs[Double]("total_value"))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"session sets diverge: only-stream=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    for ((k, (bn, bl, bv)) <- batch) {
+      val (sn, sl, sv) = streamed(k)
+      assert(sn == bn && sl == bl, s"session $k diverged: ($sn,$sl) vs ($bn,$bl)")
+      assert(math.abs(sv - bv) < 1e-6, s"session $k value: $sv vs $bv")
+    }
+  }
+
   test("S8 rate-micro-batch source drives a deterministic pipeline") {
     val df = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", 10).option("numPartitions", 2)
