@@ -1419,6 +1419,63 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // L18: BLOOM-FILTER membership probe for incremental exact dedup —
+    // the O(bits) alternative to l16's LSH-index join when the question
+    // is only "have we seen this exact content before": the standing
+    // corpus's content hashes fold into one Bloom filter (treeAggregate
+    // of partial filters — one pass, mergeable, ~1.2 GB for 10⁹ keys at
+    // 3% fpp; shard per hash-prefix when one executor can't hold it),
+    // the filter BROADCASTS, and the arriving batch probes it per-row —
+    // NO join, NO index shuffle, the only corpus-scale cost is the one
+    // build scan. Spark's BloomFilterImpl is seed-fixed murmur3 and the
+    // bit array is an OR across items, so the flagged set is
+    // deterministic across runs and partitionings. The query is the
+    // AUDIT form (l4d's recall idiom): ground truth via one exact
+    // semi-join, then the bloom's two contracts as verdict columns —
+    // no-false-negatives (membership guarantee) and a bounded fp rate —
+    // beside the oracle-checkable exact counts (the a5 exact+verdict
+    // idiom: DuckDB derives the counts, asserts the contracts as
+    // constants). mightContainLong has no Column form, so the probe is
+    // the one deliberate scalar UDF outside X1 (a long→bool call on a
+    // broadcast bitset — nothing for codegen to win).
+    "l18_bloom_dedup" -> ((s, d) => {
+      // the corpus split has no natural exact dups across the standing/
+      // batch boundary, which would leave the membership contract
+      // vacuous — so every 30th doc (a batch member, %3=0) copies its
+      // successor's text (a standing member, %3=1): ~n/30 REAL dups the
+      // no-false-negatives verdict must catch (the l5k seeding idiom,
+      // identical CASE in the oracle)
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val donor = base.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("donor_text"))
+      val docs = base.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          xxhash64(when(col("doc_id") % 30 === 0 &&
+              col("donor_text").isNotNull, col("donor_text"))
+            .otherwise(col("text"))).as("h"))
+      val standing = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val nStanding = standing.count()
+      val fpp = 0.03
+      val bf = standing.stat.bloomFilter("h", math.max(nStanding, 1L), fpp)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((h: Long) => bfB.value.mightContainLong(h))
+      batch
+        .join(standing.select(col("h")).distinct()
+          .withColumn("dup", lit(1)), Seq("h"), "left")
+        .withColumn("flagged", might(col("h")))
+        .agg(
+          count(lit(1)).as("n_batch"),
+          lit(nStanding).as("n_standing"),
+          sum(when(col("dup") === 1, 1).otherwise(0)).cast("long")
+            .as("n_true_dups"),
+          (sum(when(col("dup") === 1 && !col("flagged"), 1).otherwise(0))
+            === 0).as("no_false_negatives"),
+          (sum(when(col("dup").isNull && col("flagged"), 1).otherwise(0))
+            <= sum(when(col("dup").isNull, 1).otherwise(0)) * 3 * fpp + 5)
+            .as("fp_rate_ok"))
+    }),
+
     // L17: the END-TO-END training-data prep pipeline as ONE query — the
     // composition a user of this library actually ships, each stage the
     // idiom its standalone operator established: language filter →
@@ -1999,6 +2056,23 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l18_bloom_dedup" ->
+      """WITH seeded AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 30 = 0 AND b.text IS NOT NULL
+        |         THEN b.text ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |docs AS (SELECT doc_id, md5(text) AS h FROM seeded),
+        |standing AS (SELECT DISTINCT h FROM docs WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id, h FROM docs WHERE doc_id % 3 = 0)
+        |SELECT
+        |  (SELECT COUNT(*) FROM batch) AS n_batch,
+        |  (SELECT COUNT(*) FROM docs WHERE doc_id % 3 <> 0) AS n_standing,
+        |  (SELECT COUNT(*) FROM batch b JOIN standing s USING (h))
+        |    AS n_true_dups,
+        |  TRUE AS no_false_negatives,
+        |  TRUE AS fp_rate_ok""".stripMargin,
 
     "l4f_pq_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -294,6 +294,34 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
   }
 
+  test("L18 bloom: membership guarantee exact, flagged set deterministic across runs/partitionings") {
+    // pins the two assumptions the l18 audit rests on: (1) every
+    // inserted key answers mightContain=true (the Bloom contract),
+    // (2) Spark's BloomFilterImpl is seed-fixed and bit-OR-merged, so
+    // the SAME key set gives the SAME filter regardless of run or
+    // partitioning — the determinism the oracle's constant verdicts
+    // require.
+    val spark0 = spark
+    import spark0.implicits._
+    def build(parts: Int) = (1L to 1000L).toDF("h").repartition(parts)
+      .stat.bloomFilter("h", 1000L, 0.03)
+    val bf = build(4)
+    assert((1L to 1000L).forall(bf.mightContainLong),
+      "bloom violated its membership guarantee")
+    val probes = (100001L to 110000L)
+    val fp = probes.count(bf.mightContainLong)
+    assert(fp < 10000 * 0.09 + 5, s"fp rate blew the bound: $fp/10000")
+    // determinism: different partitioning, same bits → same verdicts
+    val bf2 = build(13)
+    assert(probes.forall(h => bf.mightContainLong(h) == bf2.mightContainLong(h)),
+      "bloom verdicts depend on partitioning — the audit oracle is unsound")
+    // and the scored audit itself holds its contracts with planted dups
+    val r = SparkEntry.queries("l18_bloom_dedup")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_true_dups") > 0, "planted dups vanished")
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    assert(r.getAs[Boolean]("fp_rate_ok"))
+  }
+
   test("A5 approx_count_distinct within rsd of exact") {
     val l = Tables.lineitem(spark, sf)
     val row = l.agg(
