@@ -212,6 +212,46 @@ object Relational {
                 col("ts"), col("asof_view_ts"))
     }),
 
+    // J8b: as-of DIRECTION variants — the full merge_asof surface
+    // (backward / forward / nearest) from the SAME union-tag pass as
+    // j8: one (user) exchange, one sort, TWO frames over one ordering
+    // (running max over (-∞, current] = backward at-or-before; running
+    // min over [current, +∞) = forward strictly-after — the view-first
+    // tie order makes the equal-ts view belong to backward, so the two
+    // directions partition the timeline cleanly). nearest picks the
+    // smaller µs distance, backward on ties; distances compare at FULL
+    // µs (unix_micros / epoch_us — second-truncated casts would
+    // misjudge sub-second races, the w7 lesson's neighbor).
+    "j8b_asof_directions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          lit(null).cast("long").as("p_event"), col("ts").as("view_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id").as("p_event"),
+          lit(null).cast("timestamp").as("view_ts"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("p_event").asc_nulls_first)
+      val back = max(col("view_ts")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val fwd = min(col("view_ts")).over(
+        ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      views.unionByName(purch)
+        .withColumn("asof_back", back)
+        .withColumn("asof_fwd", fwd)
+        .filter(col("kind") === 1)
+        .withColumn("asof_nearest",
+          when(col("asof_back").isNull, col("asof_fwd"))
+            .when(col("asof_fwd").isNull, col("asof_back"))
+            .when(unix_micros(col("ts")) - unix_micros(col("asof_back")) <=
+              unix_micros(col("asof_fwd")) - unix_micros(col("ts")),
+              col("asof_back"))
+            .otherwise(col("asof_fwd")))
+        .select(col("p_event").as("event_id"), col("user_id"), col("ts"),
+          col("asof_back"), col("asof_fwd"), col("asof_nearest"))
+    }),
+
     // J9: interval-overlap self-join — same-customer order pairs whose
     // 30-day windows overlap (s1 < e2 AND s2 < e1). Scale shape: each
     // interval is exploded into EVERY calendar month it touches
@@ -520,6 +560,27 @@ object Relational {
         |SELECT p.event_id, p.user_id, p.ts,
         |  (SELECT max(v.ts) FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS asof_view_ts
         |FROM p""".stripMargin,
+
+    "j8b_asof_directions" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+        |x AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    (SELECT max(v.ts) FROM v
+        |     WHERE v.user_id = p.user_id AND v.ts <= p.ts) AS asof_back,
+        |    (SELECT min(v.ts) FROM v
+        |     WHERE v.user_id = p.user_id AND v.ts > p.ts) AS asof_fwd
+        |  FROM p)
+        |SELECT event_id, user_id, ts, asof_back, asof_fwd,
+        |  CASE
+        |    WHEN asof_back IS NULL THEN asof_fwd
+        |    WHEN asof_fwd IS NULL THEN asof_back
+        |    WHEN epoch_us(ts) - epoch_us(asof_back)
+        |      <= epoch_us(asof_fwd) - epoch_us(ts) THEN asof_back
+        |    ELSE asof_fwd
+        |  END AS asof_nearest
+        |FROM x""".stripMargin,
 
     "j9_interval_overlap" ->
       """WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok, o_orderdate AS st,

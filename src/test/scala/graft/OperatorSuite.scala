@@ -48,6 +48,45 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(out(5L).isEmpty)
   }
 
+  test("J8b as-of directions: equal-ts view is backward's; nearest ties break backward") {
+    val spark0 = spark
+    import spark0.implicits._
+    val T0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Int) = new Timestamp(T0 + min * 60000L)
+    // unique dir per run: Tables caches the per-path logical plan, so an
+    // overwritten fixed path would serve a stale file listing (the
+    // documented staged-path caveat in Tables' cache comment)
+    val dir = java.nio.file.Files.createTempDirectory("graft_j8b").toString
+    Seq(
+      (1L, t(10), 5L, "view", 0.0),
+      (2L, t(20), 5L, "purchase", 1.0),  // back=t(10), fwd=t(30)
+      (3L, t(30), 5L, "view", 0.0),
+      (4L, t(30), 6L, "view", 0.0),
+      (5L, t(30), 6L, "purchase", 1.0),  // equal ts: back=t(30), fwd=t(50)
+      (6L, t(50), 6L, "view", 0.0),
+      (7L, t(40), 7L, "purchase", 1.0),  // no views at all → all null
+      (8L, t(10), 8L, "view", 0.0),
+      (9L, t(20), 8L, "purchase", 1.0),  // equidistant t(10)/t(30):
+      (10L, t(30), 8L, "view", 0.0)      //   nearest ties BACKWARD
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("j8b_asof_directions")(spark, dir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    def ts3(r: org.apache.spark.sql.Row, c: String) =
+      Option(r.getAs[Timestamp](c)).map(_.getTime)
+    assert(ts3(out(2L), "asof_back") == Some(t(10).getTime))
+    assert(ts3(out(2L), "asof_fwd") == Some(t(30).getTime))
+    assert(ts3(out(2L), "asof_nearest") == Some(t(10).getTime)) // tie → back
+    // equal-ts view belongs to BACKWARD, not forward
+    assert(ts3(out(5L), "asof_back") == Some(t(30).getTime))
+    assert(ts3(out(5L), "asof_fwd") == Some(t(50).getTime))
+    // no views: every direction null
+    assert(ts3(out(7L), "asof_back").isEmpty &&
+      ts3(out(7L), "asof_fwd").isEmpty && ts3(out(7L), "asof_nearest").isEmpty)
+    // exact equidistance ties backward
+    assert(ts3(out(9L), "asof_nearest") == Some(t(10).getTime))
+  }
+
   test("Y3/Y5 sync round-trip law: apply(diff ops onto target) reproduces source") {
     val s = spark
     val tgt = Tables.orders(s, sf)
