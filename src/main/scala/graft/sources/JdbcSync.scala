@@ -126,4 +126,80 @@ object JdbcSync {
       }
     }
   }
+
+  /** One chunk's outcome from [[resumableCopy]]. */
+  final case class ChunkReport(chunk_id: Int, lo: Long, hi: Long,
+                               n_rows: Long, status: String)
+
+  /** Y28: RESUMABLE chunked bulk copy — the restart story a first-time
+    * bulk sync needs: at 100 TB a single monolithic copy WILL die
+    * mid-flight (spot loss, network partition, maintenance window), and
+    * without a durable cursor the only options are duplicate-risking
+    * re-append or a full restart. Shape:
+    *
+    *  - the caller splits the key range into chunks (y14's
+    *    partition-bounds planner is the natural source of the splits);
+    *  - per chunk, the source slice (`lo <= key < hi` — a pushed-down
+    *    range predicate, so each chunk reads only its slice) MERGEs into
+    *    the target via [[idempotentAppend]];
+    *  - then ONE progress row (chunk_id, lo, hi, n_rows) inserts
+    *    transactionally — the chunk's commit point;
+    *  - a (re)start first reads the progress table and SKIPS completed
+    *    chunks.
+    *
+    * Crash safety is the ORDER of those two steps: dying between the
+    * data MERGE and the progress insert re-runs the chunk, and the
+    * MERGE is retry-idempotent, so the end state is exactly-once no
+    * matter where the previous run died. Chunks run sequentially on the
+    * driver (each internally parallel) — the sequencing is the cursor;
+    * parallel chunk dispatch would need per-chunk leases, which a
+    * single-writer sync job doesn't.
+    *
+    * `failAfterChunks` is the crash-injection hook the restart law
+    * tests with (throws after N chunk commits, mid-"run"); production
+    * callers leave it None.
+    */
+  def resumableCopy(src: DataFrame, key: String, bounds: Seq[(Long, Long)],
+      target: JdbcConfig, progressTable: String,
+      dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby,
+      failAfterChunks: Option[Int] = None): Seq[ChunkReport] = {
+    import org.apache.spark.sql.functions.col
+    def withConn[A](f: java.sql.Connection => A): A = {
+      Class.forName(target.driver)
+      val conn =
+        if (target.user.isEmpty)
+          java.sql.DriverManager.getConnection(target.url)
+        else java.sql.DriverManager.getConnection(
+          target.url, target.user, target.password)
+      try f(conn) finally conn.close()
+    }
+    val done: Map[Int, Long] = withConn { conn =>
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT chunk_id, n_rows FROM $progressTable")
+      val b = Map.newBuilder[Int, Long]
+      while (rs.next()) b += rs.getInt(1) -> rs.getLong(2)
+      b.result()
+    }
+    var copied = 0
+    bounds.zipWithIndex.map { case ((lo, hi), id) =>
+      if (done.contains(id)) ChunkReport(id, lo, hi, done(id), "skipped")
+      else {
+        failAfterChunks.foreach(n => if (copied >= n)
+          throw new RuntimeException(
+            s"resumableCopy: injected crash before chunk $id"))
+        val slice = src.filter(col(key) >= lo && col(key) < hi)
+        val n = slice.count()
+        idempotentAppend(slice, target, key, dialect)
+        withConn { conn =>
+          val ps = conn.prepareStatement(
+            s"INSERT INTO $progressTable (chunk_id, lo, hi, n_rows) " +
+              "VALUES (?, ?, ?, ?)")
+          ps.setInt(1, id); ps.setLong(2, lo); ps.setLong(3, hi)
+          ps.setLong(4, n); ps.executeUpdate()
+        }
+        copied += 1
+        ChunkReport(id, lo, hi, n, "copied")
+      }
+    }
+  }
 }

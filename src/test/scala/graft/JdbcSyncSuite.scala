@@ -103,4 +103,47 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     writeTable(extra, cfg, SaveMode.Append)
     assert(readTable(spark, cfg, None).count() == n0 + 10)
   }
+
+  test("Y28 resumable copy: crash mid-run, restart skips done chunks, end state exactly-once") {
+    val tcfg = cfg.copy(table = "ORDERS_RESUME")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("O_ORDERKEY"),
+        col("o_custkey").as("O_CUSTKEY"),
+        col("o_totalprice").as("O_TOTALPRICE"),
+        col("o_orderstatus").as("O_ORDERSTATUS"))
+    writeTable(o.limit(0), tcfg, SaveMode.Overwrite) // target shape only
+    Class.forName(tcfg.driver)
+    val conn = java.sql.DriverManager.getConnection(tcfg.url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE COPY_PROGRESS (chunk_id INT PRIMARY KEY, " +
+        "lo BIGINT, hi BIGINT, n_rows BIGINT)")
+    finally conn.close()
+    val maxKey = o.agg(max("O_ORDERKEY")).collect()(0).getLong(0)
+    val step = maxKey / 4 + 1
+    val bounds = (0 until 4).map(i => (i * step, (i + 1) * step))
+    // run 1 dies after two committed chunks (the injected crash fires
+    // BEFORE chunk 2's data ships — the worst-case cursor position)
+    val boom = intercept[RuntimeException] {
+      resumableCopy(o, "O_ORDERKEY", bounds, tcfg, "COPY_PROGRESS",
+        failAfterChunks = Some(2))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    val partial = readTable(spark, tcfg, None)
+    val firstTwo = o.filter(col("O_ORDERKEY") < 2 * step)
+    assert(partial.count() == firstTwo.count(),
+      "crashed run must hold exactly the committed chunks")
+    // run 2 resumes: completed chunks SKIP, the rest copy
+    val rep = resumableCopy(o, "O_ORDERKEY", bounds, tcfg, "COPY_PROGRESS")
+    assert(rep.map(_.status) == Seq("skipped", "skipped", "copied", "copied"),
+      s"resume must skip the committed cursor: $rep")
+    val full = readTable(spark, tcfg, None)
+    assert(full.count() == o.count(), "resumed copy lost or duplicated rows")
+    assert(full.exceptAll(o).count() == 0 && o.exceptAll(full).count() == 0)
+    // run 3 is a pure no-op — and chunk row counts in the report match
+    val rep2 = resumableCopy(o, "O_ORDERKEY", bounds, tcfg, "COPY_PROGRESS")
+    assert(rep2.forall(_.status == "skipped"))
+    assert(rep2.map(_.n_rows).sum == o.count(),
+      "progress-table row counts must reconstruct the full copy")
+    assert(readTable(spark, tcfg, None).count() == o.count())
+  }
 }
