@@ -75,6 +75,26 @@ object Windows {
           Det.dsum(col("value")).as("total_value"))
     }),
 
+    // W7b: the NATIVE session-window operator — Spark's built-in
+    // `session_window(ts, gap)` groupBy form of w7's hand-rolled
+    // lag/cumsum sessionization (and the exact batch twin of the T3
+    // streaming session window). Semantics note pinned by the law test:
+    // session_window's window END is last_ts + gap (the expiry instant),
+    // not last_ts — so duration and bounds derive from first_ts/last_ts
+    // aggregates, and the window struct itself is dropped from the
+    // output (its end would differ from w7's last_ts by the constant
+    // gap). Same scale shape as any hash-agg: partial session merge
+    // map-side, one (user) exchange.
+    "w7b_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          Det.dsum(col("value")).as("total_value"))
+        .drop("session_window")
+    }),
+
     // W8: ordered-stage funnel (view → click-after-view →
     // purchase-after-click) WITHOUT self-joins: each stage's first
     // qualifying timestamp is a conditional MIN over the user partition
@@ -218,6 +238,35 @@ object Windows {
          |    - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
          |  ${Det.Sql.dsum("value")} AS total_value
          |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "w7b_session_window" ->
+      // DuckDB has no session_window: the twin re-derives it with the
+      // w7 CTE chain at FULL µs precision and Spark's boundary rule —
+      // a new session starts when the gap is STRICTLY greater than
+      // 30 min (measured, pinned in OperatorSuite: an event AT exactly
+      // last+gap still merges — the window end is inclusive — while
+      // +1 µs splits; w7's hand-rolled form truncates to seconds first,
+      // so it merges the +1 µs case too).
+      s"""WITH ev AS ($evSql),
+         |x AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS prev_ts
+         |  FROM ev),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR
+         |      epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT *, SUM(new_sess) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM y)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         |  ${Det.Sql.dsum("value")} AS total_value
+         |FROM z GROUP BY user_id, sess_no""".stripMargin,
 
     "w8_funnel" ->
       s"""WITH ev AS ($evSql),

@@ -87,6 +87,40 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(ts3(out(9L), "asof_nearest") == Some(t(10).getTime))
   }
 
+  test("W7/W7b session boundary semantics: exact-gap and sub-second cases split as documented") {
+    val spark0 = spark
+    import spark0.implicits._
+    val T0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // user 1: gap EXACTLY 30 min → BOTH merge (session_window's end is
+    //   inclusive — measured; w7's truncated-seconds `> 1800` also merges)
+    // user 2: gap 30 min + 1 µs → session_window splits (µs precision),
+    //   w7 still merges (second truncation reads 1800)
+    // user 3: gap 30 min + 1 s → both split
+    val gapMs = 30 * 60 * 1000L
+    def tsAt(ms: Long, us: Int = 0) = {
+      val t = new Timestamp(ms)
+      t.setNanos(((ms % 1000) * 1000000L + us * 1000L).toInt)
+      t
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_w7b").toString
+    Seq(
+      (1L, tsAt(T0), 1L, "view", 1.0), (2L, tsAt(T0 + gapMs), 1L, "view", 1.0),
+      (3L, tsAt(T0), 2L, "view", 1.0), (4L, tsAt(T0 + gapMs, 1), 2L, "view", 1.0),
+      (5L, tsAt(T0), 3L, "view", 1.0), (6L, tsAt(T0 + gapMs + 1000), 3L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    def sessions(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length).toMap
+    assert(sessions("w7_sessionize") == Map(1L -> 1, 2L -> 1, 3L -> 2),
+      "w7 (truncated-seconds, strictly-greater) must merge users 1 and 2")
+    assert(sessions("w7b_session_window") == Map(1L -> 1, 2L -> 2, 3L -> 2),
+      "session_window (µs, inclusive end) must merge 1, split 2 and 3")
+    // away from the boundary the two operators agree on the REAL corpus
+    val a = SparkEntry.queries("w7_sessionize")(spark, sf).count()
+    val b = SparkEntry.queries("w7b_session_window")(spark, sf).count()
+    assert(a == b, s"corpus session counts diverged off-boundary: $a vs $b")
+  }
+
   test("Y3/Y5 sync round-trip law: apply(diff ops onto target) reproduces source") {
     val s = spark
     val tgt = Tables.orders(s, sf)
