@@ -1004,6 +1004,86 @@ object Sync {
       consistentCut(parents, children, strategies, Seq("user_id", "day"))
     }),
 
+    // Y29: snapshot + CDC BOOTSTRAP SEAM — the initial-load/cutover
+    // pattern every CDC sync ships: bootstrap the target from a
+    // snapshot AT version V, then stream the log from a cursor. The
+    // classic production bug is the seam: a cursor later than the
+    // snapshot (gap) silently loses every change in between; a cursor
+    // earlier (overlap) is harmless under latest-wins apply. Both
+    // outcomes are OBSERVED here, not asserted: three bootstrap
+    // variants (cursor = V / cursor < V / cursor > V) reconstruct
+    // final states from ONE y25-style interval window (per key: live
+    // row at V, live row at head, max version — the cursor rule is a
+    // per-key CASE), roll up to (count, digest, stale-row count), and
+    // compare against the full-replay rollup. cursor_at_snapshot and
+    // cursor_overlaps match the replay; cursor_gapped diverges with
+    // its stale/missed keys counted. Cost: one windowed log scan + a
+    // 1-row broadcast of cuts — the seam check is nearly free, which
+    // is the argument for running it at every cutover.
+    "y29_bootstrap_seam" -> ((s, d) => {
+      // finer entity grain than the user-keyed changelog: at 15 users
+      // EVERY key changes after any mid-range cursor and the gap's data
+      // loss would be invisible — blocks of 8 consecutive versions make
+      // ~|log|/8 entities whose life ends at different points, so the
+      // gapped cursor is OBSERVED stranding the entities that died
+      // inside (V, T_gap]
+      val log = changeLog(s, d).withColumn("pk", expr("version div 8"))
+      val w = Window.partitionBy("pk").orderBy("version")
+      val marked = log.withColumn("next_version",
+        lead(col("version"), 1).over(w))
+      val cuts = log
+        .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"))
+        .select(expr("vmin + (vmax - vmin) * 5 div 10").as("v_cut"),
+          expr("vmin + (vmax - vmin) * 3 div 10").as("t_overlap"),
+          expr("vmin + (vmax - vmin) * 7 div 10").as("t_gap"))
+      val liveAtV = col("version") <= col("v_cut") &&
+        (col("next_version").isNull || col("next_version") > col("v_cut"))
+      val payload = struct(col("op"), col("payload_type"),
+        col("payload_value"))
+      val perKey = marked.crossJoin(broadcast(cuts))
+        .groupBy("pk", "v_cut", "t_overlap", "t_gap")
+        .agg(max(when(liveAtV, payload)).as("sv"),
+          max(when(col("next_version").isNull, payload)).as("fv"),
+          max(col("version")).as("maxv"))
+      def dig(t: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat_ws("|", col("pk"), t,
+          v.cast("decimal(18,2)").cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(1000000000L))
+      val full = perKey.agg(
+        count(when(col("fv.op") =!= "D", 1)).as("n_full"),
+        sum(when(col("fv.op") =!= "D",
+          dig(col("fv.payload_type"), col("fv.payload_value"))))
+          .as("full_digest"))
+      perKey
+        .select(col("pk"), col("sv"), col("fv"), col("maxv"),
+          explode(array(
+            struct(lit("cursor_at_snapshot").as("variant"),
+              col("v_cut").as("cursor")),
+            struct(lit("cursor_overlaps").as("variant"),
+              col("t_overlap").as("cursor")),
+            struct(lit("cursor_gapped").as("variant"),
+              col("t_gap").as("cursor")))).as("vr"))
+        .select(col("pk"), col("sv"), col("fv"), col("maxv"),
+          col("vr.variant").as("variant"), col("vr.cursor").as("cursor"))
+        .withColumn("ch",
+          when(col("maxv") > col("cursor"), col("fv")).otherwise(col("sv")))
+        .groupBy("variant", "cursor")
+        .agg(
+          count(when(col("ch.op").isNotNull && col("ch.op") =!= "D", 1))
+            .as("n_state"),
+          sum(when(col("ch.op").isNotNull && col("ch.op") =!= "D",
+            dig(col("ch.payload_type"), col("ch.payload_value"))))
+            .as("state_digest"),
+          count(when(!(col("ch") <=> col("fv")), 1)).as("n_stale"))
+        .crossJoin(broadcast(full))
+        .select(col("variant"), col("cursor"), col("n_state"),
+          col("state_digest"), col("n_stale"), col("n_full"),
+          col("full_digest"),
+          (col("state_digest") <=> col("full_digest") &&
+            col("n_state") === col("n_full")).as("matches_full"))
+        .orderBy("variant")
+    }),
+
     // Y27: schema-migration plan — [[graft.sync.Migration.plan]] scored
     // against a desired schema exercising every verdict: an add
     // (o_channel), a safe widen (o_custkey BIGINT→DECIMAL(28,0)), a
@@ -2230,6 +2310,72 @@ object Sync {
         |  n_orphans
         |FROM pc JOIN cc USING (strategy, parent_cut, child_cut)
         |ORDER BY strategy""".stripMargin,
+
+    "y29_bootstrap_seam" ->
+      s"""WITH $logCte,
+         |b AS (SELECT MIN(version) AS vmin, MAX(version) AS vmax FROM lg),
+         |cuts AS (
+         |  SELECT vmin + (vmax - vmin) * 5 // 10 AS v_cut,
+         |    vmin + (vmax - vmin) * 3 // 10 AS t_overlap,
+         |    vmin + (vmax - vmin) * 7 // 10 AS t_gap
+         |  FROM b),
+         |m AS (
+         |  SELECT version // 8 AS pk, op, payload_type, payload_value,
+         |    version,
+         |    lead(version) OVER (PARTITION BY version // 8
+         |      ORDER BY version) AS nv
+         |  FROM lg),
+         |pk_rows AS (
+         |  SELECT m.pk, c.v_cut, c.t_overlap, c.t_gap,
+         |    MAX(CASE WHEN version <= v_cut AND (nv IS NULL OR nv > v_cut)
+         |      THEN op END) AS sv_op,
+         |    MAX(CASE WHEN version <= v_cut AND (nv IS NULL OR nv > v_cut)
+         |      THEN payload_type END) AS sv_type,
+         |    MAX(CASE WHEN version <= v_cut AND (nv IS NULL OR nv > v_cut)
+         |      THEN payload_value END) AS sv_val,
+         |    MAX(CASE WHEN nv IS NULL THEN op END) AS fv_op,
+         |    MAX(CASE WHEN nv IS NULL THEN payload_type END) AS fv_type,
+         |    MAX(CASE WHEN nv IS NULL THEN payload_value END) AS fv_val,
+         |    MAX(version) AS maxv
+         |  FROM m CROSS JOIN cuts c GROUP BY 1, 2, 3, 4),
+         |v AS (
+         |  SELECT *, 'cursor_at_snapshot' AS variant, v_cut AS cursor
+         |  FROM pk_rows
+         |  UNION ALL
+         |  SELECT *, 'cursor_overlaps', t_overlap FROM pk_rows
+         |  UNION ALL
+         |  SELECT *, 'cursor_gapped', t_gap FROM pk_rows),
+         |ch AS (
+         |  SELECT pk, variant, cursor,
+         |    CASE WHEN maxv > cursor THEN fv_op ELSE sv_op END AS ch_op,
+         |    CASE WHEN maxv > cursor THEN fv_type ELSE sv_type END AS ch_type,
+         |    CASE WHEN maxv > cursor THEN fv_val ELSE sv_val END AS ch_val,
+         |    fv_op, fv_type, fv_val
+         |  FROM v),
+         |agg AS (
+         |  SELECT variant, cursor,
+         |    COUNT(CASE WHEN ch_op IS NOT NULL AND ch_op <> 'D' THEN 1 END)
+         |      AS n_state,
+         |    CAST(SUM(CASE WHEN ch_op IS NOT NULL AND ch_op <> 'D' THEN
+         |      CAST(concat('0x', substr(md5(concat_ws('|', pk, ch_type,
+         |        CAST(CAST(ch_val AS DECIMAL(18,2)) AS VARCHAR))), 1, 15))
+         |        AS BIGINT) % 1000000000 END) AS BIGINT) AS state_digest,
+         |    COUNT(CASE WHEN ch_op IS DISTINCT FROM fv_op
+         |      OR ch_type IS DISTINCT FROM fv_type
+         |      OR ch_val IS DISTINCT FROM fv_val THEN 1 END) AS n_stale
+         |  FROM ch GROUP BY 1, 2),
+         |fl AS (
+         |  SELECT COUNT(CASE WHEN fv_op <> 'D' THEN 1 END) AS n_full,
+         |    CAST(SUM(CASE WHEN fv_op <> 'D' THEN
+         |      CAST(concat('0x', substr(md5(concat_ws('|', pk, fv_type,
+         |        CAST(CAST(fv_val AS DECIMAL(18,2)) AS VARCHAR))), 1, 15))
+         |        AS BIGINT) % 1000000000 END) AS BIGINT) AS full_digest
+         |  FROM pk_rows)
+         |SELECT variant, cursor, n_state, state_digest, n_stale, n_full,
+         |  full_digest,
+         |  (state_digest IS NOT DISTINCT FROM full_digest
+         |    AND n_state = n_full) AS matches_full
+         |FROM agg CROSS JOIN fl ORDER BY variant""".stripMargin,
 
     "y27_migration_plan" ->
       """WITH cur AS (

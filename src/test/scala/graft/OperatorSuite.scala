@@ -121,6 +121,21 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(a == b, s"corpus session counts diverged off-boundary: $a vs $b")
   }
 
+  test("Y29 seam law: snapshot-aligned and overlapped cursors land on replay; a gap loses data") {
+    val rows = SparkEntry.queries("y29_bootstrap_seam")(spark, sf)
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(rows("cursor_at_snapshot").getAs[Boolean]("matches_full"))
+    assert(rows("cursor_overlaps").getAs[Boolean]("matches_full"),
+      "an overlapped cursor must be harmless under latest-wins apply")
+    assert(rows("cursor_overlaps").getAs[Long]("n_stale") == 0L)
+    val gap = rows("cursor_gapped")
+    assert(!gap.getAs[Boolean]("matches_full") &&
+      gap.getAs[Long]("n_stale") > 0L,
+      "a gapped cursor must be OBSERVED losing the in-between changes")
+    // the loss is real rows, not just digest noise
+    assert(gap.getAs[Long]("n_state") < gap.getAs[Long]("n_full"))
+  }
+
   test("Y3/Y5 sync round-trip law: apply(diff ops onto target) reproduces source") {
     val s = spark
     val tgt = Tables.orders(s, sf)
