@@ -17,6 +17,25 @@ object Sources {
     p.toString
   }
 
+  /** S15: Morton/Z-VALUE bit interleave — the multi-dimensional layout
+    * key. A 1-D range sort (S14) gives one dimension perfect file
+    * min/max locality and the other NONE; interleaving the two
+    * dimensions' bits (a on even positions, b on odd) makes
+    * z-contiguous row ranges cover SMALL RECTANGLES in (a, b) space, so
+    * parquet footer stats prune scans filtered on EITHER column. Inputs
+    * must be scaled to use the full 2^bits range first (a
+    * low-cardinality dimension left in its raw domain has all-zero high
+    * bits and degenerates the order back to 1-D — the scaling is the
+    * part naive z-order implementations get wrong). Pure
+    * shift/and/or expression tree: codegen'd, zero shuffle beyond the
+    * write's own repartitionByRange. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
   val queries: Map[String, Q] = Map(
 
     // S2: CSV sink + scan (header, explicit schema) — round-trip equality

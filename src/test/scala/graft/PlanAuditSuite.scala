@@ -470,6 +470,68 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"level-1 year plan should be shared (persisted), not recomputed per side:\n$p")
   }
 
+  test("S15 z-order layout: BOTH dimensions prune; 1-D sort leaves its off-dimension unpruned") {
+    // The multi-dimensional successor to S14's lever: a user-major sort
+    // gives user predicates perfect file locality and day predicates
+    // NONE; z-ordering (user, day) — both scaled to the full 8-bit
+    // range first, the step naive implementations skip — makes every
+    // file cover a small rectangle, so min/max stats prune on EITHER
+    // column. Measured through the scan's own numOutputRows.
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min(to_date(col("ts"))), max(to_date(col("ts")))).collect()(0)
+    val (ulo, uhi) = (b.getLong(0), b.getLong(1))
+    val dlo = b.getDate(2)
+    val span = datediff(to_date(col("ts")), lit(dlo))
+    val dspan = math.max(b.getDate(3).toLocalDate.toEpochDay -
+      dlo.toLocalDate.toEpochDay, 1L)
+    val u8 = (col("user_id") - ulo) * 255 / math.max(uhi - ulo, 1L)
+    val d8 = span * 255 / dspan
+    val z = Sources.zValue(u8.cast("long"), d8.cast("long"), 8)
+    val zdir = java.nio.file.Files.createTempDirectory("s15z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("s15l").toString
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS") // INT96 carries no stats (S14)
+    try {
+      ev.withColumn("__z", z).repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z").drop("__z")
+        .write.mode("overwrite").parquet(zdir)
+      ev.repartitionByRange(16, col("user_id"), col("ts"))
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite").parquet(ldir)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val midUser = (ulo + uhi) / 2
+    val day0 = lit("2024-01-15").cast("timestamp")
+    val day1 = lit("2024-01-16").cast("timestamp")
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val total = ev.count()
+    val pUser = col("user_id") === midUser
+    val pDay = col("ts") >= day0 && col("ts") < day1
+    val (zU, zD) = (scanRows(zdir, pUser), scanRows(zdir, pDay))
+    val (lU, lD) = (scanRows(ldir, pUser), scanRows(ldir, pDay))
+    info(s"total=$total zUser=$zU zDay=$zD linUser=$lU linDay=$lD")
+    // correctness is layout-independent
+    assert(spark.read.parquet(zdir).filter(pUser).count() ==
+      spark.read.parquet(ldir).filter(pUser).count())
+    // the 1-D layout: perfect on its own dimension, blind on the other
+    assert(lU.toDouble <= total * 0.35, s"user-major lost user pruning: $lU/$total")
+    assert(lD.toDouble >= total * 0.9, s"1-D layout unexpectedly pruned days: $lD/$total")
+    // z-order: BOTH dimensions prune
+    assert(zU.toDouble <= total * 0.6, s"z-order failed to prune users: $zU/$total")
+    assert(zD.toDouble <= total * 0.6, s"z-order failed to prune days: $zD/$total")
+    assert(zD < lD, "z-order must beat the 1-D layout on the off-dimension")
+  }
+
   test("Y25: time travel is ONE log window + a broadcast cuts join (no per-cut rescans)") {
     val p = plan("y25_time_travel")
     // one interval window per pk (the single full-log pass)...
