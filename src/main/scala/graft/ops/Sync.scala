@@ -1084,6 +1084,27 @@ object Sync {
         .orderBy("variant")
     }),
 
+    // Y30: declarative data-quality constraint audit — [[Quality.audit]]
+    // over the mutated source view with a suite that exercises BOTH
+    // verdicts on real data: o_orderkey not-null/unique pass; the P
+    // statuses, heavy orders, 4-/5- priorities and the repeated
+    // custkeys fail with exact violation counts; the FK check runs
+    // against a thinned dimension (every 5th customer withheld — the
+    // missing-dimension-member scenario) so referential violations are
+    // OBSERVED. One scan for all row-local checks + one broadcast
+    // anti-join per FK (see Quality's scaladoc for the 100 TB shape).
+    "y30_dq_constraints" -> ((s, d) =>
+      Quality.audit(sourceView(s, d), Seq(
+        Quality.NotNull("o_orderkey"),
+        Quality.Unique("o_orderkey"),
+        Quality.InSet("o_orderstatus", Seq("O", "F")),
+        Quality.InRange("o_totalprice", 0, 300000),
+        Quality.Matches("o_orderpriority", "^[1-3]-"),
+        Quality.Unique("o_custkey"),
+        Quality.FkExists("o_custkey",
+          Tables.customer(s, d).filter(col("c_custkey") % 5 =!= 0),
+          "c_custkey")))),
+
     // Y27: schema-migration plan — [[graft.sync.Migration.plan]] scored
     // against a desired schema exercising every verdict: an add
     // (o_channel), a safe widen (o_custkey BIGINT→DECIMAL(28,0)), a
@@ -2376,6 +2397,40 @@ object Sync {
          |  (state_digest IS NOT DISTINCT FROM full_digest
          |    AND n_state = n_full) AS matches_full
          |FROM agg CROSS JOIN fl ORDER BY variant""".stripMargin,
+
+    "y30_dq_constraints" ->
+      s"""WITH $sourceCte,
+         |agg AS (
+         |  SELECT COUNT(*) AS total,
+         |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v0,
+         |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v1,
+         |    COUNT(CASE WHEN o_orderstatus IS NULL
+         |      OR o_orderstatus NOT IN ('O', 'F') THEN 1 END) AS v2,
+         |    COUNT(CASE WHEN o_totalprice IS NULL
+         |      OR NOT (o_totalprice BETWEEN 0 AND 300000) THEN 1 END) AS v3,
+         |    COUNT(CASE WHEN o_orderpriority IS NULL
+         |      OR NOT regexp_matches(o_orderpriority, '^[1-3]-')
+         |      THEN 1 END) AS v4,
+         |    COUNT(*) - COUNT(DISTINCT o_custkey) AS v5
+         |  FROM src),
+         |fk AS (
+         |  SELECT COUNT(*) AS v6 FROM src s
+         |  WHERE s.o_custkey IS NOT NULL AND NOT EXISTS (
+         |    SELECT 1 FROM customer c
+         |    WHERE c.c_custkey = s.o_custkey AND c.c_custkey % 5 <> 0)),
+         |sel AS (SELECT * FROM agg CROSS JOIN fk)
+         |SELECT 0 AS check_idx, 'not_null(o_orderkey)' AS "constraint",
+         |  v0 AS violations, total, v0 = 0 AS pass FROM sel
+         |UNION ALL SELECT 1, 'unique(o_orderkey)', v1, total, v1 = 0 FROM sel
+         |UNION ALL SELECT 2, 'in_set(o_orderstatus)', v2, total, v2 = 0
+         |  FROM sel
+         |UNION ALL SELECT 3, 'in_range(o_totalprice)', v3, total, v3 = 0
+         |  FROM sel
+         |UNION ALL SELECT 4, 'matches(o_orderpriority)', v4, total, v4 = 0
+         |  FROM sel
+         |UNION ALL SELECT 5, 'unique(o_custkey)', v5, total, v5 = 0 FROM sel
+         |UNION ALL SELECT 6, 'fk_exists(o_custkey)', v6, total, v6 = 0
+         |  FROM sel""".stripMargin,
 
     "y27_migration_plan" ->
       """WITH cur AS (

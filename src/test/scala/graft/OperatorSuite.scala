@@ -121,6 +121,39 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(a == b, s"corpus session counts diverged off-boundary: $a vs $b")
   }
 
+  test("Y30 Quality: violation arithmetic exact on a planted frame; null FK keys exempt") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, Option(10L), Option("A"), Option(5.0)),
+      (2L, Option(10L), Option("B"), Option(50.0)),   // x out of range
+      (2L, Option(99L), None, Option(5.0)),           // dup id, null s, k∉dim
+      (3L, None, Option("C"), None)                   // null k (FK-exempt), s∉set, null x
+    ).toDF("id", "k", "s", "x")
+    val dim = Seq(10L, 20L).toDF("dk")
+    val out = Quality.audit(df, Seq(
+      Quality.NotNull("s"),
+      Quality.Unique("id"),
+      Quality.InSet("s", Seq("A", "B")),
+      Quality.InRange("x", 0, 10),
+      Quality.FkExists("k", dim, "dk")))
+      .collect().map(r => r.getAs[String]("constraint") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(out("not_null(s)") == (1L, false))
+    assert(out("unique(id)") == (1L, false), "dup pair = ONE surplus row")
+    assert(out("in_set(s)") == (2L, false), "null AND off-set value both violate")
+    assert(out("in_range(x)") == (2L, false), "out-of-range AND null violate")
+    assert(out("fk_exists(k)") == (1L, false),
+      "null keys are FK-EXEMPT (SQL FK semantics); only 99 violates")
+    // a clean suite on the same frame passes everything
+    val clean = Quality.audit(df, Seq(Quality.NotNull("id"),
+      Quality.InRange("x", 0, 100))).collect()
+    assert(clean.count(_.getAs[Boolean]("pass")) == 1,
+      "null x still violates the range check") // NotNull(id) passes only
+    assert(clean.find(_.getAs[String]("constraint") == "not_null(id)")
+      .get.getAs[Boolean]("pass"))
+  }
+
   test("Y29 seam law: snapshot-aligned and overlapped cursors land on replay; a gap loses data") {
     val rows = SparkEntry.queries("y29_bootstrap_seam")(spark, sf)
       .collect().map(r => r.getAs[String]("variant") -> r).toMap
