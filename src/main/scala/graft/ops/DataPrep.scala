@@ -218,6 +218,51 @@ object DataPrep {
       head.withColumn("shuffle_pos", row_number().over(w))
     }),
 
+    // L19: corpus DRIFT monitor — population-stability-index between two
+    // corpus snapshots (standing %3≠0 vs arriving %3=0, the l16/l18
+    // split reused as "yesterday vs today") per feature: lang share,
+    // source share, and 50-char length bands. PSI = Σ_buckets
+    // (pA−pB)·ln(pA/pB) with +1 Laplace smoothing over the UNION bucket
+    // set (unsmoothed, a bucket absent on one side divides by zero —
+    // and absent-on-one-side buckets are exactly what drift looks
+    // like). Float policy (§7.3): shares are fixed integer-division
+    // trees; ln() is rounded to 6dp per bucket (the l5l libm
+    // convention) and the per-bucket contribution to 9dp, then summed
+    // as DECIMAL(28,9) — order-insensitive, bit-identical both engines.
+    // Scale: one grouped pass per feature over a side-tagged scan
+    // (bucket counts are the shuffle; buckets ≤ domain size), PSI is
+    // arithmetic on the ≤|buckets|-row rollup. The 0.2 threshold is the
+    // standard industry red line.
+    "l19_drift_monitor" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("side", when(col("doc_id") % 3 === 0, "b").otherwise("a"))
+      def psi(bucket: org.apache.spark.sql.Column, feature: String) = {
+        val counts = docs.groupBy(bucket.as("bucket"))
+          .agg(count(when(col("side") === "a", 1)).as("ca"),
+            count(when(col("side") === "b", 1)).as("cb"))
+        val totals = counts.agg(sum(col("ca")).as("ta"),
+          sum(col("cb")).as("tb"), count(lit(1)).as("k"))
+        counts.crossJoin(broadcast(totals))
+          .select(((col("ca") + 1).cast("double") /
+              (col("ta") + col("k")).cast("double")).as("pa"),
+            ((col("cb") + 1).cast("double") /
+              (col("tb") + col("k")).cast("double")).as("pb"),
+            col("k"))
+          .select(round((col("pa") - col("pb")) *
+              round(log(col("pa") / col("pb")), 6), 9)
+            .cast("decimal(28,9)").as("c"), col("k"))
+          .agg(max(col("k")).as("n_buckets"),
+            sum(col("c")).cast("double").as("psi_raw"))
+          .select(lit(feature).as("feature"), col("n_buckets"),
+            round(col("psi_raw"), 6).as("psi"),
+            (col("psi_raw") > 0.2).as("drifted"))
+      }
+      psi(col("lang"), "lang")
+        .unionByName(psi(col("source"), "source"))
+        .unionByName(psi(floor(col("n_chars") / 50).cast("long").cast("string"),
+          "len_band"))
+    }),
+
     // A15: approx_top_k (Spark 4 frequent-items sketch). maxItemsTracked
     // (1000) ≥ |o_orderpriority domain| (5) ⇒ counts are exact, so the
     // exact GROUP BY oracle matches while the partial/merge sketch path
@@ -231,7 +276,45 @@ object DataPrep {
         .orderBy(col("cnt").desc, col("item").asc))
   )
 
+  /** One feature's PSI CTE block for the l19 oracle — generated so the
+    * three features cannot drift from each other or from the Spark
+    * arithmetic (same smoothing, same rounding ladder). */
+  private def psiSqlBlock(bucketExpr: String, tag: String): String =
+    s"""f_$tag AS (
+       |  SELECT $bucketExpr AS bucket,
+       |    COUNT(CASE WHEN side = 'a' THEN 1 END) AS ca,
+       |    COUNT(CASE WHEN side = 'b' THEN 1 END) AS cb
+       |  FROM docs GROUP BY 1),
+       |t_$tag AS (
+       |  SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS k FROM f_$tag),
+       |p_$tag AS (
+       |  SELECT MAX(k) AS n_buckets,
+       |    CAST(SUM(CAST(round(
+       |      (CAST(ca + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE)
+       |        - CAST(cb + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))
+       |      * round(ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + k AS DOUBLE))
+       |          / (CAST(cb + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE))), 6),
+       |      9) AS DECIMAL(28,9))) AS DOUBLE) AS psi_raw
+       |  FROM f_$tag CROSS JOIN t_$tag)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "l19_drift_monitor" ->
+      s"""WITH docs AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'b' ELSE 'a' END AS side,
+         |    lang, source, n_chars
+         |  FROM documents),
+         |${psiSqlBlock("lang", "lang")},
+         |${psiSqlBlock("source", "source")},
+         |${psiSqlBlock("CAST(n_chars // 50 AS VARCHAR)", "len")}
+         |SELECT 'lang' AS feature, n_buckets, round(psi_raw, 6) AS psi,
+         |  psi_raw > 0.2 AS drifted FROM p_lang
+         |UNION ALL
+         |SELECT 'source', n_buckets, round(psi_raw, 6), psi_raw > 0.2
+         |FROM p_source
+         |UNION ALL
+         |SELECT 'len_band', n_buckets, round(psi_raw, 6), psi_raw > 0.2
+         |FROM p_len""".stripMargin,
+
     "l5j_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

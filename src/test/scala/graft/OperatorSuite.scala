@@ -121,6 +121,37 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(a == b, s"corpus session counts diverged off-boundary: $a vs $b")
   }
 
+  test("L19 drift monitor: PSI non-negative, near zero on identical mixes, fires on planted drift") {
+    val spark0 = spark
+    import spark0.implicits._
+    def write(rows: Seq[(Long, String, String, String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_l19").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def psis(dir: String) = SparkEntry.queries("l19_drift_monitor")(spark, dir)
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Double]("psi"), r.getAs[Boolean]("drifted"))).toMap
+    // identical mixes: lang cycles independently of the %3 side split
+    val stable = write((0L until 600L).map(i =>
+      (i, "t", s"l${(i / 3) % 4}", s"s${(i / 3) % 5}", 100L)))
+    val ps = psis(stable)
+    for ((f, (p, d)) <- ps) {
+      assert(p >= 0.0, s"$f: PSI must be non-negative, got $p")
+      assert(p < 0.05 && !d, s"$f: identical mixes must not drift ($p)")
+    }
+    // planted drift: the arriving side speaks a language the standing
+    // corpus has never seen
+    val drifted = write((0L until 600L).map(i =>
+      (i, "t", if (i % 3 == 0) "zz" else s"l${(i / 3) % 4}",
+        s"s${(i / 3) % 5}", 100L)))
+    val pd = psis(drifted)
+    assert(pd("lang")._1 > 0.2 && pd("lang")._2,
+      s"planted lang drift must fire: ${pd("lang")}")
+    assert(!pd("source")._2, "undrifted features must stay quiet")
+  }
+
   test("Y30 Quality: violation arithmetic exact on a planted frame; null FK keys exempt") {
     val spark0 = spark
     import spark0.implicits._
