@@ -62,6 +62,18 @@ object Quality {
   }
   private def col_(n: String) = col(n)
 
+  /** OR of all ROW-LOCAL violation predicates — the per-row routing flag
+    * the streaming gate uses (FK/unique checks are table-level and audit
+    * the batch, but cannot flag an individual row without their join).
+    * Throws if the suite contains no row-local check at all. */
+  def violationFlag(checks: Seq[Check]): Column = {
+    val vs = checks.flatMap(violation)
+    require(vs.nonEmpty,
+      "violationFlag: no row-local checks in the suite (not_null / " +
+        "in_set / in_range / matches) — nothing can route rows")
+    vs.reduce(_ || _)
+  }
+
   /** Run the suite: one row per check — (constraint, violations, total,
     * pass). Deterministic row order (suite order) via an explicit idx. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {

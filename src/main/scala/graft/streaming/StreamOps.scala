@@ -294,6 +294,39 @@ object StreamOps {
       }
   }
 
+  /** STREAMING data-quality gate — [[graft.ops.Quality]] composed into
+    * the ingest path: every micro-batch is audited against the
+    * constraint suite, rows violating any ROW-LOCAL check route to a
+    * quarantine sink, clean rows to the target sink, and the per-batch
+    * audit report (stamped with batch_id) appends to a report sink —
+    * the standard expectation-gate shape (quarantine, never drop:
+    * violations are evidence, and reprocessable once the rule or the
+    * data is fixed). Table-level checks (unique/FK) in the suite still
+    * AUDIT each batch in the report; they cannot flag individual rows
+    * without their join, so routing uses [[Quality.violationFlag]]'s
+    * row-local OR only. Same retry discipline as [[incrementalDedup]]:
+    * parquet appends are not exactly-once under foreachBatch retry, and
+    * report rows carry batch_id so readers dedupe on it.
+    */
+  def dqGate(rows: DataFrame, checks: Seq[graft.ops.Quality.Check],
+             cleanDir: String, quarantineDir: String,
+             reportDir: String) = {
+    val flag = graft.ops.Quality.violationFlag(checks)
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = batch.withColumn("__viol", flag).persist()
+        flagged.filter(!col("__viol")).drop("__viol")
+          .write.mode("append").parquet(cleanDir)
+        flagged.filter(col("__viol")).drop("__viol")
+          .write.mode("append").parquet(quarantineDir)
+        graft.ops.Quality.audit(flagged.drop("__viol"), checks)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(reportDir)
+        flagged.unpersist()
+        ()
+      }
+  }
+
   /** Compact [[incrementalDedup]]'s band index. Micro-batches append
     * small files and a retried batch appends duplicate rows — both cost
     * probe-scan time and space, never correctness (collision is an

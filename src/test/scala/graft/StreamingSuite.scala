@@ -255,6 +255,41 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streaming DQ gate: violations quarantine, clean rows pass, per-batch report audits") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    val (clean, quar, rep) = (s"$base/clean", s"$base/quar", s"$base/rep")
+    val checks = Seq(
+      graft.ops.Quality.InRange("value", 0, 10),
+      graft.ops.Quality.InSet("event_type", Seq("view", "click")))
+    val src = MemoryStream[Event]
+    val q = StreamOps.dqGate(src.toDF(), checks, clean, quar, rep)
+      .option("checkpointLocation", s"$base/ck").start()
+    try {
+      // batch 0: one range violation; batch 1: one set violation + clean
+      src.addData(ev(1, 1, 1, "view", 5.0), ev(2, 2, 1, "view", 99.0))
+      q.processAllAvailable()
+      src.addData(ev(3, 3, 2, "purchase", 1.0), ev(4, 4, 2, "click", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cleanIds = spark.read.parquet(clean)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val quarIds = spark.read.parquet(quar)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == Set(1L, 4L), s"clean routing broke: $cleanIds")
+    assert(quarIds == Set(2L, 3L), s"quarantine routing broke: $quarIds")
+    // report: one row per check per batch, violations counted per batch
+    val report = spark.read.parquet(rep).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("constraint")) ->
+        r.getAs[Long]("violations")).toMap
+    assert(report((0L, "in_range(value)")) == 1L)
+    assert(report((0L, "in_set(event_type)")) == 0L)
+    assert(report((1L, "in_set(event_type)")) == 1L)
+    assert(report.size == 4, s"expected 2 checks x 2 batches: $report")
+  }
+
   test("S8 rate-micro-batch source drives a deterministic pipeline") {
     val df = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", 10).option("numPartitions", 2)
