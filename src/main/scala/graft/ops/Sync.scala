@@ -1084,6 +1084,54 @@ object Sync {
         .orderBy("variant")
     }),
 
+    // Y31: COLLATION-aware diff — the MS-SQL-specific drift class every
+    // CI↔CS sync hits: the default SQL Server collations compare
+    // case-INSENSITIVELY, so a row pair that differs only by letter
+    // case is "equal" to one store and "drifted" to the other, and a
+    // binary-hash diff (y3) would ship an endless churn of case-only
+    // updates against a CI target that considers them no-ops. The diff
+    // therefore carries TWO hashes per side — binary and casefolded —
+    // and splits the U class: binary-equal → S, casefold-equal-only →
+    // CASE_ONLY (shippable under CS policy, suppressed under CI),
+    // binary-and-casefold-different → U (ships always). Same one
+    // full-outer PK join as y3; the second hash is a per-row expression,
+    // not a second scan. The view plants case-only churn (every 3rd
+    // surviving key's priority lowercased) on top of the usual real
+    // drift, so all five classes and both policy ship-counts are
+    // observed with exact populations.
+    "y31_collation_drift" -> ((s, d) => {
+      val tgt = Tables.orders(s, d)
+      val src = sourceView(s, d).withColumn("o_orderpriority",
+        when(col("o_orderkey") % 3 === 0, lower(col("o_orderpriority")))
+          .otherwise(col("o_orderpriority")))
+      def binHash(p: String => org.apache.spark.sql.Column) = rowHash(p)
+      def ciHash(p: String => org.apache.spark.sql.Column) =
+        md5(concat_ws("|", p("o_custkey"), lower(p("o_orderstatus")),
+          p("o_totalprice").cast("decimal(18,2)").cast("string"),
+          lower(p("o_orderpriority"))))
+      val a = src.select(col("o_orderkey"),
+        binHash(col).as("s_bin"), ciHash(col).as("s_ci"))
+      val b = tgt.select(col("o_orderkey"),
+        binHash(col).as("t_bin"), ciHash(col).as("t_ci"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("t_bin").isNull, "I")
+            .when(col("s_bin").isNull, "D")
+            .when(col("s_bin") === col("t_bin"), "S")
+            .when(col("s_ci") === col("t_ci"), "CASE_ONLY")
+            .otherwise("U").as("op_class"))
+        .groupBy("op_class")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(conv(substring(md5(col("o_orderkey").cast("string")),
+            1, 15), 16, 10).cast("long"), lit(1000000000L)))
+            .as("key_digest"))
+        .withColumn("ships_under_ci",
+          col("op_class").isin("I", "D", "U"))
+        .withColumn("ships_under_cs",
+          col("op_class").isin("I", "D", "U", "CASE_ONLY"))
+        .orderBy("op_class")
+    }),
+
     // Y30: declarative data-quality constraint audit — [[Quality.audit]]
     // over the mutated source view with a suite that exercises BOTH
     // verdicts on real data: o_orderkey not-null/unique pass; the P
@@ -2397,6 +2445,41 @@ object Sync {
          |  (state_digest IS NOT DISTINCT FROM full_digest
          |    AND n_state = n_full) AS matches_full
          |FROM agg CROSS JOIN fl ORDER BY variant""".stripMargin,
+
+    "y31_collation_drift" ->
+      s"""WITH $sourceCte,
+         |s2 AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN lower(o_orderpriority)
+         |         ELSE o_orderpriority END AS o_orderpriority
+         |  FROM src),
+         |a AS (
+         |  SELECT o_orderkey, ${rowHashSql("s2")} AS s_bin,
+         |    md5(concat_ws('|', s2.o_custkey, lower(s2.o_orderstatus),
+         |      CAST(CAST(s2.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |      lower(s2.o_orderpriority))) AS s_ci
+         |  FROM s2),
+         |b AS (
+         |  SELECT o_orderkey, ${rowHashSql("orders")} AS t_bin,
+         |    md5(concat_ws('|', orders.o_custkey,
+         |      lower(orders.o_orderstatus),
+         |      CAST(CAST(orders.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |      lower(orders.o_orderpriority))) AS t_ci
+         |  FROM orders),
+         |j AS (
+         |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         |    CASE WHEN b.t_bin IS NULL THEN 'I'
+         |         WHEN a.s_bin IS NULL THEN 'D'
+         |         WHEN a.s_bin = b.t_bin THEN 'S'
+         |         WHEN a.s_ci = b.t_ci THEN 'CASE_ONLY'
+         |         ELSE 'U' END AS op_class
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT op_class, COUNT(*) AS n,
+         |  CAST(SUM(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),
+         |    1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS key_digest,
+         |  op_class IN ('I', 'D', 'U') AS ships_under_ci,
+         |  op_class IN ('I', 'D', 'U', 'CASE_ONLY') AS ships_under_cs
+         |FROM j GROUP BY op_class ORDER BY op_class""".stripMargin,
 
     "y30_dq_constraints" ->
       s"""WITH $sourceCte,

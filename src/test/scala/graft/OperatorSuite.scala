@@ -152,6 +152,27 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(!pd("source")._2, "undrifted features must stay quiet")
   }
 
+  test("Y31 collation diff: class partition conserves both sides; CI suppresses only CASE_ONLY") {
+    val out = SparkEntry.queries("y31_collation_drift")(spark, sf)
+      .collect().map(r => r.getAs[String]("op_class") -> r).toMap
+    assert(out.keySet == Set("I", "D", "S", "CASE_ONLY", "U"),
+      s"all five classes must be populated: ${out.keySet}")
+    def n(c: String) = out(c).getAs[Long]("n")
+    // conservation: every target key classifies exactly once, ditto source
+    val nTarget = Tables.orders(spark, sf).count()
+    val nSource = Sync.sourceView(spark, sf).count()
+    assert(n("D") + n("S") + n("CASE_ONLY") + n("U") == nTarget)
+    assert(n("I") + n("S") + n("CASE_ONLY") + n("U") == nSource)
+    // policy semantics: CI ships strictly less, the difference is exactly
+    // the CASE_ONLY population
+    val ciShips = out.values.filter(_.getAs[Boolean]("ships_under_ci"))
+      .map(_.getAs[Long]("n")).sum
+    val csShips = out.values.filter(_.getAs[Boolean]("ships_under_cs"))
+      .map(_.getAs[Long]("n")).sum
+    assert(csShips - ciShips == n("CASE_ONLY"))
+    assert(!out("S").getAs[Boolean]("ships_under_cs"), "SAME never ships")
+  }
+
   test("Y30 Quality: violation arithmetic exact on a planted frame; null FK keys exempt") {
     val spark0 = spark
     import spark0.implicits._
