@@ -184,12 +184,12 @@ object Fuzz {
     * (version, seed) pairs together and replay via
     * [[build(seed, recordedVersion)]], which fails loudly on mismatch
     * instead of reproducing the wrong query. */
-  val generatorVersion: Int = 6
+  val generatorVersion: Int = 7
 
   /** The shape count — the SINGLE definition `build` buckets by and
     * FuzzPick strides by (FuzzSuite keeps an independent literal pin on
     * purpose: an accidental change must fail a test, not re-derive it). */
-  val nShapes: Int = 15
+  val nShapes: Int = 16
 
   /** Replay guard for externally recorded seeds: refuses to build a
     * seed recorded under a different generator version. */
@@ -202,7 +202,7 @@ object Fuzz {
   }
 
   /** Generate the seed's query pair. Seeds are stable forever WITHIN a
-    * shape count: the shape is seed % 15 (java.util.Random's FIRST
+    * shape count: the shape is seed % 16 (java.util.Random's FIRST
     * power-of-2 nextInt is heavily correlated across sequential seeds —
     * measured: seeds 1..40 all gave the same first nextInt(4)) and every
     * inner draw comes from `new Random(seed)` warmed up past the
@@ -635,33 +635,61 @@ object Fuzz {
             "WHERE a.na IS DISTINCT FROM b.nb " +
             s"GROUP BY $g",
           "null_semantics")
+
+      case 15 => // HAVING over a COMPUTED group key + a DISTINCT
+        // aggregate — the post-aggregation filter corner (HAVING sees
+        // aggregate values, not rows) combined with COUNT(DISTINCT),
+        // whose planning (Expand vs single-distinct rewrite) differs
+        // from plain aggregates and deserves continuous coverage.
+        // Thresholds are SF-dependent row counts: the two engines must
+        // agree on WHICH groups survive, not that any do.
+        val t = pick(r, Seq(lineitemMeta, ordersMeta))
+        val m = 3 + r.nextInt(6)
+        val k = pick(r, t.keys)
+        val k2 = pick(r, t.keys)
+        val p = genPred(r, t, 1)
+        val nc = pick(r, t.nums).name
+        val c = 2 + r.nextInt(8)
+        Built(
+          (s, d) => t.load(s, d).filter(p.col)
+            .groupBy((col(k) % m).as("g"))
+            .agg(count(lit(1)).as("cnt"),
+              count_distinct(col(k2)).as("nd"),
+              Det.dsum(col(nc)).as("sm"))
+            .filter(col("cnt") > c),
+          s"SELECT $k % $m AS g, COUNT(*) AS cnt, " +
+            s"COUNT(DISTINCT $k2) AS nd, ${Det.Sql.dsum(nc)} AS sm " +
+            s"FROM ${t.name} WHERE ${p.sql} " +
+            s"GROUP BY $k % $m HAVING COUNT(*) > $c",
+          "agg_having")
     }
   }
 
   /** The promoted seeds — one per shape, chosen for non-trivial row
     * counts at sf0.001+ (FuzzSuite prints the coverage table). These
-    * fifteen run through the driver's DuckDB gate every round,
+    * sixteen run through the driver's DuckDB gate every round,
     * cross-checking the generator's dialect parity against a second
     * engine. (Re-seeded whenever the shape count widens — latest at
-    * 14 → 15: shape = seed % 15, so each name needed a seed in its
+    * 15 → 16: shape = seed % 16, so each name needed a seed in its
     * shape's new residue class — recorded under [[generatorVersion]]
-    * 6.) */
+    * 7.) */
   val promoted: Map[String, Int] = Map(
-    "fz1_filter_project" -> 15,
-    "fz2_agg_groupby" -> 16,
-    "fz3_join_agg" -> 17,
-    "fz4_join_filter" -> 18,
-    "fz5_set_op" -> 19,
-    "fz6_window_topk" -> 20,
-    "fz7_outer_join" -> 21,
-    "fz8_grouping" -> 22,
-    "fz9_subquery" -> 23,
-    "fz10_temporal_trunc" -> 24,
-    "fz11_temporal_extract" -> 25,
-    "fz12_string_funcs" -> 26,
-    "fz13_event_window" -> 27,
-    "fz14_decimal_arith" -> 28,
-    "fz15_null_semantics" -> 29)
+    "fz1_filter_project" -> 16,
+    "fz2_agg_groupby" -> 17,
+    "fz3_join_agg" -> 18,
+    "fz4_join_filter" -> 19,
+    "fz5_set_op" -> 20,
+    "fz6_window_topk" -> 21,
+    "fz7_outer_join" -> 22,
+    "fz8_grouping" -> 23,
+    "fz9_subquery" -> 24,
+    "fz10_temporal_trunc" -> 25,
+    "fz11_temporal_extract" -> 42,
+    "fz12_string_funcs" -> 27,
+    "fz13_event_window" -> 28,
+    "fz14_decimal_arith" -> 29,
+    "fz15_null_semantics" -> 30,
+    "fz16_agg_having" -> 31)
 
   def queries: Map[String, Q] =
     promoted.map { case (n, seed) => n -> build(seed).df }

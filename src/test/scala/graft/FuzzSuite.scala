@@ -10,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * aggregates, set-ops, window top-k, outer joins, grouping lattices,
   * semi/anti subqueries, temporal date_trunc/EXTRACT keys, string
   * functions, per-user events windows, decimal fixed-point
-  * arithmetic and null-safe-equality semantics; the fifteen promoted
-  * seeds additionally go through the driver's DuckDB gate (fz1-fz15).
+  * arithmetic, null-safe-equality semantics and HAVING/DISTINCT
+  * aggregates; the sixteen promoted seeds additionally go through the
+  * driver's DuckDB gate (fz1-fz16).
   */
 class FuzzSuite extends AnyFunSuite with SparkFixture {
 
@@ -48,7 +49,7 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       shapes(b.shape) = shapes.getOrElse(b.shape, 0) + 1
     }
     // the generator must neither collapse to one shape nor go all-empty
-    assert(shapes.size == 15, s"shape coverage collapsed: $shapes")
+    assert(shapes.size == 16, s"shape coverage collapsed: $shapes")
     assert(nonEmpty >= 60,
       s"only $nonEmpty/120 seeds returned rows — literals too selective")
     info(s"shapes: $shapes, non-empty: $nonEmpty/120")
@@ -72,7 +73,8 @@ class FuzzSuite extends AnyFunSuite with SparkFixture {
       "fz12_string_funcs" -> "string_funcs",
       "fz13_event_window" -> "event_window",
       "fz14_decimal_arith" -> "decimal_arith",
-      "fz15_null_semantics" -> "null_semantics")
+      "fz15_null_semantics" -> "null_semantics",
+      "fz16_agg_having" -> "agg_having")
     assert(Fuzz.promoted.keySet == want.keySet)
     for ((name, seed) <- Fuzz.promoted) {
       val b = Fuzz.build(seed)
