@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY.md §2.10 T1–T8). Builders are
@@ -466,6 +466,58 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String,
+                             run_count: Long, recent: String)
+
+  /** T7d: the remaining transformWithState primitives — MapState and
+    * ListState — in their natural roles: per-user PER-TYPE running
+    * counts as a MapState (one map entry per event type; a ValueState
+    * would need the whole map serialized per update), and the user's
+    * last-3 event ids
+    * as a bounded ListState ring (the recency window pattern-matchers
+    * read). Emits one row per input event with the updated counter and
+    * ring — cross-batch persistence is the point, pinned in the test.
+    */
+  final class TypeCountsProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // NB TTLConfig(Duration) here is the production state-eviction
+      // lever (idle users age out) — but TTL forces TimeMode
+      // ProcessingTime, whose maintenance batches never quiesce under
+      // MemoryStream's processAllAvailable (measured: the t7d query
+      // spun micro-batches indefinitely), so the TEST surface runs
+      // TTL-free and eviction stays a config note, not a tested claim
+      counts = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recentIds",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[TypeCount] = {
+      val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+      val out = sorted.map { e =>
+        val n = (if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L) + 1
+        counts.updateValue(e.event_type, n)
+        val ring = (recent.get().toSeq :+ e.event_id).takeRight(3)
+        recent.put(ring.toArray)
+        TypeCount(user, e.event_type, n, ring.mkString(","))
+      }
+      out.iterator
+    }
+  }
+
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** One CDC changelog entry: op ∈ I/U/D, ver strictly increasing per key

@@ -632,6 +632,37 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("T7d transformWithState MapState and ListState: counts persist across batches, ring bounded") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = runToSink("t7d")(
+        s => StreamOps.typeCountsTws(s.toDS()).toDF(),
+        Seq(
+          Seq(ev(1, 1, 1, "view", 0), ev(2, 2, 1, "view", 0),
+            ev(3, 3, 1, "click", 0)),
+          Seq(ev(4, 4, 1, "view", 0), ev(5, 5, 2, "click", 0))))
+        .map(r => r.getAs[Long]("user_id") match {
+          case u => (u, r.getAs[String]("event_type"),
+            r.getAs[Long]("run_count"), r.getAs[String]("recent"))
+        }).toSet
+      // per-type counters: view counts 1,2 then 3 ACROSS the batch
+      // boundary (MapState persisted); click independent; user 2 fresh
+      assert(rows.contains((1L, "view", 1L, "1")))
+      assert(rows.contains((1L, "view", 2L, "1,2")))
+      assert(rows.contains((1L, "click", 1L, "1,2,3")))
+      assert(rows.contains((1L, "view", 3L, "2,3,4")),
+        s"cross-batch MapState persistence or the list ring broke: $rows")
+      assert(rows.contains((2L, "click", 1L, "5")))
+      assert(rows.size == 5)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("incremental dedup stream: survivors never share a band; run is deterministic") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
