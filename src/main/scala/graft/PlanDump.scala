@@ -50,7 +50,10 @@ object PlanDump {
       "l17_e2e_pipeline" -> "end-to-end prep funnel: one corpus scan, content-hash window + band-bucket agg are the only corpus-sized shuffles",
       "y25_time_travel" -> "time travel: ONE interval window over the log + 4-row broadcast range join, hash-agg per cut — one scan for N historical states",
       "y26_consistent_cut" -> "watermark cut: strategy rows broadcast, one FK equi-join audit, counts conditional — no per-strategy rescans",
-      "l4f_pq_ann" -> "PQ ANN: codegen'd per-row code assignment (no shuffle), ADC via CASE lookups against the broadcast query side, exact re-rank only on the broadcast shortlist")
+      "l4f_pq_ann" -> "PQ ANN: codegen'd per-row code assignment (no shuffle), ADC via CASE lookups against the broadcast query side, exact re-rank only on the broadcast shortlist",
+      "w7_sessionize" -> "batch sessionization: lag + running sum + rollup over ONE user exchange, no self-join, no state store",
+      "y29_bootstrap_seam" -> "bootstrap seam: one interval window over the log, three cursor variants from a 1-row broadcast, full-replay compare",
+      "y30_dq_constraints" -> "DQ audit: N row-local checks as conditional counts in ONE aggregate, FK as a broadcast anti-join")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain formatted` for the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at $sf. These are the plans the\n")
