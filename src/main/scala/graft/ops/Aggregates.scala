@@ -102,6 +102,38 @@ object Aggregates {
         .orderBy("n_regionkey")
     }),
 
+    // A18: ROLLING distinct (trailing-7-day active users) via mergeable
+    // HLL sketches — the dashboard rollup at 100 TB: an exact trailing
+    // distinct re-scans the raw (day, user) stream once per window
+    // position, while per-day sketches give each day's answer from
+    // |window| SKETCH MERGES — the fact table is scanned once, the
+    // rolling join touches |days|×7 sketch rows. The exact twin joins
+    // distinct (day, user) PAIRS over the range (pairs ≈ active-users ×
+    // days — tiny vs events), which is also the oracle's form; the
+    // sketch estimate ships as the a5/a16 tolerance verdict (sketch
+    // bytes have no DuckDB twin).
+    "a18_rolling_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val perDay = du.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val trail = perDay.select(col("day").as("bday"), col("sk"))
+        .join(broadcast(perDay.select(col("day"))),
+          col("bday").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est7"))
+      val exact = du.select(col("day").as("bday"), col("user_id"))
+        .join(broadcast(du.select(col("day")).distinct()),
+          col("bday").between(date_sub(col("day"), 6), col("day")))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("d7_exact"))
+      exact.join(trail, Seq("day"))
+        // day ships as its ISO string: a DATE column round-trips as
+        // datetime64 through the oracle's pandas bridge and mismatches
+        .select(col("day").cast("string").as("day"), col("d7_exact"),
+          (abs(col("est7") / col("d7_exact") - 1) < 0.05).as("est7_ok"))
+        .orderBy("day")
+    }),
+
     // A17: fixed-width histogram — the profiling rollup behind every
     // "distribution of X" dashboard; bucket arithmetic (floor of a
     // double division) is IEEE-identical in both engines, the top bucket
@@ -237,6 +269,17 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "a18_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT CAST(d.day AS VARCHAR) AS day,
+        |  COUNT(DISTINCT u.user_id) AS d7_exact, TRUE AS est7_ok
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin,
+
     "a17_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 25000) AS INTEGER), 19) AS bucket,
         |  COUNT(*) AS n,

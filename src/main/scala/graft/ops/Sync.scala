@@ -1084,6 +1084,31 @@ object Sync {
         .orderBy("variant")
     }),
 
+    // Y32: COLUMN-drift localization — y3 answers WHICH rows drifted;
+    // this answers WHICH COLUMNS, the report a sync operator reads
+    // before deciding whether drift is payload (ship it), audit noise
+    // (exclude the column — y22), or schema rot (migrate — y27). Same
+    // one full-outer PK join; per-column null-safe difference flags are
+    // conditional counts inside ONE aggregate, so adding columns grows
+    // the expression list, never the scan count. Wide 1-row output.
+    "y32_column_drift" -> ((s, d) => {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      val src = sourceView(s, d).select(col("o_orderkey") +:
+        lit(1).as("sp") +: cols.map(c => col(c).as(s"s_$c")): _*)
+      val tgt = Tables.orders(s, d).select(col("o_orderkey") +:
+        lit(1).as("tp") +: cols.map(c => col(c).as(s"t_$c")): _*)
+      val both = col("sp").isNotNull && col("tp").isNotNull
+      val aggs =
+        count(when(col("tp").isNull, 1)).as("rows_added") +:
+          count(when(col("sp").isNull, 1)).as("rows_removed") +:
+          count(when(both, 1)).as("rows_common") +:
+          cols.map(c => count(when(both &&
+            !(col(s"s_$c") <=> col(s"t_$c")), 1)).as(s"chg_$c"))
+      src.join(tgt, Seq("o_orderkey"), "full_outer")
+        .agg(aggs.head, aggs.tail: _*)
+    }),
+
     // Y31: COLLATION-aware diff — the MS-SQL-specific drift class every
     // CI↔CS sync hits: the default SQL Server collations compare
     // case-INSENSITIVELY, so a row pair that differs only by letter
@@ -2445,6 +2470,38 @@ object Sync {
          |  (state_digest IS NOT DISTINCT FROM full_digest
          |    AND n_state = n_full) AS matches_full
          |FROM agg CROSS JOIN fl ORDER BY variant""".stripMargin,
+
+    "y32_column_drift" ->
+      s"""WITH $sourceCte,
+         |j AS (
+         |  SELECT s.o_orderkey AS sk, o.o_orderkey AS tk,
+         |    s.o_custkey AS s_o_custkey, o.o_custkey AS t_o_custkey,
+         |    s.o_orderstatus AS s_o_orderstatus,
+         |    o.o_orderstatus AS t_o_orderstatus,
+         |    s.o_totalprice AS s_o_totalprice,
+         |    o.o_totalprice AS t_o_totalprice,
+         |    s.o_orderpriority AS s_o_orderpriority,
+         |    o.o_orderpriority AS t_o_orderpriority
+         |  FROM src s FULL OUTER JOIN orders o
+         |    ON s.o_orderkey = o.o_orderkey)
+         |SELECT
+         |  COUNT(CASE WHEN tk IS NULL THEN 1 END) AS rows_added,
+         |  COUNT(CASE WHEN sk IS NULL THEN 1 END) AS rows_removed,
+         |  COUNT(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 END)
+         |    AS rows_common,
+         |  COUNT(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+         |    AND s_o_custkey IS DISTINCT FROM t_o_custkey THEN 1 END)
+         |    AS chg_o_custkey,
+         |  COUNT(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+         |    AND s_o_orderstatus IS DISTINCT FROM t_o_orderstatus
+         |    THEN 1 END) AS chg_o_orderstatus,
+         |  COUNT(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+         |    AND s_o_totalprice IS DISTINCT FROM t_o_totalprice
+         |    THEN 1 END) AS chg_o_totalprice,
+         |  COUNT(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+         |    AND s_o_orderpriority IS DISTINCT FROM t_o_orderpriority
+         |    THEN 1 END) AS chg_o_orderpriority
+         |FROM j""".stripMargin,
 
     "y31_collation_drift" ->
       s"""WITH $sourceCte,
