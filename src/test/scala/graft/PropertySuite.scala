@@ -17,6 +17,34 @@ class PropertySuite extends AnyFunSuite with SparkFixture {
 
   private val smallInts = Gen.listOfN(30, Gen.choose(0, 8))
 
+  test("Y27 safety matrix is a lattice: identity safe, no mutual-safe pair, safe composes") {
+    import graft.sync.Migration.changeSafety
+    import org.apache.spark.sql.types._
+    // representative closure of the types the planner meets, including
+    // the decimal corners (precision/scale interplay)
+    val types: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, StringType, DateType,
+      TimestampType, BinaryType, DecimalType(10, 0), DecimalType(19, 0),
+      DecimalType(10, 2), DecimalType(12, 2), DecimalType(12, 4),
+      DecimalType(38, 18))
+    // (1) identity is safe (plan() never emits it, but the matrix must
+    //     not call a no-op lossy)
+    for (t <- types) assert(changeSafety(t, t) == "safe", s"$t -> $t")
+    // (2) ANTISYMMETRY: two DISTINCT types are never mutually safe — a
+    //     value-preserving cast cycle would mean equal value sets
+    for (a <- types; b <- types if a != b)
+      assert(!(changeSafety(a, b) == "safe" && changeSafety(b, a) == "safe"),
+        s"mutually safe: $a <-> $b")
+    // (3) TRANSITIVITY of preservation: safe ∘ safe is safe — a planner
+    //     composing two safe migrations must not land on a lossy or
+    //     manual step
+    for (a <- types; b <- types; c <- types
+         if a != b && b != c && a != c &&
+           changeSafety(a, b) == "safe" && changeSafety(b, c) == "safe")
+      assert(changeSafety(a, c) == "safe",
+        s"safe chain broke: $a -> $b -> $c but $a -> $c = ${changeSafety(a, c)}")
+  }
+
   test("exceptAll(a, a) is empty; |a exceptAll b| = |a| - |a ∩multiset b|") {
     val spark0 = spark
     import spark0.implicits._
