@@ -1084,6 +1084,36 @@ object Sync {
         .orderBy("variant")
     }),
 
+    // Y33: sync DRY-RUN cost plan — the "what will this sync do and how
+    // much will it move" report every tool shows before an apply: the
+    // y3 classification joined with a per-row SHIP-SIZE estimate
+    // (fixed-width numerics + actual string lengths for I/U payloads,
+    // key-only for D tombstones, zero for SAME), rolled up per class.
+    // The estimate drives real operator decisions — batch sizing,
+    // window choice, whether to fall back to a full snapshot (y21's
+    // arithmetic needs exactly this number). Same single full-outer PK
+    // join as y3; the size column is per-row codegen.
+    "y33_sync_plan" -> ((s, d) => {
+      val a = sourceView(s, d).select(col("o_orderkey"),
+        lit(1).as("sp"), rowHash(col).as("sh"),
+        (lit(24L) + length(col("o_orderstatus")) +
+          length(col("o_orderpriority"))).as("sbytes"))
+      val b = Tables.orders(s, d).select(col("o_orderkey"),
+        lit(1).as("tp"), rowHash(col).as("th"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("tp").isNull, "I").when(col("sp").isNull, "D")
+            .when(col("sh") =!= col("th"), "U").otherwise("S").as("op"),
+          col("sbytes"))
+        .withColumn("ship_bytes",
+          when(col("op").isin("I", "U"), col("sbytes"))
+            .when(col("op") === "D", 8L).otherwise(0L))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("ship_bytes")).as("est_bytes"))
+        .orderBy("op")
+    }),
+
     // Y32: COLUMN-drift localization — y3 answers WHICH rows drifted;
     // this answers WHICH COLUMNS, the report a sync operator reads
     // before deciding whether drift is payload (ship it), audit noise
@@ -2470,6 +2500,30 @@ object Sync {
          |  (state_digest IS NOT DISTINCT FROM full_digest
          |    AND n_state = n_full) AS matches_full
          |FROM agg CROSS JOIN fl ORDER BY variant""".stripMargin,
+
+    "y33_sync_plan" ->
+      s"""WITH $sourceCte,
+         |a AS (
+         |  SELECT o_orderkey, ${rowHashSql("src")} AS sh,
+         |    24 + length(o_orderstatus) + length(o_orderpriority)
+         |      AS sbytes
+         |  FROM src),
+         |b AS (SELECT o_orderkey, ${rowHashSql("orders")} AS th
+         |      FROM orders),
+         |j AS (
+         |  SELECT
+         |    CASE WHEN b.th IS NULL THEN 'I'
+         |         WHEN a.sh IS NULL THEN 'D'
+         |         WHEN a.sh <> b.th THEN 'U'
+         |         ELSE 'S' END AS op,
+         |    CASE WHEN b.th IS NULL OR (a.sh IS NOT NULL AND a.sh <> b.th)
+         |         THEN a.sbytes
+         |         WHEN a.sh IS NULL THEN 8
+         |         ELSE 0 END AS ship_bytes
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT op, COUNT(*) AS n_rows,
+         |  CAST(SUM(ship_bytes) AS BIGINT) AS est_bytes
+         |FROM j GROUP BY op ORDER BY op""".stripMargin,
 
     "y32_column_drift" ->
       s"""WITH $sourceCte,
