@@ -445,6 +445,74 @@ object LlmPipeline {
     h >>> 4
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a 16-byte digest — byte-identical to SQL md5()
+    * (Spark and DuckDB both emit lowercase hex). */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      val v = dig(j) & 0xff
+      out(2 * j) = hexDigits(v >>> 4)
+      out(2 * j + 1) = hexDigits(v & 15)
+      j += 1
+    }
+    new String(out)
+  }
+
+  /** l20's content-defined chunker, one compiled pass per doc: cut AFTER
+    * token i (1-based, i ≥ 4) when md5("t[i-3] t[i-2] t[i-1] t[i]")'s
+    * first 4 hex chars, read base-16, are ≡ 0 (mod 8) — i.e. the low 3
+    * bits of digest byte 1 are zero (expected chunk ≈ 8 tokens); emit the
+    * md5 hex of each boundary-delimited chunk joined with single spaces.
+    * The rule is EXACTLY the oracle's declarative form
+    * (conv(substr(md5(concat_ws(' ', …)), 1, 4), 16, 10) % 8 = 0), so
+    * the DuckDB CTE chain and this kernel agree hash-for-hash. Docs
+    * shorter than one 4-token window emit nothing (the oracle's
+    * len(t) >= 4 gate); a boundary at the last token would create an
+    * empty tail chunk — skipped (the oracle filters md5('')).
+    */
+  private[graft] def cdcChunkHashes(md: java.security.MessageDigest,
+                                    toks: Array[String]): Array[String] = {
+    val n = toks.length
+    if (n < 4) return Array.empty // oracle's len(t) >= 4 gate
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](n / 8 + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 4
+    while (i <= n) {
+      sb.setLength(0)
+      sb.append(toks(i - 4)).append(' ').append(toks(i - 3)).append(' ')
+        .append(toks(i - 2)).append(' ').append(toks(i - 1))
+      md.reset()
+      val dg = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      if ((dg(1) & 0x07) == 0) bounds += i
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](bounds.length + 1)
+    var k = 0
+    var start = 1 // 1-based inclusive
+    while (k <= bounds.length) {
+      val end = if (k == bounds.length) n else bounds(k)
+      if (end >= start) { // skip the empty tail when a boundary lands on n
+        sb.setLength(0)
+        var j = start - 1
+        while (j < end) {
+          if (j > start - 1) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += md5Hex(md, sb.toString)
+      }
+      start = end + 1
+      k += 1
+    }
+    out.toArray
+  }
+
   /** Char-5-gram shingle hashes of one doc (l2a full set, l2e mod-8
     * sketch via `keep`): windows are CODE POINTS, exactly the character
     * semantics of the oracle's substr() and Spark SQL's substring — a
@@ -1476,6 +1544,52 @@ object LlmPipeline {
             .as("fp_rate_ok"))
     }),
 
+    // L20: CONTENT-DEFINED chunking (the rsync/LBFS idea on tokens) for
+    // passage-level dedup — the duplication class document-level dedup
+    // (l1 exact, l2 near) cannot see: two docs sharing a long passage
+    // inside otherwise-different text. Fixed-stride chunks break the
+    // moment one token is inserted (every later boundary shifts);
+    // content-defined boundaries — cut wherever the hash of the local
+    // 4-token window ≡ 0 mod 8 — move WITH the content, so an inserted
+    // prefix re-synchronizes after one chunk and the shared passage
+    // still collides (the law test plants exactly that). Chunking is the
+    // l2b compiled-kernel idiom — one MessageDigest pass per doc
+    // ([[cdcChunkHashes]]); the only shuffle is the chunk-hash aggregate
+    // that finds cross-doc collisions, and output is per-doc (n_chunks,
+    // n_shared, shared_frac).
+    //
+    // Why a kernel and not array HOFs: the declarative form (filter over
+    // sequence() for boundaries, transform+slice for chunks) was built
+    // first and is oracle-identical — but Catalyst's CollapseProject
+    // inlines the `t`/`bp` aliases into every element_at, so each of the
+    // ~2(C+1) boundary-array accesses re-runs the ENTIRE interpreted
+    // boundary scan (n md5s) and each of those re-tokenizes the doc:
+    // O(C·n) md5 evaluations per doc instead of O(n). Measured: sf0.001
+    // fine, sf0.1 (5k docs × ~50 tokens) still running at 5 min — the
+    // compiled pass does the same corpus in under a second.
+    "l20_cdc_chunks" -> ((s, d) => {
+      val sEnc = s
+      import sEnc.implicits._
+      val chunked = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+        .as[(Long, String)].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            cdcChunkHashes(md, text.split(" +").filter(_.nonEmpty))
+              .map(h => (id, h))
+          }
+        }.toDF("doc_id", "chash")
+      val shared = chunked.groupBy("chash")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("chash")
+      chunked.join(shared.withColumn("sh", lit(1)), Seq("chash"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("sh") === 1, 1)).as("n_shared"))
+        .withColumn("shared_frac",
+          round(col("n_shared").cast("double") / col("n_chunks"), 6))
+    }),
+
     // L17: the END-TO-END training-data prep pipeline as ONE query — the
     // composition a user of this library actually ships, each stage the
     // idiom its standalone operator established: language filter →
@@ -2056,6 +2170,41 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l20_cdc_chunks" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')
+        |      AS t
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, t, len(t) AS n FROM docs WHERE len(t) >= 4),
+        |b AS (
+        |  SELECT doc_id, t, n,
+        |    list_filter(range(4, n + 1), i ->
+        |      CAST(concat('0x', substr(md5(concat_ws(' ',
+        |        t[CAST(i - 3 AS INT)], t[CAST(i - 2 AS INT)],
+        |        t[CAST(i - 1 AS INT)], t[CAST(i AS INT)])), 1, 4))
+        |        AS BIGINT) % 8 = 0) AS bp
+        |  FROM d2),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, len(bp) + 1), k ->
+        |      md5(array_to_string(
+        |        t[(CASE WHEN k = 0 THEN 1
+        |           ELSE bp[CAST(k AS INT)] + 1 END):
+        |          (CASE WHEN k = CAST(len(bp) AS BIGINT) THEN n
+        |           ELSE bp[CAST(k AS INT) + 1] END)], ' ')))) AS chash
+        |  FROM b),
+        |chf AS (SELECT doc_id, chash FROM ch WHERE chash <> md5('')),
+        |shared AS (
+        |  SELECT chash FROM chf GROUP BY 1
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(CASE WHEN s.chash IS NOT NULL THEN 1 END) AS n_shared,
+        |  round(CAST(COUNT(CASE WHEN s.chash IS NOT NULL THEN 1 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS shared_frac
+        |FROM chf c LEFT JOIN shared s ON c.chash = s.chash
+        |GROUP BY c.doc_id""".stripMargin,
 
     "l18_bloom_dedup" ->
       """WITH seeded AS (

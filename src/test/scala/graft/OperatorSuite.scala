@@ -1314,6 +1314,31 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("L20 law: content-defined chunks resynchronize after an inserted prefix; fixed stride does not") {
+    val spark0 = spark
+    import spark0.implicits._
+    // A shared 240-token passage; doc B prepends 13 junk tokens (13 ∤ 8,
+    // so every fixed 8-token block boundary in B is misaligned vs A).
+    val rng = new scala.util.Random(42)
+    val passage = Seq.fill(240)(s"w${rng.nextInt(100000)}")
+    val prefix = Seq.fill(13)(s"p${rng.nextInt(100000)}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_l20").toString
+    Seq((1L, passage.mkString(" ")),
+        (2L, (prefix ++ passage).mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("l20_cdc_chunks")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) >= 1 && out(2L) >= 1,
+      s"CDC chunks failed to resynchronize across the prefix: $out")
+    // the contrast CDC exists to beat: fixed-stride chunking of the SAME
+    // two token streams shares nothing once alignment shifts
+    def strideHashes(t: Seq[String]) =
+      t.grouped(8).map(_.mkString(" ")).toSet
+    assert(strideHashes(passage)
+      .intersect(strideHashes(prefix ++ passage)).isEmpty,
+      "fixed-stride chunks unexpectedly survived the shift — contrast is vacuous")
+  }
+
   test("M3 binaryFile ingest: bytes round-trip; glob prunes; features match m1") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("media_m3")
