@@ -166,6 +166,40 @@ object Sources {
              max(col("o_orderkey")).as("max_key"))
     }),
 
+    // S16: BUCKETED co-located join — the layout that amortizes the
+    // biggest repeated cost in a star-schema warehouse: both sides are
+    // written bucketed (and bucket-sorted) on the join key via
+    // saveAsTable, so every later equi-join on that key reads bucket i
+    // against bucket i and plans a SortMergeJoin with ZERO Exchange on
+    // either side (pinned in PlanAuditSuite S16 — at 100 TB this turns
+    // the nightly fact-to-fact join from a full two-sided shuffle into
+    // a local merge; S12/S14/S15 prune IO, bucketing kills the shuffle).
+    // Bucket counts must match (8=8 here; Spark also coalesces
+    // compatible multiples); the merge hint keeps AQE from flipping the
+    // small sf0.001 side to broadcast, which would un-demonstrate the
+    // alignment without changing results. Results are layout-invariant
+    // — the oracle is the plain join over the original parquet.
+    "s16_bucketed_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_s16_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_s16_orders")
+      s.table("graft_s16_lineitem").hint("merge")
+        .join(s.table("graft_s16_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("order_year")
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -214,6 +248,14 @@ object Sources {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  MIN(o_orderkey) AS min_key
          |FROM merged""".stripMargin,
+
+    "s16_bucketed_join" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+         |  COUNT(*) AS n_lines,
+         |  ${Det.Sql.dsum("l_extendedprice")} AS sum_price,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s7_range" ->
       """SELECT id % 97 AS bucket, COUNT(*) AS n,

@@ -126,6 +126,38 @@ object Windows {
             .otherwise("none"))
     }),
 
+    // W9: TIME-WEIGHTED average — the metric-correct mean for irregular
+    // samples (a step function: each reading holds until the next one),
+    // where the plain AVG over-weights bursts. Per user: weight = µs
+    // until the next event (lead over the one (user_id) exchange every
+    // other per-user window shares), TWA = Σ value·dur / Σ dur; the
+    // last event carries no weight (observation window is closed by the
+    // final reading). All duration arithmetic in exact µs integers
+    // (unix_micros/epoch_us — the j8b convention; second-truncated
+    // casts would alias distinct events); the value·dur float product
+    // takes the §7.3 decimal detour so partial-agg order can't wiggle
+    // the sum. Single-event users have zero observed span → NULL TWA
+    // (NULLIF guard on both engines — Spark nulls a zero divisor,
+    // DuckDB says inf; the guard makes the disagreement unreachable).
+    "w9_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dur_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("span_us"),
+          round(
+            sum(round(col("value") * col("dur_us"), 4)
+                .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double") /
+            nullif(sum(col("dur_us")), lit(0L)), 6).as("twa_value"),
+          round(Det.davg(col("value")), 6).as("naive_avg"))
+    }),
+
     // W6: IGNORE NULLS navigation — last-observation-carried-forward, the
     // gap-filling idiom for sparse sensor/metric streams: zeros are
     // nulled out, then the running last non-null value fills forward.
@@ -289,6 +321,21 @@ object Windows {
          |       WHEN MAX(fv) IS NOT NULL THEN 'view'
          |       ELSE 'none' END AS stage
          |FROM c GROUP BY 1""".stripMargin,
+
+    "w9_time_weighted" ->
+      s"""WITH ev AS ($evSql),
+         |d AS (
+         |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         |    lead(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+         |      AS dur_us
+         |  FROM ev)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  MAX(ts_us) - MIN(ts_us) AS span_us,
+         |  round(CAST(SUM(CAST(round(value * dur_us, 4) AS DECIMAL(28,4)))
+         |      AS DOUBLE) / NULLIF(SUM(dur_us), 0), 6) AS twa_value,
+         |  round(${Det.Sql.davg("value")}, 6) AS naive_avg
+         |FROM d GROUP BY user_id""".stripMargin,
 
     "w6_ignore_nulls" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)

@@ -470,6 +470,24 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"level-1 year plan should be shared (persisted), not recomputed per side:\n$p")
   }
 
+  test("S16 bucketed join: SortMergeJoin with ZERO Exchange on either side") {
+    // the whole point of bucketBy: both sides pre-hashed on the join key
+    // at write time, so the join plans no shuffle at all — bucket i
+    // merges against bucket i straight off the scans
+    SparkEntry.queries("s16_bucketed_join")(spark, sf).collect() // builds tables
+    val p = spark.table("graft_s16_lineitem").hint("merge")
+      .join(spark.table("graft_s16_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"bucketed join must be a merge join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed co-located join must plan NO shuffle:\n$p")
+    // and the bucket metadata actually drove the scan
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan did not use the bucketed layout:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("S15 z-order layout: BOTH dimensions prune; 1-D sort leaves its off-dimension unpruned") {
     // The multi-dimensional successor to S14's lever: a user-major sort
     // gives user predicates perfect file locality and day predicates
