@@ -185,6 +185,40 @@ object Functions {
     // try_mod/try_element_at/try_cast are the user-facing way to get
     // NULL-on-error. DuckDB's plain operators already return NULL for
     // /0, %0, OOB list index, and try_cast — exact twins.
+    // F12: URL functions — the web-corpus prep family (host routing,
+    // domain-level dedup/quality rollups, tracking-param stripping all
+    // key off these). Spark side is the NATIVE parse_url (PROTOCOL /
+    // HOST / PATH / QUERY-with-key / REF); the oracle re-derives each
+    // part with anchored regexes from the portable subset (l5m rule:
+    // identical semantics under Java regex and RE2), and NULLIF('')
+    // aligns RE2's empty-string no-match with parse_url's NULL. The
+    // URLs are constructed deterministically from corpus columns
+    // (source/lang/doc_id) with query/fragment presence varied by
+    // doc_id residues so every branch (param present/absent, fragment
+    // present/absent, multi-param) is exercised on real rows.
+    "f12_url" -> ((s, d) => {
+      val url = concat(
+        lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+        lit("/doc-"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?ref=feed&page="), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?page="), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("#sec-"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          regexp_extract(expr("parse_url(url, 'HOST')"),
+            "([a-z0-9-]+\\.[a-z]+)$", 1).as("reg_domain"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'page')").as("page"),
+          expr("parse_url(url, 'REF')").as("fragment"))
+    }),
+
     "f11_try_arith" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -257,6 +291,30 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "f12_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc-' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '?ref=feed&page=' || CAST(doc_id % 7 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1
+        |           THEN '?page=' || CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN '#sec-' || CAST(doc_id % 4 AS VARCHAR)
+        |         ELSE '' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |    '([a-z0-9-]+\.[a-z]+)$', 1) AS reg_domain,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  NULLIF(regexp_extract(url, '[?&]page=([0-9]+)', 1), '') AS page,
+        |  NULLIF(regexp_extract(url, '#(.*)$', 1), '') AS fragment
+        |FROM u""".stripMargin,
+
     "f1_string" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_len,

@@ -180,6 +180,18 @@ object Sources {
     // alignment without changing results. Results are layout-invariant
     // — the oracle is the plain join over the original parquet.
     "s16_bucketed_join" -> ((s, d) => {
+      // A FRESH session's in-memory catalog has forgotten the previous
+      // run's tables while their warehouse directories persist on disk,
+      // and saveAsTable refuses to create a managed table over a
+      // non-empty location — so reset BOTH: the catalog entry (no-op if
+      // unknown) and the orphaned directory (no-op if absent).
+      Seq("graft_s16_lineitem", "graft_s16_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
         .write.mode("overwrite").format("parquet")
