@@ -1412,6 +1412,55 @@ object Sync {
                 lead(col("ts"), 1).over(w).isNull.as("is_current"))
     }),
 
+    // Y34: SCD2 history RETENTION VACUUM — the GC every deployed SCD2
+    // table eventually needs (history grows without bound; y7 only ever
+    // opens/closes versions). The correctness subtlety the naive
+    // "delete rows older than the horizon" misses: a version whose
+    // validity interval CROSSES the horizon must survive even though it
+    // STARTED before it, or as-of queries at the horizon itself lose
+    // their answer — so the keep predicate is interval-intersects-
+    // [horizon, ∞): valid_to IS NULL OR valid_to >= horizon. The output
+    // is self-evidencing: per user it carries the as-of-horizon state
+    // computed from BOTH the full and the vacuumed history plus their
+    // null-safe equality, so the oracle hash itself certifies the law
+    // (asof_stable must read true on every row); purge arithmetic and
+    // the unchanged current version ride along. One (user) window
+    // exchange builds the history; the vacuum is a filter; summaries
+    // are hash-aggs — at 100 TB the vacuum is a partition-pruned
+    // rewrite of only the files whose max(valid_to) predates the
+    // horizon, never a full-history shuffle.
+    "y34_scd2_vacuum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val horizon = lit("2024-01-20 00:00:00").cast("timestamp")
+      val hist = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+      val kept = hist.filter(col("valid_to").isNull ||
+        col("valid_to") >= horizon)
+      // as-of semantics: half-open [valid_from, valid_to)
+      def asof(h: DataFrame, out: String) = h
+        .filter(col("valid_from") <= horizon &&
+          (col("valid_to").isNull || col("valid_to") > horizon))
+        .select(col("user_id"), col("event_type").as(out))
+      hist.groupBy("user_id")
+        .agg(count(lit(1)).as("n_before"),
+          max(when(col("valid_to").isNull, col("event_type")))
+            .as("current_type"))
+        .join(kept.groupBy("user_id")
+          .agg(count(lit(1)).as("n_after"),
+            min(col("valid_from")).as("oldest_retained_from")),
+          Seq("user_id"))
+        .join(asof(hist, "asof_before"), Seq("user_id"), "left")
+        .join(asof(kept, "asof_after"), Seq("user_id"), "left")
+        .select(col("user_id"), col("n_before"), col("n_after"),
+          (col("n_before") - col("n_after")).as("n_purged"),
+          col("current_type"), col("oldest_retained_from"),
+          col("asof_before"), col("asof_after"),
+          col("asof_before") <=> col("asof_after") as "asof_stable")
+    }),
+
     // Y12: per-partition digest compare — the incremental-sync planner
     // at 100 TB: instead of a full-table diff, each side rolls up ONE
     // (count, order-insensitive digest) row per partition (order_year
@@ -2223,6 +2272,45 @@ object Sync {
          |FROM ev
          |WHERE event_type IN ('signup', 'purchase', 'error')
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "y34_scd2_vacuum" ->
+      s"""WITH $evCte,
+         |hist AS (
+         |  SELECT user_id, event_id, event_type,
+         |    ts AS valid_from, lead(ts, 1) OVER w AS valid_to
+         |  FROM ev
+         |  WHERE event_type IN ('signup', 'purchase', 'error')
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |kept AS (
+         |  SELECT * FROM hist
+         |  WHERE valid_to IS NULL
+         |     OR valid_to >= TIMESTAMP '2024-01-20 00:00:00'),
+         |b AS (
+         |  SELECT user_id, COUNT(*) AS n_before,
+         |    MAX(CASE WHEN valid_to IS NULL THEN event_type END)
+         |      AS current_type
+         |  FROM hist GROUP BY user_id),
+         |a AS (
+         |  SELECT user_id, COUNT(*) AS n_after,
+         |    MIN(valid_from) AS oldest_retained_from
+         |  FROM kept GROUP BY user_id),
+         |ab AS (
+         |  SELECT user_id, event_type AS asof_before FROM hist
+         |  WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+         |    AND (valid_to IS NULL
+         |         OR valid_to > TIMESTAMP '2024-01-20 00:00:00')),
+         |aa AS (
+         |  SELECT user_id, event_type AS asof_after FROM kept
+         |  WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+         |    AND (valid_to IS NULL
+         |         OR valid_to > TIMESTAMP '2024-01-20 00:00:00'))
+         |SELECT b.user_id, n_before, n_after,
+         |  n_before - n_after AS n_purged,
+         |  current_type, oldest_retained_from, asof_before, asof_after,
+         |  asof_before IS NOT DISTINCT FROM asof_after AS asof_stable
+         |FROM b JOIN a USING (user_id)
+         |LEFT JOIN ab ON b.user_id = ab.user_id
+         |LEFT JOIN aa ON b.user_id = aa.user_id""".stripMargin,
 
     "y18_changelog_compact" ->
       s"""WITH $logCte,

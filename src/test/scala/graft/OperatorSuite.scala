@@ -1314,6 +1314,22 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("Y34 law: vacuum keeps as-of-horizon answers and current versions; purge is real") {
+    val out = SparkEntry.queries("y34_scd2_vacuum")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the law the interval-intersects keep-predicate exists for: no
+    // as-of query at/after the horizon changes under vacuum
+    assert(out.forall(_.getAs[Boolean]("asof_stable")),
+      "as-of-horizon state changed under vacuum")
+    assert(out.forall(r => r.getAs[Long]("n_purged") ==
+      r.getAs[Long]("n_before") - r.getAs[Long]("n_after")))
+    // every user still has exactly its open version after vacuum
+    assert(out.forall(_.getAs[String]("current_type") != null))
+    // and the fixture horizon actually bites (non-vacuous demo)
+    assert(out.map(_.getAs[Long]("n_purged")).sum > 0,
+      "vacuum purged nothing — horizon vacuous for this corpus")
+  }
+
   test("L20 law: content-defined chunks resynchronize after an inserted prefix; fixed stride does not") {
     val spark0 = spark
     import spark0.implicits._
