@@ -445,6 +445,28 @@ object LlmPipeline {
     h >>> 4
   }
 
+  /** l21's per-doc DISTINCT word-5-gram set, one compiled pass (the l20
+    * kernel rationale: HOF shingling re-tokenizes per window). Insertion
+    * order, deduped — consumers explode it, so order never surfaces. */
+  private[graft] def wordShingles5(toks: Array[String]): Array[String] = {
+    if (toks.length < 5) return Array.empty
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + 5 <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < 5) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** Lowercase hex of a 16-byte digest — byte-identical to SQL md5()
@@ -1590,6 +1612,51 @@ object LlmPipeline {
           round(col("n_shared").cast("double") / col("n_chunks"), 6))
     }),
 
+    // L21: BOILERPLATE detection — the cross-document template class
+    // near-dup ops can't see: a footer/header shared by a large share
+    // of one SOURCE's docs (cookie banners, copyright lines, nav text)
+    // is not a near-duplicate of anything — every doc differs — but it
+    // pollutes token statistics and LM training alike; the CCNet-style
+    // fix is per-source shingle document-frequency. Rule: a word-5-gram
+    // present in ≥30% of a source's docs is boilerplate; each doc
+    // reports its boilerplate shingle fraction (the strip/keep signal).
+    // The corpus has no organic boilerplate (measured max cross-doc
+    // 5-gram share = 2/25), so a per-source footer is PLANTED on every
+    // even doc_id — the l18 planting idiom: detection must flag the
+    // footer grams in every source while organic grams stay quiet (the
+    // law test asserts exactly this separation). Per-doc distinct
+    // shingles come from one compiled pass ([[wordShingles5]] — the l20
+    // kernel rationale); the heavy shuffle is the (source, gram)
+    // document-frequency aggregate, linear in corpus size.
+    "l21_boilerplate" -> ((s, d) => {
+      val sEnc = s
+      import sEnc.implicits._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 2 === 0,
+            concat(lower(col("text")), lit(" copyright "), col("source"),
+              lit(" all rights reserved")))
+            .otherwise(lower(col("text"))).as("text"))
+      val sh = base.as[(Long, String, String)].mapPartitions { it =>
+        it.flatMap { case (id, src, text) =>
+          wordShingles5(text.split(" +").filter(_.nonEmpty))
+            .map(g => (id, src, g))
+        }
+      }.toDF("doc_id", "source", "g")
+      val tot = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val boiler = sh.groupBy("source", "g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .join(tot, Seq("source"))
+        .filter(col("nd") >= col("n_docs") * 0.3)
+        .select(col("source"), col("g"), lit(1).as("b"))
+      sh.join(boiler, Seq("source", "g"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("b") === 1, 1)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+    }),
+
     // L17: the END-TO-END training-data prep pipeline as ONE query — the
     // composition a user of this library actually ships, each stage the
     // idiom its standalone operator established: language filter →
@@ -2170,6 +2237,39 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l21_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN lower(text) || ' copyright ' || source ||
+        |           ' all rights reserved'
+        |      ELSE lower(text) END AS text
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS t
+        |  FROM base),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(t) - 3), i ->
+        |      concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT) + 1],
+        |        t[CAST(i AS INT) + 2], t[CAST(i AS INT) + 3],
+        |        t[CAST(i AS INT) + 4]))) AS g
+        |  FROM docs WHERE len(t) >= 5),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM base GROUP BY 1),
+        |boiler AS (
+        |  SELECT c.source, g FROM (
+        |    SELECT source, g, COUNT(DISTINCT doc_id) AS nd
+        |    FROM sh GROUP BY 1, 2) c
+        |  JOIN tot ON c.source = tot.source
+        |  WHERE nd >= n_docs * 0.3)
+        |SELECT s.doc_id, s.source, COUNT(*) AS n_shingles,
+        |  COUNT(b.g) AS n_boiler,
+        |  round(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 6) AS boiler_frac
+        |FROM sh s LEFT JOIN boiler b
+        |  ON s.source = b.source AND s.g = b.g
+        |GROUP BY 1, 2""".stripMargin,
 
     "l20_cdc_chunks" ->
       """WITH docs AS (

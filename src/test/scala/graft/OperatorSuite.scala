@@ -1314,6 +1314,19 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("L21 law: planted footer is flagged in every source; organic docs read zero boilerplate") {
+    val out = SparkEntry.queries("l21_boilerplate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_boiler")))
+    assert(out.nonEmpty)
+    val (even, odd) = out.partition(_._1 % 2 == 0)
+    // every footer-carrying doc sees at least the pure footer 5-gram
+    assert(even.forall(_._2 >= 1),
+      s"footer not detected on ${even.count(_._2 == 0)} planted docs")
+    // no organic 5-gram crosses the 30% document-frequency line
+    assert(odd.forall(_._2 == 0),
+      s"organic text got flagged on ${odd.count(_._2 > 0)} docs — threshold too low")
+  }
+
   test("Y34 law: vacuum keeps as-of-horizon answers and current versions; purge is real") {
     val out = SparkEntry.queries("y34_scd2_vacuum")(spark, sf).collect()
     assert(out.nonEmpty)
