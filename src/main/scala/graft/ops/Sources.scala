@@ -17,6 +17,47 @@ object Sources {
     p.toString
   }
 
+  private def resetDirs(s: org.apache.spark.sql.SparkSession,
+                        dirs: String*): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    dirs.foreach { dStr =>
+      val p = new org.apache.hadoop.fs.Path(dStr)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** One S17 ingest run: list the landing zone, anti-join the durable
+    * manifest (as DataFrames — the manifest never rides the driver),
+    * read ONLY the new files, append data THEN manifest rows (crash
+    * between the two re-ingests the batch: at-least-once; see S17 note).
+    * Returns how many new files were ingested (the law tests pin it). */
+  private[graft] def incrementalIngest(s: org.apache.spark.sql.SparkSession,
+      in: String, manifest: String, target: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val sEnc = s
+    import sEnc.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(in).getFileSystem(conf)
+    val found = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(new Path(in), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.isFile && p.endsWith(".parquet")) found += p
+    }
+    val foundDf = found.toSeq.toDF("path")
+    val newPaths = (if (fs.exists(new Path(manifest)))
+        foundDf.join(s.read.parquet(manifest), Seq("path"), "left_anti")
+      else foundDf).as[String].collect().sorted
+    if (newPaths.nonEmpty) {
+      s.read.parquet(newPaths.toIndexedSeq: _*)
+        .write.mode("append").parquet(target)
+      newPaths.toSeq.toDF("path").write.mode("append").parquet(manifest)
+    }
+    newPaths.length.toLong
+  }
+
   /** S15: Morton/Z-VALUE bit interleave — the multi-dimensional layout
     * key. A 1-D range sort (S14) gives one dimension perfect file
     * min/max locality and the other NONE; interleaving the two
@@ -212,6 +253,43 @@ object Sources {
         .orderBy("order_year")
     }),
 
+    // S17: MANIFEST-based incremental ingest — the batch idiom that
+    // keeps a landing zone affordable at 100 TB: you never re-read (or
+    // even re-consider) files you already ingested; each run lists the
+    // zone, anti-joins the path list against a durable manifest, reads
+    // ONLY the new files, appends them to the target, then appends
+    // their paths to the manifest. Listing is metadata-scale; the
+    // path-level anti-join runs as DataFrames so a multi-million-file
+    // manifest never materializes on the driver — only the NEW-file
+    // list (bounded by one arrival batch) is collected to drive the
+    // read. Ordering (data before manifest) makes a crash re-ingest the
+    // in-flight batch = at-least-once; exactly-once needs the y28
+    // staged-cursor idiom and is out of scope here (documented, not
+    // hidden). The query simulates two arrival batches + a no-op third
+    // run, then aggregates the target; the oracle is the same aggregate
+    // over the full orders table, so duplicated or dropped ingestion
+    // cannot hash-match. File-level laws (second run reads only batch
+    // 2, third run reads zero) are pinned in OperatorSuite S17.
+    "s17_incremental_ingest" -> ((s, d) => {
+      val in = stage("s17_in"); val mf = stage("s17_manifest")
+      val tgt = stage("s17_target")
+      resetDirs(s, in, mf, tgt)
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.parquet(s"$in/b1")
+      incrementalIngest(s, in, mf, tgt)
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.parquet(s"$in/b2")
+      incrementalIngest(s, in, mf, tgt)
+      incrementalIngest(s, in, mf, tgt) // no-op by construction
+      s.read.parquet(tgt)
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -260,6 +338,13 @@ object Sources {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  MIN(o_orderkey) AS min_key
          |FROM merged""".stripMargin,
+
+    "s17_incremental_ingest" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders""".stripMargin,
 
     "s16_bucketed_join" ->
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,

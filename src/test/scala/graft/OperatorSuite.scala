@@ -1314,6 +1314,26 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("S17 law: each run ingests only unseen files; a re-run is a strict no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    val in = s"$dir/in"; val mf = s"$dir/mf"; val tg = s"$dir/tg"
+    val orders = Tables.orders(spark, sf)
+    orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+      .write.parquet(s"$in/b1")
+    val n1 = Sources.incrementalIngest(spark, in, mf, tg)
+    assert(n1 == 4, s"first run must ingest exactly batch 1's files, got $n1")
+    orders.filter(col("o_orderkey") % 3 === 0).repartition(2)
+      .write.parquet(s"$in/b2")
+    val n2 = Sources.incrementalIngest(spark, in, mf, tg)
+    assert(n2 == 2, s"second run must ingest ONLY batch 2's files, got $n2")
+    val n3 = Sources.incrementalIngest(spark, in, mf, tg)
+    assert(n3 == 0, s"third run must ingest nothing, got $n3")
+    // target equals the source exactly — nothing dropped, nothing doubled
+    val got = spark.read.parquet(tg)
+    assert(got.count() == orders.count())
+    assert(got.select("o_orderkey").distinct().count() == orders.count())
+  }
+
   test("L21 law: planted footer is flagged in every source; organic docs read zero boilerplate") {
     val out = SparkEntry.queries("l21_boilerplate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("n_boiler")))
