@@ -158,6 +158,46 @@ object Windows {
           round(Det.davg(col("value")), 6).as("naive_avg"))
     }),
 
+    // W10: RESAMPLING to a regular grid — w6 fills gaps at the
+    // IRREGULAR observation times; downstream consumers (charts,
+    // feature windows, joins against other regular series) want a
+    // FIXED cadence. Per user: an hourly grid spanning [trunc(first),
+    // trunc(last)] (sequence + explode — per-user bounded, never a
+    // global calendar cross-join), then the j8 union-tag idiom: grid
+    // rows (kind 1, null value) union event rows (kind 0), ONE (user)
+    // window ordered (ts, kind) — an event exactly ON a grid instant
+    // sorts before it, so the grid point reads it (at-or-before
+    // semantics) — and last(value IGNORE NULLS) carries the step
+    // function onto the grid; grid points before a user's first event
+    // stay NULL on both engines. Same single-exchange shape as every
+    // per-user window; grid volume = span-hours × users, independent
+    // of event count.
+    "w10_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("g0"),
+          date_trunc("hour", max(col("ts"))).as("g1"))
+        .select(col("user_id"),
+          explode(sequence(col("g0"), col("g1"),
+            expr("INTERVAL 1 HOUR"))).as("ts"))
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(-1L).as("event_id"), lit(null).cast("double").as("value"))
+      // (ts, kind, event_id): kind separates grid from events on an
+      // exact-hit instant; event_id pins the order of same-µs events so
+      // the carried value is engine-deterministic (§7.3 tie-break rule)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), col("value"))
+        .unionByName(grid)
+        .withColumn("filled",
+          last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("ts").as("grid_ts"), col("filled"))
+    }),
+
     // W6: IGNORE NULLS navigation — last-observation-carried-forward, the
     // gap-filling idiom for sparse sensor/metric streams: zeros are
     // nulled out, then the running last non-null value fills forward.
@@ -336,6 +376,27 @@ object Windows {
          |      AS DOUBLE) / NULLIF(SUM(dur_us), 0), 6) AS twa_value,
          |  round(${Det.Sql.davg("value")}, 6) AS naive_avg
          |FROM d GROUP BY user_id""".stripMargin,
+
+    "w10_resample" ->
+      s"""WITH ev AS ($evSql),
+         |grid AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(date_trunc('hour', MIN(ts)),
+         |      date_trunc('hour', MAX(ts)), INTERVAL '1 hour')) AS ts,
+         |    1 AS kind, CAST(-1 AS BIGINT) AS event_id,
+         |    CAST(NULL AS DOUBLE) AS value
+         |  FROM ev GROUP BY user_id),
+         |u AS (
+         |  SELECT user_id, ts, 0 AS kind, event_id, value FROM ev
+         |  UNION ALL SELECT user_id, ts, kind, event_id, value FROM grid),
+         |f AS (
+         |  SELECT user_id, ts, kind,
+         |    last_value(value IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts, kind, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |  FROM u)
+         |SELECT user_id, ts AS grid_ts, filled
+         |FROM f WHERE kind = 1""".stripMargin,
 
     "w6_ignore_nulls" ->
       """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
