@@ -1657,6 +1657,51 @@ object LlmPipeline {
           round(col("n_boiler").cast("double") / col("n_shingles"), 6))
     }),
 
+    // L22: TOKEN-BUDGET selection — "keep the best docs until the token
+    // budget is spent" (the step that turns a scored corpus into a
+    // training mix of a TARGET SIZE; l13 samples by strata, l5i packs
+    // what's already chosen — this decides WHAT is chosen). The naive
+    // form is a global quality sort + running sum = one partition
+    // sorting the corpus; the scale shape is BAND-CUTOFF: quantize the
+    // score to ~2k integer bands, roll up per-band token totals (hash
+    // agg), prefix-sum the TINY band table best-first (a driver-scale
+    // window), keep every band that fits wholesale — only the single
+    // CUTOFF band needs doc-level ordering, and its within-band prefix
+    // runs on 1/|bands| of the corpus (recurse the same banding if even
+    // that is too big). Greedy rule inside the cutoff band is
+    // prefix-truncation by doc_id (SQL-expressible, engine-agnostic).
+    // Budget = 30% of corpus tokens, computed in-query (scale-free).
+    "l22_budget_select" -> ((s, d) => {
+      val toks = toksExpr
+      val nStop = size(filter(toks,
+        t => t.isin("the", "a", "of", "and", "to")))
+      val nAlpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      val docs = Tables.documents(s, d)
+        .filter(size(toks) >= 1 && length(col("text")) >= 1)
+        .select(col("doc_id"), size(toks).as("n_toks"),
+          round((nStop.cast("double") / size(toks) +
+            nAlpha.cast("double") / length(col("text"))) * 1000, 0)
+            .cast("long").as("band"))
+      val tot = docs.agg(
+        floor(sum(col("n_toks")) * 0.3).cast("long").as("budget"))
+      val wB = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bandsCum = docs.groupBy("band")
+        .agg(sum(col("n_toks")).as("band_toks"))
+        .withColumn("cum_before",
+          coalesce(sum(col("band_toks")).over(wB), lit(0L)))
+      val wD = Window.partitionBy("band").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(bandsCum, Seq("band")).crossJoin(tot)
+        .withColumn("in_cum", sum(col("n_toks")).over(wD))
+        .withColumn("kept",
+          col("cum_before") + col("band_toks") <= col("budget") ||
+            (col("cum_before") < col("budget") &&
+              col("cum_before") + col("in_cum") <= col("budget")))
+        .select(col("doc_id"), col("band"), col("n_toks"),
+          col("budget"), col("kept"))
+    }),
+
     // L17: the END-TO-END training-data prep pipeline as ONE query — the
     // composition a user of this library actually ships, each stage the
     // idiom its standalone operator established: language filter →
@@ -2237,6 +2282,41 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l22_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, len(toks) AS n_toks,
+        |    CAST(round((
+        |      CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','of','and','to'], x))) AS DOUBLE) / len(toks)
+        |      + CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |          AS DOUBLE) / length(text)) * 1000, 0) AS BIGINT) AS band
+        |  FROM t WHERE len(toks) >= 1 AND length(text) >= 1),
+        |tot AS (
+        |  SELECT CAST(floor(SUM(n_toks) * 0.3) AS BIGINT) AS budget
+        |  FROM docs),
+        |bc AS (
+        |  SELECT band, SUM(n_toks) AS band_toks,
+        |    COALESCE(SUM(SUM(n_toks)) OVER (ORDER BY band DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM docs GROUP BY band),
+        |j AS (
+        |  SELECT d.doc_id, d.band, d.n_toks, bc.band_toks, bc.cum_before,
+        |    tot.budget,
+        |    SUM(d.n_toks) OVER (PARTITION BY d.band ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS in_cum
+        |  FROM docs d JOIN bc USING (band) CROSS JOIN tot)
+        |SELECT doc_id, band, n_toks, budget,
+        |  (cum_before + band_toks <= budget OR
+        |    (cum_before < budget AND cum_before + in_cum <= budget))
+        |    AS kept
+        |FROM j""".stripMargin,
 
     "l21_boilerplate" ->
       """WITH base AS (

@@ -1314,6 +1314,35 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("L22 law: budget respected and tight; band order monotone; cutoff kept-set is a prefix") {
+    val rows = SparkEntry.queries("l22_budget_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("band"),
+        r.getAs[Int]("n_toks").toLong,
+        r.getAs[Long]("budget"), r.getAs[Boolean]("kept")))
+    val budget = rows.head._4
+    val keptToks = rows.filter(_._5).map(_._3).sum
+    assert(keptToks <= budget, s"kept $keptToks exceeds budget $budget")
+    assert(rows.exists(_._5) && rows.exists(!_._5), "selection is vacuous")
+    // bands strictly better than the worst kept band are fully kept;
+    // bands strictly worse than the best unkept band are fully dropped
+    val minKeptBand = rows.filter(_._5).map(_._2).min
+    val maxDropBand = rows.filter(!_._5).map(_._2).max
+    assert(rows.filter(_._2 > maxDropBand).forall(_._5),
+      "a better band has an unkept doc while a worse band has kept ones")
+    assert(rows.filter(_._2 < minKeptBand).forall(!_._5),
+      "a worse band has a kept doc below the cutoff")
+    // inside the cutoff band the kept set is a doc_id prefix
+    if (minKeptBand == maxDropBand) {
+      val cut = rows.filter(_._2 == minKeptBand).sortBy(_._1)
+      val firstDrop = cut.indexWhere(!_._5)
+      assert(cut.drop(firstDrop).forall(!_._5),
+        "cutoff-band kept set is not a doc_id prefix")
+      // greedy tightness: the first dropped doc would not have fit
+      assert(keptToks + cut(firstDrop)._3 > budget,
+        "first dropped cutoff doc would still have fit — greedy not tight")
+    }
+  }
+
   test("S17 law: each run ingests only unseen files; a re-run is a strict no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_s17").toString
     val in = s"$dir/in"; val mf = s"$dir/mf"; val tg = s"$dir/tg"
