@@ -1657,6 +1657,72 @@ object LlmPipeline {
           round(col("n_boiler").cast("double") / col("n_shingles"), 6))
     }),
 
+    // L23: FUZZY eval-set decontamination — l10 catches verbatim
+    // 5-gram overlap; the leakage that actually poisons evals is the
+    // PARAPHRASED/near-copy form, so the production screen is l2b's
+    // machinery pointed across the train/eval split: minhash-band
+    // candidates (corpus side streams; the eval band table broadcasts —
+    // eval sets are bounded by construction, the l10 rule), then EXACT
+    // 3-gram-set Jaccard verification computed ONLY for candidate docs
+    // (semi-join prune before any item explode — the corpus never
+    // materializes its shingle sets outside LSH collisions), best eval
+    // match per corpus doc by (jaccard DESC, eval_id ASC) row_number
+    // (deterministic ties, §7.3), contaminated = J ≥ 0.5. The split has
+    // no organic cross-split near-copies at that strength, so each
+    // eval doc's text is planted into its successor (+3-token suffix,
+    // the l18 donor idiom): LSH must recall every planted pair at
+    // J≈0.85 while organic chunk-sharing candidates verify BELOW
+    // threshold — the wide-net/exact-trim two-stage the law test pins.
+    "l23_fuzzy_contamination" -> ((s, d) => {
+      val sEnc = s
+      import sEnc.implicits._
+      val raw = Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val donor = raw.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("donor_text"))
+      val base = raw.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 1 && col("donor_text").isNotNull,
+            concat(col("donor_text"), lit(" near duplicate copy")))
+            .otherwise(col("text")).as("text"))
+      val bands = minhashBandsOf(s, base)
+      val candPairs = bands.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bands.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("band"),
+            col("band_hash"))), Seq("band", "band_hash"))
+        .select(col("doc_id"), col("eval_id")).distinct()
+      val candDocs = candPairs.select(col("doc_id"))
+        .union(candPairs.select(col("eval_id"))).distinct()
+      val items = base.join(broadcast(candDocs), Seq("doc_id"))
+        .as[(Long, String)].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val toks = text.split(" +").filter(_.nonEmpty)
+            sortedDistinct(clampedNgrams(toks, 3)
+              .map(g => md5_60(md, g)).toArray).map(h => (id, h))
+          }
+        }.toDF("doc_id", "h")
+      val sizes = items.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candPairs.join(items, Seq("doc_id"))
+        .join(items.select(col("doc_id").as("eval_id"), col("h")),
+          Seq("eval_id", "h"))
+        .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_inter"))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("eval_id").asc)
+      candPairs
+        .join(inter, Seq("doc_id", "eval_id"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(sizes.select(col("doc_id"), col("n").as("n_a")), Seq("doc_id"))
+        .join(sizes.select(col("doc_id").as("eval_id"), col("n").as("n_b")),
+          Seq("eval_id"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("eval_id"), col("n_inter"),
+          col("jaccard"), (col("jaccard") >= 0.5).as("contaminated"))
+    }),
+
     // L22: TOKEN-BUDGET selection — "keep the best docs until the token
     // budget is spent" (the step that turns a scored corpus into a
     // training mix of a TARGET SIZE; l13 samples by strata, l5i packs
@@ -2282,6 +2348,70 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l23_fuzzy_contamination" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min((h * ${minHashA(i)} + ${minHashB(i)}) % $MinHashP) AS m$i")
+        .mkString(",\n  ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', m${2 * b}, " +
+          s"m${2 * b + 1}, '$b')) AS band_hash FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH raw AS (
+         |  SELECT doc_id, lower(text) AS text FROM documents),
+         |base AS (
+         |  SELECT r.doc_id,
+         |    CASE WHEN r.doc_id % 97 = 1 AND d.text IS NOT NULL
+         |      THEN d.text || ' near duplicate copy' ELSE r.text END AS text
+         |  FROM raw r LEFT JOIN raw d ON d.doc_id = r.doc_id - 1),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS toks
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+         |                   toks[CAST(i AS INTEGER) + 1],
+         |                   toks[CAST(i AS INTEGER) + 2]))) AS sh
+         |  FROM docs),
+         |h0 AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh),
+         |items AS (SELECT DISTINCT doc_id, h FROM h0),
+         |hb AS (SELECT doc_id, h % $MinHashP AS h FROM h0),
+         |sig AS (SELECT doc_id, $lanes FROM hb GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+         |  FROM bands c JOIN bands e
+         |    ON c.band = e.band AND c.band_hash = e.band_hash
+         |  WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM items GROUP BY 1),
+         |inter AS (
+         |  SELECT cand.doc_id, cand.eval_id, COUNT(*) AS n_inter
+         |  FROM cand
+         |  JOIN items a ON a.doc_id = cand.doc_id
+         |  JOIN items b ON b.doc_id = cand.eval_id AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT cand.doc_id, cand.eval_id,
+         |    COALESCE(n_inter, 0) AS n_inter,
+         |    round(CAST(COALESCE(n_inter, 0) AS DOUBLE) /
+         |      (sa.n + sb.n - COALESCE(n_inter, 0)), 6) AS jaccard
+         |  FROM cand
+         |  LEFT JOIN inter ON inter.doc_id = cand.doc_id
+         |    AND inter.eval_id = cand.eval_id
+         |  JOIN sizes sa ON sa.doc_id = cand.doc_id
+         |  JOIN sizes sb ON sb.doc_id = cand.eval_id)
+         |SELECT doc_id, eval_id, n_inter, jaccard,
+         |  jaccard >= 0.5 AS contaminated
+         |FROM j
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY jaccard DESC, eval_id ASC) = 1"""
+        .stripMargin
+    },
 
     "l22_budget_select" ->
       """WITH t AS (

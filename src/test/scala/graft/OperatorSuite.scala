@@ -1314,6 +1314,24 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(drift == 0L, s"scrub not idempotent on $drift docs")
   }
 
+  test("L23 law: LSH recalls every planted cross-split near-copy; verdicts obey the threshold") {
+    val rows = SparkEntry.queries("l23_fuzzy_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"), r.getAs[Boolean]("contaminated")))
+    val maxId = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    // every eval doc's planted successor must be caught, matched to its
+    // own donor, at near-copy strength
+    (0L to maxId by 97L).filter(_ + 1 <= maxId).foreach { e =>
+      val hit = rows.find(_._1 == e + 1)
+      assert(hit.isDefined, s"planted near-copy ${e + 1} of eval $e not recalled")
+      assert(hit.get._2 == e && hit.get._4 && hit.get._3 >= 0.5,
+        s"planted pair (${e + 1}, $e) mis-verified: $hit")
+    }
+    // verdict is exactly the threshold rule on the reported jaccard
+    assert(rows.forall(r => r._4 == (r._3 >= 0.5)))
+  }
+
   test("L22 law: budget respected and tight; band order monotone; cutoff kept-set is a prefix") {
     val rows = SparkEntry.queries("l22_budget_select")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("band"),
