@@ -53,7 +53,13 @@ object PlanDump {
       "l4f_pq_ann" -> "PQ ANN: codegen'd per-row code assignment (no shuffle), ADC via CASE lookups against the broadcast query side, exact re-rank only on the broadcast shortlist",
       "w7_sessionize" -> "batch sessionization: lag + running sum + rollup over ONE user exchange, no self-join, no state store",
       "y29_bootstrap_seam" -> "bootstrap seam: one interval window over the log, three cursor variants from a 1-row broadcast, full-replay compare",
-      "y30_dq_constraints" -> "DQ audit: N row-local checks as conditional counts in ONE aggregate, FK as a broadcast anti-join")
+      "y30_dq_constraints" -> "DQ audit: N row-local checks as conditional counts in ONE aggregate, FK as a broadcast anti-join",
+      "s16_bucketed_join" -> "bucketed co-located join: SortMergeJoin straight off the bucketed scans, ZERO Exchange on either side",
+      "l20_cdc_chunks" -> "content-defined chunking: compiled per-doc kernel (zero shuffle), chunk-hash collision aggregate only",
+      "l22_budget_select" -> "token-budget selection: band-cutoff instead of a global quality sort — tiny band-table prefix window, doc-level pass only inside the cutoff band",
+      "l23_fuzzy_contamination" -> "fuzzy decontamination: corpus streams through the broadcast eval band table, exact-Jaccard verify only on LSH candidates",
+      "y34_scd2_vacuum" -> "SCD2 vacuum: one (user) window builds history, vacuum is a filter, as-of certification via hash-agg summaries",
+      "w10_resample" -> "grid resampling: per-user bounded sequence explode + union-tag LOCF window, one exchange")
     val sb = new StringBuilder
     sb.append("# PLANS — `explain formatted` for the headline queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` at $sf. These are the plans the\n")
