@@ -170,6 +170,36 @@ object Aggregates {
              round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
         .orderBy("o_orderstatus")),
 
+    // A19: the SKETCHED percentile + its contract — a7's exact
+    // percentile is a sort-heavy per-group pass you stop affording at
+    // 100 TB; the production path is approx_percentile's mergeable
+    // GK/KLL sketch (partial+final, one scan, bounded state), and what
+    // makes it usable is the CONTRACT: rank error ≤ 1/accuracy. The
+    // audit re-derives the returned value's actual rank fraction with a
+    // second grouped pass and asserts |rank/n − 0.5| ≤ 1/accuracy +
+    // 1/n (discreteness slack) — the a5/l18 audit idiom: the sketch
+    // value itself is engine-specific so it stays OUT of the output;
+    // the oracle checks the exact median, the group sizes, and the
+    // verdict as a constant TRUE.
+    "a19_percentile_sketch" -> ((s, d) => {
+      val facts = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      val sk = facts.groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)")
+          .as("approx_med"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 4)
+            .as("med_exact"),
+          count(lit(1)).as("n"))
+      facts.join(sk, Seq("o_orderstatus"))
+        .groupBy(col("o_orderstatus"), col("med_exact"), col("n"))
+        .agg(sum(when(col("o_totalprice") <= col("approx_med"), 1L)
+          .otherwise(0L)).as("rank_le"))
+        .select(col("o_orderstatus"), col("n"), col("med_exact"),
+          (abs(col("rank_le").cast("double") / col("n") - 0.5) <=
+            lit(0.001) + lit(1.0) / col("n")).as("within_bound"))
+        .orderBy("o_orderstatus")
+    }),
+
     // A8: min_by/max_by — "latest/argmax-wins", the sync-merge primitive.
     // o_totalprice is a continuous random double → tie-free in practice;
     // ties would still be deterministic per-engine but could diverge, so
@@ -372,6 +402,13 @@ object Aggregates {
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
         |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a19_percentile_sketch" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med_exact,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin,
 
     "a8_minby_maxby" ->
       s"""SELECT o_orderpriority,
