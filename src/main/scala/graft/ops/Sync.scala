@@ -1383,6 +1383,60 @@ object Sync {
         .withColumnRenamed("sum_value", "sum_price")
         .withColumnRenamed("n_rows", "n_orders")),
 
+    // Y35: INCREMENTAL TOP-K maintenance — y9 maintains SUM/COUNT from
+    // deltas because those are self-maintainable; ORDER BY state is
+    // NOT: a delete of a top-k member needs the k+1th row, which pure
+    // k-row state discarded (the classic incremental-view-maintenance
+    // gap). The production fix is a BUFFER: state keeps top-2k per
+    // group, a refresh replays only (state survivors ∪ delta upserts) —
+    // never the fact table — and the result is PROVABLY the true top-k
+    // whenever removals from state ≤ k (survivors then still contain
+    // the true top-k among untouched rows); a group that burns more
+    // than its k-row surplus raises needs_rescan instead of silently
+    // serving wrong ranks. Survivorship is judged by generic value
+    // compare (key present AND sort value unchanged), not by knowledge
+    // of the mutation; upserts are the standard I/U delta (new key or
+    // changed value). The maintained result is deterministic either
+    // way, so the oracle replays the identical CTE chain; the
+    // maintained ≡ full-recompute law (for unflagged groups) lives in
+    // OperatorSuite.
+    "y35_incremental_topk" -> ((s, d) => {
+      val k = 3
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val state = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2 * k).drop("rn")
+      val src = sourceView(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+      val survivors = state.join(
+        src.select(col("o_orderkey"), col("o_totalprice").as("src_price")),
+        Seq("o_orderkey"))
+        .filter(col("o_totalprice") === col("src_price")).drop("src_price")
+      val upserts = src.join(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice").as("old_price")),
+        Seq("o_orderkey"), "left")
+        .filter(col("old_price").isNull ||
+          col("old_price") =!= col("o_totalprice")).drop("old_price")
+      val removed = state.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_state"))
+        .join(survivors.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_surv")), Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"),
+          (col("n_state") - coalesce(col("n_surv"), lit(0L)))
+            .as("n_removed"))
+      survivors.unionByName(upserts)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .join(removed, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"), col("n_removed"),
+          (col("n_removed") > k).as("needs_rescan"))
+    }),
+
     "y8_incremental_apply" -> ((s, d) => {
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
       // One full-data shuffle: latest row per (user, side) where side
@@ -2272,6 +2326,40 @@ object Sync {
          |FROM ev
          |WHERE event_type IN ('signup', 'purchase', 'error')
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "y35_incremental_topk" ->
+      s"""WITH $sourceCte,
+         |state AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         |    SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |      row_number() OVER (PARTITION BY o_orderpriority
+         |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |    FROM orders) WHERE rn <= 6),
+         |surv AS (
+         |  SELECT st.o_orderpriority, st.o_orderkey, st.o_totalprice
+         |  FROM state st JOIN src ON st.o_orderkey = src.o_orderkey
+         |    AND st.o_totalprice = src.o_totalprice),
+         |ups AS (
+         |  SELECT src.o_orderpriority, src.o_orderkey, src.o_totalprice
+         |  FROM src LEFT JOIN orders o ON src.o_orderkey = o.o_orderkey
+         |  WHERE o.o_orderkey IS NULL
+         |     OR o.o_totalprice <> src.o_totalprice),
+         |rem AS (
+         |  SELECT st.o_orderpriority,
+         |    COUNT(*) - COUNT(sv.o_orderkey) AS n_removed
+         |  FROM state st LEFT JOIN surv sv
+         |    ON st.o_orderkey = sv.o_orderkey
+         |  GROUP BY 1),
+         |u AS (SELECT * FROM surv UNION ALL SELECT * FROM ups),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+         |  FROM u)
+         |SELECT r.o_orderpriority, CAST(rank AS INTEGER) AS rank,
+         |  o_orderkey, o_totalprice, n_removed,
+         |  n_removed > 3 AS needs_rescan
+         |FROM r JOIN rem USING (o_orderpriority)
+         |WHERE rank <= 3""".stripMargin,
 
     "y34_scd2_vacuum" ->
       s"""WITH $evCte,

@@ -1394,6 +1394,29 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       s"organic text got flagged on ${odd.count(_._2 > 0)} docs — threshold too low")
   }
 
+  test("Y35 law: maintained top-k equals the full recompute wherever the buffer holds") {
+    val out = SparkEntry.queries("y35_incremental_topk")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getAs[Long]("n_removed"), r.getAs[Boolean]("needs_rescan")))
+    // ground truth: top-3 recomputed from the whole mutated source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val truth = Sync.sourceView(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    out.filter(!_._5).foreach { case (p, rank, key, _, _) =>
+      assert(truth((p, rank)) == key,
+        s"maintained top-$rank of '$p' diverges from the recompute")
+    }
+    // the delta actually touched the state (deletes/updates in top-6)
+    assert(out.map(t => t._1 -> t._4).distinct.map(_._2).sum > 0,
+      "no state churn — the maintenance demo is vacuous")
+    assert(out.map(_._1).distinct.size == 5 && out.length == 15)
+  }
+
   test("Y34 law: vacuum keeps as-of-horizon answers and current versions; purge is real") {
     val out = SparkEntry.queries("y34_scd2_vacuum")(spark, sf).collect()
     assert(out.nonEmpty)
