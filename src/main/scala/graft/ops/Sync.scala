@@ -154,6 +154,67 @@ object Sync {
     * The sweep is session-wide (CacheManager + explicit RDD persists) —
     * callers holding their OWN caches across the call should unpersist
     * the operator's plan selectively instead. */
+  /** Y36 staged-publish primitives: write → validate → rename → pointer
+    * swap. A reader NEVER lists data directories; it resolves the tiny
+    * `_CURRENT` pointer file and reads exactly that versioned dir (the
+    * version-hint idiom). Publish order makes every failure mode safe:
+    * data lands in `_staging_v{n}` (invisible — no reader resolves it),
+    * validation runs on the RE-READ staged files (catches write
+    * corruption, not just input bugs), only then the dir renames to
+    * `v{n}` and the pointer swaps. A publish that dies or fails
+    * validation before the pointer swap leaves the previous version
+    * fully live and at worst an unreferenced staging dir (GC-able).
+    * The pointer swap itself is write-tmp → delete → rename; on HDFS/
+    * object stores with atomic rename-overwrite it is one rename —
+    * the delete+rename pair here is the local-FS approximation
+    * (documented, not hidden). */
+  private[graft] def publish(s: SparkSession, df: DataFrame, root: String,
+      version: Int, validate: DataFrame => Boolean): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$root/_staging_v$version")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (!validate(s.read.parquet(staging.toString))) {
+      fs.delete(staging, true) // abort BEFORE any reader-visible change
+      return false
+    }
+    fs.rename(staging, new Path(s"$root/v$version"))
+    val tmp = new Path(s"$root/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$version".getBytes("UTF-8")); out.close()
+    val cur = new Path(s"$root/_CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+    true
+  }
+
+  /** Rollback/forward: repoint `_CURRENT` at an already-published
+    * version (no data movement — the versioned dirs are immutable). */
+  private[graft] def repoint(s: SparkSession, root: String,
+      version: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$root/v$version")),
+      s"cannot repoint to unpublished v$version")
+    val tmp = new Path(s"$root/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$version".getBytes("UTF-8")); out.close()
+    val cur = new Path(s"$root/_CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+  }
+
+  /** Resolve the `_CURRENT` pointer and open exactly that version. */
+  private[graft] def readPublished(s: SparkSession, root: String)
+      : (String, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$root/_CURRENT"))
+    val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    in.close()
+    (v, s.read.parquet(s"$root/$v"))
+  }
+
   def collectAndSweep(df: DataFrame): Array[org.apache.spark.sql.Row] = {
     val spark = df.sparkSession
     try df.collect()
@@ -1383,6 +1444,38 @@ object Sync {
         .withColumnRenamed("sum_value", "sum_price")
         .withColumnRenamed("n_rows", "n_orders")),
 
+    // Y36: STAGED ATOMIC PUBLISH — the blue/green snapshot swap every
+    // warehouse table wants under concurrent readers: queries must see
+    // EITHER the old snapshot or the new one, never a half-written mix
+    // (a plain overwrite-in-place shows readers a deleted/partial dir
+    // for the whole rewrite). See [[publish]]/[[readPublished]] for the
+    // write→validate→rename→pointer protocol. The query runs the full
+    // lifecycle: v1 = the target snapshot, v2 = the drifted source
+    // (the real refresh), then a POISONED v3 (empty frame) whose
+    // validation fails → publish aborts before the pointer swap; the
+    // reader must resolve v2, bit-identical to the source CTE — so the
+    // oracle hash certifies both the swap and the abort. Rollback =
+    // pointing `_CURRENT` back at v1, which the v2 publish left intact
+    // (the law test exercises it).
+    "y36_staged_publish" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stage", "y36_pub").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      publish(s, Tables.orders(s, d), root, 1, _.head(1).nonEmpty)
+      publish(s, sourceView(s, d), root, 2, _.head(1).nonEmpty)
+      val ok3 = publish(s, Tables.orders(s, d).filter(lit(false)),
+        root, 3, _.head(1).nonEmpty)
+      val (v, cur) = readPublished(s, root)
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("current_version", lit(v))
+        .withColumn("abort_left_v2_live", lit(!ok3 && v == "v2"))
+    }),
+
     // Y35: INCREMENTAL TOP-K maintenance — y9 maintains SUM/COUNT from
     // deltas because those are self-maintainable; ORDER BY state is
     // NOT: a delete of a top-k member needs the k+1th row, which pure
@@ -2326,6 +2419,14 @@ object Sync {
          |FROM ev
          |WHERE event_type IN ('signup', 'purchase', 'error')
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "y36_staged_publish" ->
+      s"""WITH $sourceCte
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  'v2' AS current_version, TRUE AS abort_left_v2_live
+         |FROM src""".stripMargin,
 
     "y35_incremental_topk" ->
       s"""WITH $sourceCte,

@@ -1394,6 +1394,30 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       s"organic text got flagged on ${odd.count(_._2 > 0)} docs — threshold too low")
   }
 
+  test("Y36 law: readers see v2 after an aborted publish; rollback restores v1 bit-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_y36").toString + "/pub"
+    val v1 = Tables.orders(spark, sf)
+    val v2 = Sync.sourceView(spark, sf)
+    assert(Sync.publish(spark, v1, root, 1, _.head(1).nonEmpty))
+    assert(Sync.publish(spark, v2, root, 2, _.head(1).nonEmpty))
+    // poisoned publish: fails validation, must not become visible
+    assert(!Sync.publish(spark, v1.filter(col("o_orderkey") < 0), root, 3,
+      _.head(1).nonEmpty))
+    val (ver, cur) = Sync.readPublished(spark, root)
+    assert(ver == "v2" && cur.count() == v2.count(),
+      "aborted publish disturbed the live version")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staging_v3")),
+      "aborted publish leaked its staging dir")
+    // rollback: repoint only — v1's files were never touched by v2/v3
+    Sync.repoint(spark, root, 1)
+    val (ver2, back) = Sync.readPublished(spark, root)
+    assert(ver2 == "v1")
+    assert(back.exceptAll(v1).isEmpty && v1.exceptAll(back).isEmpty,
+      "rollback did not restore v1 bit-identically")
+  }
+
   test("Y35 law: maintained top-k equals the full recompute wherever the buffer holds") {
     val out = SparkEntry.queries("y35_incremental_topk")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
