@@ -470,6 +470,55 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"level-1 year plan should be shared (persisted), not recomputed per side:\n$p")
   }
 
+  test("J11b: AQE splits the skewed join partition at runtime — the built-in twin of manual salting") {
+    // j11 salts by hand because pre-AQE engines made you; the modern
+    // default is to let AQE detect the oversized post-shuffle partition
+    // and split it against a replicated slice of the other side. Pin
+    // that the machinery actually fires: a 99%-one-key join, thresholds
+    // lowered so the test corpus trips them, and the FINAL adaptive
+    // plan must carry the skew=true SortMergeJoin marker. Confs are
+    // runtime-settable (adaptive.*) and restored afterwards so no other
+    // audit inherits them.
+    val spark0 = spark
+    import spark0.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      // both thresholds: the static planner AND AQE's re-plan each have
+      // their own broadcast conf, and either one would turn the SMJ into
+      // a broadcast join that has no skew problem to split
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000)
+        .select((when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS QueryExecution (count()/write() each wrap the query
+      // in a NEW plan and would leave joined's own adaptive plan
+      // unfinalized); toRdd is the physical RDD of exactly this plan
+      val qe = joined.queryExecution
+      assert(qe.toRdd.count() > 0)
+      val p = qe.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"adaptive plan not finalized:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ under AQE:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE did not mark/split the skewed partition:\n$p")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("S16 bucketed join: SortMergeJoin with ZERO Exchange on either side") {
     // the whole point of bucketBy: both sides pre-hashed on the join key
     // at write time, so the join plans no shuffle at all — bucket i
