@@ -1657,6 +1657,40 @@ object LlmPipeline {
           round(col("n_boiler").cast("double") / col("n_shingles"), 6))
     }),
 
+    // L24: DEDUP THRESHOLD TUNING CURVE — the question every near-dup
+    // deployment actually faces is not "compute Jaccard" but "which
+    // threshold": too low merges distinct docs, too high leaks dups.
+    // The affordable way to answer it at 100 TB: build the blocked pair
+    // table ONCE at a low floor (the l2d engine — the expensive part),
+    // then sweep every candidate threshold as conditional aggregation
+    // over that bounded pair table — 8 thresholds cost one dedup run,
+    // not eight. Output: (threshold, surviving pair count, docs touched)
+    // — the curve you read the knee off; thresholds that kill every
+    // pair still appear as explicit zero rows (LEFT JOIN from the
+    // threshold frame, so the curve's tail is visible, not missing).
+    "l24_threshold_sweep" -> ((s, d) => {
+      val pairs = blockedJaccard(s, d, 0.01, lower(col("text")),
+        wordBigramItems)
+      // log-ish ladder covering where this corpus's pair mass actually
+      // sits (measured: bulk at J 0.01-0.08, one near-dup at 0.97) — a
+      // linear 0.1..0.8 ladder read as a flat line and taught nothing
+      val ths = array(Seq(0.02, 0.03, 0.05, 0.08, 0.1, 0.2, 0.5, 0.9)
+        .map(lit): _*)
+      val tFrame = s.range(1).select(explode(ths).as("threshold"))
+      val pt = pairs.crossJoin(tFrame)
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = pt.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = pt.select(col("threshold"),
+          explode(array(col("id_a"), col("id_b"))).as("docid"))
+        .groupBy("threshold").agg(countDistinct(col("docid")).as("n_docs"))
+      tFrame.join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("threshold")
+    }),
+
     // L23: FUZZY eval-set decontamination — l10 catches verbatim
     // 5-gram overlap; the leakage that actually poisons evals is the
     // PARAPHRASED/near-copy form, so the production screen is l2b's
@@ -2348,6 +2382,41 @@ object LlmPipeline {
          |  ${dotSql("qv", "a.v")} /
          |    (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("a.v", "a.v")})) DESC,
          |  a.vec_id ASC) = 1""".stripMargin,
+
+    "l24_threshold_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 50 AS INTEGER) AS lenb,
+        |    list_filter(string_split_regex(lower(text), ' +'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source, lenb,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks), 1)),
+        |      i -> CAST('0x' || substr(md5(concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |                     toks[CAST(i AS INTEGER) + 1])), 1, 15) AS BIGINT))) AS gs
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |          (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.lenb = b.lenb
+        |   AND a.doc_id < b.doc_id AND len(a.gs) > 0 AND len(b.gs) > 0
+        |  WHERE round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |              (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) > 0.01),
+        |t AS (SELECT unnest([0.02, 0.03, 0.05, 0.08, 0.1, 0.2, 0.5, 0.9]) AS threshold),
+        |pt AS (
+        |  SELECT t.threshold, p.id_a, p.id_b
+        |  FROM t JOIN pairs p ON p.jaccard >= t.threshold),
+        |np AS (SELECT threshold, COUNT(*) AS n_pairs FROM pt GROUP BY 1),
+        |nd AS (
+        |  SELECT threshold, COUNT(DISTINCT docid) AS n_docs FROM (
+        |    SELECT threshold, unnest([id_a, id_b]) AS docid FROM pt)
+        |  GROUP BY 1)
+        |SELECT t.threshold, COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_docs, 0) AS n_docs
+        |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+        |ORDER BY t.threshold""".stripMargin,
 
     "l23_fuzzy_contamination" -> {
       val lanes = (0 until 8).map(i =>
