@@ -204,6 +204,29 @@ object Sync {
     fs.rename(tmp, cur)
   }
 
+  /** Y37: GC for [[publish]]'s immutable version dirs — keep the live
+    * version plus the `keepPrevious` most recent published BEFORE it
+    * (the rollback window), delete everything older plus any orphaned
+    * staging dirs. Never touches the pointer, so a concurrent reader
+    * that already resolved `_CURRENT` keeps reading files GC never
+    * deletes; versions AFTER current (a rolled-back v3) also survive —
+    * rollback-forward stays possible. Returns the deleted dir names. */
+  private[graft] def gcPublished(s: SparkSession, root: String,
+      keepPrevious: Int): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (curName, _) = readPublished(s, root)
+    val cur = curName.stripPrefix("v").toInt
+    val dirs = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    val doomed = dirs.filter { n =>
+      (n.startsWith("_staging_v")) ||
+      (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toInt < cur - keepPrevious)
+    }.sorted
+    doomed.foreach(n => fs.delete(new Path(s"$root/$n"), true))
+    doomed
+  }
+
   /** Resolve the `_CURRENT` pointer and open exactly that version. */
   private[graft] def readPublished(s: SparkSession, root: String)
       : (String, DataFrame) = {
@@ -1476,6 +1499,37 @@ object Sync {
         .withColumn("abort_left_v2_live", lit(!ok3 && v == "v2"))
     }),
 
+    // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
+    // behind by design (immutability is what makes rollback free), so a
+    // steady-state publisher needs the companion collector: keep the
+    // live version + a bounded rollback window, reap older dirs and
+    // orphaned stagings ([[gcPublished]]). Safety comes from what GC
+    // NEVER touches: the pointer, the current dir, the window — a
+    // reader mid-query keeps its files; rollback within the window
+    // stays possible and outside it fails loudly (repoint's require).
+    // Lifecycle here: v1 → v2 → v3 published, GC(keepPrevious=1) reaps
+    // exactly v1; the output aggregates the live v3 and carries the
+    // reaped list + the rollback target's row count, all oracle-derivable.
+    "y37_publish_gc" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_stage", "y37_pub").toString
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+      publish(s, Tables.orders(s, d), root, 1, _.head(1).nonEmpty)
+      publish(s, sourceView(s, d), root, 2, _.head(1).nonEmpty)
+      publish(s, Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0),
+        root, 3, _.head(1).nonEmpty)
+      val deleted = gcPublished(s, root, keepPrevious = 1)
+      val (v, cur) = readPublished(s, root)
+      val rollbackRows = s.read.parquet(s"$root/v2").count()
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("current_version", lit(v))
+        .withColumn("n_deleted", lit(deleted.size.toLong))
+        .withColumn("deleted_dirs", lit(deleted.mkString(",")))
+        .withColumn("rollback_rows", lit(rollbackRows))
+    }),
+
     // Y35: INCREMENTAL TOP-K maintenance — y9 maintains SUM/COUNT from
     // deltas because those are self-maintainable; ORDER BY state is
     // NOT: a delete of a top-k member needs the k+1th row, which pure
@@ -2419,6 +2473,15 @@ object Sync {
          |FROM ev
          |WHERE event_type IN ('signup', 'purchase', 'error')
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "y37_publish_gc" ->
+      s"""WITH $sourceCte
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  'v3' AS current_version, CAST(1 AS BIGINT) AS n_deleted,
+         |  'v1' AS deleted_dirs,
+         |  (SELECT COUNT(*) FROM src) AS rollback_rows
+         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     "y36_staged_publish" ->
       s"""WITH $sourceCte

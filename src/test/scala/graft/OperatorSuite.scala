@@ -1418,6 +1418,26 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "rollback did not restore v1 bit-identically")
   }
 
+  test("Y37 law: GC spares the window and the live version; rollback outside the window refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_y37").toString + "/pub"
+    val v2data = Sync.sourceView(spark, sf)
+    Sync.publish(spark, Tables.orders(spark, sf), root, 1, _.head(1).nonEmpty)
+    Sync.publish(spark, v2data, root, 2, _.head(1).nonEmpty)
+    Sync.publish(spark, Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0), root, 3, _.head(1).nonEmpty)
+    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1)
+    assert(doomed == Seq("v1"), s"GC reaped the wrong set: $doomed")
+    // the rollback window survived bit-identically and is still usable
+    val v2 = spark.read.parquet(s"$root/v2")
+    assert(v2.exceptAll(v2data).isEmpty && v2data.exceptAll(v2).isEmpty)
+    Sync.repoint(spark, root, 2)
+    assert(Sync.readPublished(spark, root)._1 == "v2")
+    // outside the window the rollback fails loudly, never half-works
+    intercept[IllegalArgumentException] { Sync.repoint(spark, root, 1) }
+    assert(Sync.readPublished(spark, root)._1 == "v2",
+      "failed repoint disturbed the pointer")
+  }
+
   test("Y35 law: maintained top-k equals the full recompute wherever the buffer holds") {
     val out = SparkEntry.queries("y35_incremental_topk")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
