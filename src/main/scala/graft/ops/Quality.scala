@@ -89,19 +89,24 @@ object Quality {
           count_distinct(col(u.col)).as(s"__u$i") }
     val row = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
     val total = row.getAs[Long]("__total")
-    val fkCounts = checks.collect { case f: FkExists =>
-      f.name -> df.filter(col(f.col).isNotNull)
-        .join(broadcast(f.dim.select(col(f.dimCol).as(f.col)).distinct()),
-          Seq(f.col), "left_anti")
-        .count()
-    }.toMap
-    val localMap = rowLocal.zipWithIndex.map { case ((n, _), i) =>
-      n -> row.getAs[Long](s"__v$i") }.toMap
-    val uniqueMap = uniques.zipWithIndex.map { case (u, i) =>
-      u.name -> (total - row.getAs[Long](s"__u$i")) }.toMap
-    val all = localMap ++ uniqueMap ++ fkCounts
+    // Results are consumed POSITIONALLY (per-kind running counters), not
+    // through a name-keyed map: Check.name omits parameters, so two
+    // InRange checks on the same column share a name and a map would
+    // silently collapse them onto one count.
+    var li = 0; var ui = 0
     checks.zipWithIndex.map { case (c, i) =>
-      (i, c.name, all(c.name), total, all(c.name) == 0L)
+      val violations = c match {
+        case _: Unique =>
+          val v = total - row.getAs[Long](s"__u$ui"); ui += 1; v
+        case f: FkExists =>
+          df.filter(col(f.col).isNotNull)
+            .join(broadcast(f.dim.select(col(f.dimCol).as(f.col)).distinct()),
+              Seq(f.col), "left_anti")
+            .count()
+        case _ =>
+          val v = row.getAs[Long](s"__v$li"); li += 1; v
+      }
+      (i, c.name, violations, total, violations == 0L)
     }.toDF("check_idx", "constraint", "violations", "total", "pass")
   }
 }

@@ -11,8 +11,16 @@ import java.nio.file.{Files, Paths}
   */
 object Sources {
 
-  private def stage(sub: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stage", sub)
+  /** Scratch path for a side-effectful query's staging dir. Suffixed
+    * with the Spark applicationId so two concurrent sessions running
+    * the suite on one machine cannot race on (or cross-read) each
+    * other's staged files; within one session the queries stay
+    * single-writer by the Verify/Bench once-per-query call discipline
+    * (README "concurrency model"). */
+  private[graft] def stage(sub: String): String = {
+    val app = org.apache.spark.sql.SparkSession.active
+      .sparkContext.applicationId
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stage", app, sub)
     Files.createDirectories(p.getParent)
     p.toString
   }

@@ -178,14 +178,38 @@ object Sync {
       fs.delete(staging, true) // abort BEFORE any reader-visible change
       return false
     }
-    fs.rename(staging, new Path(s"$root/v$version"))
+    // rename result MUST be checked: on local FS a leftover v{n} dir (a
+    // prior partial run) makes rename return false or NEST the staging
+    // dir inside it (mv semantics — "success" with the wrong layout) —
+    // swapping the pointer anyway would publish a missing/stale version.
+    // The existence pre-check makes both failure shapes a deterministic
+    // refusal BEFORE any reader-visible change.
+    val finalDir = new Path(s"$root/v$version")
+    if (fs.exists(finalDir) || !fs.rename(staging, finalDir)) {
+      fs.delete(staging, true)
+      return false
+    }
+    swapPointer(fs, root, version)
+    true
+  }
+
+  /** Atomically (best-effort on local FS) swap `_CURRENT` to v{version}.
+    * Both failure points are loud: a failed tmp write throws from
+    * `create`, and a failed final rename throws here — at that point the
+    * data dir is already live but unreferenced, and the previous version
+    * is untouched, so a retry (or a manual repoint) fully recovers. */
+  private def swapPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, version: Int): Unit = {
+    import org.apache.hadoop.fs.Path
     val tmp = new Path(s"$root/_CURRENT.tmp")
     val out = fs.create(tmp, true)
     out.write(s"v$version".getBytes("UTF-8")); out.close()
     val cur = new Path(s"$root/_CURRENT")
     if (fs.exists(cur)) fs.delete(cur, false)
-    fs.rename(tmp, cur)
-    true
+    if (!fs.rename(tmp, cur))
+      throw new IllegalStateException(
+        s"publish: pointer swap rename failed for $root -> v$version; " +
+          "previous versions are intact, retry or repoint manually")
   }
 
   /** Rollback/forward: repoint `_CURRENT` at an already-published
@@ -196,21 +220,24 @@ object Sync {
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(s"$root/v$version")),
       s"cannot repoint to unpublished v$version")
-    val tmp = new Path(s"$root/_CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    out.write(s"v$version".getBytes("UTF-8")); out.close()
-    val cur = new Path(s"$root/_CURRENT")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    fs.rename(tmp, cur)
+    swapPointer(fs, root, version)
   }
 
   /** Y37: GC for [[publish]]'s immutable version dirs — keep the live
-    * version plus the `keepPrevious` most recent published BEFORE it
-    * (the rollback window), delete everything older plus any orphaned
-    * staging dirs. Never touches the pointer, so a concurrent reader
-    * that already resolved `_CURRENT` keeps reading files GC never
-    * deletes; versions AFTER current (a rolled-back v3) also survive —
-    * rollback-forward stays possible. Returns the deleted dir names. */
+    * version plus the `keepPrevious` most recent published versions
+    * BEFORE it (the rollback window), delete everything older plus any
+    * orphaned staging dirs. The window is computed by RANK over the
+    * versions that actually exist, not by numeric distance — with sparse
+    * numbering (v1, v5, v9) "keep 1 previous" keeps v5, exactly the
+    * documented contract. Never touches the pointer, so a concurrent
+    * reader that already resolved `_CURRENT` keeps reading files GC
+    * never deletes; versions AFTER current (a rolled-back v3) also
+    * survive — rollback-forward stays possible. Staging-dir reaping
+    * assumes the SINGLE-WRITER discipline the publish protocol is built
+    * on (README "concurrency model"): a concurrent in-flight publisher's
+    * `_staging_v*` dir is indistinguishable from an orphan here, so run
+    * GC from the same scheduler slot as the publisher, never beside it.
+    * Returns the deleted dir names. */
   private[graft] def gcPublished(s: SparkSession, root: String,
       keepPrevious: Int): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -218,10 +245,14 @@ object Sync {
     val (curName, _) = readPublished(s, root)
     val cur = curName.stripPrefix("v").toInt
     val dirs = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    def versionOf(n: String): Option[Int] =
+      if (n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit)) Some(n.drop(1).toInt) else None
+    val keep = dirs.flatMap(versionOf).filter(_ < cur)
+      .sorted.takeRight(keepPrevious).toSet
     val doomed = dirs.filter { n =>
-      (n.startsWith("_staging_v")) ||
-      (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-        n.drop(1).toInt < cur - keepPrevious)
+      n.startsWith("_staging_v") ||
+        versionOf(n).exists(v => v < cur && !keep(v))
     }.sorted
     doomed.foreach(n => fs.delete(new Path(s"$root/$n"), true))
     doomed
@@ -1481,8 +1512,7 @@ object Sync {
     // pointing `_CURRENT` back at v1, which the v2 publish left intact
     // (the law test exercises it).
     "y36_staged_publish" -> ((s, d) => {
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stage", "y36_pub").toString
+      val root = Sources.stage("y36_pub")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1511,8 +1541,7 @@ object Sync {
     // exactly v1; the output aggregates the live v3 and carries the
     // reaped list + the rollback target's row count, all oracle-derivable.
     "y37_publish_gc" -> ((s, d) => {
-      val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stage", "y37_pub").toString
+      val root = Sources.stage("y37_pub")
       val fsp = new org.apache.hadoop.fs.Path(root)
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
       publish(s, Tables.orders(s, d), root, 1, _.head(1).nonEmpty)

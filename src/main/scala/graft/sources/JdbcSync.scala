@@ -173,16 +173,28 @@ object JdbcSync {
           target.url, target.user, target.password)
       try f(conn) finally conn.close()
     }
-    val done: Map[Int, Long] = withConn { conn =>
+    val done: Map[Int, (Long, Long, Long)] = withConn { conn =>
       val rs = conn.createStatement()
-        .executeQuery(s"SELECT chunk_id, n_rows FROM $progressTable")
-      val b = Map.newBuilder[Int, Long]
-      while (rs.next()) b += rs.getInt(1) -> rs.getLong(2)
+        .executeQuery(s"SELECT chunk_id, lo, hi, n_rows FROM $progressTable")
+      val b = Map.newBuilder[Int, (Long, Long, Long)]
+      while (rs.next())
+        b += rs.getInt(1) -> ((rs.getLong(2), rs.getLong(3), rs.getLong(4)))
       b.result()
     }
     var copied = 0
     bounds.zipWithIndex.map { case ((lo, hi), id) =>
-      if (done.contains(id)) ChunkReport(id, lo, hi, done(id), "skipped")
+      if (done.contains(id)) {
+        // A skip is only safe when it skips the SAME range: a restart
+        // invoked with a different bounds list must fail loudly, not
+        // silently drop/duplicate the mismatched slice while reporting
+        // success.
+        val (plo, phi, n) = done(id)
+        require(plo == lo && phi == hi,
+          s"resumableCopy: progress row for chunk $id records bounds " +
+            s"[$plo,$phi) but this run requested [$lo,$hi) — the bounds " +
+            "list changed across restarts; refusing to skip")
+        ChunkReport(id, lo, hi, n, "skipped")
+      }
       else {
         failAfterChunks.foreach(n => if (copied >= n)
           throw new RuntimeException(

@@ -605,9 +605,7 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     val before = Tables.orders(spark, sf).count()
     val agg = SparkEntry.queries("s13_compaction")(spark, sf).collect()(0)
     assert(agg.getLong(0) == before) // lossless rewrite
-    def parts(sub: String) = new java.io.File(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_stage", sub).toString)
+    def parts(sub: String) = new java.io.File(Sources.stage(sub))
       .listFiles().count(f => f.getName.startsWith("part-"))
     // not == 64: Spark writes no file for an empty shuffle partition, so
     // at a smaller gate scale repartition(64) can legally yield fewer
@@ -1436,6 +1434,43 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] { Sync.repoint(spark, root, 1) }
     assert(Sync.readPublished(spark, root)._1 == "v2",
       "failed repoint disturbed the pointer")
+  }
+
+  test("Y37 law: GC retention window is rank-based over existing versions, not numeric distance") {
+    // sparse numbering (v1, v5, v9): "keep 1 previous" must keep v5 —
+    // numeric distance (n < cur - 1) would reap BOTH v1 and v5 and
+    // empty the rollback window
+    val root = java.nio.file.Files.createTempDirectory("graft_y37s").toString + "/pub"
+    val small = Tables.region(spark, sf)
+    Seq(1, 5, 9).foreach(v =>
+      assert(Sync.publish(spark, small, root, v, _.head(1).nonEmpty)))
+    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1)
+    assert(doomed == Seq("v1"), s"sparse GC reaped the wrong set: $doomed")
+    Sync.repoint(spark, root, 5) // the kept window is genuinely usable
+    assert(Sync.readPublished(spark, root)._1 == "v5")
+  }
+
+  test("Y36 law: publish refuses when the target version dir already exists (failed rename)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_y36r").toString + "/pub"
+    val small = Tables.region(spark, sf)
+    assert(Sync.publish(spark, small, root, 1, _.head(1).nonEmpty))
+    assert(Sync.publish(spark, small, root, 2, _.head(1).nonEmpty))
+    // a leftover v1 from the prior run: re-publishing version 1 must
+    // refuse (rename onto an existing dir) and leave the pointer alone —
+    // before the rename check this "succeeded" and pointed _CURRENT at a
+    // version whose data silently nested inside the stale dir
+    assert(!Sync.publish(spark, small.limit(1), root, 1, _.head(1).nonEmpty),
+      "publish over an existing v1 dir must return false")
+    val (ver, cur) = Sync.readPublished(spark, root)
+    assert(ver == "v2", "refused publish disturbed the pointer")
+    assert(cur.count() == small.count(),
+      "live version's data changed across the refused publish")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_staging_v1")),
+      "refused publish leaked its staging dir")
+    assert(spark.read.parquet(s"$root/v1").count() == small.count(),
+      "refused publish corrupted the existing v1 dir")
   }
 
   test("Y35 law: maintained top-k equals the full recompute wherever the buffer holds") {
