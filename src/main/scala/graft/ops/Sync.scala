@@ -212,6 +212,92 @@ object Sync {
           "previous versions are intact, retry or repoint manually")
   }
 
+  /** Y36b: an in-flight optimistic publish — the pointer value observed
+    * when staging began travels to commit time, where it is re-checked. */
+  private[graft] final case class StagedPublish(
+      root: String, version: Int, expectedCurrent: Option[String])
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[String] = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/_CURRENT")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Y36b phase 1 — stage + validate under OPTIMISTIC concurrency
+    * control. Captures the pointer as it stood when this publisher's
+    * work began; [[commitPublish]] refuses if it moved since (another
+    * publisher won the race), so the classic lost-update — A reads v1,
+    * B reads v1, B publishes v2, A publishes v3 computed FROM v1 and
+    * silently discards B's rows — becomes a loud refusal the caller
+    * retries from a fresh read. Returns None (staging cleaned) when
+    * validation fails or a concurrent publisher already staged this
+    * same version number. */
+  private[graft] def beginPublish(s: SparkSession, df: DataFrame,
+      root: String, version: Int,
+      validate: DataFrame => Boolean): Option[StagedPublish] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val expected = readPointer(fs, root)
+    val staging = new Path(s"$root/_staging_v$version")
+    if (fs.exists(staging)) return None // concurrent publisher, same version
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (!validate(s.read.parquet(staging.toString))) {
+      fs.delete(staging, true)
+      None
+    } else Some(StagedPublish(root, version, expected))
+  }
+
+  /** Y36b phase 2 — commit iff the pointer still reads what
+    * [[beginPublish]] observed. The re-check + swap runs under a
+    * `_COMMIT_LOCK` file taken with create-exclusive (atomic on every
+    * Hadoop FileSystem including local), so two committers cannot
+    * interleave between check and swap; the lock spans only the
+    * metadata swap (milliseconds), never the data write. A lock left by
+    * a crashed committer is surfaced as a loud IllegalStateException
+    * after a bounded wait — breaking it is an operator decision, not
+    * something this code guesses at. On refusal (pointer moved) the
+    * staging dir is deleted and false returned; the winning publisher's
+    * state is never touched. */
+  private[graft] def commitPublish(s: SparkSession,
+      st: StagedPublish): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(st.root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"${st.root}/_staging_v${st.version}")
+    val lock = new Path(s"${st.root}/_COMMIT_LOCK")
+    var locked = false
+    var tries = 0
+    while (!locked && tries < 20) {
+      try { fs.create(lock, false).close(); locked = true }
+      catch { case _: java.io.IOException =>
+        tries += 1; Thread.sleep(50) }
+    }
+    if (!locked) throw new IllegalStateException(
+      s"commitPublish: _COMMIT_LOCK in ${st.root} held for >1s — " +
+        "crashed committer? Remove the lock manually after confirming " +
+        "no publisher is live.")
+    try {
+      if (readPointer(fs, st.root) != st.expectedCurrent) {
+        fs.delete(staging, true) // lost the race; refuse loudly-but-cleanly
+        false
+      } else {
+        val finalDir = new Path(s"${st.root}/v${st.version}")
+        if (fs.exists(finalDir) || !fs.rename(staging, finalDir)) {
+          fs.delete(staging, true)
+          false
+        } else {
+          swapPointer(fs, st.root, st.version)
+          true
+        }
+      }
+    } finally fs.delete(lock, false)
+  }
+
   /** Rollback/forward: repoint `_CURRENT` at an already-published
     * version (no data movement — the versioned dirs are immutable). */
   private[graft] def repoint(s: SparkSession, root: String,
@@ -1529,6 +1615,48 @@ object Sync {
         .withColumn("abort_left_v2_live", lit(!ok3 && v == "v2"))
     }),
 
+    // Y36b: OPTIMISTIC CONCURRENCY on the publish pointer — y36 is
+    // single-writer by construction; two publishers interleaving there
+    // produce the classic lost update (both read v1, both publish, the
+    // second silently discards the first's rows). The CAS protocol
+    // ([[beginPublish]]/[[commitPublish]]) carries the begin-time
+    // pointer to commit, re-checks it under a create-exclusive
+    // `_COMMIT_LOCK`, and turns the losing publisher into a loud
+    // refusal that cleans its own staging — the table only ever shows a
+    // fully-published version. Lifecycle here: v1 live; A stages v2
+    // from its read of v1; B stages AND commits v3 while A is in
+    // flight; A's commit refuses. The reader must resolve B's v3
+    // bit-identically (the oracle hash certifies it) and the refusal /
+    // no-torn-state flags ride along as audited booleans.
+    "y36b_optimistic_publish" -> ((s, d) => {
+      val root = Sources.stage("y36b_pub")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val st1 = beginPublish(s, Tables.orders(s, d), root, 1,
+        _.head(1).nonEmpty)
+      commitPublish(s, st1.get)
+      // A begins from its read of v1 ...
+      val stA = beginPublish(s, sourceView(s, d), root, 2,
+        _.head(1).nonEmpty)
+      // ... B begins AND commits v3 while A is still in flight
+      val stB = beginPublish(s,
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0), root, 3,
+        _.head(1).nonEmpty)
+      val bWon = commitPublish(s, stB.get)
+      val aRefused = !commitPublish(s, stA.get)
+      val (v, cur) = readPublished(s, root)
+      def gone(p: String) =
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p"))
+      val noTorn = gone("v2") && gone("_staging_v2") && gone("_COMMIT_LOCK")
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("current_version", lit(v))
+        .withColumn("winner_committed", lit(bWon))
+        .withColumn("loser_refused", lit(aRefused))
+        .withColumn("no_torn_state", lit(noTorn))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -2519,6 +2647,16 @@ object Sync {
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |  'v2' AS current_version, TRUE AS abort_left_v2_live
          |FROM src""".stripMargin,
+
+    // the winner's v3 content + the audited refusal flags (constants on
+    // the oracle side, genuinely computed on the Spark side — the
+    // a5/a19 audit idiom)
+    "y36b_optimistic_publish" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  'v3' AS current_version, TRUE AS winner_committed,
+         |  TRUE AS loser_refused, TRUE AS no_torn_state
+         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     "y35_incremental_topk" ->
       s"""WITH $sourceCte,

@@ -1473,6 +1473,44 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "refused publish corrupted the existing v1 dir")
   }
 
+  test("Y36b law: interleaved publishers — one wins, one refuses, then succeeds on retry from a fresh read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_y36b").toString + "/pub"
+    val base = Tables.region(spark, sf)
+    val st0 = Sync.beginPublish(spark, base, root, 1, _.head(1).nonEmpty)
+    assert(st0.isDefined && Sync.commitPublish(spark, st0.get))
+    // A and B both begin from v1; B commits first
+    val stA = Sync.beginPublish(spark, base.limit(3), root, 2,
+      _.head(1).nonEmpty)
+    val stB = Sync.beginPublish(spark, base.limit(4), root, 3,
+      _.head(1).nonEmpty)
+    assert(Sync.commitPublish(spark, stB.get), "B (first committer) must win")
+    assert(!Sync.commitPublish(spark, stA.get),
+      "A must refuse: the pointer moved between its begin and commit")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$p"))
+    assert(!exists("v2") && !exists("_staging_v2"),
+      "refused publish left reader-visible or staged state behind")
+    assert(!exists("_COMMIT_LOCK"), "commit lock leaked")
+    val (ver, cur) = Sync.readPublished(spark, root)
+    assert(ver == "v3" && cur.count() == 4,
+      "the table must show exactly the winner's version, never a torn mix")
+    // the optimistic LOOP: A retries from a fresh read and now succeeds
+    val stA2 = Sync.beginPublish(spark, base.limit(3), root, 4,
+      _.head(1).nonEmpty)
+    assert(Sync.commitPublish(spark, stA2.get), "retry from fresh read wins")
+    assert(Sync.readPublished(spark, root)._1 == "v4")
+    // same-version collision: a second in-flight staging of v5 refuses at BEGIN
+    val c1 = Sync.beginPublish(spark, base.limit(2), root, 5,
+      _.head(1).nonEmpty)
+    assert(c1.isDefined)
+    assert(Sync.beginPublish(spark, base.limit(1), root, 5,
+      _.head(1).nonEmpty).isEmpty,
+      "two publishers staging the same version number must not clobber")
+    assert(Sync.commitPublish(spark, c1.get))
+  }
+
   test("Y35 law: maintained top-k equals the full recompute wherever the buffer holds") {
     val out = SparkEntry.queries("y35_incremental_topk")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
