@@ -170,10 +170,20 @@ object Sync {
     * (documented, not hidden). */
   private[graft] def publish(s: SparkSession, df: DataFrame, root: String,
       version: Int, validate: DataFrame => Boolean): Boolean = {
+    val staging = s"$root/_staging_v$version"
+    df.write.mode("overwrite").parquet(staging)
+    publishStagedDir(s, root, version, validate)
+  }
+
+  /** Validate + rename + pointer-swap an ALREADY-POPULATED
+    * `_staging_v{n}` dir — the tail of [[publish]], exposed so callers
+    * that assemble a version from mixed sources (y38's rewritten +
+    * verbatim-copied files) still go through the one swap protocol. */
+  private[graft] def publishStagedDir(s: SparkSession, root: String,
+      version: Int, validate: DataFrame => Boolean): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(s"$root/_staging_v$version")
-    df.write.mode("overwrite").parquet(staging.toString)
     if (!validate(s.read.parquet(staging.toString))) {
       fs.delete(staging, true) // abort BEFORE any reader-visible change
       return false
@@ -210,6 +220,112 @@ object Sync {
       throw new IllegalStateException(
         s"publish: pointer swap rename failed for $root -> v$version; " +
           "previous versions are intact, retry or repoint manually")
+  }
+
+  /** Y38: per-file key-span manifest for a published version — the
+    * pruning index copy-on-write mutation needs: (file name, key min,
+    * key max, rows). Stored INSIDE the version dir as `_file_stats`
+    * (underscore prefix = invisible to every Spark/parquet reader of
+    * the dir), so it travels with the immutable version it describes.
+    * Here it is derived by one grouped scan after the write; a
+    * production writer emits the same rows from the write job's own
+    * footer stats, zero extra IO — the scan is the local-mode stand-in,
+    * and for a MUTATED version [[cowApply]] scans only the rewritten
+    * subset and carries the rest verbatim. File NAME (not full path) is
+    * the join key so the manifest survives the staging→v{n} rename. */
+  private[graft] def writeFileStats(s: SparkSession, dir: String,
+      key: String): Unit =
+    s.read.parquet(dir)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_file_stats")
+
+  private[graft] final case class CowReport(published: Boolean,
+      nFilesTotal: Int, nFilesRewritten: Int,
+      rewritten: Seq[String], untouched: Seq[String])
+
+  /** Y38: COPY-ON-WRITE row-level DELETE/UPDATE — the one mutation
+    * primitive between "append-only" and "full snapshot swap". Given a
+    * keyed change set (delete keys + replacement rows), it:
+    *
+    *  1. PRUNES: joins the change keys against the tiny `_file_stats`
+    *     manifest (broadcast — one row per file) on key∈[kmin,kmax];
+    *     only files whose span can contain a changed key are touched.
+    *     The base table is NEVER scanned to find them.
+    *  2. REWRITES only that subset: broadcast left-join applies the
+    *     replacement columns (change sets are delta-sized — small by
+    *     definition; a table-sized rewrite belongs to y2/y5), broadcast
+    *     anti-join drops deleted keys, `sortWithinPartitions(key)`
+    *     keeps the range-clustered layout so the NEXT mutation prunes
+    *     just as well.
+    *  3. CARRIES every untouched file into the new version VERBATIM
+    *     (byte copy preserving names — at 100 TB on an object store
+    *     this is the manifest trick or a server-side copy, never a
+    *     re-encode; the law test pins names+sizes unchanged) and their
+    *     manifest rows with them, so manifest maintenance costs one
+    *     scan of the REWRITTEN files only.
+    *  4. PUBLISHES via the y36 staged swap: readers see the old version
+    *     or the new one, never a mix, and the old version stays live
+    *     for rollback/time-travel until y37 GC reaps it.
+    *
+    * GDPR-delete and CDC-into-lake both land exactly here. */
+  private[graft] def cowApply(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String,
+      deletes: DataFrame, updates: DataFrame): CowReport = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val changeKeys = deletes.select(col(key))
+      .unionByName(updates.select(col(key))).distinct()
+    val affected = changeKeys.join(broadcast(stats),
+        col(key) >= col("kmin") && col(key) <= col("kmax"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // bounded by file count
+    val untouched = stats.select("file").collect().map(_.getString(0))
+      .sorted.toSeq.diff(affected)
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    val newStatsRows: Array[org.apache.spark.sql.Row] =
+      if (affected.isEmpty) { fs.mkdirs(staging); Array.empty }
+      else {
+        val base = s.read.parquet(affected.map(f => s"$fromDir/$f"): _*)
+        val updCols = updates.columns.filterNot(_ == key).toSeq
+        val upd = updates.select(col(key) +:
+          updCols.map(c => col(c).as(s"__upd_$c")): _*)
+        val applied0 = base.join(broadcast(upd), Seq(key), "left")
+        val applied = updCols.foldLeft(applied0) { (df, c) =>
+            df.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
+          }.drop(updCols.map("__upd_" + _): _*)
+          .join(broadcast(deletes.select(col(key)).distinct()),
+            Seq(key), "left_anti")
+          .select(base.columns.map(col).toIndexedSeq: _*)
+        applied.sortWithinPartitions(key)
+          .write.mode("overwrite").parquet(staging.toString)
+        // manifest rows for the rewritten files — materialized BEFORE
+        // the verbatim copies land so the scan sees only the new files
+        s.read.parquet(staging.toString)
+          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+            .as("file"))
+          .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+            count(lit(1)).as("n_rows"))
+          .collect()
+      }
+    untouched.foreach { f =>
+      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+        fs, new Path(s"$staging/$f"), false, conf)
+    }
+    val carried = stats.filter(col("file").isin(untouched: _*))
+    val merged = s.createDataFrame(
+      s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
+      carried.schema).unionByName(carried)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    CowReport(ok, affected.length + untouched.length, affected.length,
+      affected, untouched)
   }
 
   /** Y36b: an in-flight optimistic publish — the pointer value observed
@@ -1657,6 +1773,60 @@ object Sync {
         .withColumn("no_torn_state", lit(noTorn))
     }),
 
+    // Y38: COPY-ON-WRITE ROW-LEVEL DELETE/UPDATE — see [[cowApply]].
+    // Lifecycle: v1 = orders range-clustered by key (8 files, narrow
+    // key spans) + its `_file_stats` manifest; the change set deletes
+    // the first tenth of the keyspace and bumps o_totalprice by 100 in
+    // the 40–50% band (integer band arithmetic, lockstep with the
+    // oracle CTE); cowApply prunes to the files whose spans intersect
+    // the bands, rewrites ONLY those, carries the rest verbatim, and
+    // publishes v2 via the pointer swap. The reader resolves v2 and the
+    // oracle hash certifies the post-state — a missed file, an
+    // unapplied update, or a leaked deleted row cannot match. The
+    // pruning/immutability claims ride as audited booleans (genuinely
+    // computed here, constants in the oracle — the a5/a19 idiom);
+    // byte-level identity of untouched files is the OperatorSuite law.
+    "y38_row_level_delete" -> ((s, d) => {
+      val root = Sources.stage("y38_cow")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val o = Tables.orders(s, d)
+      publish(s, o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val b = o.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val delHi = lo + span / 10
+      val updLo = lo + 4 * (span / 10); val updHi = lo + 5 * (span / 10)
+      val deletes = o.filter(col("o_orderkey").between(lo, delHi))
+        .select("o_orderkey")
+      val updates = o.filter(col("o_orderkey").between(updLo, updHi))
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+      val rep = cowApply(s, root, 1, 2, "o_orderkey", deletes, updates)
+      val (v, cur) = readPublished(s, root)
+      val untouchedIntact = rep.untouched.nonEmpty && rep.untouched
+        .forall { f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v1/$f"))
+            .getLen ==
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
+              .getLen
+        }
+      val priorLive = s.read.parquet(s"$root/v1").count() == o.count()
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("current_version", lit(v))
+        .withColumn("pruned_rewrite", lit(rep.published &&
+          rep.nFilesRewritten > 0 &&
+          rep.nFilesRewritten < rep.nFilesTotal))
+        .withColumn("untouched_intact", lit(untouchedIntact))
+        .withColumn("prior_version_live", lit(priorLive))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -2647,6 +2817,27 @@ object Sync {
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |  'v2' AS current_version, TRUE AS abort_left_v2_live
          |FROM src""".stripMargin,
+
+    // post-mutation state replayed as a filtered/CASE CTE: delete the
+    // first tenth of the keyspace, bump price in the 40-50% band —
+    // integer band arithmetic (// = floor division) in lockstep with
+    // the Spark side's Long arithmetic
+    "y38_row_level_delete" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders),
+         |post AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey BETWEEN lo + 4*(span//10)
+         |           AND lo + 5*(span//10)
+         |      THEN o_totalprice + 100.0 ELSE o_totalprice END AS price2
+         |  FROM orders, b
+         |  WHERE o_orderkey NOT BETWEEN lo AND lo + span//10)
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("price2")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  'v2' AS current_version, TRUE AS pruned_rewrite,
+         |  TRUE AS untouched_intact, TRUE AS prior_version_live
+         |FROM post""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the

@@ -1473,6 +1473,75 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "refused publish corrupted the existing v1 dir")
   }
 
+  test("Y38 law: copy-on-write rewrites ONLY the pruned file subset; untouched files carry byte-identically") {
+    val row = SparkEntry.queries("y38_row_level_delete")(spark, sf)
+      .collect()(0)
+    assert(row.getAs[Boolean]("pruned_rewrite"),
+      "mutation must touch SOME files but not all — pruning is the point")
+    assert(row.getAs[Boolean]("untouched_intact"))
+    assert(row.getAs[Boolean]("prior_version_live"))
+    val root = graft.ops.Sources.stage("y38_cow")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(v: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val v1 = files("v1"); val v2 = files("v2")
+    val shared = v1.keySet.intersect(v2.keySet)
+    assert(shared.nonEmpty, "no file was carried — pruning collapsed to a full rewrite")
+    // carried files are BYTE-identical, not merely same-sized: a Spark
+    // re-encode of identical rows could coincide on size and still
+    // prove the files were rewritten
+    def bytes(p: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    shared.foreach { f =>
+      assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
+        bytes(s"$root/v2/$f")), s"carried file $f is not byte-identical")
+    }
+    // pruning exactness: a v1 file was rewritten (absent from v2) IFF
+    // its key span intersects a change band — re-derive the bands the
+    // query used and check against the v1 manifest
+    val o = Tables.orders(spark, sf)
+    val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+    val lo = b.getLong(0); val span = b.getLong(1) - lo
+    val bands = Seq((lo, lo + span / 10),
+      (lo + 4 * (span / 10), lo + 5 * (span / 10)))
+    spark.read.parquet(s"$root/v1/_file_stats").collect().foreach { st =>
+      val (f, kmin, kmax) =
+        (st.getAs[String]("file"), st.getAs[Long]("kmin"),
+          st.getAs[Long]("kmax"))
+      val hits = bands.exists { case (blo, bhi) => kmin <= bhi && kmax >= blo }
+      assert(hits == !v2.contains(f),
+        s"file $f span [$kmin,$kmax]: intersects-band=$hits but carried=${v2.contains(f)}")
+    }
+    // the rewritten layout stays range-clustered: the NEXT mutation on
+    // v2 (a single-key delete) prunes to exactly one file
+    val oneKey = spark.read.parquet(s"$root/v2")
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val oneDel = spark.range(1).select(lit(oneKey).as("o_orderkey"))
+    val emptyUpd = spark.read.parquet(s"$root/v2")
+      .select(col("o_orderkey"), col("o_totalprice")).limit(0)
+    val rep2 = Sync.cowApply(spark, root, 2, 3, "o_orderkey",
+      oneDel, emptyUpd)
+    assert(rep2.published && rep2.nFilesRewritten == 1,
+      s"single-key delete rewrote ${rep2.nFilesRewritten} files — the v2 manifest lost clustering")
+    assert(spark.read.parquet(s"$root/v3").count() ==
+      spark.read.parquet(s"$root/v2").count() - 1)
+    // a NO-OP change set publishes a fully-carried version
+    val rep3 = Sync.cowApply(spark, root, 3, 4, "o_orderkey",
+      oneDel.limit(0), emptyUpd)
+    assert(rep3.published && rep3.nFilesRewritten == 0 &&
+      rep3.untouched.size == rep3.nFilesTotal)
+    assert(Sync.readPublished(spark, root)._1 == "v4")
+  }
+
   test("Y36b law: interleaved publishers — one wins, one refuses, then succeeds on retry from a fresh read") {
     val root = java.nio.file.Files.createTempDirectory("graft_y36b").toString + "/pub"
     val base = Tables.region(spark, sf)
