@@ -66,6 +66,72 @@ object Sources {
     newPaths.length.toLong
   }
 
+  /** S17b: EXACTLY-ONCE manifest ingest — s17's documented
+    * at-least-once window (crash between data append and manifest
+    * append re-ingests the in-flight batch into the SAME target)
+    * closed with the y36 pointer idiom: data files land in a
+    * batch-unique dir that NO reader resolves until the manifest —
+    * the only thing readers consult — publishes atomically via the
+    * versioned pointer swap. A crash between the data write and the
+    * manifest publish leaves an orphaned batch dir that no manifest
+    * references (GC-able, never read); the resume re-lists the zone,
+    * still sees the files as new (the manifest never advanced), and
+    * ingests them into a FRESH batch dir — so the reader-visible state
+    * holds every source file exactly once no matter where the previous
+    * run died. Batch dirs are made attempt-unique by counting existing
+    * dirs (orphans included), which is deterministic from FS state. */
+  private[graft] def ingestExactlyOnce(s: org.apache.spark.sql.SparkSession,
+      in: String, root: String, failBeforePublish: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    val sEnc = s
+    import sEnc.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val manifestRoot = s"$root/manifest"
+    val known: Option[(Int, org.apache.spark.sql.DataFrame)] =
+      if (fs.exists(new Path(s"$manifestRoot/_CURRENT"))) {
+        val (v, df) = Sync.readPublished(s, manifestRoot)
+        Some((v.stripPrefix("v").toInt, df))
+      } else None
+    val zone = new Path(in).getFileSystem(conf)
+    val found = scala.collection.mutable.ArrayBuffer[String]()
+    val it = zone.listFiles(new Path(in), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.toString.endsWith(".parquet"))
+        found += f.getPath.toString
+    }
+    val foundDf = found.toSeq.toDF("src_path")
+    val newPaths = known.map { case (_, m) =>
+        foundDf.join(m.select("src_path"), Seq("src_path"), "left_anti")
+      }.getOrElse(foundDf).as[String].collect().sorted.toSeq
+    if (newPaths.isEmpty) return 0L
+    val batchesDir = new Path(s"$root/batches")
+    val k = if (fs.exists(batchesDir)) fs.listStatus(batchesDir).length else 0
+    val batchDir = s"$root/batches/b$k"
+    s.read.parquet(newPaths: _*).write.mode("overwrite").parquet(batchDir)
+    if (failBeforePublish) throw new RuntimeException(
+      "s17b: injected crash between data write and manifest publish")
+    val newRows = newPaths.toDF("src_path")
+      .withColumn("batch_dir", lit(batchDir))
+    val merged = known.map(_._2.unionByName(newRows)).getOrElse(newRows)
+    val expected = known.map(_._2.count()).getOrElse(0L) + newPaths.length
+    val nextV = known.map(_._1 + 1).getOrElse(1)
+    require(Sync.publish(s, merged, manifestRoot, nextV,
+      _.count() == expected), s"s17b: manifest publish v$nextV failed")
+    newPaths.length.toLong
+  }
+
+  /** S17b reader: resolve the manifest pointer, read exactly the batch
+    * dirs it references — orphaned batch dirs are invisible here. */
+  private[graft] def readIngested(s: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val (_, m) = Sync.readPublished(s, s"$root/manifest")
+    val dirs = m.select("batch_dir").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq // bounded: one per ingest run
+    s.read.parquet(dirs: _*)
+  }
+
   /** S15: Morton/Z-VALUE bit interleave — the multi-dimensional layout
     * key. A 1-D range sort (S14) gives one dimension perfect file
     * min/max locality and the other NONE; interleaving the two
@@ -298,6 +364,46 @@ object Sources {
           max(col("o_orderkey")).as("max_key"))
     }),
 
+    // S17b: EXACTLY-ONCE ingest — see [[ingestExactlyOnce]]. Lifecycle:
+    // batch 1 ingests; batch 2's first attempt CRASHES between the data
+    // write and the manifest publish (injected); the resume re-ingests
+    // batch 2 into a fresh dir and publishes; a fourth run no-ops. The
+    // reader resolves the manifest and must see the full orders table
+    // with zero duplicate keys — the countDistinct in the output makes
+    // a duplicated batch hash-mismatch, and the orphan-dir bookkeeping
+    // rides as audited booleans (a5/a19 idiom).
+    "s17b_exactly_once_ingest" -> ((s, d) => {
+      val in = stage("s17b_in"); val root = stage("s17b_lake")
+      resetDirs(s, in, root)
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+        .write.parquet(s"$in/b1")
+      ingestExactlyOnce(s, in, root)
+      orders.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.parquet(s"$in/b2")
+      val crashed =
+        try { ingestExactlyOnce(s, in, root, failBeforePublish = true); false }
+        catch { case _: RuntimeException => true }
+      ingestExactlyOnce(s, in, root) // resume: fresh batch dir + publish
+      val n4 = ingestExactlyOnce(s, in, root) // no-op by construction
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/batches")).length
+      val nRef = Sync.readPublished(s, s"$root/manifest")._2
+        .select("batch_dir").distinct().count()
+      readIngested(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("crash_injected", lit(crashed))
+        .withColumn("noop_after_resume", lit(n4 == 0L))
+        .withColumn("orphan_left_unreferenced",
+          lit(nDirs == 3 && nRef == 2L))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -352,6 +458,16 @@ object Sources {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  COUNT(DISTINCT o_orderkey) AS n_keys,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders""".stripMargin,
+
+    // crash-resumed ingest must still equal the full table exactly once
+    "s17b_exactly_once_ingest" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_orderkey) AS n_keys,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  TRUE AS crash_injected, TRUE AS noop_after_resume,
+         |  TRUE AS orphan_left_unreferenced
          |FROM orders""".stripMargin,
 
     "s16_bucketed_join" ->

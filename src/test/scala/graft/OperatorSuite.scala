@@ -1473,6 +1473,43 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "refused publish corrupted the existing v1 dir")
   }
 
+  test("S17b law: a crash between data write and manifest publish is invisible to readers and resume leaves zero duplicates") {
+    val in = java.nio.file.Files.createTempDirectory("graft_s17b_in").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_s17b").toString + "/lake"
+    val orders = Tables.orders(spark, sf)
+    orders.filter(col("o_orderkey") % 3 =!= 0).repartition(4)
+      .write.parquet(s"$in/b1")
+    assert(Sources.ingestExactlyOnce(spark, in, root) > 0)
+    val afterRun1 = Sources.readIngested(spark, root).count()
+    orders.filter(col("o_orderkey") % 3 === 0).repartition(2)
+      .write.parquet(s"$in/b2")
+    intercept[RuntimeException] {
+      Sources.ingestExactlyOnce(spark, in, root, failBeforePublish = true)
+    }
+    // the crashed attempt is INVISIBLE: readers still see exactly run 1
+    assert(Sources.readIngested(spark, root).count() == afterRun1,
+      "a reader observed the crashed attempt's data")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/batches/b1")),
+      "the crash point must be AFTER the data write (orphan dir exists)")
+    // resume: batch 2 lands exactly once, in a FRESH dir
+    assert(Sources.ingestExactlyOnce(spark, in, root) > 0)
+    val t = Sources.readIngested(spark, root)
+    assert(t.count() == orders.count())
+    assert(t.select("o_orderkey").distinct().count() == orders.count(),
+      "resume duplicated the crashed batch")
+    val refs = Sync.readPublished(spark, s"$root/manifest")._2
+      .select("batch_dir").distinct().collect().map(_.getString(0)).sorted
+    assert(refs.length == 2 && !refs.exists(_.endsWith("/b1")),
+      s"manifest must reference b0 and b2, never the orphan b1: ${refs.toSeq}")
+    // fourth run: nothing new, no manifest version churn
+    val vBefore = Sync.readPublished(spark, s"$root/manifest")._1
+    assert(Sources.ingestExactlyOnce(spark, in, root) == 0L)
+    assert(Sync.readPublished(spark, s"$root/manifest")._1 == vBefore,
+      "a no-op run must not publish a new manifest version")
+  }
+
   test("Y38 law: copy-on-write rewrites ONLY the pruned file subset; untouched files carry byte-identically") {
     val row = SparkEntry.queries("y38_row_level_delete")(spark, sf)
       .collect()(0)
