@@ -404,6 +404,33 @@ object Sources {
           lit(nDirs == 3 && nRef == 2L))
     }),
 
+    // S18: BLOOM-FILTERED point lookup — the write side of the
+    // PlanAuditSuite S18 skip measurement: the table lands clustered by
+    // date with a parquet bloom filter on the PRIMARY KEY (dictionary
+    // encoding off — the honest high-cardinality shape; see the test
+    // for why), and the query answers key point-probes over it. Results
+    // are layout-invariant (the oracle is the same lookup over the
+    // original parquet); the row-group-skip contrast itself is IO
+    // metrics and lives in PlanAuditSuite S18.
+    "s18_bloom_lookup" -> ((s, d) => {
+      val out = stage("s18_bloom")
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+      base.repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .mode("overwrite").parquet(out)
+      val b = base.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      s.read.parquet(out)
+        .filter(col("o_orderkey") <= mid)
+        .orderBy(col("o_orderkey").desc)
+        .limit(5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -459,6 +486,15 @@ object Sources {
          |  COUNT(DISTINCT o_orderkey) AS n_keys,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM orders""".stripMargin,
+
+    // same point lookups over the original parquet (layout-invariant)
+    "s18_bloom_lookup" ->
+      """WITH b AS (
+        |  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, b WHERE o_orderkey <= mid
+        |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin,
 
     // crash-resumed ingest must still equal the full table exactly once
     "s17b_exactly_once_ingest" ->

@@ -688,4 +688,137 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
       s"clustered layout pruned nothing: scan emitted $cl of $total " +
         s"(matching $matching) — min/max skipping regressed")
   }
+
+  test("CBO: ANALYZE-driven stats reorder the 3-table join; without them the order stays syntactic") {
+    // the one Catalyst subsystem the suite never exercised: y13 computes
+    // exactly these statistics, ANALYZE TABLE is the catalog-injection
+    // path, and CostBasedJoinReorder is the consumer. The query joins
+    // the big fact FIRST syntactically; with column stats + CBO the
+    // optimizer must defer it behind the selective orders⋈customer join
+    // (customer filtered to a handful of keys), because (l⋈o) is
+    // fact-sized while (o⋈σc) is tiny.
+    for (t <- Seq("lineitem", "orders", "customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"graft_cbo_$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .write.format("parquet").saveAsTable("graft_cbo_lineitem")
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .write.format("parquet").saveAsTable("graft_cbo_orders")
+    Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .write.format("parquet").saveAsTable("graft_cbo_customer")
+    spark.sql("ANALYZE TABLE graft_cbo_lineitem COMPUTE STATISTICS " +
+      "FOR COLUMNS l_orderkey")
+    spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS " +
+      "FOR COLUMNS o_orderkey, o_custkey")
+    spark.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS " +
+      "FOR COLUMNS c_custkey")
+    val q =
+      """SELECT c.c_custkey, COUNT(*) AS n, SUM(l.l_extendedprice) AS s
+        |FROM graft_cbo_lineitem l
+        |JOIN graft_cbo_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_cbo_customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey < 10
+        |GROUP BY c.c_custkey""".stripMargin
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      try {
+        spark.sql(q).queryExecution.optimizedPlan.collectLeaves().flatMap {
+          l =>
+            val id = l match {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.catalogTable.map(_.identifier.table).getOrElse(lr.toString)
+              case o => o.toString
+            }
+            Seq("lineitem", "orders", "customer")
+              .filter(n => id.contains(s"cbo_$n"))
+        }.toSeq
+      } finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }
+    val syntactic = leafOrder(cbo = false)
+    assert(syntactic == Seq("lineitem", "orders", "customer"),
+      s"without CBO the join order must stay syntactic: $syntactic")
+    val reordered = leafOrder(cbo = true)
+    assert(reordered.toSet == syntactic.toSet && reordered.last == "lineitem",
+      s"CBO+stats did not defer the fact table to the top join: $reordered")
+    // and the stats the reorder consumed are genuinely in the catalog
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.table("graft_cbo_orders")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_.toLong > 0L),
+        "ANALYZE did not surface a rowCount to the optimizer")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // results are order-invariant — same rows with and without CBO
+    val a = spark.sql(q).collect().map(_.toString).sorted
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val b = try spark.sql(q).collect().map(_.toString).sorted
+      finally {
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    assert(a.sameElements(b), "join reorder changed the result")
+  }
+
+  test("S18: parquet bloom filters skip row groups on point lookups where min/max and dictionaries can't") {
+    // the point-probe complement to S14's min/max pruning, serving the
+    // sync diff's key-lookup side EXACTLY: the table is clustered by
+    // DATE (the natural warehouse layout), the probe is by PRIMARY KEY
+    // — orderkeys are assigned independently of dates, so every row
+    // group's [min,max] orderkey span covers ~the whole domain and
+    // stats prune nothing, while the key's uniqueness means exactly one
+    // group truly contains it. Dictionary filtering is disabled on BOTH
+    // twins because that is the honest 100 TB shape: a high-cardinality
+    // key's dictionary page overflows parquet's 1 MB cap and silently
+    // falls back to plain encoding, taking dictionary row-group
+    // filtering with it — bloom filters are THE point-lookup index that
+    // survives at scale.
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val writer = base.repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+    val bloomDir = java.nio.file.Files.createTempDirectory("s18b").toString
+    val plainDir = java.nio.file.Files.createTempDirectory("s18p").toString
+    writer.write.option("parquet.enable.dictionary", "false")
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .mode("overwrite").parquet(bloomDir)
+    writer.write.option("parquet.enable.dictionary", "false")
+      .mode("overwrite").parquet(plainDir)
+    // probe a MID-RANGE key: it sits inside every group's [min,max]
+    // span (a min/max-extreme key would let plain stats prune the other
+    // groups and contaminate the contrast); only bloom can say
+    // "definitely absent" for the three groups that lack the row
+    // (false-positive rate ~1% doesn't move the 0.7 assertion band)
+    val b = base.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val probe = base.filter(col("o_orderkey") <= mid)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    def scan(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(col("o_orderkey") === probe)
+      val n = df.count()
+      df.collect()
+      val rows = df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+      (n, rows)
+    }
+    val (nb, bloomRows) = scan(bloomDir)
+    val (np, plainRows) = scan(plainDir)
+    assert(nb == 1L && np == 1L, "twins disagree on the lookup result")
+    val total = base.count()
+    assert(plainRows.toDouble >= total * 0.9,
+      s"bloomless twin pruned ($plainRows of $total) — the contrast " +
+        "is not measuring bloom filters")
+    assert(bloomRows.toDouble <= plainRows * 0.7,
+      s"bloom scan emitted $bloomRows of $plainRows — row-group " +
+        "bloom skipping regressed")
+  }
 }
