@@ -740,4 +740,118 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(filesAfter <= math.max(1, filesBefore / 2),
       s"compaction left $filesAfter of $filesBefore files")
   }
+
+  test("Z1-streaming fuzz: generated watermarked window/dedup queries agree with their batch twins") {
+    // The batch≡streaming law (the hand-built W7 case above) generalized
+    // to GENERATED shapes: 12 seeded configs over {tumbling, sliding,
+    // session, dedup} × group keys × filters × watermark delays, each
+    // run through MemoryStream AND as a plain batch query, results
+    // compared as multisets. Two feed regimes, each making the batch
+    // twin exact by construction: ORDERED feeds (ts-sorted batches —
+    // nothing is ever late, any delay works) and SHUFFLED feeds with
+    // delay ≥ the corpus span (arrival-order invariance: the stream
+    // must converge to the batch answer no matter how rows arrive).
+    // Flush sentinels sit at maxTs + delay + 1 day so the watermark
+    // provably passes every real window's end and append mode emits
+    // them all; sentinel-born rows are excluded by their window start
+    // (> maxTs) or negative event_id.
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val minTs = evs.map(_.ts.getTime).min
+    val maxTs = evs.map(_.ts.getTime).max
+    val spanMin = (maxTs - minTs) / 60000L + 60L
+    val day = 86400000L
+    val rnd = new scala.util.Random(20260814L)
+    val kinds = Seq("tumble", "slide", "session", "dedup")
+    for (i <- 0 until 12) {
+      val kind = kinds(i % 4)
+      val ordered = rnd.nextBoolean()
+      val dur = Seq(10, 30, 60, 120)(rnd.nextInt(4))
+      val slide = Seq(5, 10, 15)(rnd.nextInt(3))
+      val delayMin = if (ordered) Seq(5L, 15L, 60L)(rnd.nextInt(3))
+                     else spanMin
+      val keys0 = Seq(Seq("user_id"), Seq("event_type"),
+        Seq("user_id", "event_type"), Seq.empty[String])(rnd.nextInt(4))
+      // Spark rejects GLOBAL session-window aggregation on streams
+      // ("Global aggregation with session window ... not supported") —
+      // sessions need a partition key there, so give the session kind one
+      val keys = if (kind == "session" && keys0.isEmpty) Seq("user_id")
+                 else keys0
+      val filt = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(col("event_type") === "view")
+        case _ => Some(col("value") > 0.5)
+      }
+      val label = s"[seed=$i kind=$kind ordered=$ordered dur=$dur " +
+        s"slide=$slide delay=$delayMin keys=${keys.mkString(",")} " +
+        s"filt=${filt.isDefined}]"
+      def build(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val f = filt.map(df.filter).getOrElse(df)
+        val wm = f.withWatermark("ts", s"$delayMin minutes")
+        if (kind == "dedup") wm.dropDuplicates("event_id")
+        else {
+          val w = kind match {
+            case "tumble" => window(col("ts"), s"$dur minutes")
+            case "slide"  => window(col("ts"), s"$dur minutes",
+              s"$slide minutes")
+            case _        => session_window(col("ts"), s"$dur minutes")
+          }
+          wm.groupBy(w.as("w") +: keys.map(col): _*)
+            .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+              min("event_id").as("mi"), max("event_id").as("ma"))
+            .select(col("w.start").as("ws") +: keys.map(col) ++:
+              Seq(col("n"), col("sv"), col("mi"), col("ma")): _*)
+        }
+      }
+      val base0 = if (ordered) evs.sortBy(e => (e.ts.getTime, e.event_id))
+                  else rnd.shuffle(evs)
+      // dedup feeds replay every 7th event — the stream must emit it once
+      val feed0 =
+        if (kind == "dedup") base0 ++ base0.filter(_.event_id % 7 == 0)
+        else base0
+      val feed = if (ordered) feed0.sortBy(e => (e.ts.getTime, e.event_id))
+                 else feed0
+      val s1 = maxTs + delayMin * 60000L + day
+      val batches = feed.grouped((feed.length + 2) / 3).toSeq ++ Seq(
+        Seq(Event(-1L, new Timestamp(s1), -1L, "view", 1.0)),
+        Seq(Event(-2L, new Timestamp(s1 + day), -1L, "view", 1.0)))
+      val streamed = runToSink(s"fzs$i")(s => build(s.toDF()), batches)
+      val batchRows = build(evs.toDF()).collect()
+      if (kind == "dedup") {
+        val sIds = streamed.map(_.getAs[Long]("event_id"))
+          .filter(_ >= 0).sorted.toSeq
+        val bIds = batchRows.map(_.getAs[Long]("event_id")).sorted.toSeq
+        assert(sIds == bIds,
+          s"$label dedup diverged: ${sIds.length} vs ${bIds.length} rows")
+      } else {
+        def toMapOf(rows: Array[org.apache.spark.sql.Row]) = rows
+          .filter(_.getAs[Timestamp]("ws").getTime <= maxTs)
+          .map { r =>
+            val k = r.getAs[Timestamp]("ws").getTime ->
+              keys.map(c => String.valueOf(r.get(r.fieldIndex(c))))
+                .mkString("|")
+            k -> ((r.getAs[Long]("n"), r.getAs[Double]("sv"),
+              r.getAs[Long]("mi"), r.getAs[Long]("ma")))
+          }.toMap
+        val sm = toMapOf(streamed)
+        val bm = toMapOf(batchRows)
+        assert(sm.keySet == bm.keySet,
+          s"$label group sets diverge: only-stream=" +
+            s"${(sm.keySet -- bm.keySet).take(3)} only-batch=" +
+            s"${(bm.keySet -- sm.keySet).take(3)}")
+        for ((k, (bn, bv, bmi, bma)) <- bm) {
+          val (sn, sv, smi, sma) = sm(k)
+          assert(sn == bn && smi == bmi && sma == bma,
+            s"$label $k: ($sn,$smi,$sma) vs ($bn,$bmi,$bma)")
+          assert(math.abs(sv - bv) < 1e-6, s"$label $k: sum $sv vs $bv")
+        }
+      }
+    }
+  }
 }
