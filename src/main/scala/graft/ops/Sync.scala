@@ -328,6 +328,96 @@ object Sync {
       affected, untouched)
   }
 
+  /** Y38b: CDC-INTO-LAKE — apply a full I/U/D change log to a
+    * published copy-on-write table. This is what [[cowApply]] cannot
+    * express: INSERTS. The change log is the y4 shape (full row + `op`
+    * ∈ {I,U,D} + `version`); the apply:
+    *
+    *  1. collapses the log LATEST-WINS per key (window over version —
+    *     a key updated then deleted ends deleted, the y4 idiom);
+    *  2. prunes affected files with ALL change keys against the
+    *     `_file_stats` manifest, exactly as cowApply;
+    *  3. routes every surviving upsert by SPAN, not by existence:
+    *     an upsert whose key falls inside an affected file's span
+    *     joins that file's rewrite (update-in-place or insert-in-span —
+    *     either way the row belongs in that key range, so clustering
+    *     survives); upserts OUTSIDE every span (the append frontier —
+    *     new high keys, typically) land in fresh files of their own.
+    *     No existence probe is ever needed, and the base table is
+    *     still never scanned;
+    *  4. rewrites = affected rows minus ALL change keys, union the
+    *     in-span upserts; stats recomputed over the changed subset
+    *     only; untouched files carry byte-verbatim; one y36 swap
+    *     publishes the new version. */
+  private[graft] def cowApplyChanges(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String,
+      changes: DataFrame): CowReport = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val wv = Window.partitionBy(key).orderBy(col("version").desc)
+    val latest = changes.withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col("op") =!= "D").drop("op", "version")
+    val changeKeys = latest.select(col(key)).distinct()
+    val affected = changeKeys.join(broadcast(stats),
+        col(key) >= col("kmin") && col(key) <= col("kmax"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val untouched = stats.select("file").collect().map(_.getString(0))
+      .sorted.toSeq.diff(affected)
+    // span routing: in-span upserts join the rewrite of the file whose
+    // range owns their key; the rest are the append frontier
+    val spanned = upserts.join(broadcast(stats),
+      col(key) >= col("kmin") && col(key) <= col("kmax"), "left")
+    val inSpan = spanned.filter(col("file").isNotNull)
+      .drop("file", "kmin", "kmax", "n_rows").distinct()
+    val frontier = spanned.filter(col("file").isNull)
+      .drop("file", "kmin", "kmax", "n_rows")
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    require(affected.nonEmpty || untouched.nonEmpty,
+      s"cowApplyChanges: $fromDir has no manifest files")
+    val cols = s.read.parquet(s"$fromDir/${(affected ++ untouched).head}")
+      .columns.toSeq
+    val rewritten =
+      (if (affected.nonEmpty)
+         s.read.parquet(affected.map(f => s"$fromDir/$f"): _*)
+           .join(broadcast(changeKeys), Seq(key), "left_anti")
+           .select(cols.map(col).toIndexedSeq: _*)
+           .unionByName(inSpan.select(cols.map(col).toIndexedSeq: _*))
+       else inSpan.select(cols.map(col).toIndexedSeq: _*))
+        .unionByName(frontier.select(cols.map(col).toIndexedSeq: _*))
+    // one range shuffle of the CHANGED SUBSET only (never the table):
+    // affected-file rows, in-span upserts, and the append frontier land
+    // back in contiguous key ranges, so every file in the new version
+    // keeps a narrow span and the next mutation prunes just as well
+    rewritten
+      .repartitionByRange(math.max(affected.length, 1) + 1, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(staging.toString)
+    val newStatsRows = s.read.parquet(staging.toString)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+    untouched.foreach { f =>
+      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+        fs, new Path(s"$staging/$f"), false, conf)
+    }
+    val carried = stats.filter(col("file").isin(untouched: _*))
+    s.createDataFrame(
+        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
+        carried.schema).unionByName(carried)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    CowReport(ok, affected.length + untouched.length, affected.length,
+      affected, untouched)
+  }
+
   /** Y36b: an in-flight optimistic publish — the pointer value observed
     * when staging began travels to commit time, where it is re-checked. */
   private[graft] final case class StagedPublish(
@@ -1827,6 +1917,66 @@ object Sync {
         .withColumn("prior_version_live", lit(priorLive))
     }),
 
+    // Y38b: CDC-INTO-LAKE — the full I/U/D change log applied to the
+    // published copy-on-write table via [[cowApplyChanges]]: latest-wins
+    // collapse (an updated-then-deleted key ends deleted), file pruning
+    // from the stats manifest, span-routed upserts (in-span rows join
+    // the owning file's rewrite, the append frontier gets fresh files),
+    // one pointer swap. Change set: partial delete of the first key
+    // band, a two-version update ladder in the 40–50% band (version
+    // 200 must beat version 100), and inserts beyond the key domain.
+    // The oracle replays the same semantics as a filtered/CASE/UNION
+    // CTE; a lost insert, a stale update version, or an undead deleted
+    // row cannot hash-match.
+    "y38b_cdc_into_lake" -> ((s, d) => {
+      val root = Sources.stage("y38b_cdc")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      publish(s, proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val hi = b.getLong(1); val span = hi - lo
+      val delHi = lo + span / 10
+      val updLo = lo + 4 * (span / 10); val updHi = lo + 5 * (span / 10)
+      val off = hi + 1000
+      val band2 = col("o_orderkey").between(updLo, updHi)
+      val u1 = proj.filter(band2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(100L))
+      val u2 = proj.filter(band2 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 200.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(200L))
+      val dl = proj.filter(col("o_orderkey").between(lo, delHi) &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("op", lit("D")).withColumn("version", lit(300L))
+      val ins = proj.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(off)).as("o_orderkey"),
+          lit(999L).cast(proj.schema("o_custkey").dataType)
+            .as("o_custkey"),
+          lit(1.0).as("o_totalprice"))
+        .withColumn("op", lit("I")).withColumn("version", lit(100L))
+      val changes = u1.unionByName(u2).unionByName(dl).unionByName(ins)
+      val rep = cowApplyChanges(s, root, 1, 2, "o_orderkey", changes)
+      val (v, cur) = readPublished(s, root)
+      val frontier = s.read.parquet(s"$root/v2/_file_stats")
+        .agg(max(col("kmax"))).collect()(0).getLong(0) > hi
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("current_version", lit(v))
+        .withColumn("pruned_rewrite", lit(rep.published &&
+          rep.nFilesRewritten > 0 &&
+          rep.nFilesRewritten < rep.nFilesTotal))
+        .withColumn("frontier_appended", lit(frontier))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -2837,6 +2987,38 @@ object Sync {
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |  'v2' AS current_version, TRUE AS pruned_rewrite,
          |  TRUE AS untouched_intact, TRUE AS prior_version_live
+         |FROM post""".stripMargin,
+
+    // latest-wins CDC apply replayed as a filtered/CASE/UNION CTE:
+    // delete band1 keys %3, update band2 (+100, or +200 where the
+    // version-200 row wins at %5), insert shifted keys beyond the
+    // domain — integer band arithmetic in lockstep with the Spark side
+    "y38b_cdc_into_lake" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span,
+         |    MAX(o_orderkey) AS maxk FROM orders),
+         |post AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey BETWEEN lo + 4*(span//10)
+         |             AND lo + 5*(span//10) AND o_orderkey % 5 = 0
+         |           THEN o_totalprice + 200.0
+         |         WHEN o_orderkey BETWEEN lo + 4*(span//10)
+         |             AND lo + 5*(span//10)
+         |           THEN o_totalprice + 100.0
+         |         ELSE o_totalprice END AS price2
+         |  FROM orders, b
+         |  WHERE NOT (o_orderkey BETWEEN lo AND lo + span//10
+         |             AND o_orderkey % 3 = 0)
+         |  UNION ALL
+         |  SELECT o_orderkey + maxk + 1000 AS o_orderkey,
+         |    CAST(999 AS BIGINT) AS o_custkey, 1.0 AS price2
+         |  FROM orders, b WHERE o_orderkey % 97 = 0)
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("price2")} AS sum_price,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  'v2' AS current_version, TRUE AS pruned_rewrite,
+         |  TRUE AS frontier_appended
          |FROM post""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on

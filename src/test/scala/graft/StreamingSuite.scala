@@ -7,6 +7,11 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
 
+/** A CDC change-log row for the streaming lake-apply law (top-level so
+  * the MemoryStream encoder derives cleanly). */
+case class Chg(o_orderkey: Long, o_custkey: Long, o_totalprice: Double,
+               op: String, version: Long)
+
 /** T1–T8 (SURVEY §2.10) driven through MemoryStream micro-batches — the
   * only way to observe watermark/late-data/state semantics (no SQL oracle
   * can run a stream).
@@ -739,6 +744,66 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(filesAfter <= math.max(1, filesBefore / 2),
       s"compaction left $filesAfter of $filesBefore files")
+  }
+
+  test("Y38b streaming: a CDC stream lands in the lake via foreachBatch + cowApplyChanges, one published version per micro-batch") {
+    // the production CDC-into-lake wiring end-to-end: each micro-batch
+    // of change rows applies through the copy-on-write path and
+    // publishes atomically — a reader between any two micro-batches
+    // sees a complete version, never a half-applied batch. Sequential
+    // versions make cross-batch latest-wins equal to the sequential
+    // apply, so the final lake must equal the one-shot apply of the
+    // whole log.
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val sf0 = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_y38bs")
+      .toString + "/lake"
+    val proj = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Sync.publish(spark,
+      proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+    graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+    val two = proj.orderBy("o_orderkey").limit(2).collect()
+    val (k1, c1, p1) = (two(0).getLong(0), two(0).getLong(1), two(0).getDouble(2))
+    val (k2, c2, p2) = (two(1).getLong(0), two(1).getLong(1), two(1).getDouble(2))
+    val kNew = proj.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 5000
+    val src = MemoryStream[Chg]
+    var ver = 1
+    val q = src.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val rep = graft.ops.Sync.cowApplyChanges(spark, root, ver,
+            ver + 1, "o_orderkey", batch)
+          assert(rep.published); ver += 1
+        }
+      }.start()
+    try {
+      Seq(
+        Seq(Chg(k1, c1, p1 + 10, "U", 1), Chg(kNew, 111, 5.0, "I", 2)),
+        Seq(Chg(k1, c1, p1, "D", 3), Chg(k2, c2, p2 + 20, "U", 4)),
+        Seq(Chg(kNew, 111, 7.5, "U", 5))
+      ).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(ver == 4, s"expected 3 published versions, got ${ver - 1}")
+    val (vName, lake) = graft.ops.Sync.readPublished(spark, root)
+    assert(vName == "v4")
+    val expected = proj
+      .filter(col("o_orderkey") =!= k1 && col("o_orderkey") =!= k2)
+      .unionByName(Seq((k2, c2, p2 + 20), (kNew, 111L, 7.5))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(lake.exceptAll(expected).isEmpty &&
+      expected.exceptAll(lake).isEmpty,
+      "streamed CDC apply diverged from the sequential batch apply")
+    // intermediate versions stayed live (rollback/time-travel intact):
+    // v2 reflects exactly micro-batch 1's apply
+    val v2 = spark.read.parquet(s"$root/v2")
+    assert(v2.filter(col("o_orderkey") === k1)
+      .collect()(0).getDouble(2) == p1 + 10)
+    assert(v2.filter(col("o_orderkey") === kNew).count() == 1)
   }
 
   test("Z1-streaming fuzz: generated watermarked window/dedup queries agree with their batch twins") {
