@@ -418,6 +418,75 @@ object Sync {
       affected, untouched)
   }
 
+  /** Y39: INCREMENTAL LAKE COMPACTION (the OPTIMIZE verb) — cow
+    * mutations (y38/y38b) and streaming micro-batch applies fragment a
+    * table into many small files; steady state needs the companion
+    * compactor, and at 100 TB it must NOT be s13's full rewrite. This
+    * one is incremental: from the `_file_stats` manifest + a file
+    * listing (both metadata-scale), files smaller than half the target
+    * are bin-packed into ADJACENT-key-range groups (sorted by kmin, so
+    * merged files keep narrow spans and S14-style pruning keeps
+    * working); only groups of ≥2 small files rewrite — every
+    * adequately-sized file carries byte-verbatim, so the IO bill is
+    * proportional to the fragmentation, not the table. The assembled
+    * version publishes through the one y36 swap; readers never see a
+    * half-compacted table and the previous version stays live. */
+  private[graft] def compactPublished(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String,
+      targetBytes: Long): CowReport = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val sized = stats.collect().map { r =>
+      val f = r.getAs[String]("file")
+      (f, r.getAs[Long]("kmin"),
+        fs.getFileStatus(new Path(s"$fromDir/$f")).getLen)
+    }.sortBy(_._2) // key order — groups stay span-adjacent
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    var curBytes = 0L
+    sized.foreach { case (f, _, len) =>
+      if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
+        cur += f; curBytes += len
+      } else {
+        if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
+        if (len < targetBytes / 2) { cur += f; curBytes = len }
+      }
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    val rewriteGroups = groups.filter(_.length >= 2).toSeq
+    val rewritten = rewriteGroups.flatten.sorted
+    val untouched = sized.map(_._1).toSeq.diff(rewritten).sorted
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    if (rewriteGroups.isEmpty) fs.mkdirs(staging)
+    rewriteGroups.foreach { g =>
+      s.read.parquet(g.map(f => s"$fromDir/$f"): _*)
+        .repartitionByRange(1, col(key)).sortWithinPartitions(key)
+        .write.mode("append").parquet(staging.toString)
+    }
+    val newStatsRows = if (rewriteGroups.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else s.read.parquet(staging.toString)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+          count(lit(1)).as("n_rows"))
+        .collect()
+    untouched.foreach { f =>
+      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+        fs, new Path(s"$staging/$f"), false, conf)
+    }
+    val carried = stats.filter(col("file").isin(untouched: _*))
+    s.createDataFrame(
+        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
+        carried.schema).unionByName(carried)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
+  }
+
   /** Y36b: an in-flight optimistic publish — the pointer value observed
     * when staging began travels to commit time, where it is re-checked. */
   private[graft] final case class StagedPublish(
@@ -1977,6 +2046,61 @@ object Sync {
         .withColumn("frontier_appended", lit(frontier))
     }),
 
+    // Y39: INCREMENTAL LAKE COMPACTION — see [[compactPublished]].
+    // Lifecycle: v1 is published deliberately fragmented (12 small
+    // range-clustered files over the lower ¾ of the keyspace + one
+    // adequately-sized file on top — the shape a few dozen cow
+    // micro-batches leave behind); the compactor bin-packs the smalls
+    // into adjacent-range groups, rewrites ONLY those, carries the big
+    // file byte-verbatim, and publishes v2 through the pointer swap.
+    // The oracle certifies the data is untouched (plain full-table
+    // aggregate); the compaction/carry claims ride as audited booleans
+    // and the file-count/byte-identity laws live in OperatorSuite.
+    "y39_lake_optimize" -> ((s, d) => {
+      val root = Sources.stage("y39_opt")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val cut = b.getLong(0) + 3 * ((b.getLong(1) - b.getLong(0)) / 4)
+      val staging = s"$root/_staging_v1"
+      proj.filter(col("o_orderkey") <= cut)
+        .repartitionByRange(12, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(staging)
+      proj.filter(col("o_orderkey") > cut)
+        .repartitionByRange(1, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(staging)
+      publishStagedDir(s, root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      def partFiles(v: String) = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val totalBytes = partFiles("v1").map(_.getLen).sum
+      val rep = compactPublished(s, root, 1, 2, "o_orderkey",
+        targetBytes = math.max(totalBytes / 4, 1L))
+      val (v, cur) = readPublished(s, root)
+      val bigCarried = rep.untouched.nonEmpty && rep.untouched.forall { f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v1/$f"))
+          .getLen ==
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
+            .getLen
+      }
+      val nv1 = partFiles("v1").length; val nv2 = partFiles("v2").length
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("current_version", lit(v))
+        .withColumn("compacted", lit(rep.published && nv2 * 2 <= nv1))
+        .withColumn("big_file_carried", lit(bigCarried))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -2988,6 +3112,17 @@ object Sync {
          |  'v2' AS current_version, TRUE AS pruned_rewrite,
          |  TRUE AS untouched_intact, TRUE AS prior_version_live
          |FROM post""".stripMargin,
+
+    // compaction must be a pure layout change — the full-table
+    // aggregate is the oracle, the layout claims are audited booleans
+    "y39_lake_optimize" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  'v2' AS current_version, TRUE AS compacted,
+         |  TRUE AS big_file_carried
+         |FROM orders""".stripMargin,
 
     // latest-wins CDC apply replayed as a filtered/CASE/UNION CTE:
     // delete band1 keys %3, update band2 (+100, or +200 where the

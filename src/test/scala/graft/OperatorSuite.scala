@@ -1579,6 +1579,47 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(Sync.readPublished(spark, root)._1 == "v4")
   }
 
+  test("Y39 law: compaction rewrites only small-file groups, carries big files byte-identically, and converges") {
+    val row = SparkEntry.queries("y39_lake_optimize")(spark, sf).collect()(0)
+    assert(row.getAs[Boolean]("compacted"))
+    assert(row.getAs[Boolean]("big_file_carried"))
+    val root = graft.ops.Sources.stage("y39_opt")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(v: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val nv1 = parts("v1").length; val nv2 = parts("v2").length
+    assert(nv1 == 13, s"fixture drifted: v1 has $nv1 files")
+    assert(nv2 <= 5, s"compaction left $nv2 files (from $nv1)")
+    // data lossless across the layout change
+    val v1 = spark.read.parquet(s"$root/v1")
+    val v2 = spark.read.parquet(s"$root/v2")
+    assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty)
+    // every v2 data file has exactly one manifest row (the next
+    // mutation's pruning depends on it)
+    val manifest = spark.read.parquet(s"$root/v2/_file_stats")
+      .select("file").collect().map(_.getString(0)).sorted.toSeq
+    assert(manifest == parts("v2").map(_.getPath.getName).sorted.toSeq,
+      "compacted manifest out of sync with the data files")
+    // convergence: a second pass finds nothing small enough to merge
+    val total = parts("v2").map(_.getLen).sum
+    val rep2 = Sync.compactPublished(spark, root, 2, 3, "o_orderkey",
+      targetBytes = math.max(total / 4, 1L))
+    assert(rep2.published && rep2.nFilesRewritten == 0,
+      s"second compaction re-rewrote ${rep2.nFilesRewritten} files — not converging")
+    // and the compacted layout still serves the cow path: a single-key
+    // delete after compaction prunes to one file
+    val k = v2.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val spark0 = spark
+    import spark0.implicits._
+    val rep3 = Sync.cowApply(spark, root, 3, 4, "o_orderkey",
+      Seq(k).toDF("o_orderkey"),
+      v2.select(col("o_orderkey"), col("o_totalprice")).limit(0))
+    assert(rep3.published && rep3.nFilesRewritten == 1,
+      s"post-compaction mutation rewrote ${rep3.nFilesRewritten} files")
+  }
+
   test("Y36b law: interleaved publishers — one wins, one refuses, then succeeds on retry from a fresh read") {
     val root = java.nio.file.Files.createTempDirectory("graft_y36b").toString + "/pub"
     val base = Tables.region(spark, sf)
