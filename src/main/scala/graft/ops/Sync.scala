@@ -487,6 +487,150 @@ object Sync {
     CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
   }
 
+  /** Y40: MERGE-ON-READ DELETION VECTORS — the scale complement to
+    * [[cowApply]]. Copy-on-write pays a file REWRITE per mutation
+    * batch; under high-frequency small deletes (GDPR trickle, CDC
+    * tombstone streams) that write-amplifies badly. Merge-on-read
+    * inverts the trade: a delete batch writes only a tiny `_deletes`
+    * key sidecar inside the new version dir (underscore prefix =
+    * invisible to plain parquet readers) and carries EVERY data file
+    * and the `_file_stats` manifest verbatim — zero data-file bytes
+    * rewritten, publish latency is O(|delete batch|), not O(touched
+    * files). The read path ([[readPublishedMor]]) subtracts the
+    * sidecar with one BROADCAST anti-join — the DV is delta-sized by
+    * construction, so the table never shuffles and the scan stays
+    * whole-stage-codegen'd. Sidecars ACCUMULATE across versions
+    * (v3's `_deletes` = v2's ∪ the new batch, deduped), so a reader
+    * always consults exactly one DV file; when the vector grows past
+    * taste, [[dvFold]] folds it into the base exactly once via the
+    * cow path and the next version starts with a clean slate. The
+    * local-FS verbatim carry stands in for the object-store manifest
+    * entry / server-side copy, as in cowApply (step 3 there). */
+  private[graft] def dvDelete(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String,
+      deletes: DataFrame): CowReport = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    val files = fs.listStatus(new Path(fromDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).sorted
+    files.foreach { f =>
+      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+        fs, new Path(s"$staging/$f"), false, conf)
+    }
+    FileUtil.copy(fs, new Path(s"$fromDir/_file_stats"),
+      fs, new Path(s"$staging/_file_stats"), false, conf)
+    val prior =
+      if (fs.exists(new Path(s"$fromDir/_deletes")))
+        s.read.parquet(s"$fromDir/_deletes")
+      else deletes.select(col(key)).limit(0)
+    prior.select(col(key)).unionByName(deletes.select(col(key)))
+      .distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_deletes")
+    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    CowReport(ok, files.length, 0, Nil, files)
+  }
+
+  /** MOR read path: resolve `_CURRENT`, open the version's data files,
+    * and subtract its deletion vector (if any) with a broadcast
+    * anti-join. Plain [[readPublished]] on a MOR version would return
+    * ghost rows — the DV is part of the version's logical content. */
+  private[graft] def readPublishedMor(s: SparkSession, root: String,
+      key: String): (String, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val (v, base) = readPublished(s, root)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$root/$v/_deletes"))) (v, base)
+    else (v, base.join(
+      broadcast(s.read.parquet(s"$root/$v/_deletes")), Seq(key),
+      "left_anti"))
+  }
+
+  /** Fold the accumulated deletion vector into the base files — one
+    * cow rewrite ([[cowApply]] prunes to the files whose key spans
+    * contain DV keys; everything else carries verbatim) whose staged
+    * output simply omits `_deletes`, so the published version is clean
+    * and the next MOR read is sidecar-free. Run it on the compaction
+    * cadence (y39), not per delete — that scheduling split is the
+    * entire point of merge-on-read. */
+  private[graft] def dvFold(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String): CowReport = {
+    val dv = s.read.parquet(s"$root/v$fromVersion/_deletes")
+    cowApply(s, root, fromVersion, toVersion, key,
+      deletes = dv, updates = dv.limit(0))
+  }
+
+  /** Y41: CHANGE-DATA-FEED BETWEEN PUBLISHED VERSIONS — "what changed
+    * from v{m} to v{n}" as I/U/D rows, derived AFTER the fact from two
+    * immutable version dirs (the inverse of y38b, which APPLIES a
+    * changelog). The naive derivation is y3's full-outer diff over
+    * both complete snapshots — O(table) twice. This one prunes with
+    * the publish protocol's own invariant: a file carried VERBATIM
+    * (same name — Spark part-files are job-UUID'd, so a name collision
+    * across versions cannot be two different rewrites — and same
+    * length) is provably unchanged, and since cow writers never touch
+    * carried files, no key can have moved between a carried file and a
+    * rewritten one. So only the files PRESENT IN EXACTLY ONE version's
+    * listing are scanned, and the keyed full-outer join runs over the
+    * churned subset alone — diff cost is proportional to the churn,
+    * not the table. At 100 TB with 0.1 % churn that is a ~100 GB join
+    * versus two full scans. Returns (changes, scannedFrom/To,
+    * totalFrom/To) so callers can audit the pruning. */
+  private[graft] final case class CdfReport(changes: DataFrame,
+      scannedFrom: Int, scannedTo: Int, totalFrom: Int, totalTo: Int)
+
+  private[graft] def lakeChanges(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String): CdfReport = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def listing(v: Int): Map[String, Long] =
+      fs.listStatus(new Path(s"$root/v$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val fromFiles = listing(fromVersion)
+    val toFiles = listing(toVersion)
+    val carried = fromFiles.keySet.intersect(toFiles.keySet)
+      .filter(f => fromFiles(f) == toFiles(f))
+    val fromOnly = (fromFiles.keySet -- carried).toSeq.sorted
+    val toOnly = (toFiles.keySet -- carried).toSeq.sorted
+    val schema = s.read.parquet(s"$root/v$toVersion").schema
+    def subset(v: Int, files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema)
+        .parquet(files.map(f => s"$root/v$v/$f"): _*)
+    val dataCols = schema.fieldNames.toSeq.filterNot(_ == key)
+    val l = subset(fromVersion, fromOnly).select(col(key) +:
+      lit(true).as("__l_present") +:
+      dataCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = subset(toVersion, toOnly).select(col(key) +:
+      lit(true).as("__r_present") +:
+      dataCols.map(c => col(c).as(s"__r_$c")): _*)
+    // churn-sized full-outer join, the y3 idiom on the pruned subset
+    val j = l.join(r, Seq(key), "full_outer")
+    val differs = dataCols.map(c =>
+      !(col(s"__l_$c") <=> col(s"__r_$c"))).reduce(_ || _)
+    val changes = j.withColumn("op",
+        when(col("__l_present").isNull, lit("I"))
+          .when(col("__r_present").isNull, lit("D"))
+          .when(differs, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col(key) +: dataCols.map(c =>
+        // presence-keyed, not coalesce: an updated-to-NULL column must
+        // surface as NULL, not fall back to the pre-image
+        when(col("__r_present").isNotNull, col(s"__r_$c"))
+          .otherwise(col(s"__l_$c")).as(c)): _*)
+    CdfReport(changes, fromOnly.length, toOnly.length,
+      fromFiles.size, toFiles.size)
+  }
+
   /** Y36b: an in-flight optimistic publish — the pointer value observed
     * when staging began travels to commit time, where it is re-checked. */
   private[graft] final case class StagedPublish(
@@ -2101,6 +2245,115 @@ object Sync {
         .withColumn("big_file_carried", lit(bigCarried))
     }),
 
+    // Y40: MERGE-ON-READ DELETION VECTORS — see [[dvDelete]] /
+    // [[readPublishedMor]] / [[dvFold]]. Lifecycle: v1 published
+    // range-clustered; two delete batches land as v2 and v3 writing
+    // ONLY a key sidecar each (zero_copy audited: every v3 data file
+    // byte-identical to v1's, rewrite count 0); the MOR read subtracts
+    // the accumulated vector with one broadcast anti-join; dvFold then
+    // publishes v4 through the cow path — pruned rewrite, no sidecar —
+    // and the clean read must equal the MOR read it replaced. The
+    // oracle replays both delete bands as a NOT-filter; the audit
+    // booleans carry the zero-copy/accumulation/fold claims.
+    "y40_deletion_vectors" -> ((s, d) => {
+      val root = Sources.stage("y40_mor")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      publish(s, proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val d1 = proj.filter(col("o_orderkey").between(lo, lo + span / 10) &&
+        col("o_orderkey") % 3 === 0).select("o_orderkey")
+      val d2 = proj.filter(col("o_orderkey")
+          .between(lo + 2 * (span / 10), lo + 3 * (span / 10)) &&
+        col("o_orderkey") % 4 === 0).select("o_orderkey")
+      val rep1 = dvDelete(s, root, 1, 2, "o_orderkey", d1)
+      val rep2 = dvDelete(s, root, 2, 3, "o_orderkey", d2)
+      def len(p: String) = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p)).getLen
+      val zeroCopy = rep1.published && rep2.published &&
+        rep1.nFilesRewritten == 0 && rep2.nFilesRewritten == 0 &&
+        rep2.untouched.nonEmpty && rep2.untouched.forall(f =>
+          len(s"$root/v1/$f") == len(s"$root/v3/$f"))
+      val dvAccumulated = s.read.parquet(s"$root/v3/_deletes").count() ==
+        d1.count() + d2.count()
+      val (_, morV3) = readPublishedMor(s, root, "o_orderkey")
+      val morCount = morV3.count()
+      val rep3 = dvFold(s, root, 3, 4, "o_orderkey")
+      val (v, cur) = readPublishedMor(s, root, "o_orderkey")
+      val foldedClean = rep3.published &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v4/_deletes")) &&
+        s.read.parquet(s"$root/v4").count() == morCount
+      val prunedFold = rep3.nFilesRewritten > 0 &&
+        rep3.nFilesRewritten < rep3.nFilesTotal
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("current_version", lit(v))
+        .withColumn("zero_copy_delete", lit(zeroCopy))
+        .withColumn("dv_accumulated", lit(dvAccumulated))
+        .withColumn("folded_clean", lit(foldedClean))
+        .withColumn("pruned_fold", lit(prunedFold))
+    }),
+
+    // Y41: CHANGE-DATA-FEED between published versions — see
+    // [[lakeChanges]]. Lifecycle: v1 published range-clustered, one
+    // y38b CDC batch (delete band1 %3, update band2 +100, insert a %101
+    // comb shifted past the key domain) produces v2; lakeChanges(v1,v2)
+    // must recover exactly that changelog from the two immutable dirs
+    // while scanning ONLY the churned files (pruned_diff audits
+    // scanned < total on both sides). The oracle recomputes the I/U/D
+    // counts and the updated-rows price sum from the same band
+    // arithmetic; a ghost U (carried file misread as changed), a missed
+    // D, or a double-counted frontier insert cannot hash-match.
+    "y41_change_data_feed" -> ((s, d) => {
+      val root = Sources.stage("y41_cdf")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      publish(s, proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val hi = b.getLong(1); val span = hi - lo
+      val band2 = col("o_orderkey")
+        .between(lo + 4 * (span / 10), lo + 5 * (span / 10))
+      val upd = proj.filter(band2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(100L))
+      val dl = proj.filter(col("o_orderkey")
+          .between(lo, lo + span / 10) && col("o_orderkey") % 3 === 0)
+        .withColumn("op", lit("D")).withColumn("version", lit(100L))
+      val ins = proj.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(hi) + 1000).as("o_orderkey"),
+          lit(999L).cast(proj.schema("o_custkey").dataType)
+            .as("o_custkey"),
+          lit(1.0).as("o_totalprice"))
+        .withColumn("op", lit("I")).withColumn("version", lit(100L))
+      cowApplyChanges(s, root, 1, 2, "o_orderkey",
+        upd.unionByName(dl).unionByName(ins))
+      val cdf = lakeChanges(s, root, 1, 2, "o_orderkey")
+      val prunedDiff = cdf.scannedFrom < cdf.totalFrom &&
+        cdf.scannedTo < cdf.totalTo
+      cdf.changes.agg(
+          sum(when(col("op") === "I", 1).otherwise(0)).as("n_ins"),
+          sum(when(col("op") === "U", 1).otherwise(0)).as("n_upd"),
+          sum(when(col("op") === "D", 1).otherwise(0)).as("n_del"),
+          Det.dsum(when(col("op") === "U", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("upd_price_sum"))
+        .withColumn("pruned_diff", lit(prunedDiff))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -3155,6 +3408,47 @@ object Sync {
          |  'v2' AS current_version, TRUE AS pruned_rewrite,
          |  TRUE AS frontier_appended
          |FROM post""".stripMargin,
+
+    // MOR end state = base minus both accumulated delete bands; the
+    // zero-copy / accumulation / fold claims ride as audited booleans
+    // (constants here, genuinely computed on the Spark side)
+    "y40_deletion_vectors" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders),
+         |post AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders, b
+         |  WHERE NOT (o_orderkey BETWEEN lo AND lo + span//10
+         |             AND o_orderkey % 3 = 0)
+         |    AND NOT (o_orderkey BETWEEN lo + 2*(span//10)
+         |               AND lo + 3*(span//10)
+         |             AND o_orderkey % 4 = 0))
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  'v4' AS current_version, TRUE AS zero_copy_delete,
+         |  TRUE AS dv_accumulated, TRUE AS folded_clean,
+         |  TRUE AS pruned_fold
+         |FROM post""".stripMargin,
+
+    // the recovered changelog's I/U/D counts + the updated rows' new
+    // price sum, recomputed from the same band arithmetic
+    "y41_change_data_feed" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders)
+         |SELECT
+         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 101 = 0)
+         |    AS n_ins,
+         |  (SELECT COUNT(*) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo + 4*(span//10)
+         |     AND lo + 5*(span//10)) AS n_upd,
+         |  (SELECT COUNT(*) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo AND lo + span//10
+         |     AND o_orderkey % 3 = 0) AS n_del,
+         |  (SELECT ${Det.Sql.dsum("o_totalprice + 100.0")}
+         |   FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo + 4*(span//10)
+         |     AND lo + 5*(span//10)) AS upd_price_sum,
+         |  TRUE AS pruned_diff""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the

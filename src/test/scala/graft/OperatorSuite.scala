@@ -1755,4 +1755,90 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
         (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
     assert(viaFiles == viaTable, "file-ingested features diverged from m1")
   }
+
+  test("Y40 law: MOR delete rewrites zero data bytes; read subtracts the DV broadcast-anti; fold equals the MOR view") {
+    val row = SparkEntry.queries("y40_deletion_vectors")(spark, sf)
+      .collect()(0)
+    assert(row.getAs[Boolean]("zero_copy_delete"))
+    assert(row.getAs[Boolean]("dv_accumulated"))
+    assert(row.getAs[Boolean]("folded_clean"))
+    assert(row.getAs[Boolean]("pruned_fold"))
+    val root = graft.ops.Sources.stage("y40_mor")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    // zero-copy means BYTE-identical, not same-sized: every v3 data
+    // file must equal its v1 original verbatim (two DV publishes later)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        val f = st.getPath.getName
+        assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
+          bytes(s"$root/v3/$f")), s"MOR carried file $f was re-encoded")
+      }
+    // the MOR read of v3 (base anti DV) must equal the folded v4 —
+    // fold is a pure layout change of the same logical content
+    val v3dv = spark.read.parquet(s"$root/v3/_deletes")
+    val morV3 = spark.read.parquet(s"$root/v3")
+      .join(broadcast(v3dv), Seq("o_orderkey"), "left_anti")
+    val v4 = spark.read.parquet(s"$root/v4")
+    assert(morV3.exceptAll(v4).isEmpty && v4.exceptAll(morV3).isEmpty,
+      "dvFold changed the logical content")
+    // accumulation is monotone: v3's vector contains all of v2's
+    val v2dv = spark.read.parquet(s"$root/v2/_deletes")
+    assert(v2dv.join(v3dv, Seq("o_orderkey"), "left_anti").isEmpty,
+      "v3 dropped keys from v2's deletion vector")
+    // plan law: a MOR read WITH a live vector (v3; the folded v4
+    // rightly plans as a bare scan) is a BROADCAST anti-join — the
+    // base table must not shuffle to subtract a delta-sized vector
+    morV3.collect()
+    val plan = morV3.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MOR read plan is not a broadcast anti-join:\n$plan")
+    // and the pointer-resolved read after the fold is sidecar-free
+    val (v, cleanRead) = graft.ops.Sync
+      .readPublishedMor(spark, root, "o_orderkey")
+    assert(v == "v4" &&
+      !cleanRead.queryExecution.executedPlan.toString.contains("Join"),
+      "post-fold MOR read should be a bare scan")
+  }
+
+  test("Y41 law: CDF replay reconstructs v2 from v1; carried files are never scanned; self-diff is empty") {
+    SparkEntry.queries("y41_change_data_feed")(spark, sf).collect()
+    val root = graft.ops.Sources.stage("y41_cdf")
+    val cdf = graft.ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
+    assert(cdf.scannedFrom < cdf.totalFrom &&
+      cdf.scannedTo < cdf.totalTo,
+      s"diff scanned everything: ${cdf.scannedFrom}/${cdf.totalFrom} " +
+        s"from, ${cdf.scannedTo}/${cdf.totalTo} to")
+    // the fundamental CDF law: v1 patched with the recovered changelog
+    // IS v2 — any ghost U, missed D, or dropped I breaks set equality
+    val v1 = spark.read.parquet(s"$root/v1")
+    val v2 = spark.read.parquet(s"$root/v2")
+    val ch = cdf.changes.cache()
+    val touched = ch.select("o_orderkey")
+    val replayed = v1
+      .join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+      .unionByName(ch.filter(col("op") =!= "D").drop("op"))
+    assert(replayed.exceptAll(v2).isEmpty && v2.exceptAll(replayed).isEmpty,
+      "v1 + recovered changelog != v2")
+    // D rows carry the pre-image (they have no post-image to show)
+    val dRows = ch.filter(col("op") === "D").drop("op")
+    assert(dRows.exceptAll(v1).isEmpty,
+      "a D row's payload is not the v1 pre-image")
+    ch.unpersist()
+    // self-diff: zero changes, zero files scanned (every file carries)
+    val selfCdf = graft.ops.Sync.lakeChanges(spark, root, 1, 1,
+      "o_orderkey")
+    assert(selfCdf.scannedFrom == 0 && selfCdf.scannedTo == 0 &&
+      selfCdf.changes.isEmpty,
+      "diffing a version against itself must scan nothing")
+  }
 }
