@@ -365,6 +365,70 @@ object StreamOps {
     s.read.parquet(indexDir).count()
   }
 
+  /** STREAMING CDC → PUBLISHED LAKE, EXACTLY-ONCE — one micro-batch of
+    * y4-shaped change rows (full row + op ∈ I/U/D + version) applies
+    * through the copy-on-write path and publishes one lake version.
+    * Unlike the parquet-append sinks above (at-least-once by disclosed
+    * design — a retried batch re-appends), THIS sink is idempotent
+    * under every foreachBatch replay, because the target version
+    * number is a pure function of the batch id
+    * (`baseVersion + batchId + 1` — the y28 cursor idiom with the
+    * version dir AS the cursor and the pointer swap as the commit):
+    *
+    *  - replayed batch, fully committed before the crash → the target
+    *    dir exists → SKIP, zero data movement;
+    *  - crash BETWEEN the staging rename and the pointer swap → the
+    *    dir exists but the pointer lags → the replay HEALS the pointer
+    *    to the newest published version and skips the data;
+    *  - crash before the rename → the orphaned staging dir is clobbered
+    *    by the re-run's own staging write (cowApplyChanges deletes it
+    *    first) and the batch applies exactly once.
+    *
+    * Empty batches publish nothing (no version churn); the resulting
+    * version-number gaps are fine — the apply chains FROM the newest
+    * published version below the target, not from `target - 1`, and
+    * y37's GC windows by rank, never by numeric distance. Returns true
+    * when the batch published, false when it was skipped (replay or
+    * empty). The lake must be bootstrapped: `baseVersion` published
+    * with a `_file_stats` manifest before the stream starts. */
+  def applyCdcBatch(s: org.apache.spark.sql.SparkSession, root: String,
+                    key: String, baseVersion: Int, batch: DataFrame,
+                    batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val target = baseVersion + batchId.toInt + 1
+    val versions = fs.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+    if (versions.contains(target)) {
+      // replay of a committed batch; heal a lagging pointer (the crash
+      // window between rename and swap) and touch nothing else
+      val newest = versions.max
+      val (cur, _) = graft.ops.Sync.readPublished(s, root)
+      if (cur.stripPrefix("v").toInt < newest)
+        graft.ops.Sync.repoint(s, root, newest)
+      false
+    } else if (batch.isEmpty) false
+    else {
+      val from = versions.filter(_ < target).max
+      graft.ops.Sync.cowApplyChanges(s, root, from, target, key,
+        batch).published
+    }
+  }
+
+  /** The [[applyCdcBatch]] kernel bound to a stream. Caller binds the
+    * checkpoint: `cdcIntoLake(src, root, "k", 1)
+    * .option("checkpointLocation", ck).start()`. */
+  def cdcIntoLake(changes: DataFrame, root: String, key: String,
+                  baseVersion: Int) =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch.sparkSession, root, key, baseVersion,
+          batch, batchId)
+        ()
+      }
+
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
                    driver: String,
                    dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz for the LAKE subsystem (y38/y38b/y40/y41) — the
+  * newest surface in the engine, and the one whose curated queries use
+  * hand-built bands. Here the change sets are GENERATED: seeded random
+  * delete combs, update ladders with overlapping multi-version keys,
+  * past-domain and in-span inserts — applied through the real
+  * copy-on-write / merge-on-read machinery and compared against an
+  * ALGEBRAIC twin computed by an independent code path (groupBy
+  * max_by latest-wins + anti-join/union set algebra; the production
+  * path collapses with a window function and routes by file span —
+  * agreement is a genuine differential check, not a self-comparison).
+  * Every iteration also closes the loop with the y41 change-data-feed:
+  * the changelog RECOVERED from the two version dirs must reconstruct
+  * v2 from v1 exactly.
+  */
+class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sameSet(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  test("lake fuzz: generated CDC batches — cow apply == algebraic twin; recovered CDF reconstructs v2") {
+    val proj = ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").cache()
+    val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b.getLong(0); val hi = b.getLong(1); val span = hi - lo
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(20260814L + seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_lakefz$seed").toString + "/lake"
+      val nFiles = 4 + rnd.nextInt(7)
+      assert(ops.Sync.publish(spark,
+        proj.repartitionByRange(nFiles, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+      ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+      // generated change set: a delete comb in a random band, an
+      // update ladder whose second rung overlaps the first on a
+      // sub-comb (latest version must win), inserts beyond the domain
+      // and IN-SPAN inserts at genuinely-new keys (orders keys are
+      // sparse: key+1 is in-span and usually absent — anti-join makes
+      // absence certain)
+      val dm = Seq(3, 5, 7)(rnd.nextInt(3))
+      val dband0 = lo + (span / 10) * rnd.nextInt(8)
+      val dband1 = dband0 + span / 10
+      val um = Seq(2, 3, 4)(rnd.nextInt(3))
+      val uband0 = lo + (span / 10) * rnd.nextInt(8)
+      val uband1 = uband0 + span / 10 + span / 20
+      val delta1 = 1 + rnd.nextInt(500)
+      val delta2 = 1 + rnd.nextInt(500)
+      val dl = proj.filter(col("o_orderkey").between(dband0, dband1) &&
+          col("o_orderkey") % dm === 0)
+        .withColumn("op", lit("D")).withColumn("version", lit(50L))
+      val u1 = proj.filter(col("o_orderkey").between(uband0, uband1) &&
+          col("o_orderkey") % um === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + delta1)
+        .withColumn("op", lit("U")).withColumn("version", lit(100L))
+      val u2 = proj.filter(col("o_orderkey").between(uband0, uband1) &&
+          col("o_orderkey") % (um * 2) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + delta2)
+        .withColumn("op", lit("U")).withColumn("version", lit(200L))
+      val insFar = proj.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + hi + 1000).as("o_orderkey"),
+          col("o_custkey"), lit(1.5).as("o_totalprice"))
+        .withColumn("op", lit("I")).withColumn("version", lit(100L))
+      val insIn = proj.filter(col("o_orderkey") % 89 === 0)
+        .select((col("o_orderkey") + 1).as("o_orderkey"),
+          col("o_custkey"), lit(2.5).as("o_totalprice"))
+        .join(proj.select(col("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .dropDuplicates("o_orderkey")
+        .withColumn("op", lit("I")).withColumn("version", lit(100L))
+      val changes = dl.unionByName(u1).unionByName(u2)
+        .unionByName(insFar).unionByName(insIn).cache()
+      val rep = ops.Sync.cowApplyChanges(spark, root, 1, 2,
+        "o_orderkey", changes)
+      assert(rep.published, s"seed $seed: publish failed")
+      val v2 = spark.read.parquet(s"$root/v2")
+      // independent algebra: latest-wins by max_by over (version DESC,
+      // D-beats-U-beats-I at equal version — matches the window's
+      // row_number tie order only when versions are DISTINCT per key,
+      // which this generator guarantees across rungs)
+      val latest = changes.groupBy("o_orderkey")
+        .agg(max_by(struct(col("op"), col("o_custkey"),
+          col("o_totalprice")), col("version")).as("m"))
+        .select(col("o_orderkey"), col("m.op").as("op"),
+          col("m.o_custkey").as("o_custkey"),
+          col("m.o_totalprice").as("o_totalprice"))
+      val expected = proj
+        .join(latest.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(latest.filter(col("op") =!= "D").drop("op"))
+      sameSet(v2, expected, s"seed $seed: cow apply != algebraic twin")
+      // file-level sanity: the mutation pruned (some file carried)
+      // whenever some file's span missed every change key
+      assert(rep.nFilesTotal >= nFiles,
+        s"seed $seed: manifest lost files (${rep.nFilesTotal} < $nFiles)")
+      // CDF closure: the changelog recovered from the two dirs
+      // reconstructs v2 from v1
+      val cdf = ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
+      val ch = cdf.changes.cache()
+      val replayed = spark.read.parquet(s"$root/v1")
+        .join(ch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(ch.filter(col("op") =!= "D").drop("op"))
+      sameSet(replayed, v2, s"seed $seed: CDF replay != v2")
+      // and the recovered D set is exactly the effective delete set
+      val delEff = latest.filter(col("op") === "D")
+        .join(proj, Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey")
+      sameSet(ch.filter(col("op") === "D").select("o_orderkey"), delEff,
+        s"seed $seed: CDF delete set wrong")
+      ch.unpersist(); changes.unpersist()
+    }
+    proj.unpersist()
+  }
+
+  test("lake fuzz: generated MOR delete chains — fold(v_n) == base minus all vectors; every chain link zero-copy") {
+    val proj = ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").cache()
+    val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b.getLong(0); val span = b.getLong(1) - lo
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(777L + seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_morfz$seed").toString + "/lake"
+      assert(ops.Sync.publish(spark,
+        proj.repartitionByRange(4 + rnd.nextInt(5), col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+      ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = (0 until nBatches).map { i =>
+        val m = Seq(3, 4, 5, 7)(rnd.nextInt(4))
+        val b0 = lo + (span / 8) * rnd.nextInt(7)
+        proj.filter(col("o_orderkey").between(b0, b0 + span / 8) &&
+          col("o_orderkey") % m === 0).select("o_orderkey")
+      }
+      batches.zipWithIndex.foreach { case (dv, i) =>
+        val rep = ops.Sync.dvDelete(spark, root, i + 1, i + 2,
+          "o_orderkey", dv)
+        assert(rep.published && rep.nFilesRewritten == 0,
+          s"seed $seed batch $i: MOR delete rewrote data files")
+      }
+      val lastV = nBatches + 1
+      val (vName, mor) = ops.Sync.readPublishedMor(spark, root,
+        "o_orderkey")
+      assert(vName == s"v$lastV")
+      val allDel = batches.reduce(_ unionByName _).distinct()
+      val expected = proj.join(allDel, Seq("o_orderkey"), "left_anti")
+      sameSet(mor, expected, s"seed $seed: MOR view != base minus vectors")
+      val repF = ops.Sync.dvFold(spark, root, lastV, lastV + 1,
+        "o_orderkey")
+      assert(repF.published, s"seed $seed: fold failed")
+      sameSet(spark.read.parquet(s"$root/v${lastV + 1}"), expected,
+        s"seed $seed: folded version != MOR view")
+      // overlapping batches may cover every file; pruning is only
+      // REQUIRED when some file's span escaped all delete bands
+      val stats = spark.read.parquet(s"$root/v$lastV/_file_stats")
+        .collect().map(r => (r.getAs[Long]("kmin"), r.getAs[Long]("kmax")))
+      val dvKeys = allDel.collect().map(_.getLong(0))
+      val untouchable = stats.count { case (kmin, kmax) =>
+        !dvKeys.exists(k => k >= kmin && k <= kmax) }
+      assert(repF.nFilesTotal - repF.nFilesRewritten >= untouchable,
+        s"seed $seed: fold rewrote a file no delete key touches")
+    }
+    proj.unpersist()
+  }
+}

@@ -806,6 +806,86 @@ class StreamingSuite extends AnyFunSuite with SparkFixture {
     assert(v2.filter(col("o_orderkey") === kNew).count() == 1)
   }
 
+  test("Y38c exactly-once lake sink: batchId-keyed versions make replays no-ops, heal a torn pointer, chain across gaps") {
+    // The hand-rolled foreachBatch above double-applies on a retry (its
+    // version counter is driver state); StreamOps.cdcIntoLake is the
+    // production form — target version = baseVersion + batchId + 1, so
+    // every foreachBatch replay lands on a version that already exists
+    // and SKIPS. The three crash windows are each exercised directly
+    // against the kernel: committed replay, rename-vs-swap tear
+    // (pointer heal), and pre-rename orphan (covered by the staging
+    // clobber inside cowApplyChanges, asserted via the gap-chain apply).
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark0.sqlContext
+    val sf0 = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_y38c").toString
+    val root = s"$base/lake"
+    val proj = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Sync.publish(spark,
+      proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+    graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+    val two = proj.orderBy("o_orderkey").limit(2).collect()
+    val (k1, c1, p1) = (two(0).getLong(0), two(0).getLong(1), two(0).getDouble(2))
+    val (k2, c2, p2) = (two(1).getLong(0), two(1).getLong(1), two(1).getDouble(2))
+    val kNew = proj.agg(max(col("o_orderkey"))).collect()(0).getLong(0) + 5000
+    val src = MemoryStream[Chg]
+    val q = StreamOps.cdcIntoLake(src.toDF(), root, "o_orderkey", 1)
+      .option("checkpointLocation", s"$base/ck").start()
+    val b1 = Seq(Chg(k1, c1, p1 + 10, "U", 1), Chg(kNew, 111, 5.0, "I", 2))
+    val b2 = Seq(Chg(k1, c1, p1, "D", 3))
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pointer() = graft.ops.Sync.readPublished(spark, root)._1
+    def snap(): (Long, Double) = {
+      val r = graft.ops.Sync.readPublished(spark, root)._2
+        .agg(count(lit(1)), graft.ops.Det.dsum(col("o_totalprice")))
+        .collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(pointer() == "v3", s"expected v3 live, got ${pointer()}")
+    val committed = snap()
+    val lake = graft.ops.Sync.readPublished(spark, root)._2
+    assert(lake.filter(col("o_orderkey") === k1).isEmpty,
+      "batch-2 delete of k1 did not apply")
+    assert(lake.filter(col("o_orderkey") === kNew).count() == 1)
+    // committed-replay law: re-delivering batch 1 (target v3 exists)
+    // must skip without touching data or pointer
+    val b2df = b2.toDF()
+    assert(!StreamOps.applyCdcBatch(spark, root, "o_orderkey", 1, b2df, 1))
+    assert(pointer() == "v3" && snap() == committed,
+      "a replayed committed batch changed the lake")
+    // torn-pointer heal: crash landed the v3 rename but not the swap —
+    // simulate by pointing back at v2; the replay must heal to v3
+    graft.ops.Sync.repoint(spark, root, 2)
+    assert(!StreamOps.applyCdcBatch(spark, root, "o_orderkey", 1, b2df, 1))
+    assert(pointer() == "v3" && snap() == committed,
+      "replay did not heal the torn pointer")
+    // empty batch: no version churn, no pointer movement
+    assert(!StreamOps.applyCdcBatch(spark, root, "o_orderkey", 1,
+      b2df.limit(0), 2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v4")) &&
+      pointer() == "v3", "an empty batch published a version")
+    // gap-chain: batch 3 applies FROM v3 (the newest below its target
+    // v5), not from the nonexistent v4; content reflects the update
+    val b4 = Seq(Chg(k2, c2, p2 + 20, "U", 4)).toDF()
+    assert(StreamOps.applyCdcBatch(spark, root, "o_orderkey", 1, b4, 3))
+    assert(pointer() == "v5" &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v4")))
+    val after = graft.ops.Sync.readPublished(spark, root)._2
+    assert(after.filter(col("o_orderkey") === k2)
+      .collect()(0).getDouble(2) == p2 + 20,
+      "gap-chained batch lost the running state")
+    assert(after.count() == committed._1,
+      "gap-chained update changed the row count")
+  }
+
   test("Z1-streaming fuzz: generated watermarked window/dedup queries agree with their batch twins") {
     // The batch≡streaming law (the hand-built W7 case above) generalized
     // to GENERATED shapes: 12 seeded configs over {tumbling, sliding,
