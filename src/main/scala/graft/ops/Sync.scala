@@ -272,7 +272,8 @@ object Sync {
     * GDPR-delete and CDC-into-lake both land exactly here. */
   private[graft] def cowApply(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
-      deletes: DataFrame, updates: DataFrame): CowReport = {
+      deletes: DataFrame, updates: DataFrame,
+      carryDeletes: Boolean = true): CowReport = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
@@ -323,6 +324,16 @@ object Sync {
       carried.schema).unionByName(carried)
     merged.coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/_file_stats")
+    // a MOR deletion vector on the source version still applies to the
+    // new one: deletes here remove their rows physically (every present
+    // change key lives in a rewritten file), and an UPDATE of a
+    // DV-deleted key is the SQL no-op — the ghost row gets modified but
+    // stays subtracted at read. dvFold is the one caller that DROPS the
+    // vector (carryDeletes=false), because its rewrite just applied it.
+    if (carryDeletes &&
+        fs.exists(new Path(s"$fromDir/_deletes")))
+      FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
+        fs, new Path(s"$staging/_deletes"), false, conf)
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
@@ -413,6 +424,18 @@ object Sync {
         carried.schema).unionByName(carried)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/_file_stats")
+    // MOR interplay: an UPSERT re-asserts its key's existence (CDC
+    // semantics — I/U means the row exists at the source NOW), so the
+    // carried deletion vector drops every upserted key; D keys need no
+    // DV entry — their physical rows were just removed (every present
+    // change key lives in a rewritten file)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$fromDir/_deletes"))) {
+      val oldDv = s.read.parquet(s"$fromDir/_deletes")
+      oldDv.join(broadcast(upserts.select(col(key)).distinct()),
+          Seq(key), "left_anti")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/_deletes")
+    }
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
@@ -483,6 +506,12 @@ object Sync {
         carried.schema).unionByName(carried)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/_file_stats")
+    // compaction is a PURE layout change: a MOR deletion vector on the
+    // source version still subtracts the same keys from the new one —
+    // dropping it here would resurrect every MOR-deleted row
+    if (fs.exists(new Path(s"$fromDir/_deletes")))
+      FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
+        fs, new Path(s"$staging/_deletes"), false, conf)
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
   }
@@ -563,7 +592,7 @@ object Sync {
       fromVersion: Int, toVersion: Int, key: String): CowReport = {
     val dv = s.read.parquet(s"$root/v$fromVersion/_deletes")
     cowApply(s, root, fromVersion, toVersion, key,
-      deletes = dv, updates = dv.limit(0))
+      deletes = dv, updates = dv.limit(0), carryDeletes = false)
   }
 
   /** Y41: CHANGE-DATA-FEED BETWEEN PUBLISHED VERSIONS — "what changed
@@ -607,12 +636,28 @@ object Sync {
       else s.read.schema(schema)
         .parquet(files.map(f => s"$root/v$v/$f"): _*)
     val dataCols = schema.fieldNames.toSeq.filterNot(_ == key)
-    val l = subset(fromVersion, fromOnly).select(col(key) +:
-      lit(true).as("__l_present") +:
-      dataCols.map(c => col(c).as(s"__l_$c")): _*)
-    val r = subset(toVersion, toOnly).select(col(key) +:
-      lit(true).as("__r_present") +:
-      dataCols.map(c => col(c).as(s"__r_$c")): _*)
+    // MOR awareness: a version's logical content is its files MINUS its
+    // deletion vector, so each side anti-joins its own DV before the
+    // compare. A DV'd ghost row thus never reads as present (a key
+    // deleted-then-upserted correctly surfaces as I, not U), and a fold
+    // or compaction — pure physical moves — diffs to ZERO changes.
+    def dvOf(v: Int): DataFrame = {
+      val p = new Path(s"$root/v$v/_deletes")
+      if (fs.exists(p)) s.read.parquet(p.toString).select(col(key))
+      else subset(toVersion, Nil).select(col(key))
+    }
+    val fromDv = dvOf(fromVersion)
+    val toDv = dvOf(toVersion)
+    val l = subset(fromVersion, fromOnly)
+      .join(broadcast(fromDv), Seq(key), "left_anti")
+      .select(col(key) +:
+        lit(true).as("__l_present") +:
+        dataCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = subset(toVersion, toOnly)
+      .join(broadcast(toDv), Seq(key), "left_anti")
+      .select(col(key) +:
+        lit(true).as("__r_present") +:
+        dataCols.map(c => col(c).as(s"__r_$c")): _*)
     // churn-sized full-outer join, the y3 idiom on the pruned subset
     val j = l.join(r, Seq(key), "full_outer")
     val differs = dataCols.map(c =>
@@ -627,7 +672,28 @@ object Sync {
         // surface as NULL, not fall back to the pre-image
         when(col("__r_present").isNotNull, col(s"__r_$c"))
           .otherwise(col(s"__l_$c")).as(c)): _*)
-    CdfReport(changes, fromOnly.length, toOnly.length,
+    // newly-DV'd keys whose physical row sits in a CARRIED file never
+    // enter the scan above — they are logical deletes all the same.
+    // Their pre-images come from a TARGETED scan: the from-version's
+    // manifest prunes the carried files to those whose key span can
+    // hold a delta key (the y38 prune, delta-sized broadcast again).
+    val deltaDv = toDv.join(broadcast(fromDv), Seq(key), "left_anti")
+    val morDeletes =
+      if (deltaDv.isEmpty) changes.limit(0)
+      else {
+        val stats = s.read.parquet(s"$root/v$fromVersion/_file_stats")
+          .filter(col("file").isin(carried.toSeq: _*))
+        val hitFiles = deltaDv.join(broadcast(stats),
+            col(key) >= col("kmin") && col(key) <= col("kmax"))
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSeq
+        subset(fromVersion, hitFiles)
+          .join(broadcast(deltaDv), Seq(key), "left_semi")
+          .select(lit("D").as("op") +: col(key) +:
+            dataCols.map(col): _*)
+      }
+    CdfReport(changes.unionByName(morDeletes),
+      fromOnly.length, toOnly.length,
       fromFiles.size, toFiles.size)
   }
 

@@ -1841,4 +1841,113 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       selfCdf.changes.isEmpty,
       "diffing a version against itself must scan nothing")
   }
+
+  test("Y40b law: DVs survive compaction, upserts resurrect, ghost updates stay hidden, CDF sees through MOR") {
+    // The composition matrix the lake primitives must close over:
+    // compaction and cow rewrites on a MOR version must CARRY the
+    // deletion vector (dropping it resurrects every deleted row), a
+    // CDC upsert re-asserts its key (CDC semantics), a plain cowApply
+    // UPDATE of a DV'd key is the SQL no-op (no logical row matches),
+    // and the change-data-feed must read LOGICAL content on both sides
+    // (a DV-only transition is all-D with carried-file pre-images; a
+    // fold or compaction diffs to zero despite the file churn).
+    val spark0 = spark
+    import spark0.implicits._
+    val sf0 = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_y40b")
+      .toString + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val proj = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Sync.publish(spark,
+      proj.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+    graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+    val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b.getLong(0); val span = b.getLong(1) - lo
+    val dv1 = proj.filter(col("o_orderkey").between(lo, lo + span / 10) &&
+      col("o_orderkey") % 3 === 0).select("o_orderkey").cache()
+    assert(graft.ops.Sync.dvDelete(spark, root, 1, 2, "o_orderkey", dv1)
+      .published)
+    // CDF over a DV-only transition: zero file churn, yet every DV'd
+    // key surfaces as D with its carried-file pre-image
+    val cdf12 = graft.ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
+    assert(cdf12.scannedFrom == 0 && cdf12.scannedTo == 0,
+      "a DV publish should not churn data files")
+    val ch12 = cdf12.changes.cache()
+    assert(ch12.filter(col("op") =!= "D").isEmpty)
+    assert(ch12.select("o_orderkey").exceptAll(dv1).isEmpty &&
+      dv1.exceptAll(ch12.select("o_orderkey")).isEmpty,
+      "MOR CDF missed or invented deleted keys")
+    assert(ch12.drop("op").exceptAll(proj.join(dv1, Seq("o_orderkey"),
+      "left_semi")).isEmpty, "MOR CDF pre-images diverge from v1 rows")
+    ch12.unpersist()
+    // compaction carries the vector; the MOR view is unchanged and the
+    // CDF across the compaction is EMPTY despite the file churn
+    val parts2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v2"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val rep3 = graft.ops.Sync.compactPublished(spark, root, 2, 3,
+      "o_orderkey", targetBytes = math.max(parts2.map(_.getLen).sum / 2, 1L))
+    assert(rep3.published && rep3.nFilesRewritten >= 2,
+      s"fixture drifted: compaction rewrote ${rep3.nFilesRewritten} files")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v3/_deletes")),
+      "compaction dropped the deletion vector")
+    val mor2 = spark.read.parquet(s"$root/v2")
+      .join(dv1, Seq("o_orderkey"), "left_anti")
+    val mor3 = spark.read.parquet(s"$root/v3")
+      .join(spark.read.parquet(s"$root/v3/_deletes"),
+        Seq("o_orderkey"), "left_anti")
+    assert(mor3.exceptAll(mor2).isEmpty && mor2.exceptAll(mor3).isEmpty,
+      "compaction changed the MOR view")
+    assert(graft.ops.Sync.lakeChanges(spark, root, 2, 3, "o_orderkey")
+      .changes.isEmpty,
+      "CDF across a compaction must be empty — it is a pure layout change")
+    // CDC upsert of a DV'd key RESURRECTS it (and only it)
+    val dvKeys = dv1.orderBy("o_orderkey").collect().map(_.getLong(0))
+    val (kRes, kGhost) = (dvKeys(0), dvKeys(1))
+    val resRow = Seq((kRes, 7L, 42.5, "U", 100L))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "op", "version")
+    assert(graft.ops.Sync.cowApplyChanges(spark, root, 3, 4,
+      "o_orderkey", resRow).published)
+    val (_, mor4) = graft.ops.Sync.readPublishedMor(spark, root,
+      "o_orderkey")
+    assert(mor4.filter(col("o_orderkey") === kRes).count() == 1,
+      "upsert did not resurrect the DV'd key")
+    assert(mor4.filter(col("o_orderkey") === kRes)
+      .collect()(0).getDouble(2) == 42.5)
+    assert(mor4.filter(col("o_orderkey") === kGhost).isEmpty,
+      "a non-upserted DV'd key leaked back")
+    assert(spark.read.parquet(s"$root/v4/_deletes")
+      .filter(col("o_orderkey") === kRes).isEmpty,
+      "resurrected key still in the carried vector")
+    // and the CDF reports the resurrection as I (from-side was a ghost)
+    val ch34 = graft.ops.Sync.lakeChanges(spark, root, 3, 4, "o_orderkey")
+      .changes.collect()
+    assert(ch34.length == 1 && ch34(0).getAs[String]("op") == "I" &&
+      ch34(0).getAs[Long]("o_orderkey") == kRes,
+      s"resurrection should diff as a single I, got ${ch34.toSeq}")
+    // plain cowApply UPDATE of a DV'd key is the SQL no-op: the ghost
+    // is modified physically but stays subtracted at read
+    val ghostUpd = Seq((kGhost, 123456.0))
+      .toDF("o_orderkey", "o_totalprice")
+    assert(graft.ops.Sync.cowApply(spark, root, 4, 5, "o_orderkey",
+      ghostUpd.select("o_orderkey").limit(0), ghostUpd).published)
+    val (_, mor5) = graft.ops.Sync.readPublishedMor(spark, root,
+      "o_orderkey")
+    assert(mor5.filter(col("o_orderkey") === kGhost).isEmpty,
+      "updating a logically-deleted row must not resurrect it")
+    assert(graft.ops.Sync.lakeChanges(spark, root, 4, 5, "o_orderkey")
+      .changes.isEmpty,
+      "a ghost-only update must diff to zero logical changes")
+    // fold drops the vector; the CDF across the fold is empty
+    assert(graft.ops.Sync.dvFold(spark, root, 5, 6, "o_orderkey")
+      .published)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v6/_deletes")))
+    assert(graft.ops.Sync.lakeChanges(spark, root, 5, 6, "o_orderkey")
+      .changes.isEmpty,
+      "CDF across a fold must be empty — it only materializes the vector")
+    dv1.unpersist()
+  }
 }
