@@ -614,7 +614,14 @@ object Sync {
   private[graft] final case class CdfReport(changes: DataFrame,
       scannedFrom: Int, scannedTo: Int, totalFrom: Int, totalTo: Int)
 
-  private[graft] def lakeChanges(s: SparkSession, root: String,
+  /** BOTH-IMAGES form of the change-data-feed: one row per changed key
+    * with `op`, the key, and `pre_<c>` / `post_<c>` for every data
+    * column (pre null for I, post null for D). This is what downstream
+    * INCREMENTAL consumers need — y42's view maintenance subtracts the
+    * pre-image and adds the post-image, and a group-key change only
+    * moves between groups when both images travel together.
+    * [[lakeChanges]] is the single-image projection of this. */
+  private[graft] def lakeChangesImages(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String): CdfReport = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -652,26 +659,29 @@ object Sync {
       .join(broadcast(fromDv), Seq(key), "left_anti")
       .select(col(key) +:
         lit(true).as("__l_present") +:
-        dataCols.map(c => col(c).as(s"__l_$c")): _*)
+        dataCols.map(c => col(c).as(s"pre_$c")): _*)
     val r = subset(toVersion, toOnly)
       .join(broadcast(toDv), Seq(key), "left_anti")
       .select(col(key) +:
         lit(true).as("__r_present") +:
-        dataCols.map(c => col(c).as(s"__r_$c")): _*)
+        dataCols.map(c => col(c).as(s"post_$c")): _*)
     // churn-sized full-outer join, the y3 idiom on the pruned subset
     val j = l.join(r, Seq(key), "full_outer")
     val differs = dataCols.map(c =>
-      !(col(s"__l_$c") <=> col(s"__r_$c"))).reduce(_ || _)
-    val changes = j.withColumn("op",
+      !(col(s"pre_$c") <=> col(s"post_$c"))).reduce(_ || _)
+    val images = j.withColumn("op",
         when(col("__l_present").isNull, lit("I"))
           .when(col("__r_present").isNull, lit("D"))
           .when(differs, lit("U")))
       .filter(col("op").isNotNull)
-      .select(col("op") +: col(key) +: dataCols.map(c =>
-        // presence-keyed, not coalesce: an updated-to-NULL column must
-        // surface as NULL, not fall back to the pre-image
-        when(col("__r_present").isNotNull, col(s"__r_$c"))
-          .otherwise(col(s"__l_$c")).as(c)): _*)
+      // a physically-rewritten-but-identical row passed the filter as
+      // neither I/U/D — for the survivors, null the absent image so a
+      // D row shows no post and an I row no pre
+      .select(col("op") +: col(key) +:
+        (dataCols.map(c => when(col("__l_present").isNotNull,
+           col(s"pre_$c")).as(s"pre_$c")) ++
+         dataCols.map(c => when(col("__r_present").isNotNull,
+           col(s"post_$c")).as(s"post_$c"))): _*)
     // newly-DV'd keys whose physical row sits in a CARRIED file never
     // enter the scan above — they are logical deletes all the same.
     // Their pre-images come from a TARGETED scan: the from-version's
@@ -679,7 +689,7 @@ object Sync {
     // hold a delta key (the y38 prune, delta-sized broadcast again).
     val deltaDv = toDv.join(broadcast(fromDv), Seq(key), "left_anti")
     val morDeletes =
-      if (deltaDv.isEmpty) changes.limit(0)
+      if (deltaDv.isEmpty) images.limit(0)
       else {
         val stats = s.read.parquet(s"$root/v$fromVersion/_file_stats")
           .filter(col("file").isin(carried.toSeq: _*))
@@ -690,11 +700,26 @@ object Sync {
         subset(fromVersion, hitFiles)
           .join(broadcast(deltaDv), Seq(key), "left_semi")
           .select(lit("D").as("op") +: col(key) +:
-            dataCols.map(col): _*)
+            (dataCols.map(c => col(c).as(s"pre_$c")) ++
+             dataCols.map(c =>
+               lit(null).cast(schema(c).dataType).as(s"post_$c"))): _*)
       }
-    CdfReport(changes.unionByName(morDeletes),
+    CdfReport(images.unionByName(morDeletes),
       fromOnly.length, toOnly.length,
       fromFiles.size, toFiles.size)
+  }
+
+  private[graft] def lakeChanges(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String): CdfReport = {
+    val rep = lakeChangesImages(s, root, fromVersion, toVersion, key)
+    val dataCols = rep.changes.columns.toSeq
+      .collect { case c if c.startsWith("pre_") => c.stripPrefix("pre_") }
+    rep.copy(changes = rep.changes.select(
+      col("op") +: col(key) +: dataCols.map(c =>
+        // presence-keyed by op: post-image for I/U, pre-image for D —
+        // an updated-to-NULL column must surface as NULL
+        when(col("op") === "D", col(s"pre_$c"))
+          .otherwise(col(s"post_$c")).as(c)): _*))
   }
 
   /** Y36b: an in-flight optimistic publish — the pointer value observed
@@ -2420,6 +2445,85 @@ object Sync {
         .withColumn("pruned_diff", lit(prunedDiff))
     }),
 
+    // Y42: INCREMENTAL VIEW MAINTENANCE FROM THE CHANGE-DATA-FEED —
+    // the flagship lakehouse consumer of y41: a grouped rollup over a
+    // 100 TB table is maintained from the churn-sized CDF instead of a
+    // rescan. The both-images form ([[lakeChangesImages]]) is what
+    // makes it correct under GROUP-KEY CHANGES: the update here moves
+    // rows between groups (custkey+1), so the pre-image subtracts from
+    // the old group and the post-image adds to the new one. Sums stay
+    // in DECIMAL space end-to-end (base view, minus-delta, plus-delta)
+    // and cast to double only at the edge, so the maintained value is
+    // bit-identical to a from-scratch recompute — `maintained_ok`
+    // audits exactly that equality, and the oracle recomputes the
+    // post-state rollup from the same band arithmetic.
+    "y42_incremental_view" -> ((s, d) => {
+      val root = Sources.stage("y42_ivm")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      publish(s, proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val hi = b.getLong(1); val span = hi - lo
+      val band2 = col("o_orderkey")
+        .between(lo + 4 * (span / 10), lo + 5 * (span / 10))
+      val upd = proj.filter(band2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("o_custkey", col("o_custkey") + 1)
+        .withColumn("op", lit("U")).withColumn("version", lit(100L))
+      val dl = proj.filter(col("o_orderkey")
+          .between(lo, lo + span / 10) && col("o_orderkey") % 3 === 0)
+        .withColumn("op", lit("D")).withColumn("version", lit(100L))
+      val ins = proj.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(hi) + 1000).as("o_orderkey"),
+          lit(999L).cast(proj.schema("o_custkey").dataType)
+            .as("o_custkey"),
+          lit(1.0).as("o_totalprice"))
+        .withColumn("op", lit("I")).withColumn("version", lit(100L))
+      cowApplyChanges(s, root, 1, 2, "o_orderkey",
+        upd.unionByName(dl).unionByName(ins))
+      val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+      val sumT = org.apache.spark.sql.types.DecimalType(38, 2)
+      val dzero = lit(0).cast(sumT)
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy((col("o_custkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(dec)).as("s"))
+      val mv1 = rollup(s.read.parquet(s"$root/v1"))
+      val imgs = lakeChangesImages(s, root, 1, 2, "o_orderkey").changes
+      // delta-sized aggregates: one pass over the CDF, never the table
+      val minus = imgs.filter(col("op").isin("D", "U"))
+        .groupBy((col("pre_o_custkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("dc_m"),
+          sum(col("pre_o_totalprice").cast(dec)).as("ds_m"))
+      val plus = imgs.filter(col("op").isin("I", "U"))
+        .groupBy((col("post_o_custkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("dc_p"),
+          sum(col("post_o_totalprice").cast(dec)).as("ds_p"))
+      val maintained = mv1
+        .join(minus, Seq("grp"), "full_outer")
+        .join(plus, Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("cnt"), lit(0L)) - coalesce(col("dc_m"), lit(0L))
+            + coalesce(col("dc_p"), lit(0L))).as("n_rows"),
+          (coalesce(col("s").cast(sumT), dzero)
+            - coalesce(col("ds_m").cast(sumT), dzero)
+            + coalesce(col("ds_p").cast(sumT), dzero))
+            .cast("double").as("sum_price"))
+        .filter(col("n_rows") > 0)
+      val direct = rollup(s.read.parquet(s"$root/v2"))
+        .select(col("grp"), col("cnt").as("n_rows"),
+          col("s").cast("double").as("sum_price"))
+      val ok = maintained.exceptAll(direct).isEmpty &&
+        direct.exceptAll(maintained).isEmpty
+      maintained.withColumn("maintained_ok", lit(ok))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -3515,6 +3619,31 @@ object Sync {
          |   WHERE o_orderkey BETWEEN lo + 4*(span//10)
          |     AND lo + 5*(span//10)) AS upd_price_sum,
          |  TRUE AS pruned_diff""".stripMargin,
+
+    // the maintained rollup must equal the from-scratch recompute of
+    // the post state — delete band %3, update band2 (+100, custkey+1 —
+    // the group MOVES), insert the %101 comb at custkey 999
+    "y42_incremental_view" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders),
+         |post AS (
+         |  SELECT CASE WHEN o_orderkey BETWEEN lo + 4*(span//10)
+         |             AND lo + 5*(span//10)
+         |           THEN o_custkey + 1 ELSE o_custkey END AS ck,
+         |    CASE WHEN o_orderkey BETWEEN lo + 4*(span//10)
+         |             AND lo + 5*(span//10)
+         |           THEN o_totalprice + 100.0
+         |         ELSE o_totalprice END AS price2
+         |  FROM orders, b
+         |  WHERE NOT (o_orderkey BETWEEN lo AND lo + span//10
+         |             AND o_orderkey % 3 = 0)
+         |  UNION ALL
+         |  SELECT CAST(999 AS BIGINT) AS ck, 1.0 AS price2
+         |  FROM orders WHERE o_orderkey % 101 = 0)
+         |SELECT ck % 10 AS grp, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("price2")} AS sum_price,
+         |  TRUE AS maintained_ok
+         |FROM post GROUP BY ck % 10""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the
