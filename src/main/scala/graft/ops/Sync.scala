@@ -292,7 +292,10 @@ object Sync {
     val newStatsRows: Array[org.apache.spark.sql.Row] =
       if (affected.isEmpty) { fs.mkdirs(staging); Array.empty }
       else {
-        val base = s.read.parquet(affected.map(f => s"$fromDir/$f"): _*)
+        // the version's LOGICAL schema: post-evolution files and
+        // pre-evolution carries merge cleanly, added columns read null
+        val base = s.read.schema(versionSchema(s, fromDir))
+          .parquet(affected.map(f => s"$fromDir/$f"): _*)
         val updCols = updates.columns.filterNot(_ == key).toSeq
         val upd = updates.select(col(key) +:
           updCols.map(c => col(c).as(s"__upd_$c")): _*)
@@ -334,6 +337,7 @@ object Sync {
         fs.exists(new Path(s"$fromDir/_deletes")))
       FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
         fs, new Path(s"$staging/_deletes"), false, conf)
+    carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
@@ -391,11 +395,12 @@ object Sync {
     fs.delete(staging, true)
     require(affected.nonEmpty || untouched.nonEmpty,
       s"cowApplyChanges: $fromDir has no manifest files")
-    val cols = s.read.parquet(s"$fromDir/${(affected ++ untouched).head}")
-      .columns.toSeq
+    val evolved = versionSchema(s, fromDir)
+    val cols = evolved.fieldNames.toSeq
     val rewritten =
       (if (affected.nonEmpty)
-         s.read.parquet(affected.map(f => s"$fromDir/$f"): _*)
+         s.read.schema(evolved)
+           .parquet(affected.map(f => s"$fromDir/$f"): _*)
            .join(broadcast(changeKeys), Seq(key), "left_anti")
            .select(cols.map(col).toIndexedSeq: _*)
            .unionByName(inSpan.select(cols.map(col).toIndexedSeq: _*))
@@ -436,6 +441,7 @@ object Sync {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/_deletes")
     }
+    carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
@@ -486,7 +492,10 @@ object Sync {
     fs.delete(staging, true)
     if (rewriteGroups.isEmpty) fs.mkdirs(staging)
     rewriteGroups.foreach { g =>
-      s.read.parquet(g.map(f => s"$fromDir/$f"): _*)
+      // logical schema: a bin-packed group can mix pre- and
+      // post-evolution files — the overlay merges them cleanly
+      s.read.schema(versionSchema(s, fromDir))
+        .parquet(g.map(f => s"$fromDir/$f"): _*)
         .repartitionByRange(1, col(key)).sortWithinPartitions(key)
         .write.mode("append").parquet(staging.toString)
     }
@@ -512,6 +521,7 @@ object Sync {
     if (fs.exists(new Path(s"$fromDir/_deletes")))
       FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
         fs, new Path(s"$staging/_deletes"), false, conf)
+    carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
   }
@@ -554,6 +564,7 @@ object Sync {
     }
     FileUtil.copy(fs, new Path(s"$fromDir/_file_stats"),
       fs, new Path(s"$staging/_file_stats"), false, conf)
+    carrySidecar(s, fromDir, staging.toString, "_schema")
     val prior =
       if (fs.exists(new Path(s"$fromDir/_deletes")))
         s.read.parquet(s"$fromDir/_deletes")
@@ -635,7 +646,9 @@ object Sync {
       .filter(f => fromFiles(f) == toFiles(f))
     val fromOnly = (fromFiles.keySet -- carried).toSeq.sorted
     val toOnly = (toFiles.keySet -- carried).toSeq.sorted
-    val schema = s.read.parquet(s"$root/v$toVersion").schema
+    // the TO side's logical schema frames the diff: across an
+    // evolution the from-side's old files read null for added columns
+    val schema = versionSchema(s, s"$root/v$toVersion")
     def subset(v: Int, files: Seq[String]): DataFrame =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext
@@ -854,7 +867,100 @@ object Sync {
     doomed
   }
 
-  /** Resolve the `_CURRENT` pointer and open exactly that version. */
+  /** Y43: a version's LOGICAL schema — the `_schema` sidecar when
+    * schema evolution has run, else the parquet footers. The sidecar is
+    * what makes ADD COLUMN metadata-only: old files simply read null
+    * for fields they predate, so no byte of data moves at evolution
+    * time (the Delta/Iceberg idiom, re-expressed through the publish
+    * protocol's own version dirs). */
+  private[graft] def versionSchema(s: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_schema")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) s.read.parquet(dir).schema
+    else {
+      val in = fs.open(p)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  /** Open a version dir under its logical schema. */
+  private[graft] def readVersionDir(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_schema")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.schema(versionSchema(s, dir)).parquet(dir)
+    else s.read.parquet(dir)
+  }
+
+  private def writeSchemaSidecar(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_schema")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def carrySidecar(s: SparkSession, fromDir: String,
+      stagingDir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$fromDir/$name")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(src))
+      FileUtil.copy(fs, src, fs, new Path(s"$stagingDir/$name"),
+        false, conf)
+  }
+
+  /** Y43: METADATA-ONLY ADD COLUMN under the publish protocol. The new
+    * version carries every data file, the manifest, and any deletion
+    * vector VERBATIM; the only new bytes are the `_schema` sidecar with
+    * the widened struct. Readers of the new version see the added
+    * columns as null over pre-evolution files; readers of old versions
+    * see the old schema — both stay correct forever, which is the whole
+    * point of schemas traveling WITH immutable versions. New columns
+    * must be nullable (there is no data to back anything else), names
+    * must not collide, and nothing else (drop/rename/retype) is
+    * expressible here — those are y27's migration planner territory,
+    * and a rewrite. Backfill happens through the ordinary cow mutation
+    * path afterwards, file-pruned as ever. */
+  private[graft] def evolveSchema(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int,
+      addCols: Seq[org.apache.spark.sql.types.StructField]): Boolean = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val base = versionSchema(s, fromDir)
+    require(addCols.forall(_.nullable),
+      "evolveSchema: added columns must be nullable — no data backs them")
+    require(addCols.forall(f => !base.fieldNames.contains(f.name)),
+      s"evolveSchema: name collision with ${base.fieldNames.toSeq}")
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    fs.mkdirs(staging)
+    fs.listStatus(new Path(fromDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        FileUtil.copy(fs, st.getPath,
+          fs, new Path(s"$staging/${st.getPath.getName}"), false, conf)
+      }
+    carrySidecar(s, fromDir, staging.toString, "_file_stats")
+    carrySidecar(s, fromDir, staging.toString, "_deletes")
+    writeSchemaSidecar(s, staging.toString,
+      org.apache.spark.sql.types.StructType(base.fields ++ addCols))
+    publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+  }
+
+  /** Resolve the `_CURRENT` pointer and open exactly that version,
+    * under its logical schema (see [[versionSchema]]). */
   private[graft] def readPublished(s: SparkSession, root: String)
       : (String, DataFrame) = {
     import org.apache.hadoop.fs.Path
@@ -862,7 +968,7 @@ object Sync {
     val in = fs.open(new Path(s"$root/_CURRENT"))
     val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     in.close()
-    (v, s.read.parquet(s"$root/$v"))
+    (v, readVersionDir(s, s"$root/$v"))
   }
 
   def collectAndSweep(df: DataFrame): Array[org.apache.spark.sql.Row] = {
@@ -2524,6 +2630,62 @@ object Sync {
       maintained.withColumn("maintained_ok", lit(ok))
     }),
 
+    // Y43: METADATA-ONLY SCHEMA EVOLUTION — see [[evolveSchema]].
+    // Lifecycle: v1 published; ADD COLUMN o_score publishes v2 whose
+    // only new bytes are the `_schema` sidecar (zero-copy audited:
+    // every v2 data file byte-length-identical to v1's); the column
+    // reads null everywhere; a cow mutation then BACKFILLS the 40–50%
+    // band (o_score = 2×price) into v3 — rewritten files materialize
+    // the column physically, carried files keep reading null through
+    // the overlay, and v1 read back still shows the OLD schema
+    // (old_version_intact). The oracle recomputes the backfilled
+    // population and its score sum from the same band arithmetic.
+    "y43_schema_evolution" -> ((s, d) => {
+      val root = Sources.stage("y43_evo")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val proj = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      publish(s, proj.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      assert(evolveSchema(s, root, 1, 2, Seq(
+        org.apache.spark.sql.types.StructField("o_score",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+      def lens(v: String): Map[String, Long] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => st.getPath.getName -> st.getLen).toMap
+      val zeroCopy = lens("v1") == lens("v2") &&
+        readVersionDir(s, s"$root/v2").filter(col("o_score").isNotNull)
+          .isEmpty
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band2 = col("o_orderkey")
+        .between(lo + 4 * (span / 10), lo + 5 * (span / 10))
+      val backfill = proj.filter(band2)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_score"))
+      val rep = cowApply(s, root, 2, 3, "o_orderkey",
+        deletes = backfill.select("o_orderkey").limit(0),
+        updates = backfill)
+      val (v, cur) = readPublished(s, root)
+      val oldIntact = !readVersionDir(s, s"$root/v1")
+        .columns.contains("o_score")
+      cur.agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          count(col("o_score")).as("n_backfilled"),
+          Det.dsum(coalesce(col("o_score"), lit(0.0))).as("score_sum"))
+        .withColumn("current_version", lit(v))
+        .withColumn("evolution_zero_copy", lit(zeroCopy))
+        .withColumn("pruned_backfill", lit(rep.published &&
+          rep.nFilesRewritten > 0 &&
+          rep.nFilesRewritten < rep.nFilesTotal))
+        .withColumn("old_version_intact", lit(oldIntact))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -3644,6 +3806,25 @@ object Sync {
          |  ${Det.Sql.dsum("price2")} AS sum_price,
          |  TRUE AS maintained_ok
          |FROM post GROUP BY ck % 10""".stripMargin,
+
+    // the evolved column's backfilled population + score sum from the
+    // same band arithmetic; the zero-copy/pruning/old-schema claims
+    // ride as audited booleans
+    "y43_schema_evolution" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders)
+         |SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  (SELECT COUNT(*) FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo + 4*(span//10)
+         |     AND lo + 5*(span//10)) AS n_backfilled,
+         |  (SELECT ${Det.Sql.dsum("o_totalprice * 2")}
+         |   FROM orders, b
+         |   WHERE o_orderkey BETWEEN lo + 4*(span//10)
+         |     AND lo + 5*(span//10)) AS score_sum,
+         |  'v3' AS current_version, TRUE AS evolution_zero_copy,
+         |  TRUE AS pruned_backfill, TRUE AS old_version_intact
+         |FROM orders""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the

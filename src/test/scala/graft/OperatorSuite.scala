@@ -1950,4 +1950,97 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "CDF across a fold must be empty — it only materializes the vector")
     dv1.unpersist()
   }
+
+  test("Y43 law: evolution is zero-copy metadata; mixed-vintage files compact cleanly; refusals are loud") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.types.{StructField, DoubleType, StringType}
+    val sf0 = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_y43")
+      .toString + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val proj = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Sync.publish(spark,
+      proj.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+    graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+    assert(graft.ops.Sync.evolveSchema(spark, root, 1, 2,
+      Seq(StructField("o_score", DoubleType, nullable = true))))
+    // zero-copy = BYTE-identical data files, not merely same-length
+    def bytes(p: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        val f = st.getPath.getName
+        assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
+          bytes(s"$root/v2/$f")), s"evolution re-encoded $f")
+      }
+    assert(graft.ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
+      .changes.isEmpty, "CDF across an evolution must be empty")
+    // backfill a band through the ordinary cow path, then COMPACT the
+    // mixed-vintage layout: pre-evolution carries and backfilled
+    // rewrites must bin-pack together under the schema overlay
+    val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b.getLong(0); val span = b.getLong(1) - lo
+    val backfill = proj
+      .filter(col("o_orderkey").between(lo + 4 * (span / 10),
+        lo + 5 * (span / 10)))
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_score"))
+    assert(graft.ops.Sync.cowApply(spark, root, 2, 3, "o_orderkey",
+      backfill.select("o_orderkey").limit(0), backfill).published)
+    val v3 = graft.ops.Sync.readVersionDir(spark, s"$root/v3")
+      .select("o_orderkey", "o_score")
+    val parts3 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v3"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val repC = graft.ops.Sync.compactPublished(spark, root, 3, 4,
+      "o_orderkey", targetBytes = math.max(parts3.map(_.getLen).sum / 2, 1L))
+    assert(repC.published && repC.nFilesRewritten >= 2,
+      s"fixture drifted: compaction rewrote ${repC.nFilesRewritten}")
+    val v4 = graft.ops.Sync.readVersionDir(spark, s"$root/v4")
+      .select("o_orderkey", "o_score")
+    assert(v4.exceptAll(v3).isEmpty && v3.exceptAll(v4).isEmpty,
+      "compaction lost or invented evolved-column values")
+    assert(graft.ops.Sync.lakeChanges(spark, root, 3, 4, "o_orderkey")
+      .changes.isEmpty, "CDF across a mixed-vintage compaction not empty")
+    // MOR on an evolved table: the DV subtracts, the column survives
+    val dvB = proj.filter(col("o_orderkey") % 11 === 0)
+      .select("o_orderkey")
+    assert(graft.ops.Sync.dvDelete(spark, root, 4, 5, "o_orderkey", dvB)
+      .published)
+    val (v5n, mor5) = graft.ops.Sync.readPublishedMor(spark, root,
+      "o_orderkey")
+    assert(v5n == "v5" && mor5.columns.contains("o_score"))
+    assert(mor5.join(dvB, Seq("o_orderkey"), "left_semi").isEmpty,
+      "MOR read on the evolved table leaked deleted keys")
+    // a second evolution on the MOR version carries the vector
+    assert(graft.ops.Sync.evolveSchema(spark, root, 5, 6,
+      Seq(StructField("o_tag", StringType, nullable = true))))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v6/_deletes")),
+      "evolution dropped the deletion vector")
+    assert(graft.ops.Sync.readPublishedMor(spark, root, "o_orderkey")
+      ._2.columns.sorted.toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_score", "o_tag", "o_totalprice"),
+      "second evolution lost a column")
+    // refusals: collision and non-nullable both throw before staging
+    intercept[IllegalArgumentException] {
+      graft.ops.Sync.evolveSchema(spark, root, 6, 7,
+        Seq(StructField("o_score", DoubleType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sync.evolveSchema(spark, root, 6, 7,
+        Seq(StructField("o_flag", DoubleType, nullable = false)))
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v7")),
+      "a refused evolution left a published version behind")
+  }
 }
