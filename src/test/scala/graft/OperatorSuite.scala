@@ -2043,4 +2043,65 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v7")),
       "a refused evolution left a published version behind")
   }
+
+  test("Y41b law: direct CDF over a version RANGE equals the net effect of the per-step feeds") {
+    // lakeChanges(v1, v3) never replays intermediate states — it diffs
+    // the two endpoint listings directly. So a key updated in v2 and
+    // reverted in v3 must produce NO net change row, inserted-then-
+    // deleted must vanish, and a two-step update must surface once
+    // with the FINAL post-image. The law: direct(v1,v3) == net of
+    // (v1,v2) then (v2,v3), where net cancels I+D, collapses U+U,
+    // rewrites I+U to I, and drops U-that-reverts.
+    val spark0 = spark
+    import spark0.implicits._
+    val sf0 = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_y41b")
+      .toString + "/lake"
+    val proj = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(graft.ops.Sync.publish(spark,
+      proj.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+    graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+    val ks = proj.orderBy("o_orderkey").limit(4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (kRevert, kTwice, kDel, kStay) =
+      (ks(0), ks(1), ks(2), ks(3))
+    val kNew = proj.agg(max(col("o_orderkey"))).collect()(0)
+      .getLong(0) + 7000
+    def chg(k: (Long, Long, Double), price: Double, op: String,
+            ver: Long) =
+      (k._1, k._2, price, op, ver)
+    // step v1→v2: revert-candidate +5, twice-candidate +10, insert
+    // kNew, delete kDel, stay-candidate untouched
+    val step1 = Seq(
+      chg(kRevert, kRevert._3 + 5, "U", 1),
+      chg(kTwice, kTwice._3 + 10, "U", 2),
+      ((kNew, 555L, 9.5, "I", 3L)),
+      chg(kDel, kDel._3, "D", 4))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "op", "version")
+    assert(graft.ops.Sync.cowApplyChanges(spark, root, 1, 2,
+      "o_orderkey", step1).published)
+    // step v2→v3: revert back to the original, bump twice-candidate
+    // again, delete the key inserted in step 1
+    val step2 = Seq(
+      chg(kRevert, kRevert._3, "U", 5),
+      chg(kTwice, kTwice._3 + 20, "U", 6),
+      ((kNew, 555L, 9.5, "D", 7L)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "op", "version")
+    assert(graft.ops.Sync.cowApplyChanges(spark, root, 2, 3,
+      "o_orderkey", step2).published)
+    val direct = graft.ops.Sync.lakeChanges(spark, root, 1, 3,
+      "o_orderkey").changes.collect()
+      .map(r => r.getLong(1) -> (r.getString(0), r.getDouble(3))).toMap
+    assert(direct.get(kTwice._1).contains(("U", kTwice._3 + 20)),
+      s"two-step update must net to one U with the FINAL image: $direct")
+    assert(direct.get(kDel._1).map(_._1).contains("D"),
+      "a step-1 delete must survive into the range feed")
+    assert(!direct.contains(kRevert._1),
+      "an update reverted in the next version must not net-change")
+    assert(!direct.contains(kNew),
+      "insert-then-delete must vanish from the range feed")
+    assert(direct.size == 2, s"unexpected net rows: $direct")
+  }
 }
