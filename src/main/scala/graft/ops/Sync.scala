@@ -959,6 +959,96 @@ object Sync {
     publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
   }
 
+  /** Y44: MULTI-TABLE ATOMIC PUBLISH — the cross-table transaction
+    * single-table lakehouses famously lack, and exactly what
+    * FK-consistent sync (y17) needs on the publish side: a parent and
+    * its children must never be readable in mixed generations. One
+    * GROUP POINTER (`_CURRENT_GROUP`: `table=version` lines) pins
+    * every member table to a version; readers resolve it ONCE and get
+    * a consistent cross-table snapshot. Publishing stages and renames
+    * each table's `v{n}` first — invisible until the pointer moves —
+    * then swaps the single pointer file: the transaction commits at
+    * that one rename, no matter how many tables moved. Tables NOT in
+    * the batch carry forward at their pointed versions with zero data
+    * movement. A validation failure or crash mid-flight aborts
+    * cleanly: this attempt's landed dirs are deleted (readers never
+    * resolved them) and the pointer — hence every reader — keeps the
+    * previous consistent group. Retries are idempotent per table (an
+    * already-landed `v{n}` is accepted as this attempt's own prior
+    * work, the y36b same-version idiom). */
+  private def readGroupPointer(
+      fs: org.apache.hadoop.fs.FileSystem, root: String)
+      : Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$root/_CURRENT_GROUP")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.filter(_.contains("=")).map { ln =>
+        val Array(t, v) = ln.trim.split("=", 2)
+        t -> v.toInt
+      }.toMap
+    }
+  }
+
+  private[graft] def publishGroup(s: SparkSession, root: String,
+      tables: Seq[(String, DataFrame)], version: Int,
+      validate: DataFrame => Boolean): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val landed = scala.collection.mutable.ArrayBuffer[String]()
+    def abort(): Boolean = {
+      landed.foreach(t => fs.delete(new Path(s"$root/$t/v$version"), true))
+      false
+    }
+    tables.foreach { case (name, df) =>
+      val tRoot = s"$root/$name"
+      val staging = new Path(s"$tRoot/_staging_v$version")
+      val dst = new Path(s"$tRoot/v$version")
+      if (fs.exists(dst)) {
+        // idempotent retry: the prior attempt of THIS version landed it
+        landed += name
+      } else {
+        fs.delete(staging, true)
+        df.write.mode("overwrite").parquet(staging.toString)
+        if (!validate(s.read.parquet(staging.toString))) {
+          fs.delete(staging, true)
+          return abort()
+        }
+        if (!fs.rename(staging, dst)) { fs.delete(staging, true); return abort() }
+        landed += name
+      }
+    }
+    // the transaction commits HERE: one pointer-file rename
+    val next = readGroupPointer(fs, root) ++ tables.map(_._1 -> version)
+    val tmp = new Path(s"$root/_CURRENT_GROUP.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val cur = new Path(s"$root/_CURRENT_GROUP")
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur)) throw new java.io.IOException(
+      s"publishGroup: pointer swap failed for $root v$version; " +
+        "landed table dirs are intact, retry republishes the pointer")
+    true
+  }
+
+  /** Resolve the group pointer ONCE → every member table at its pinned
+    * version (logical schema honored). The map is the consistent
+    * snapshot: no later publish can change what these frames read. */
+  private[graft] def readPublishedGroup(s: SparkSession, root: String)
+      : Map[String, (Int, DataFrame)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    readGroupPointer(fs, root).map { case (t, v) =>
+      t -> (v, readVersionDir(s, s"$root/$t/v$v"))
+    }
+  }
+
   /** Resolve the `_CURRENT` pointer and open exactly that version,
     * under its logical schema (see [[versionSchema]]). */
   private[graft] def readPublished(s: SparkSession, root: String)
@@ -2686,6 +2776,58 @@ object Sync {
         .withColumn("old_version_intact", lit(oldIntact))
     }),
 
+    // Y44: MULTI-TABLE ATOMIC PUBLISH — see [[publishGroup]].
+    // Lifecycle: orders+lineitem published as group v1; a parent-band
+    // delete WITH its children publishes as group v2 (one pointer
+    // swap — no reader can see the parent delete without the child
+    // delete); an injected validation failure on the child aborts a
+    // v3 attempt with the pointer untouched and the parent's landed
+    // v3 dir cleaned. The FK audit (orphan children) runs over the
+    // resolved group and must read zero; the oracle recomputes both
+    // tables' post-state aggregates from the same band arithmetic.
+    "y44_atomic_group" -> ((s, d) => {
+      val root = Sources.stage("y44_grp")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice")
+      require(publishGroup(s, root,
+        Seq("orders" -> o, "lineitem" -> li), 1, _.head(1).nonEmpty))
+      val b = o.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val o2 = o.filter(!(col("o_orderkey")
+        .between(lo, lo + span / 10) && col("o_orderkey") % 3 === 0))
+      val l2 = li.join(o2.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      require(publishGroup(s, root,
+        Seq("orders" -> o2, "lineitem" -> l2), 2, _.head(1).nonEmpty))
+      // injected failure: the child validates empty → whole group aborts
+      val aborted = !publishGroup(s, root,
+        Seq("orders" -> o2.limit(5), "lineitem" -> l2.limit(0)), 3,
+        _.head(1).nonEmpty)
+      val grp = readPublishedGroup(s, root)
+      val (vo, go) = grp("orders"); val (vl, gl) = grp("lineitem")
+      val noResidue = !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/orders/v3")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/lineitem/v3"))
+      val orphans = gl.join(
+        go.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+      go.agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("sum_o_price"))
+        .crossJoin(gl.agg(count(lit(1)).as("n_lineitem"),
+          Det.dsum(col("l_extendedprice")).as("sum_l_price")))
+        .withColumn("n_orphans", lit(orphans))
+        .withColumn("orders_version", lit(vo))
+        .withColumn("lineitem_version", lit(vl))
+        .withColumn("abort_kept_group", lit(aborted && vo == 2 && vl == 2))
+        .withColumn("no_v3_residue", lit(noResidue))
+    }),
+
     // Y37: PUBLISH RETENTION GC — y36's swap leaves every version dir
     // behind by design (immutability is what makes rollback free), so a
     // steady-state publisher needs the companion collector: keep the
@@ -3825,6 +3967,31 @@ object Sync {
          |  'v3' AS current_version, TRUE AS evolution_zero_copy,
          |  TRUE AS pruned_backfill, TRUE AS old_version_intact
          |FROM orders""".stripMargin,
+
+    // both tables' post-state aggregates after the parent-band delete
+    // cascaded to the children; the transactional claims ride as
+    // audited booleans, the FK audit as a genuinely-computed zero
+    "y44_atomic_group" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+         |    MAX(o_orderkey) - MIN(o_orderkey) AS span FROM orders),
+         |keep AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders, b
+         |  WHERE NOT (o_orderkey BETWEEN lo AND lo + span//10
+         |             AND o_orderkey % 3 = 0))
+         |SELECT
+         |  (SELECT COUNT(*) FROM keep) AS n_orders,
+         |  (SELECT ${Det.Sql.dsum("o_totalprice")} FROM keep)
+         |    AS sum_o_price,
+         |  (SELECT COUNT(*) FROM lineitem
+         |   WHERE l_orderkey IN (SELECT o_orderkey FROM keep))
+         |    AS n_lineitem,
+         |  (SELECT ${Det.Sql.dsum("l_extendedprice")} FROM lineitem
+         |   WHERE l_orderkey IN (SELECT o_orderkey FROM keep))
+         |    AS sum_l_price,
+         |  CAST(0 AS BIGINT) AS n_orphans,
+         |  CAST(2 AS INTEGER) AS orders_version,
+         |  CAST(2 AS INTEGER) AS lineitem_version,
+         |  TRUE AS abort_kept_group, TRUE AS no_v3_residue""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the

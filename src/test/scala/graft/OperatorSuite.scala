@@ -2104,4 +2104,63 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "insert-then-delete must vanish from the range feed")
     assert(direct.size == 2, s"unexpected net rows: $direct")
   }
+
+  test("Y44 law: a mid-commit reader sees the OLD consistent group; carry-forward moves one table with zero data movement") {
+    val sf0 = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_y44")
+      .toString + "/grp"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = graft.ops.Tables.orders(spark, sf0)
+      .select("o_orderkey", "o_totalprice")
+    val li = graft.ops.Tables.lineitem(spark, sf0)
+      .select("l_orderkey", "l_extendedprice")
+    assert(graft.ops.Sync.publishGroup(spark, root,
+      Seq("orders" -> o, "lineitem" -> li), 1, _.head(1).nonEmpty))
+    val nO1 = o.count(); val nL1 = li.count()
+    val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b.getLong(0); val span = b.getLong(1) - lo
+    val o2 = o.filter(!(col("o_orderkey").between(lo, lo + span / 10) &&
+      col("o_orderkey") % 3 === 0))
+    val l2 = li.join(o2.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    def orphans(g: Map[String, (Int, org.apache.spark.sql.DataFrame)])
+        : Long =
+      g("lineitem")._2.join(g("orders")._2
+        .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+    // MID-COMMIT: the new orders version LANDS (stage + rename) but the
+    // pointer has not moved — a reader must still resolve the old,
+    // CONSISTENT pair, never new-parent/old-children
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$root/orders/_staging_v2")
+    o2.write.mode("overwrite").parquet(staging.toString)
+    assert(fs.rename(staging,
+      new org.apache.hadoop.fs.Path(s"$root/orders/v2")))
+    val mid = graft.ops.Sync.readPublishedGroup(spark, root)
+    assert(mid("orders")._1 == 1 && mid("lineitem")._1 == 1,
+      "a mid-commit reader resolved a landed-but-uncommitted version")
+    assert(mid("orders")._2.count() == nO1 &&
+      mid("lineitem")._2.count() == nL1 && orphans(mid) == 0)
+    // the retry accepts its own landed dir (idempotent) and commits
+    assert(graft.ops.Sync.publishGroup(spark, root,
+      Seq("orders" -> o2, "lineitem" -> l2), 2, _.head(1).nonEmpty))
+    val g2 = graft.ops.Sync.readPublishedGroup(spark, root)
+    assert(g2("orders")._1 == 2 && g2("lineitem")._1 == 2)
+    assert(g2("orders")._2.count() < nO1 && orphans(g2) == 0,
+      "committed group lost FK consistency")
+    // carry-forward: a child-only change moves ONE table; the parent
+    // stays pinned at v2 with zero data movement (no orders/v3 dir)
+    val l3 = l2.filter(col("l_orderkey") % 2 === 0)
+    assert(graft.ops.Sync.publishGroup(spark, root,
+      Seq("lineitem" -> l3), 3, _.head(1).nonEmpty))
+    val g3 = graft.ops.Sync.readPublishedGroup(spark, root)
+    assert(g3("orders")._1 == 2 && g3("lineitem")._1 == 3,
+      s"carry-forward versions wrong: ${g3.view.mapValues(_._1).toMap}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/orders/v3")),
+      "carry-forward moved parent data")
+    assert(orphans(g3) == 0 &&
+      g3("lineitem")._2.count() == l3.count())
+  }
 }
