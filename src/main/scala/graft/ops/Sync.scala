@@ -606,6 +606,163 @@ object Sync {
       deletes = dv, updates = dv.limit(0), carryDeletes = false)
   }
 
+  private[graft] final case class MergeReport(published: Boolean,
+      cardinalityOk: Boolean, nFilesTotal: Int, nFilesRewritten: Int,
+      nMatchedUpdated: Long, nMatchedDeleted: Long,
+      nInserted: Long, nNmbsDeleted: Long)
+
+  /** Y45: DECLARATIVE MERGE INTO on the published lake — the full SQL
+    * clause matrix over the cow machinery. [[cowApplyChanges]] applies a
+    * CDC log whose ops are already decided; MERGE decides them from the
+    * MATCH relationship and per-clause conditions:
+    *
+    *   WHEN MATCHED AND <delCond>      THEN DELETE        (wins first)
+    *   WHEN MATCHED [AND <updCond>]    THEN UPDATE SET *  (source wins)
+    *   WHEN NOT MATCHED [AND <insCond>] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE AND key∈[lo,hi] AND <cond> THEN DELETE
+    *
+    * Scale shape, clause by clause:
+    *  - CARDINALITY: the SQL standard makes two source rows matching one
+    *    target row an ERROR, not a nondeterministic pick — checked with
+    *    one delta-sized groupBy BEFORE anything is staged; a violation
+    *    refuses loudly with no reader-visible change.
+    *  - Pruning: affected files = spans hit by SOURCE KEYS ∪ the
+    *    not-matched-by-source key range. NMBS without a range predicate
+    *    would force a FULL table rewrite (every file could hold an
+    *    unmatched row) — so the range is REQUIRED here, the Delta-lake
+    *    deployment discipline made structural.
+    *  - The match itself: affected files full-outer-join the broadcast
+    *    source (delta-sized by definition); matched rows route by the
+    *    clause conditions, target-only rows face the NMBS clause,
+    *    source-only rows are the IN-SPAN inserts. Source keys outside
+    *    every file span never join anything — they are the append
+    *    FRONTIER, inserted from the source alone (y38b's routing).
+    *  - Rewrite = surviving rows range-repartitioned back into narrow
+    *    key spans; untouched files carry byte-verbatim; one y36 swap.
+    *  - MOR interplay: source keys re-assert existence (the y38b rule),
+    *    so a carried deletion vector drops every source key.
+    *
+    * Conditions are Columns over the joined namespace: target columns
+    * under their own names, source columns as `src_<c>` (the key keeps
+    * one coalesced column). `insertCond` may reference only the key and
+    * `src_<c>` columns — it also runs against the never-joined frontier. */
+  private[graft] def mergeInto(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String, source: DataFrame,
+      matchedDeleteCond: Option[org.apache.spark.sql.Column],
+      matchedUpdateCond: Option[org.apache.spark.sql.Column],
+      notMatchedInsertCond: Option[org.apache.spark.sql.Column],
+      nmbsDelete: Option[(Long, Long, org.apache.spark.sql.Column)])
+      : MergeReport = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val fromDir = s"$root/v$fromVersion"
+    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val nTotal = stats.count().toInt
+    // SQL-standard cardinality gate: one source row per key, or refuse
+    val dup = source.groupBy(key).count().filter(col("count") > 1)
+      .head(1).nonEmpty
+    if (dup) return MergeReport(published = false, cardinalityOk = false,
+      nTotal, 0, 0L, 0L, 0L, 0L)
+    val evolved = versionSchema(s, fromDir)
+    val cols = evolved.fieldNames.toSeq
+    val srcCols = source.columns.filterNot(_ == key).toSeq
+    require(notMatchedInsertCond.isEmpty ||
+      cols.filterNot(_ == key).forall(srcCols.contains),
+      "mergeInto: INSERT * needs the source to carry every target column")
+    val srcP = source.select(col(key) +:
+      srcCols.map(c => col(c).as(s"src_$c")): _*)
+    val srcKeys = source.select(col(key)).distinct()
+    val bySrc = srcKeys.join(broadcast(stats),
+        col(key) >= col("kmin") && col(key) <= col("kmax"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val byNmbs = nmbsDelete.map { case (lo, hi, _) =>
+      stats.filter(col("kmax") >= lo && col("kmin") <= hi)
+        .select("file").collect().map(_.getString(0)).toSet
+    }.getOrElse(Set.empty[String])
+    val affected = (bySrc ++ byNmbs).toSeq.sorted
+    val untouched = stats.select("file").collect().map(_.getString(0))
+      .sorted.toSeq.diff(affected)
+    // The joined namespace all four clause conditions see. FULL OUTER
+    // cannot broadcast (both sides produce unmatched rows), so this is
+    // the one shuffle — of the PRUNED file subset + the delta-sized
+    // source, never the table.
+    val joined =
+      (if (affected.isEmpty)
+         s.createDataFrame(
+             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
+       else
+         s.read.schema(evolved)
+           .parquet(affected.map(f => s"$fromDir/$f"): _*))
+        .withColumn("__t", lit(1))
+        .join(srcP.withColumn("__s", lit(1)), Seq(key), "full_outer")
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val tOnly = col("__t").isNotNull && col("__s").isNull
+    val sOnly = col("__t").isNull && col("__s").isNotNull
+    val delM = matched && matchedDeleteCond.getOrElse(lit(false))
+    val updM = matched && !delM && matchedUpdateCond.getOrElse(lit(true))
+    val insC = notMatchedInsertCond.getOrElse(lit(true))
+    val nmbsDel = nmbsDelete.map { case (lo, hi, c) =>
+      tOnly && col(key).between(lo, hi) && c
+    }.getOrElse(lit(false))
+    // clause counters: one aggregate job over the pruned subset only
+    def n(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val frontier = srcP.join(broadcast(stats),
+        col(key) >= col("kmin") && col(key) <= col("kmax"), "left_anti")
+      .filter(insC)
+    val cnt = joined.agg(n(updM), n(delM), n(sOnly && insC), n(nmbsDel))
+      .collect()(0)
+    val nIns = cnt.getLong(2) + frontier.count()
+    // route: drop matched-deletes, NMBS-deletes, and non-inserting
+    // source-only rows; everything else becomes the rewrite
+    val outCols = cols.map { c =>
+      if (c == key) col(key).as(c)
+      else if (srcCols.contains(c))
+        when(sOnly || updM, col(s"src_$c")).otherwise(col(c)).as(c)
+      else col(c).as(c)
+    }
+    val rewritten = joined
+      .filter(!delM && !nmbsDel && !(sOnly && !insC))
+      .select(outCols: _*)
+      .unionByName(frontier.select(
+        (col(key) +: srcCols.map(c => col(s"src_$c").as(c)))
+          .toIndexedSeq: _*)
+        .select(cols.map(col).toIndexedSeq: _*))
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    rewritten
+      .repartitionByRange(math.max(affected.length, 1) + 1, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(staging.toString)
+    val newStatsRows = s.read.parquet(staging.toString)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+    untouched.foreach { f =>
+      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+        fs, new Path(s"$staging/$f"), false, conf)
+    }
+    val carried = stats.filter(col("file").isin(untouched: _*))
+    s.createDataFrame(
+        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
+        carried.schema).unionByName(carried)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    if (fs.exists(new Path(s"$fromDir/_deletes")))
+      s.read.parquet(s"$fromDir/_deletes")
+        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/_deletes")
+    carrySidecar(s, fromDir, staging.toString, "_schema")
+    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    MergeReport(ok, cardinalityOk = true,
+      nTotal, affected.length,
+      cnt.getLong(0), cnt.getLong(1), nIns, cnt.getLong(3))
+  }
+
   /** Y41: CHANGE-DATA-FEED BETWEEN PUBLISHED VERSIONS — "what changed
     * from v{m} to v{n}" as I/U/D rows, derived AFTER the fact from two
     * immutable version dirs (the inverse of y38b, which APPLIES a
@@ -1024,17 +1181,97 @@ object Sync {
     }
     // the transaction commits HERE: one pointer-file rename
     val next = readGroupPointer(fs, root) ++ tables.map(_._1 -> version)
+    commitGroupPointer(fs, root, next)
+    true
+  }
+
+  /** Y46: commit a group state — record it as an immutable, numbered
+    * `_group_gen_NNNNN` snapshot, then swap the live pointer. The
+    * generation files are the group's HISTORY: they never change and
+    * are never deleted by a commit, so any past consistent cross-table
+    * state stays addressable ([[readGroupAsOf]]) for as long as y37-style
+    * GC leaves its table versions alive. Returns the new generation. */
+  private def commitGroupPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, state: Map[String, Int]): Int = {
+    import org.apache.hadoop.fs.Path
+    val gen = groupGenerations(fs, root).lastOption.getOrElse(0) + 1
+    val body = state.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v" }.mkString("\n").getBytes("UTF-8")
+    val genP = new Path(f"$root/_group_gen_$gen%05d")
+    val genOut = fs.create(genP, false) // history is append-only: no clobber
+    try genOut.write(body) finally genOut.close()
     val tmp = new Path(s"$root/_CURRENT_GROUP.tmp")
     val out = fs.create(tmp, true)
-    try out.write(next.toSeq.sortBy(_._1)
-      .map { case (t, v) => s"$t=$v" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try out.write(body) finally out.close()
     val cur = new Path(s"$root/_CURRENT_GROUP")
     fs.delete(cur, false)
     if (!fs.rename(tmp, cur)) throw new java.io.IOException(
-      s"publishGroup: pointer swap failed for $root v$version; " +
-        "landed table dirs are intact, retry republishes the pointer")
-    true
+      s"commitGroupPointer: pointer swap failed for $root gen $gen; " +
+        "landed table dirs and history are intact, retry republishes")
+    gen
+  }
+
+  private def groupGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_group_gen_"))
+      .map(_.stripPrefix("_group_gen_").toInt).sorted
+  }
+
+  private[graft] def groupGenerations(s: SparkSession, root: String)
+      : Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    groupGenerations(
+      new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration),
+      root)
+  }
+
+  /** Y46: TIME TRAVEL over the group history — resolve generation `gen`'s
+    * snapshot file instead of the live pointer; same consistent-read
+    * contract as [[readPublishedGroup]], pinned to the past. */
+  private[graft] def readGroupAsOf(s: SparkSession, root: String,
+      gen: Int): Map[String, (Int, DataFrame)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = new Path(f"$root/_group_gen_$gen%05d")
+    require(fs.exists(p), s"readGroupAsOf: no generation $gen under $root" +
+      s" (have ${groupGenerations(fs, root).mkString(",")})")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.filter(_.contains("=")).map { ln =>
+      val Array(t, v) = ln.trim.split("=", 2)
+      t -> (v.toInt, readVersionDir(s, s"$root/$t/v${v.toInt}"))
+    }.toMap
+  }
+
+  /** Y46: ROLLBACK as ROLL-FORWARD — restoring generation `gen` commits
+    * a NEW generation whose content is the old snapshot (the git-revert
+    * shape): history stays append-only and auditable, the bad generation
+    * remains inspectable, and since every table version dir is immutable
+    * and still present, the rollback moves ZERO data bytes — it is one
+    * pointer commit no matter how many tables or terabytes it restores. */
+  private[graft] def rollbackGroup(s: SparkSession, root: String,
+      gen: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = new Path(f"$root/_group_gen_$gen%05d")
+    require(fs.exists(p), s"rollbackGroup: no generation $gen under $root")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val state = txt.linesIterator.filter(_.contains("=")).map { ln =>
+      val Array(t, v) = ln.trim.split("=", 2)
+      t -> v.toInt
+    }.toMap
+    state.foreach { case (t, v) =>
+      require(fs.exists(new Path(s"$root/$t/v$v")),
+        s"rollbackGroup: $t/v$v was GC'd — generation $gen unrestorable")
+    }
+    commitGroupPointer(fs, root, state)
   }
 
   /** Resolve the group pointer ONCE → every member table at its pinned
