@@ -89,7 +89,7 @@ object Sources {
     val fs = new Path(root).getFileSystem(conf)
     val manifestRoot = s"$root/manifest"
     val known: Option[(Int, org.apache.spark.sql.DataFrame)] =
-      if (fs.exists(new Path(s"$manifestRoot/_CURRENT"))) {
+      if (Sync.hasPublished(s, manifestRoot)) {
         val (v, df) = Sync.readPublished(s, manifestRoot)
         Some((v.stripPrefix("v").toInt, df))
       } else None

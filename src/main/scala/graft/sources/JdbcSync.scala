@@ -84,7 +84,6 @@ object JdbcSync {
   def idempotentAppend(df: DataFrame, cfg: JdbcConfig, key: String,
       dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby,
       batchSize: Int = 1000): Unit = {
-    import org.apache.spark.sql.types._
     val schema = df.schema
     val valueCols = schema.fieldNames.filterNot(_ == key).toSeq
     val stmt = graft.sync.MergeSql.upsert(dialect, cfg.table, key, valueCols)
@@ -100,28 +99,116 @@ object JdbcSync {
           val ps = conn.prepareStatement(stmt.sql)
           var pending = 0
           rows.foreach { r =>
-            stmt.bindOrder.zipWithIndex.foreach { case (cn, pos) =>
-              val i = schema.fieldIndex(cn)
-              if (r.isNullAt(i))
-                ps.setObject(pos + 1, null)
-              else schema(i).dataType match {
-                case LongType      => ps.setLong(pos + 1, r.getLong(i))
-                case IntegerType   => ps.setInt(pos + 1, r.getInt(i))
-                case DoubleType    => ps.setDouble(pos + 1, r.getDouble(i))
-                case FloatType     => ps.setFloat(pos + 1, r.getFloat(i))
-                case StringType    => ps.setString(pos + 1, r.getString(i))
-                case BooleanType   => ps.setBoolean(pos + 1, r.getBoolean(i))
-                case TimestampType => ps.setTimestamp(pos + 1, r.getTimestamp(i))
-                case DateType      => ps.setDate(pos + 1, r.getDate(i))
-                case _: DecimalType => ps.setBigDecimal(pos + 1, r.getDecimal(i))
-                case _             => ps.setObject(pos + 1, r.get(i))
-              }
-            }
+            bindRow(ps, stmt.bindOrder, schema, r)
             ps.addBatch(); pending += 1
             if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
           }
           if (pending > 0) ps.executeBatch()
           conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Typed JDBC parameter binding for one row, in the statement's own
+    * bind order — shared by every executor-side batched writer here so
+    * the Spark-type → JDBC-setter dispatch exists exactly once. */
+  private def bindRow(ps: java.sql.PreparedStatement,
+      bindOrder: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      r: org.apache.spark.sql.Row): Unit = {
+    import org.apache.spark.sql.types._
+    bindOrder.zipWithIndex.foreach { case (cn, pos) =>
+      val i = schema.fieldIndex(cn)
+      if (r.isNullAt(i))
+        ps.setObject(pos + 1, null)
+      else schema(i).dataType match {
+        case LongType      => ps.setLong(pos + 1, r.getLong(i))
+        case IntegerType   => ps.setInt(pos + 1, r.getInt(i))
+        case DoubleType    => ps.setDouble(pos + 1, r.getDouble(i))
+        case FloatType     => ps.setFloat(pos + 1, r.getFloat(i))
+        case StringType    => ps.setString(pos + 1, r.getString(i))
+        case BooleanType   => ps.setBoolean(pos + 1, r.getBoolean(i))
+        case TimestampType => ps.setTimestamp(pos + 1, r.getTimestamp(i))
+        case DateType      => ps.setDate(pos + 1, r.getDate(i))
+        case _: DecimalType => ps.setBigDecimal(pos + 1, r.getDecimal(i))
+        case _             => ps.setObject(pos + 1, r.get(i))
+      }
+    }
+  }
+
+  /** Y48: apply one change-data-feed batch (the y41 `lakeChanges` row
+    * shape — `op` ∈ I/U/D, the key, then the data columns: post-image
+    * for I/U, pre-image identity for D) to a JDBC target. I/U rows
+    * MERGE on the key (retry-idempotent upsert), D rows DELETE by key
+    * (deleting an absent key is a no-op), so REPLAYING the whole feed —
+    * the worst-case task retry or a re-delivered micro-batch — lands on
+    * the same final state: the exactly-once contract the incremental
+    * sync job needs from its non-transactional side.
+    *
+    * Executor-side like [[idempotentAppend]]: foreachPartition, batched
+    * statements, one transaction per partition — the CDF is churn-sized
+    * by construction (y41 diffs only changed files), so the JDBC
+    * round-trips are proportional to the churn, never the table. A key
+    * appears at most once per feed (y41 emits one net op per key), so
+    * in-partition statement order can't race itself. */
+  def applyChangeFeed(changes: DataFrame, cfg: JdbcConfig, key: String,
+      opCol: String = "op",
+      dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby,
+      batchSize: Int = 1000): Unit = {
+    val schema = changes.schema
+    require(schema.fieldNames.contains(opCol) &&
+      schema.fieldNames.contains(key),
+      s"applyChangeFeed: feed must carry '$opCol' and '$key' columns")
+    val valueCols = schema.fieldNames
+      .filterNot(c => c == key || c == opCol).toSeq
+    val mergeStmt = graft.sync.MergeSql.upsert(dialect, cfg.table, key, valueCols)
+    val delStmt = graft.sync.MergeSql.delete(dialect, cfg.table, key)
+    val opIdx = schema.fieldIndex(opCol)
+    val (url, driver, user, password) =
+      (cfg.url, cfg.driver, cfg.user, cfg.password)
+    changes.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        Class.forName(driver)
+        val conn =
+          if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+          else java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          conn.setAutoCommit(false)
+          val merge = conn.prepareStatement(mergeStmt.sql)
+          val del = conn.prepareStatement(delStmt.sql)
+          try {
+            var pendingM = 0; var pendingD = 0
+            rows.foreach { r =>
+              r.getString(opIdx) match {
+                case "I" | "U" =>
+                  bindRow(merge, mergeStmt.bindOrder, schema, r)
+                  merge.addBatch(); pendingM += 1
+                  if (pendingM >= batchSize) {
+                    merge.executeBatch(); pendingM = 0
+                  }
+                case "D" =>
+                  bindRow(del, delStmt.bindOrder, schema, r)
+                  del.addBatch(); pendingD += 1
+                  if (pendingD >= batchSize) {
+                    del.executeBatch(); pendingD = 0
+                  }
+                case other =>
+                  // fail the partition's transaction, never half-apply a
+                  // feed with corrupt ops — rollback keeps the target as
+                  // it was and the retried task re-applies idempotently
+                  throw new IllegalArgumentException(
+                    s"applyChangeFeed: unknown op '$other' (expected I/U/D)")
+              }
+            }
+            if (pendingM > 0) merge.executeBatch()
+            if (pendingD > 0) del.executeBatch()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally { merge.close(); del.close() }
         } finally conn.close()
       }
     }

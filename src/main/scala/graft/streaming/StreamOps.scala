@@ -412,8 +412,20 @@ object StreamOps {
     } else if (batch.isEmpty) false
     else {
       val from = versions.filter(_ < target).max
-      graft.ops.Sync.cowApplyChanges(s, root, from, target, key,
-        batch).published
+      val rep = graft.ops.Sync.cowApplyChanges(s, root, from, target, key,
+        batch)
+      // A FAILED publish (validation refusal, leftover-dir or rename
+      // refusal in publishStagedDir) must FAIL the batch: returning
+      // normally would let foreachBatch commit the offset range to the
+      // checkpoint and the changes would be lost forever — exactly-once
+      // silently degrading to at-most-once. Throwing makes Structured
+      // Streaming retry the batch; the replay branch above keeps the
+      // retry idempotent if the failure raced an actual commit.
+      if (!rep.published) throw new IllegalStateException(
+        s"applyCdcBatch: publish of $root/v$target from v$from refused " +
+          "— failing batch " + batchId + " so the stream retries instead " +
+          "of committing the checkpoint past lost changes")
+      true
     }
   }
 

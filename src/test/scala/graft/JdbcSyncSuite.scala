@@ -146,4 +146,53 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
       "progress-table row counts must reconstruct the full copy")
     assert(readTable(spark, tcfg, None).count() == o.count())
   }
+
+  test("Y48 law: CDF-driven lake→JDBC sync converges, replays idempotently, and chains across versions") {
+    import graft.ops.Sync
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y48l")
+      .toString + "/lake"
+    // v1: four rows; v2 mutates one of each class (I/U/D) and carries k=4
+    val v1 = Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "A"),
+      (4L, 40.0, "A")).toDF("k", "price", "st")
+    assert(Sync.publish(spark, v1.repartition(1), root, 1,
+      _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    val batch = Seq((2L, 22.0, "B", "U", 1L), (3L, 0.0, "A", "D", 1L),
+      (9L, 90.0, "N", "I", 1L)).toDF("k", "price", "st", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 1, 2, "k", batch).published)
+    val tcfg = cfg.copy(table = "LAKE_TGT")
+    writeTable(v1.limit(0).select(col("k").as("K"),
+      col("price").as("PRICE"), col("st").as("ST")),
+      tcfg, SaveMode.Overwrite)
+    assert(graft.sync.LakeToJdbc.seed(spark, root, 1, "k", tcfg) == 4)
+    val rep = graft.sync.LakeToJdbc.incrementalSync(
+      spark, root, 1, 2, "k", tcfg)
+    assert(rep.validated, s"post-sync drift: $rep")
+    assert(rep.nInsert == 1 && rep.nUpdate == 1 && rep.nDelete == 1,
+      s"net op counts wrong: $rep")
+    def targetSet() = readTable(spark, tcfg, None).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val expect2 = Set((1L, 10.0, "A"), (2L, 22.0, "B"), (4L, 40.0, "A"),
+      (9L, 90.0, "N"))
+    assert(targetSet() == expect2, s"target diverged: ${targetSet()}")
+    // REPLAY: the crash-after-apply shape — the same step runs again
+    // before the caller records the new watermark; MERGE re-asserts,
+    // DELETE no-ops, the state is unchanged and still validates
+    val rep2 = graft.sync.LakeToJdbc.incrementalSync(
+      spark, root, 1, 2, "k", tcfg)
+    assert(rep2.validated && targetSet() == expect2,
+      "replayed sync step changed the target")
+    // CHAIN: a further lake version syncs from the new watermark
+    val batch3 = Seq((9L, 99.0, "N", "U", 2L), (1L, 0.0, "A", "D", 2L))
+      .toDF("k", "price", "st", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 2, 3, "k", batch3).published)
+    val rep3 = graft.sync.LakeToJdbc.incrementalSync(
+      spark, root, 2, 3, "k", tcfg)
+    assert(rep3.validated && rep3.nUpdate == 1 && rep3.nDelete == 1)
+    assert(targetSet() ==
+      Set((2L, 22.0, "B"), (4L, 40.0, "A"), (9L, 99.0, "N")),
+      s"chained step diverged: ${targetSet()}")
+  }
 }

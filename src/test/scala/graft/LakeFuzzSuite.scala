@@ -170,4 +170,161 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
     }
     proj.unpersist()
   }
+
+  test("lake fuzz: interleaved cdc/MOR-delete/compact/evolve/GC move sequences hold the logical-state law and the CDF closure at every step") {
+    // The full-op-mix generalization of the two generators above: one
+    // seeded walk interleaves EVERY lake verb — cow CDC applies, MOR
+    // delete vectors, y39 incremental compaction, y43 metadata-only
+    // evolution, y37 retention GC — against an algebraically-maintained
+    // twin of the LOGICAL state (files minus deletion vector, under the
+    // version's logical schema). Two laws close every step:
+    //  1. logical(current) == twin (layout moves must be invisible);
+    //  2. after each CDC move, logical(prev) + recovered CDF ==
+    //     logical(current) — y41 sees through whatever MOR/compaction/
+    //     evolution state the walk left behind.
+    val proj0 = ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = proj0.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b0.getLong(0); val hi = b0.getLong(1); val span = hi - lo
+    def logicalAt(root: String, v: Int): DataFrame = {
+      val dir = s"$root/v$v"
+      val base = ops.Sync.readVersionDir(spark, dir)
+      val dvp = new org.apache.hadoop.fs.Path(s"$dir/_deletes")
+      val fs = dvp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dvp)) base
+      else base.join(broadcast(spark.read.parquet(dvp.toString)),
+        Seq("o_orderkey"), "left_anti")
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(90210L + seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mixfz$seed").toString + "/lake"
+      assert(ops.Sync.publish(spark,
+        proj0.repartitionByRange(5, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+      ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+      var cur = 1
+      var expected = proj0
+      var evolvedCol: Option[String] = None
+      var step = 0
+      val fsRoot = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def checkState(what: String): Unit = {
+        // truncate the twin's lineage each step — six composed moves of
+        // join/union algebra otherwise compound into minutes of codegen
+        expected = expected.localCheckpoint(true)
+        val got = logicalAt(root, cur)
+        val exp = expected.select(got.columns.map(col).toIndexedSeq: _*)
+        sameSet(got, exp, s"seed $seed step $step [$what]: logical " +
+          "state diverged from the algebraic twin")
+      }
+      for (_ <- 1 to 6) {
+        step += 1
+        rnd.nextInt(6) match {
+          case 0 | 1 => // CDC cow apply (double weight)
+            val dm = Seq(3, 5, 7)(rnd.nextInt(3))
+            val d0 = lo + (span / 10) * rnd.nextInt(8)
+            val um = Seq(2, 3, 4)(rnd.nextInt(3))
+            val u0 = lo + (span / 10) * rnd.nextInt(8)
+            val delta = 1 + rnd.nextInt(400)
+            val dataCols = expected.columns.toSeq
+            val dl = expected.filter(col("o_orderkey").between(d0,
+                d0 + span / 10) && col("o_orderkey") % dm === 0)
+              .withColumn("op", lit("D")).withColumn("version", lit(50L))
+            val up = expected.filter(col("o_orderkey").between(u0,
+                u0 + span / 10) && col("o_orderkey") % um === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + delta)
+              .withColumn("op", lit("U")).withColumn("version", lit(100L))
+            val ins = expected.filter(col("o_orderkey") % 31 === 0 &&
+                col("o_orderkey") <= hi)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + hi + step * 10000000L)
+              .withColumn("op", lit("I")).withColumn("version", lit(100L))
+            val changes = dl.unionByName(up).unionByName(ins).cache()
+            if (changes.head(1).isEmpty) { changes.unpersist() }
+            else {
+              val rep = ops.Sync.cowApplyChanges(spark, root, cur,
+                cur + 1, "o_orderkey", changes)
+              assert(rep.published, s"seed $seed step $step: cow refused")
+              val prev = cur; cur += 1
+              val latest = changes.groupBy("o_orderkey")
+                .agg(max_by(struct(col("op") +:
+                  dataCols.filterNot(_ == "o_orderkey").map(col): _*),
+                  col("version")).as("m"))
+                .select(col("o_orderkey") +: col("m.op").as("op") +:
+                  dataCols.filterNot(_ == "o_orderkey")
+                    .map(c => col(s"m.$c").as(c)): _*)
+              expected = expected.join(latest.select("o_orderkey"),
+                  Seq("o_orderkey"), "left_anti")
+                .unionByName(latest.filter(col("op") =!= "D").drop("op"))
+              checkState("cdc")
+              // CDF closure against whatever MOR/evolution state holds
+              val ch = ops.Sync.lakeChanges(spark, root, prev, cur,
+                "o_orderkey").changes.cache()
+              val replayed = logicalAt(root, prev)
+                .join(ch.select("o_orderkey"), Seq("o_orderkey"),
+                  "left_anti")
+                .unionByName(ch.filter(col("op") =!= "D").drop("op")
+                  .select(logicalAt(root, prev).columns
+                    .map(col).toIndexedSeq: _*))
+              sameSet(replayed,
+                logicalAt(root, cur).select(logicalAt(root, prev)
+                  .columns.map(col).toIndexedSeq: _*),
+                s"seed $seed step $step: CDF replay diverged")
+              ch.unpersist(); changes.unpersist()
+            }
+          case 2 => // MOR delete vector
+            val m = Seq(3, 4, 5)(rnd.nextInt(3))
+            val b1 = lo + (span / 8) * rnd.nextInt(7)
+            val dv = expected.filter(col("o_orderkey").between(b1,
+                b1 + span / 8) && col("o_orderkey") % m === 0)
+              .select("o_orderkey")
+            if (dv.head(1).nonEmpty) {
+              val rep = ops.Sync.dvDelete(spark, root, cur, cur + 1,
+                "o_orderkey", dv)
+              assert(rep.published && rep.nFilesRewritten == 0,
+                s"seed $seed step $step: MOR delete rewrote data")
+              cur += 1
+              expected = expected.join(dv, Seq("o_orderkey"), "left_anti")
+              checkState("mor")
+            }
+          case 3 => // incremental compaction — pure layout, state fixed
+            val bytes = fsRoot.listStatus(
+                new org.apache.hadoop.fs.Path(s"$root/v$cur")).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.startsWith("part-"))
+              .map(_.getLen).sum
+            val rep = ops.Sync.compactPublished(spark, root, cur,
+              cur + 1, "o_orderkey", math.max(bytes / 3, 1L))
+            assert(rep.published, s"seed $seed step $step: compact refused")
+            cur += 1
+            checkState("compact")
+          case 4 => // metadata-only evolution (once per walk)
+            if (evolvedCol.isEmpty) {
+              val name = s"x_evo$seed"
+              assert(ops.Sync.evolveSchema(spark, root, cur, cur + 1,
+                Seq(org.apache.spark.sql.types.StructField(name,
+                  org.apache.spark.sql.types.DoubleType))))
+              cur += 1
+              evolvedCol = Some(name)
+              expected = expected.withColumn(name,
+                lit(null).cast("double"))
+              checkState("evolve")
+            }
+          case 5 => // retention GC — current + window must stay whole
+            val rep = ops.Sync.gcPublished(spark, root, keepPrevious = 2)
+            assert(!rep.deleted.contains(s"v$cur"),
+              s"seed $seed step $step: GC reaped the live version")
+            checkState("gc")
+        }
+      }
+      // end-of-walk: the MOR view equals the twin too
+      val (vName, mor) = ops.Sync.readPublishedMor(spark, root,
+        "o_orderkey")
+      assert(vName == s"v$cur")
+      sameSet(mor, expected.select(mor.columns.map(col).toIndexedSeq: _*),
+        s"seed $seed: final MOR view diverged")
+    }
+  }
 }

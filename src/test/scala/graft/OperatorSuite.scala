@@ -1423,7 +1423,7 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     Sync.publish(spark, v2data, root, 2, _.head(1).nonEmpty)
     Sync.publish(spark, Tables.orders(spark, sf)
       .filter(col("o_orderkey") % 2 === 0), root, 3, _.head(1).nonEmpty)
-    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1)
+    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1).deleted
     assert(doomed == Seq("v1"), s"GC reaped the wrong set: $doomed")
     // the rollback window survived bit-identically and is still usable
     val v2 = spark.read.parquet(s"$root/v2")
@@ -1444,7 +1444,7 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     val small = Tables.region(spark, sf)
     Seq(1, 5, 9).foreach(v =>
       assert(Sync.publish(spark, small, root, v, _.head(1).nonEmpty)))
-    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1)
+    val doomed = Sync.gcPublished(spark, root, keepPrevious = 1).deleted
     assert(doomed == Seq("v1"), s"sparse GC reaped the wrong set: $doomed")
     Sync.repoint(spark, root, 5) // the kept window is genuinely usable
     assert(Sync.readPublished(spark, root)._1 == "v5")
@@ -2162,5 +2162,258 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "carry-forward moved parent data")
     assert(orphans(g3) == 0 &&
       g3("lineitem")._2.count() == l3.count())
+  }
+
+  test("R11 pointer law: commits are create-exclusive generations; a lost mirror is invisible; rollback is a new generation naming an old version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ptr")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$root/$n")
+    val o = graft.ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    assert(Sync.publish(spark, o, root, 1, _.head(1).nonEmpty))
+    assert(Sync.publish(spark, o.filter(col("o_orderkey") % 2 === 0),
+      root, 2, _.head(1).nonEmpty))
+    // the authoritative record is the numbered immutable generations
+    assert(fs.exists(p("_ptr_gen_00001")) && fs.exists(p("_ptr_gen_00002")),
+      "pointer commits did not land as create-exclusive generations")
+    assert(Sync.readPublished(spark, root)._1 == "v2")
+    // object-store crash shape: the convenience mirror is LOST (its
+    // write is best-effort and non-atomic) — readers must not care
+    fs.delete(p("_CURRENT"), false)
+    assert(Sync.readPublished(spark, root)._1 == "v2",
+      "reader depended on the non-authoritative _CURRENT mirror")
+    // rollback = roll FORWARD: a NEW generation naming the OLD version;
+    // history stays append-only and inspectable
+    Sync.repoint(spark, root, 1)
+    assert(fs.exists(p("_ptr_gen_00003")) &&
+      Sync.readPublished(spark, root)._1 == "v1",
+      "repoint did not commit as a new pointer generation")
+    // no rename machinery anywhere on the commit path
+    assert(!fs.exists(p("_CURRENT.tmp")),
+      "rename-era tmp residue found on the commit path")
+  }
+
+  test("R11 lease law: GC keeps a pinned out-of-window version and reports it; an expired lease is reaped with its version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pin")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$root/$n")
+    val o = graft.ops.Tables.region(spark, sf)
+    (1 to 4).foreach(v =>
+      assert(Sync.publish(spark, o, root, v, _.head(1).nonEmpty)))
+    val now = System.currentTimeMillis()
+    // a long reader pins v1 (out of the keepPrevious=1 window)
+    Sync.pinVersion(spark, root, 1, "readerA", now + 3600 * 1000L)
+    val g1 = Sync.gcPublished(spark, root, keepPrevious = 1, nowMs = now)
+    assert(g1.deleted == Seq("v2") && g1.pinnedKept == Seq("v1"),
+      s"GC ignored the live lease: $g1")
+    assert(fs.exists(p("v1")), "GC reaped a pinned version")
+    // the reader died without releasing: once the lease lapses, the pin
+    // file is itself garbage and the version follows it out
+    val g2 = Sync.gcPublished(spark, root, keepPrevious = 1,
+      nowMs = now + 2 * 3600 * 1000L)
+    assert(g2.deleted == Seq("_pin_v1_readerA", "v1") &&
+      g2.pinnedKept.isEmpty,
+      s"expired lease did not release retention: $g2")
+    assert(!fs.exists(p("v1")) && !fs.exists(p("_pin_v1_readerA")))
+    // explicit release path
+    Sync.pinVersion(spark, root, 3, "readerB", now + 3600 * 1000L)
+    Sync.unpinVersion(spark, root, 3, "readerB")
+    assert(!fs.exists(p("_pin_v3_readerB")))
+    // pointer-generation history is trimmed to a bounded window
+    assert(Sync.pointerGenerations(fs, root).size <= 2,
+      "GC left unbounded pointer-generation history")
+  }
+
+  test("R11 merge NULL-clause law: a clause condition evaluating to NULL does not fire — the row survives and the counters agree") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mnull")
+      .toString + "/t"
+    val tgt = Seq((1L, 50.0, "A"), (2L, 60.0, "A"), (3L, 70.0, "A"))
+      .toDF("k", "price", "st")
+    Sync.publish(spark, tgt.repartition(1), root, 1, _.head(1).nonEmpty)
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    // source: k=1 carries a NULL price (delete-condition → NULL),
+    // k=2 trips the delete condition, k=3 stays below it
+    val src = Seq((1L, Option.empty[Double], "B"),
+        (2L, Some(999.0), "B"), (3L, Some(71.0), "B"))
+      .toDF("k", "price", "st")
+    val rep = Sync.mergeInto(spark, root, 1, 2, "k", src,
+      matchedDeleteCond = Some(col("src_price") > 100.0),
+      matchedUpdateCond = None, notMatchedInsertCond = None,
+      nmbsDelete = None)
+    assert(rep.published && rep.cardinalityOk)
+    // SQL MERGE: NULL condition = clause does not fire → k=1 is NOT
+    // deleted; it falls through to the unconditional UPDATE
+    val (_, cur) = Sync.readPublished(spark, root)
+    val rows = cur.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      s"NULL delete-condition mis-routed: ${rows.mkString(",")}")
+    assert(rows(0).isNullAt(1) && rows(0).getString(2) == "B",
+      "k=1 should have taken the UPDATE path with the source's values")
+    // counters tell the same story the filter enacted
+    assert(rep.nMatchedDeleted == 1 && rep.nMatchedUpdated == 2,
+      s"clause counters disagree with routing: $rep")
+  }
+
+  test("R11 merge MOR-ghost law: a DV-deleted key is NOT MATCHED — re-asserted only by a firing INSERT; unasserted ghosts keep their DV entry") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mghost")
+      .toString + "/t"
+    val tgt = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "price")
+    Sync.publish(spark, tgt.repartition(1), root, 1, _.head(1).nonEmpty)
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    // MOR-delete k=1 and k=2: physical bytes stay, DV hides them
+    assert(Sync.dvDelete(spark, root, 1, 2, "k",
+      Seq(1L, 2L).toDF("k")).published)
+    // merge: k=1 (ghost, insert fires) must come back with the SOURCE
+    // values; k=2 (ghost, insert does NOT fire) must stay deleted and
+    // keep its DV entry; k=3 (live) updates
+    val src = Seq((1L, 111.0), (2L, 222.0), (3L, 33.0))
+      .toDF("k", "price")
+    val rep = Sync.mergeInto(spark, root, 2, 3, "k", src,
+      matchedDeleteCond = None, matchedUpdateCond = None,
+      notMatchedInsertCond = Some(col("src_price") < 200.0),
+      nmbsDelete = None)
+    assert(rep.published, s"merge refused: $rep")
+    val (_, cur) = Sync.readPublishedMor(spark, root, "k")
+    val got = cur.orderBy("k").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == Seq(1L -> 111.0, 3L -> 33.0, 4L -> 40.0),
+      s"ghost routing wrong: $got")
+    // the stale pre-delete bytes must NOT have resurfaced for k=1
+    assert(!got.contains(1L -> 10.0), "ghost resurrected with stale values")
+    // k=2's DV entry survived (the merge never re-asserted it)
+    val dv = spark.read.parquet(s"$root/v3/_deletes")
+      .collect().map(_.getLong(0)).toSet
+    assert(dv.contains(2L) && !dv.contains(1L),
+      s"carried DV wrong: $dv")
+    // MATCHED relationship is vs logical content: ghosts are not matches
+    assert(rep.nMatchedUpdated == 1 && rep.nInserted == 1,
+      s"counters saw ghosts as matches: $rep")
+  }
+
+  test("R11 group abort law: a failed re-publish never deletes dirs the committed group references") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gabort")
+      .toString + "/grp"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = graft.ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    val r = graft.ops.Tables.region(spark, sf)
+    assert(Sync.publishGroup(spark, root,
+      Seq("orders" -> o, "region" -> r), 1, _.head(1).nonEmpty))
+    // a re-run of the committed publish IS adopted (idempotent retry)
+    assert(Sync.publishGroup(spark, root,
+      Seq("orders" -> o, "region" -> r), 1, _.head(1).nonEmpty))
+    // the dangerous shape: the group EXTENDED at the same version with
+    // a table that fails validation — the retry branch adopts the two
+    // live v1 dirs into `landed`, the new table aborts the attempt,
+    // and the abort must NOT reap the adopted committed dirs
+    val n = graft.ops.Tables.nation(spark, sf)
+    assert(!Sync.publishGroup(spark, root,
+      Seq("orders" -> o, "region" -> r, "nation" -> n.limit(0)), 1,
+      _.head(1).nonEmpty))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/orders/v1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/region/v1")),
+      "abort deleted dirs the committed group pointer references")
+    val g = Sync.readPublishedGroup(spark, root)
+    assert(g("orders")._1 == 1 && g("orders")._2.count() == o.count(),
+      "committed group unreadable after aborted re-publish")
+    // mid-swap mirror loss: the group's authoritative state is the
+    // newest generation, so a vanished _CURRENT_GROUP changes nothing
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_CURRENT_GROUP"), false)
+    val g2 = Sync.readPublishedGroup(spark, root)
+    assert(g2("region")._1 == 1,
+      "reader saw an empty group when the mirror was mid-swap/lost")
+  }
+
+  test("Y49 law: partition-first pruning — same key span in both partitions, a one-partition change leaves the other byte-identical; new partitions are frontier") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y49")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p))
+      val out = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally in.close()
+      out.toByteArray
+    }
+    // partitions a and b hold the SAME key span — the layout where
+    // span-only pruning (flat y38) would touch every partition
+    val v1 = Seq(("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("b", 1L, 100.0), ("b", 2L, 200.0)).toDF("p", "k", "x")
+    assert(PartLake.publishPartitioned(spark, v1.repartition(1), root, 1,
+      "p", _.head(1).nonEmpty))
+    PartLake.writeFileStats(spark, s"$root/v1", "k", "p")
+    val b1 = Seq(("a", 1L, 11.0, "U", 1L)).toDF("p", "k", "x", "op", "version")
+    val rep = PartLake.cowApplyChanges(spark, root, 1, 2, "k", "p", b1)
+    assert(rep.published && rep.nFilesRewritten == 1 &&
+      rep.nPartsTouched == 1 && rep.nPartsTotal == 2,
+      s"partition-first prune failed: $rep")
+    val bFiles = rep.untouched.filter(_.startsWith("p=b"))
+    assert(bFiles.nonEmpty, s"partition b should carry: $rep")
+    bFiles.foreach(f => assert(java.util.Arrays.equals(
+      bytes(s"$root/v1/$f"), bytes(s"$root/v2/$f")),
+      s"carried file $f is not byte-identical"))
+    def snap(): Set[(String, Long, Double)] =
+      Sync.readPublished(spark, root)._2.collect()
+        .map(r => (r.getAs[String]("p"), r.getAs[Long]("k"),
+          r.getAs[Double]("x"))).toSet
+    assert(snap() == Set(("a", 1L, 11.0), ("a", 2L, 20.0),
+      ("b", 1L, 100.0), ("b", 2L, 200.0)), s"v2 content wrong: ${snap()}")
+    // a NEW partition value is pure frontier (no rewrite for it); a
+    // delete in b rewrites only b's file
+    val b2 = Seq(("c", 5L, 500.0, "I", 1L), ("b", 2L, 0.0, "D", 1L))
+      .toDF("p", "k", "x", "op", "version")
+    val rep2 = PartLake.cowApplyChanges(spark, root, 2, 3, "k", "p", b2)
+    assert(rep2.published && rep2.nPartsTouched == 1,
+      s"frontier insert should touch no existing partition: $rep2")
+    assert(snap() == Set(("a", 1L, 11.0), ("a", 2L, 20.0),
+      ("b", 1L, 100.0), ("c", 5L, 500.0)), s"v3 content wrong: ${snap()}")
+    // manifest knows the new partition — the NEXT mutation prunes by it
+    val m3 = spark.read.parquet(s"$root/v3/_file_stats")
+      .select("part").distinct().collect().map(_.getString(0)).toSet
+    assert(m3 == Set("a", "b", "c"), s"v3 manifest partitions: $m3")
+    // partitioned CDF: net ops, partition-local scan (a's file carried)
+    val (cdf, scanned, total) = PartLake.lakeChanges(spark, root, 2, 3,
+      "k", "p")
+    val ops = cdf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(ops == Set(("I", "c", 5L), ("D", "b", 2L)),
+      s"partitioned CDF wrong: $ops")
+    assert(scanned < total, s"CDF scanned all files: $scanned/$total")
+  }
+
+  test("R11 CDC publish-refusal law: a refused lake publish FAILS the batch instead of committing the checkpoint past lost changes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcfail")
+      .toString + "/t"
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+    Sync.publish(spark, base.repartition(1), root, 1, _.head(1).nonEmpty)
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    // this batch deletes EVERY row → the staged result is empty → the
+    // publish validation refuses → the batch must THROW (retry), not
+    // return (checkpoint advance = changes lost forever)
+    val killAll = Seq((1L, 0.0, "D", 1L), (2L, 0.0, "D", 2L))
+      .toDF("k", "price", "op", "version")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamOps.applyCdcBatch(
+        spark, root, "k", 1, killAll, 0)
+    }
+    assert(e.getMessage.contains("refused"),
+      s"wrong failure surface: ${e.getMessage}")
+    // nothing moved: v1 still live, no v2 committed
+    assert(Sync.readPublished(spark, root)._1 == "v1")
   }
 }

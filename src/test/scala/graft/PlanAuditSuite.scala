@@ -260,6 +260,34 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(back.count() == o.filter(year(col("o_orderdate")) === 1997).count())
   }
 
+  test("Y49: a partition-filtered read of a published partitioned version scans only matching part= subdirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_y49pa")
+      .toString + "/t"
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    assert(PartLake.publishPartitioned(spark,
+      proj.repartitionByRange(4, col("o_orderstatus"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderstatus", "o_orderkey"),
+      root, 1, "o_orderstatus", _.head(1).nonEmpty))
+    val (_, cur) = Sync.readPublished(spark, root)
+    def filesRead(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numFiles").value
+    }
+    val all = filesRead(cur.select("o_orderkey"))
+    val f = cur.filter(col("o_orderstatus") === "F")
+    val pruned = filesRead(f)
+    val leaf = f.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PartitionFilters: [") &&
+      leaf.contains("o_orderstatus"),
+      s"partition filter did not reach the scan:\n$leaf")
+    assert(pruned < all,
+      s"partition-filtered read scanned $pruned of $all files — no " +
+        "subdir pruning on the published version")
+    assert(f.count() == proj.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("dynamic partition pruning injects a runtime filter into the fact scan") {
     // The 100 TB date-partitioned read path: fact partitioned on
     // order_year joined to a dim filtered on a non-join column — static
@@ -597,6 +625,74 @@ class PlanAuditSuite extends AnyFunSuite with SparkFixture {
     assert(zU.toDouble <= total * 0.6, s"z-order failed to prune users: $zU/$total")
     assert(zD.toDouble <= total * 0.6, s"z-order failed to prune days: $zD/$total")
     assert(zD < lD, "z-order must beat the 1-D layout on the off-dimension")
+  }
+
+  test("Y39×S15: z-keyed compaction preserves BOTH pruning dimensions through the rewrite") {
+    // the silent scale regression this pins: compaction that re-sorts
+    // merged files by anything other than the table's clustering key
+    // destroys the layout the readers depend on. Recipe under audit:
+    // publish with a MATERIALIZED z-value column, key the manifest (and
+    // the compactor) on it — bin-packing by z-kmin keeps merged files
+    // z-contiguous, so small (user, day) rectangles survive the merge.
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value")
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min(to_date(col("ts"))), max(to_date(col("ts")))).collect()(0)
+    val (ulo, uhi) = (b.getLong(0), b.getLong(1))
+    val dlo = b.getDate(2)
+    val dspan = math.max(b.getDate(3).toLocalDate.toEpochDay -
+      dlo.toLocalDate.toEpochDay, 1L)
+    val u8 = (col("user_id") - ulo) * 255 / math.max(uhi - ulo, 1L)
+    val d8 = datediff(to_date(col("ts")), lit(dlo)) * 255 / dspan
+    val z = Sources.zValue(u8.cast("long"), d8.cast("long"), 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_zcomp")
+      .toString + "/t"
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS") // INT96 carries no stats
+    val rep = try {
+      assert(Sync.publish(spark, ev.withColumn("zval", z)
+        .repartitionByRange(24, col("zval")).sortWithinPartitions("zval"),
+        root, 1, _.head(1).nonEmpty))
+      Sync.writeFileStats(spark, s"$root/v1", "zval")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val totalBytes = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+      // target ≈ an eighth of the table: 24 fragments merge into ~8
+      // files, each a narrow z range (= a small rectangle) — coarse
+      // enough to prove real merging, fine enough that point filters
+      // still exclude most files
+      Sync.compactPublished(spark, root, 1, 2, "zval", totalBytes / 8)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    assert(rep.published && rep.nFilesRewritten >= 4,
+      s"compaction did not actually merge fragments: $rep")
+    def scanRows(pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(s"$root/v2").filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val total = ev.count()
+    val pUser = col("user_id") === (ulo + uhi) / 2
+    val pDay = col("ts") >= lit("2024-01-15").cast("timestamp") &&
+      col("ts") < lit("2024-01-16").cast("timestamp")
+    val (zU, zD) = (scanRows(pUser), scanRows(pDay))
+    info(s"total=$total compactedUser=$zU compactedDay=$zD")
+    // ~8 files each fixing z-bits ≥13 (d7,u7,d6): a point user filter
+    // excludes the wrong u7 half (~0.5), a day band fixes d7+d6
+    // (~0.25); "destroyed" would read ~1.0 on both
+    assert(zU.toDouble <= total * 0.7,
+      s"compaction destroyed user pruning: $zU/$total")
+    assert(zD.toDouble <= total * 0.6,
+      s"compaction destroyed day pruning: $zD/$total")
+    // and correctness survived the layout surgery
+    assert(spark.read.parquet(s"$root/v2").count() == total)
   }
 
   test("Y25: time travel is ONE log window + a broadcast cuts join (no per-cut rescans)") {
