@@ -3423,7 +3423,14 @@ object Sync {
         proj.limit(0).select(proj.columns.toSeq
           .map(c => col(c).as(c.toUpperCase)): _*),
         cfg, org.apache.spark.sql.SaveMode.Overwrite)
-      graft.sync.LakeToJdbc.seed(s, root, 1, "o_orderkey", cfg)
+      // the one DDL the apply path requires: without a key index every
+      // MERGE probe full-scans the target (O(n²) seed — see
+      // ensureKeyIndex's scaladoc); bulk seed = batched INSERTs into
+      // the fresh table (the retry-free staging case), the incremental
+      // step below still exercises the MERGE/DELETE wire path
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      graft.sync.LakeToJdbc.seed(s, root, 1, "o_orderkey", cfg,
+        bulk = true)
       val rep = graft.sync.LakeToJdbc.incrementalSync(
         s, root, 1, 2, "o_orderkey", cfg)
       require(rep.validated, s"y48: post-sync drift: $rep")
@@ -3436,6 +3443,116 @@ object Sync {
         .withColumn("sync_validated", lit(rep.validated))
         .withColumn("ops_mix_real",
           lit(rep.nInsert > 0 && rep.nUpdate > 0 && rep.nDelete > 0))
+    }),
+
+    // Y48b: LAKE → SCD2 HISTORY SYNC — the same CDF extraction as y48
+    // but the target is a WAREHOUSE HISTORY table: every op CLOSES the
+    // key's current version (valid_to = lake version, is_current = 0)
+    // and I/U additionally OPEN the new one, so the target accretes
+    // every version the lake ever published instead of overwriting —
+    // the reference's SCD2 load shape driven from the lake's own
+    // change feed. The lake's DESTINATION VERSION NUMBER is the SCD2
+    // clock: one monotone, replay-stable stamp, so the whole step is
+    // replay-idempotent (`valid_from < ver` close guard + a MERGE
+    // keyed on (key, valid_from) for the open — re-delivery re-lands
+    // on the same history). Scenario: the y48 banded perturbation on a
+    // (key, price) projection; seed v1 as history generation 1, one
+    // incremental step to v2, then REPLAY the step and audit the
+    // history row counts are unchanged. Output = the target's
+    // `is_current = 1` slice read back over JDBC (≡ the plain
+    // projection the CDC batch restored), so the oracle match proves
+    // the wire path; the history/replay/prune laws ride as audited
+    // booleans. At 100 TB: identical scale story to y48 — churn-sized
+    // CDF, index-probed closes/opens, history growth ∝ total churn.
+    "y48b_lake_scd2_sync" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y48b_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band = col("o_orderkey")
+        .between(lo + 2 * (span / 10), lo + 4 * (span / 10))
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      val v1 = proj.filter(!(band && col("o_orderkey") % 11 === 0))
+        .withColumn("o_totalprice",
+          when(band && col("o_orderkey") % 5 === 0,
+            col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      publish(s, v1.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val batch = proj.filter(band && col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(proj.filter(band && col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 11 =!= 0).withColumn("op", lit("U")))
+        .unionByName(ghosts.withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      require(cowApplyChanges(s, root, 1, 2, "o_orderkey", batch)
+        .published, "y48b: cow publish refused")
+      val db = Sources.stage(s"y48b_db_$n")
+      val cfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$db;create=true", table = "ORDERS_HIST",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      // the history table needs its composite PK up front (the close
+      // UPDATE probes (key, is_current), the open MERGE probes
+      // (key, valid_from)) — Spark's JDBC writer can't declare one, so
+      // plain DDL here, then bulk-append the v1 snapshot as history
+      // generation 1 (open rows: valid_from = 1, valid_to = NULL)
+      Class.forName(cfg.driver)
+      val conn = java.sql.DriverManager.getConnection(cfg.url)
+      try conn.createStatement().execute(
+        "CREATE TABLE ORDERS_HIST (O_ORDERKEY BIGINT NOT NULL, " +
+          "O_TOTALPRICE DOUBLE, VALID_FROM BIGINT NOT NULL, " +
+          "VALID_TO BIGINT, IS_CURRENT SMALLINT, " +
+          "PRIMARY KEY (O_ORDERKEY, VALID_FROM))")
+      finally conn.close()
+      val seedRows = v1.count()
+      graft.sources.JdbcSync.writeTable(
+        v1.select(col("o_orderkey").as("O_ORDERKEY"),
+          col("o_totalprice").as("O_TOTALPRICE"),
+          lit(1L).as("VALID_FROM"),
+          lit(null).cast("bigint").as("VALID_TO"),
+          lit(1).cast("smallint").as("IS_CURRENT"))
+          .repartitionByRange(1, col("O_ORDERKEY")),
+        cfg, org.apache.spark.sql.SaveMode.Append)
+      def histCounts(): (Long, Long) = {
+        val r = graft.sources.JdbcSync.readTable(s, cfg, None)
+          .agg(count(lit(1)), count(when(col("IS_CURRENT") === 0, 1)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val rep = graft.sync.LakeToJdbc.incrementalScd2(
+        s, root, 1, 2, "o_orderkey", "o_totalprice", cfg)
+      require(rep.validated, s"y48b: post-sync drift: $rep")
+      val (histRows, closedRows) = histCounts()
+      // REPLAY the whole step — the worst-case re-delivery; history
+      // must not move (close guard + keyed open MERGE)
+      val rep2 = graft.sync.LakeToJdbc.incrementalScd2(
+        s, root, 1, 2, "o_orderkey", "o_totalprice", cfg)
+      val replayNoop = rep2.validated && histCounts() == ((histRows,
+        closedRows))
+      graft.sources.JdbcSync.readTable(s, cfg, None)
+        .filter(col("IS_CURRENT") === 1)
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("O_TOTALPRICE")).as("sum_price"))
+        .withColumn("cdf_pruned",
+          lit(rep.scannedFiles < rep.totalFiles))
+        .withColumn("sync_validated", lit(rep.validated))
+        .withColumn("ops_mix_real",
+          lit(rep.nInsert > 0 && rep.nUpdate > 0 && rep.nDelete > 0))
+        // closes = U (superseded) + D (ended); every I and U OPENS one
+        // new history row and nothing is ever deleted, so total rows =
+        // seed + nI + nU; a delete closes WITHOUT opening — the key's
+        // history survives, which is the point of SCD2
+        .withColumn("history_accreted",
+          lit(closedRows == rep.nUpdate + rep.nDelete &&
+            histRows == seedRows + rep.nInsert + rep.nUpdate))
+        .withColumn("replay_noop", lit(replayNoop))
     }),
 
     // Y49: PARTITIONED PUBLISHED TABLE — see [[PartLake]]. v1 is
@@ -4731,6 +4848,18 @@ object Sync {
          |  TRUE AS cdf_pruned, TRUE AS sync_validated,
          |  TRUE AS ops_mix_real
          |FROM orders GROUP BY 1""".stripMargin,
+
+    // the history target's is_current=1 slice converged on v2 ≡ the
+    // plain projection; the accretion/replay/prune laws ride as
+    // audited booleans (genuinely computed Spark-side over the JDBC
+    // read-back, constants here — the a5/a19 idiom)
+    "y48b_lake_scd2_sync" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS cdf_pruned, TRUE AS sync_validated,
+         |  TRUE AS ops_mix_real, TRUE AS history_accreted,
+         |  TRUE AS replay_noop
+         |FROM orders""".stripMargin,
 
     // the partitioned cow converged on v2 ≡ the plain projection; the
     // partition/file/CDF-prune laws ride as audited booleans

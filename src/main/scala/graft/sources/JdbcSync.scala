@@ -65,6 +65,39 @@ object JdbcSync {
   def writeTable(df: DataFrame, cfg: JdbcConfig, mode: SaveMode): Unit =
     df.write.format("jdbc").options(writeOptions(cfg)).mode(mode).save()
 
+  /** Ensure the sync key is indexed on the target — the one DDL the
+    * MERGE/DELETE apply paths structurally require. Spark's JDBC
+    * writer creates tables with NO constraints or indexes, so without
+    * this every single-row MERGE probe in [[idempotentAppend]] /
+    * [[applyChangeFeed]] is a FULL TABLE SCAN and a seed degrades to
+    * O(n²) — measured: a 150k-row seed that takes seconds indexed ran
+    * for 28+ minutes unindexed on embedded Derby. Idempotent: an
+    * already-existing index (Derby X0Y32 / T-SQL "already exists") is
+    * swallowed, so retried jobs and pre-indexed targets (a real DBA'd
+    * table with its own PK) pass through untouched. */
+  def ensureKeyIndex(cfg: JdbcConfig, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "ensureKeyIndex: at least one column")
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    require(cfg.table.matches(s"$ident(\\.$ident)?") &&
+      cols.forall(_.matches(ident)),
+      s"ensureKeyIndex: invalid identifier in ${cfg.table} / $cols")
+    val name = s"IX_${cfg.table.replace('.', '_')}_${cols.mkString("_")}"
+    Class.forName(cfg.driver)
+    val conn =
+      if (cfg.user.isEmpty) java.sql.DriverManager.getConnection(cfg.url)
+      else java.sql.DriverManager.getConnection(cfg.url, cfg.user,
+        cfg.password)
+    try {
+      conn.createStatement().execute(
+        s"CREATE INDEX $name ON ${cfg.table} (${cols.mkString(", ")})")
+    } catch {
+      case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" ||
+            Option(e.getMessage).exists(_.contains("already exists")) =>
+        () // idempotent re-run or externally managed index
+    } finally conn.close()
+  }
+
   /** Retry-idempotent keyed append: each partition MERGEs its rows into
     * the target on the PK (the [[graft.sync.MergeSql]] dialect builder —
     * Derby for the embedded e2e tests, T-SQL for the MS-SQL-shaped
@@ -209,6 +242,84 @@ object JdbcSync {
               try conn.rollback() catch { case _: Throwable => () }
               throw e
           } finally { merge.close(); del.close() }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Y48b: apply one change-data-feed batch to an SCD2 HISTORY target —
+    * the warehouse-grade sibling of [[applyChangeFeed]]: instead of
+    * overwriting the key's row, every op CLOSES the key's current
+    * version (`valid_to = ver, is_current = 0`; the `valid_from < ver`
+    * guard makes replay a no-op) and I/U additionally OPEN the new one
+    * via a MERGE keyed on (key, valid_from), so a replayed feed
+    * re-updates the same history row instead of duplicating it — the
+    * whole apply is replay-idempotent like the flat variant. A delete
+    * closes without opening: the key's history survives, which is the
+    * point of SCD2. The feed must carry the key, ONE tracked value
+    * column (SCD2 history is per-attribute by design — project before
+    * calling), the op, and a `ver` column (callers use the lake's
+    * destination version number: one monotone clock for the whole
+    * step). Close executes before open per flush; one (net) op per key
+    * per feed keeps the pair atomic within the partition transaction. */
+  def applyScd2Feed(changes: DataFrame, cfg: JdbcConfig, key: String,
+      valueCol: String, opCol: String = "op", verCol: String = "ver",
+      dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby,
+      batchSize: Int = 1000): Unit = {
+    val schema = changes.schema
+    require(Seq(key, valueCol, opCol, verCol)
+      .forall(schema.fieldNames.contains),
+      s"applyScd2Feed: feed must carry '$key', '$valueCol', '$opCol', " +
+        s"'$verCol'")
+    // MergeSql renders bind slots under the names `key`/`value`/"ver";
+    // rebind "ver" to the caller's column via a name view
+    val closeStmt = graft.sync.MergeSql.scd2Close(dialect, cfg.table, key)
+    val openStmt = graft.sync.MergeSql.scd2Open(dialect, cfg.table, key,
+      valueCol)
+    def order(st: graft.sync.MergeSql.Stmt): Seq[String] =
+      st.bindOrder.map(c => if (c == "ver") verCol else c)
+    val (closeOrder, openOrder) = (order(closeStmt), order(openStmt))
+    val opIdx = schema.fieldIndex(opCol)
+    val (url, driver, user, password) =
+      (cfg.url, cfg.driver, cfg.user, cfg.password)
+    changes.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        Class.forName(driver)
+        val conn =
+          if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+          else java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          conn.setAutoCommit(false)
+          val close = conn.prepareStatement(closeStmt.sql)
+          val open = conn.prepareStatement(openStmt.sql)
+          try {
+            var pending = 0
+            def flush(): Unit = {
+              close.executeBatch(); open.executeBatch(); pending = 0
+            }
+            rows.foreach { r =>
+              r.getString(opIdx) match {
+                case "D" =>
+                  bindRow(close, closeOrder, schema, r)
+                  close.addBatch()
+                case "I" | "U" =>
+                  bindRow(close, closeOrder, schema, r)
+                  close.addBatch()
+                  bindRow(open, openOrder, schema, r)
+                  open.addBatch()
+                case other => throw new IllegalArgumentException(
+                  s"applyScd2Feed: unknown op '$other' (expected I/U/D)")
+              }
+              pending += 1
+              if (pending >= batchSize) flush()
+            }
+            if (pending > 0) flush()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally { close.close(); open.close() }
         } finally conn.close()
       }
     }

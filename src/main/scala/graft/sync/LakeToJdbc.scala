@@ -62,13 +62,25 @@ object LakeToJdbc {
   def seed(s: SparkSession, lakeRoot: String, version: Int, key: String,
       cfg: JdbcConfig, jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
-      writers: Int = 1): Long = {
+      writers: Int = 1, bulk: Boolean = false): Long = {
     val snap = graft.ops.Sync.readVersionDir(s, s"$lakeRoot/v$version")
     val up = snap.select(snap.columns.toSeq
       .map(c => col(c).as(jdbcName(c))): _*)
-    JdbcSync.idempotentAppend(
-      up.repartitionByRange(writers, col(jdbcName(key))),
-      cfg, jdbcName(key), dialect)
+    // `bulk` = batched plain INSERTs — the retry-FREE case writeTable's
+    // own scaladoc carves out: a seed lands in a fresh, just-created
+    // table and is validated before the incremental cadence starts, so
+    // a died-and-retried seed is re-run from TRUNCATE/empty, not
+    // resumed. n× faster than the per-row MERGE probe and the right
+    // default for a first full load; keep bulk=false when resuming a
+    // partial seed into a non-empty target.
+    if (bulk)
+      JdbcSync.writeTable(
+        up.repartitionByRange(writers, col(jdbcName(key))),
+        cfg, org.apache.spark.sql.SaveMode.Append)
+    else
+      JdbcSync.idempotentAppend(
+        up.repartitionByRange(writers, col(jdbcName(key))),
+        cfg, jdbcName(key), dialect)
     snap.count()
   }
 
@@ -113,6 +125,49 @@ object LakeToJdbc {
     val ok = SyncJob.validate(lake,
       JdbcSync.readTable(s, cfg, None),
       SyncJob.SyncConfig(Seq(key), compareCols, deleteMissing = true))
+    LakeSyncReport(fromVersion, toVersion,
+      m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
+      m("nD").asInstanceOf[Long],
+      cdf.scannedFrom + cdf.scannedTo, cdf.totalFrom + cdf.totalTo,
+      validated = ok)
+  }
+
+  /** Y48b: one incremental step into an SCD2 HISTORY target
+    * ([[JdbcSync.applyScd2Feed]]) — the warehouse shape where the
+    * target keeps every version of the tracked attribute instead of
+    * overwriting. The lake's DESTINATION VERSION NUMBER is the SCD2
+    * clock (`valid_from`/`valid_to` hold version numbers): one
+    * monotone, replay-stable stamp for the whole step, so re-running a
+    * step can neither regress the open row nor duplicate history.
+    * Validation: the target's `is_current = 1` slice must equal the
+    * published v_to projection — the same drift certificate as the
+    * flat sync, over the history table's open edge. */
+  def incrementalScd2(s: SparkSession, lakeRoot: String,
+      fromVersion: Int, toVersion: Int, key: String, valueCol: String,
+      cfg: JdbcConfig, jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby,
+      writers: Int = 1): LakeSyncReport = {
+    val cdf = graft.ops.Sync.lakeChanges(s, lakeRoot, fromVersion,
+      toVersion, key)
+    val obs = org.apache.spark.sql.Observation()
+    val feed = cdf.changes.select(col("op"),
+        col(key).as(jdbcName(key)), col(valueCol).as(jdbcName(valueCol)),
+        lit(toVersion.toLong).as("ver"))
+      .repartitionByRange(writers, col(jdbcName(key)))
+      .observe(obs,
+        count(when(col("op") === "I", 1)).as("nI"),
+        count(when(col("op") === "U", 1)).as("nU"),
+        count(when(col("op") === "D", 1)).as("nD"))
+    JdbcSync.applyScd2Feed(feed, cfg, jdbcName(key), jdbcName(valueCol),
+      "op", "ver", dialect)
+    val m = obs.get
+    val lake = graft.ops.Sync.readVersionDir(s, s"$lakeRoot/v$toVersion")
+      .select(key, valueCol)
+    val current = JdbcSync.readTable(s, cfg, None)
+      .filter(col("is_current") === 1)
+      .select(jdbcName(key), jdbcName(valueCol))
+    val ok = SyncJob.validate(lake, current,
+      SyncJob.SyncConfig(Seq(key), Seq(valueCol), deleteMissing = true))
     LakeSyncReport(fromVersion, toVersion,
       m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
       m("nD").asInstanceOf[Long],

@@ -195,4 +195,64 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
       Set((2L, 22.0, "B"), (4L, 40.0, "A"), (9L, 99.0, "N")),
       s"chained step diverged: ${targetSet()}")
   }
+
+  test("Y48b law: CDF-driven lake→SCD2 sync — history accretes, current slice converges, replay is a no-op, chain extends history") {
+    import graft.ops.Sync
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y48b")
+      .toString + "/lake"
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "price")
+    assert(Sync.publish(spark, v1.repartition(1), root, 1,
+      _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    val tcfg = cfg.copy(table = "LAKE_HIST")
+    Class.forName(tcfg.driver)
+    val conn = java.sql.DriverManager.getConnection(tcfg.url)
+    try conn.createStatement().execute(
+      "CREATE TABLE LAKE_HIST (K BIGINT, PRICE DOUBLE, " +
+        "VALID_FROM BIGINT, VALID_TO BIGINT, IS_CURRENT SMALLINT, " +
+        "PRIMARY KEY (K, VALID_FROM))")
+    finally conn.close()
+    // seed = the v1 snapshot as an all-I feed stamped with version 1
+    applyScd2Feed(v1.select(lit("I").as("op"), col("k").as("K"),
+      col("price").as("PRICE"), lit(1L).as("ver")), tcfg, "K", "PRICE")
+    def hist(): Set[(Long, Double, Long, Option[Long], Int)] =
+      readTable(spark, tcfg, None).collect().map(r => (r.getLong(0),
+        r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4))).toSet
+    assert(hist() == Set((1L, 10.0, 1L, None, 1), (2L, 20.0, 1L, None, 1),
+      (3L, 30.0, 1L, None, 1)), s"seed wrong: ${hist()}")
+    // v2: update k=2, delete k=3, insert k=9 — one CDC cow apply
+    val batch = Seq((2L, 22.0, "U", 1L), (3L, 0.0, "D", 1L),
+      (9L, 90.0, "I", 1L)).toDF("k", "price", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 1, 2, "k", batch).published)
+    val rep = graft.sync.LakeToJdbc.incrementalScd2(
+      spark, root, 1, 2, "k", "price", tcfg)
+    assert(rep.validated && rep.nInsert == 1 && rep.nUpdate == 1 &&
+      rep.nDelete == 1, s"scd2 step wrong: $rep")
+    val after2 = Set(
+      (1L, 10.0, 1L, None, 1),           // untouched, still open
+      (2L, 20.0, 1L, Some(2L), 0),       // closed at version 2...
+      (2L, 22.0, 2L, None, 1),           // ...new version open
+      (3L, 30.0, 1L, Some(2L), 0),       // delete = close WITHOUT open
+      (9L, 90.0, 2L, None, 1))           // insert opens at 2
+    assert(hist() == after2, s"history after step 1: ${hist()}")
+    // REPLAY: the valid_from<ver guard + (key, valid_from) MERGE make
+    // the whole step a no-op on re-delivery
+    val rep2 = graft.sync.LakeToJdbc.incrementalScd2(
+      spark, root, 1, 2, "k", "price", tcfg)
+    assert(rep2.validated && hist() == after2,
+      s"replayed SCD2 step changed history: ${hist()}")
+    // CHAIN: v3 updates k=9; history extends, old versions untouched
+    val batch3 = Seq((9L, 99.0, "U", 2L)).toDF("k", "price", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 2, 3, "k", batch3).published)
+    val rep3 = graft.sync.LakeToJdbc.incrementalScd2(
+      spark, root, 2, 3, "k", "price", tcfg)
+    assert(rep3.validated && rep3.nUpdate == 1)
+    assert(hist() == after2 - ((9L, 90.0, 2L, None, 1)) +
+      ((9L, 90.0, 2L, Some(3L), 0)) + ((9L, 99.0, 3L, None, 1)),
+      s"chained history wrong: ${hist()}")
+  }
 }
