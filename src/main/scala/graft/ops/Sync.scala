@@ -3555,6 +3555,77 @@ object Sync {
         .withColumn("replay_noop", lit(replayNoop))
     }),
 
+    // Y50: SCHEDULED CATCH-UP SYNC — the reference's operating mode:
+    // "sync whatever is new since the last run", with the watermark
+    // row living IN THE TARGET database (no driver-side state; any
+    // scheduler slot runs the next tick). Three ticks exercise every
+    // mode: tick 1 finds no watermark → reseed (bulk load of the live
+    // version); after a CDC cow publish, tick 2 → ONE incremental CDF
+    // jump (intermediate versions would net out — a job that slept
+    // through ten publishes pays one churn-sized step); tick 3 → noop.
+    // Output = the target read back over JDBC (≡ the plain projection
+    // the CDC batch restored); the mode sequence, prune, validation
+    // and op-mix laws ride as audited booleans. Crash-window and
+    // retention-loss convergence are law-tested in JdbcSyncSuite.
+    "y50_catchup_sync" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y50_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band = col("o_orderkey")
+        .between(lo + 2 * (span / 10), lo + 4 * (span / 10))
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      val v1 = proj.filter(!(band && col("o_orderkey") % 11 === 0))
+        .withColumn("o_totalprice",
+          when(band && col("o_orderkey") % 5 === 0,
+            col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      publish(s, v1.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val db = Sources.stage(s"y50_db_$n")
+      val cfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$db;create=true", table = "ORDERS_CATCH",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sources.JdbcSync.writeTable(
+        proj.limit(0).select(proj.columns.toSeq
+          .map(c => col(c).as(c.toUpperCase)): _*),
+        cfg, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      val t1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      val batch = proj.filter(band && col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(proj.filter(band && col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 11 =!= 0).withColumn("op", lit("U")))
+        .unionByName(ghosts.withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      require(cowApplyChanges(s, root, 1, 2, "o_orderkey", batch)
+        .published, "y50: cow publish refused")
+      val t2 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      val t3 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      graft.sources.JdbcSync.readTable(s, cfg, None)
+        .groupBy(col("O_ORDERSTATUS").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("O_TOTALPRICE")).as("sum_price"))
+        .withColumn("modes_observed",
+          lit(t1.mode == "reseed" && t2.mode == "incremental" &&
+            t3.mode == "noop"))
+        .withColumn("cdf_pruned",
+          lit(t2.scannedFiles < t2.totalFiles))
+        .withColumn("sync_validated",
+          lit(t1.validated && t2.validated && t3.validated))
+        .withColumn("ops_mix_real",
+          lit(t2.nInsert > 0 && t2.nUpdate > 0 && t2.nDelete > 0))
+    }),
+
     // Y49: PARTITIONED PUBLISHED TABLE — see [[PartLake]]. v1 is
     // status-partitioned ('O'/'F'/'P' + a ghost partition 'X') with a
     // banded perturbation confined to TWO partitions; one CDC batch
@@ -4860,6 +4931,16 @@ object Sync {
          |  TRUE AS ops_mix_real, TRUE AS history_accreted,
          |  TRUE AS replay_noop
          |FROM orders""".stripMargin,
+
+    // three catch-up ticks converged the target on v2 ≡ the plain
+    // projection; the mode-sequence/prune/validation laws ride as
+    // audited booleans (genuinely computed Spark-side, constants here)
+    "y50_catchup_sync" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS modes_observed, TRUE AS cdf_pruned,
+         |  TRUE AS sync_validated, TRUE AS ops_mix_real
+         |FROM orders GROUP BY 1""".stripMargin,
 
     // the partitioned cow converged on v2 ≡ the plain projection; the
     // partition/file/CDF-prune laws ride as audited booleans

@@ -196,6 +196,69 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
       s"chained step diverged: ${targetSet()}")
   }
 
+  test("Y50 law: catch-up sync — reseed/incremental/noop modes, crash-window replay, retention-loss fallback") {
+    import graft.ops.Sync
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y50")
+      .toString + "/lake"
+    val tcfg = cfg.copy(table = "LAKE_CATCH")
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "price")
+    assert(Sync.publish(spark, v1.repartition(1), root, 1,
+      _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    writeTable(v1.limit(0).select(col("k").as("K"),
+      col("price").as("PRICE")), tcfg, SaveMode.Overwrite)
+    ensureKeyIndex(tcfg, Seq("K"))
+    def targetSet(): Set[(Long, Double)] =
+      readTable(spark, tcfg, None).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // first run: no watermark → reseed
+    val r1 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r1.mode == "reseed" && r1.validated && r1.toVersion == 1 &&
+      targetSet() == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)), s"$r1")
+    // already live → noop
+    val r2 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r2.mode == "noop" && r2.fromVersion == 1 && r2.toVersion == 1)
+    // mutate to v2, catch up → ONE incremental CDF jump
+    val b2 = Seq((2L, 22.0, "U", 1L), (3L, 0.0, "D", 1L),
+      (9L, 90.0, "I", 1L)).toDF("k", "price", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 1, 2, "k", b2).published)
+    val r3 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r3.mode == "incremental" && r3.fromVersion == 1 &&
+      r3.toVersion == 2 && r3.nInsert == 1 && r3.nUpdate == 1 &&
+      r3.nDelete == 1 && r3.validated, s"$r3")
+    val after2 = Set((1L, 10.0), (2L, 22.0), (9L, 90.0))
+    assert(targetSet() == after2)
+    // CRASH WINDOW: the apply landed but the watermark write was lost —
+    // wind the state row back to 1; the next tick must re-run the same
+    // step onto the already-synced target and converge (replay-
+    // idempotent MERGE/DELETE), then advance the watermark
+    Class.forName(tcfg.driver)
+    val c1 = java.sql.DriverManager.getConnection(tcfg.url)
+    try c1.createStatement().executeUpdate(
+      "UPDATE SYNC_STATE SET SYNCED_VERSION = 1 WHERE TBL = 'LAKE_CATCH'")
+    finally c1.close()
+    val r4 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r4.mode == "incremental" && r4.validated &&
+      targetSet() == after2, s"crash replay diverged: $r4 ${targetSet()}")
+    // RETENTION LOSS: v3 publishes, then the watermark's dir (v2) is
+    // GC'd — the diff FROM v2 is impossible, so catchUp must fall back
+    // to a loud full reseed of the live version, never a wrong diff
+    val b3 = Seq((9L, 99.0, "U", 2L)).toDF("k", "price", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 2, 3, "k", b3).published)
+    val p2 = new org.apache.hadoop.fs.Path(s"$root/v2")
+    p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p2, true)
+    val r5 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r5.mode == "reseed" && r5.toVersion == 3 && r5.validated &&
+      targetSet() == Set((1L, 10.0), (2L, 22.0), (9L, 99.0)),
+      s"retention fallback wrong: $r5 ${targetSet()}")
+    // and the tick after the disaster is a plain noop again
+    assert(graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+      .mode == "noop")
+  }
+
   test("Y48b law: CDF-driven lake→SCD2 sync — history accretes, current slice converges, replay is a no-op, chain extends history") {
     import graft.ops.Sync
     val spark0 = spark
