@@ -3555,6 +3555,101 @@ object Sync {
         .withColumn("replay_noop", lit(replayNoop))
     }),
 
+    // Y51: SCHEMA-EVOLVING CATCH-UP — the y50 tick surviving the drift
+    // every long-lived sync eventually hits: the lake gains a column
+    // (y43 metadata-only evolution) and the next tick must carry the
+    // WIDER world to the target before any row flows. Tick 1 reseeds
+    // v1 (old schema); the lake then evolves (+o_note) and a cow batch
+    // backfills notes on the %7 keys while restoring the banded
+    // perturbation; tick 2 runs ONE CDF jump spanning the evolution —
+    // reconcile ALTERs the target (audited: exactly one ADD), the
+    // from-side's pre-evolution files read NULL for the new column, so
+    // only genuinely-noted rows surface as U. Tick 3 noops. Output =
+    // the target over JDBC, n_noted computed FROM THE TARGET's new
+    // column — the oracle's %7 count only matches if the ALTER landed
+    // and the backfill flowed through the MERGEs. Type-change refusal
+    // and the drop path are law-tested in JdbcSyncSuite.
+    "y51_evolving_catchup" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y51_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band = col("o_orderkey")
+        .between(lo + 2 * (span / 10), lo + 4 * (span / 10))
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      val v1 = proj.filter(!(band && col("o_orderkey") % 11 === 0))
+        .withColumn("o_totalprice",
+          when(band && col("o_orderkey") % 5 === 0,
+            col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      publish(s, v1.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
+      writeFileStats(s, s"$root/v1", "o_orderkey")
+      val db = Sources.stage(s"y51_db_$n")
+      val cfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$db;create=true", table = "ORDERS_EVOLVE",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sources.JdbcSync.writeTable(
+        proj.limit(0).select(proj.columns.toSeq
+          .map(c => col(c).as(c.toUpperCase)): _*),
+        cfg, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      val t1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      require(evolveSchema(s, root, 1, 2, Seq(
+        org.apache.spark.sql.types.StructField("o_note",
+          org.apache.spark.sql.types.StringType, nullable = true))),
+        "y51: evolution publish refused")
+      // every batch row carries the evolved width; note = 'touched'
+      // exactly on %7 keys so the target's final note population is
+      // expressible in the oracle without replaying the band bounds
+      val noteFor = when(col("o_orderkey") % 7 === 0, lit("touched"))
+        .otherwise(lit(null).cast("string"))
+      val batch = proj.filter(band && col("o_orderkey") % 11 === 0)
+        .withColumn("o_note", noteFor).withColumn("op", lit("I"))
+        .unionByName(proj.filter(band && col("o_orderkey") % 5 === 0 &&
+            col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_note", noteFor).withColumn("op", lit("U")))
+        .unionByName(proj.filter(col("o_orderkey") % 7 === 0 &&
+            !(band && (col("o_orderkey") % 5 === 0 ||
+              col("o_orderkey") % 11 === 0)))
+          .withColumn("o_note", lit("touched")).withColumn("op", lit("U")))
+        .unionByName(ghosts
+          .withColumn("o_note", lit(null).cast("string"))
+          .withColumn("op", lit("D")))
+        .withColumn("version", lit(2L))
+      require(cowApplyChanges(s, root, 2, 3, "o_orderkey", batch)
+        .published, "y51: cow publish refused")
+      val t2 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      val t3 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      graft.sources.JdbcSync.readTable(s, cfg, None)
+        .groupBy(col("O_ORDERSTATUS").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("O_TOTALPRICE")).as("sum_price"),
+          count(col("O_NOTE")).as("n_noted"))
+        .withColumn("modes_observed",
+          lit(t1.mode == "reseed" && t2.mode == "incremental" &&
+            t3.mode == "noop"))
+        .withColumn("schema_migrated",
+          lit(t1.nAddCols == 0 && t2.nAddCols == 1 && t3.nAddCols == 0 &&
+            t1.nDropCols + t2.nDropCols + t3.nDropCols == 0))
+        // the %7 backfill touches every file's span — a whole-table
+        // backfill has nothing to prune (y50 pins the pruned case) —
+        // so the file audit here pins the SINGLE jump across both the
+        // evolution and the cow, not a prune
+        .withColumn("cdf_spans_evolution",
+          lit(t2.fromVersion == 1 && t2.toVersion == 3))
+        .withColumn("sync_validated",
+          lit(t1.validated && t2.validated && t3.validated))
+    }),
+
     // Y50: SCHEDULED CATCH-UP SYNC — the reference's operating mode:
     // "sync whatever is new since the last run", with the watermark
     // row living IN THE TARGET database (no driver-side state; any
@@ -4931,6 +5026,19 @@ object Sync {
          |  TRUE AS ops_mix_real, TRUE AS history_accreted,
          |  TRUE AS replay_noop
          |FROM orders""".stripMargin,
+
+    // the evolving catch-up converged the target on v3 ≡ the plain
+    // projection + notes on exactly the %7 keys (n_noted reads the
+    // TARGET's post-ALTER column, so the count only matches if the
+    // schema migration and the CDF backfill both landed); audited
+    // booleans as in y50
+    "y51_evolving_catchup" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_noted,
+         |  TRUE AS modes_observed, TRUE AS schema_migrated,
+         |  TRUE AS cdf_spans_evolution, TRUE AS sync_validated
+         |FROM orders GROUP BY 1""".stripMargin,
 
     // three catch-up ticks converged the target on v2 ≡ the plain
     // projection; the mode-sequence/prune/validation laws ride as

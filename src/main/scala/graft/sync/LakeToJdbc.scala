@@ -144,7 +144,55 @@ object LakeToJdbc {
   final case class CatchUpReport(
       mode: String, fromVersion: Int, toVersion: Int,
       nInsert: Long, nUpdate: Long, nDelete: Long,
-      scannedFiles: Int, totalFiles: Int, validated: Boolean)
+      scannedFiles: Int, totalFiles: Int, validated: Boolean,
+      nAddCols: Int = 0, nDropCols: Int = 0)
+
+  /** Y51: RECONCILE THE TARGET'S PHYSICAL SCHEMA with the live lake
+    * version's logical schema before a sync step — the schema-drift
+    * half of the reference's job ([INFERRED] SURVEY §3.1; the lake
+    * side of the same drift is Y10/Y43). The y27 [[Migration]] planner
+    * classifies the diff; this applies exactly its AUTO-SAFE phases
+    * and refuses the rest:
+    *
+    *  - **adds** apply (nullable ALTER ADD — y43's evolution reaching
+    *    the target; existing rows read NULL until the CDF backfills);
+    *  - **drops** apply (a mirror must track its source — retaining a
+    *    column the source dropped is drift wearing a schema);
+    *  - **type changes** (`alter`/`manual`) REFUSE loudly: a lossy or
+    *    incompatible cast on a live target is an operator decision
+    *    (and usually a rebuild), never something a scheduled tick
+    *    guesses at — y27 rule 2 applied at apply time.
+    *
+    * Metadata-only on both sides: one JDBC schema probe, zero data
+    * scanned, so the tick cost at 100 TB is unchanged. DDL is rendered
+    * per dialect ([[MergeSql.addColumnDdl]]) because the planner's own
+    * strings are T-SQL and the embedded test target is Derby. */
+  def reconcileTargetSchema(s: SparkSession, lakeSchema:
+      org.apache.spark.sql.types.StructType, key: String,
+      cfg: JdbcConfig, jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby): (Int, Int) = {
+    import org.apache.spark.sql.types.StructType
+    val target = JdbcSync.readTable(s, cfg, None).schema
+    val desired = StructType(lakeSchema.fields.map(f =>
+      f.copy(name = jdbcName(f.name))))
+    val steps = Migration.plan(target, desired, cfg.table,
+      Seq(jdbcName(key)))
+    val blocked = steps.filter(st =>
+      st.action == "alter" || st.action == "manual")
+    require(blocked.isEmpty,
+      "reconcileTargetSchema: type changes cannot auto-apply on a " +
+        s"live target (operator decision / rebuild): $blocked")
+    val adds = steps.filter(_.action == "add")
+    val drops = steps.filter(_.action == "drop")
+    adds.foreach { st =>
+      val f = desired.fields.find(_.name.equalsIgnoreCase(st.column)).get
+      execDdl(cfg,
+        MergeSql.addColumnDdl(dialect, cfg.table, st.column, f.dataType))
+    }
+    drops.foreach(st =>
+      execDdl(cfg, MergeSql.dropColumnDdl(dialect, cfg.table, st.column)))
+    (adds.size, drops.size)
+  }
 
   /** Y50: THE SCHEDULED CATCH-UP — the reference's actual operating
     * mode ("sync whatever is new since the last run" [INFERRED]
@@ -183,9 +231,18 @@ object LakeToJdbc {
     val fromDir = new org.apache.hadoop.fs.Path(
       s"$lakeRoot/v${w.getOrElse(-1)}")
     val fs = fromDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Y51: schema first, data second — the ALTERs must land before the
+    // feed binds against the new columns (and before a reseed INSERTs
+    // the wider rows). When nothing drifted the plan is empty and this
+    // is one metadata probe. Runs on every tick, noop included: a
+    // schema-only publish (y43 with no follow-up cow) still reaches
+    // the target on the next tick even though no CDF rows flow.
+    val (nAdd, nDrop) = reconcileTargetSchema(s, live.schema, key, cfg,
+      jdbcName, dialect)
     w match {
       case Some(wv) if wv == liveV =>
-        CatchUpReport("noop", wv, liveV, 0, 0, 0, 0, 0, validated = true)
+        CatchUpReport("noop", wv, liveV, 0, 0, 0, 0, 0, validated = true,
+          nAddCols = nAdd, nDropCols = nDrop)
       case Some(wv) if wv < liveV && fs.exists(fromDir) =>
         val rep = incrementalSync(s, lakeRoot, wv, liveV, key, cfg,
           jdbcName, dialect, writers)
@@ -194,7 +251,7 @@ object LakeToJdbc {
         writeWatermark(cfg, stateTable, liveV, dialect)
         CatchUpReport("incremental", wv, liveV, rep.nInsert,
           rep.nUpdate, rep.nDelete, rep.scannedFiles, rep.totalFiles,
-          rep.validated)
+          rep.validated, nAddCols = nAdd, nDropCols = nDrop)
       case _ =>
         // first run, watermark dir reaped, or lake rolled back below
         // the watermark — rebuild from the live snapshot
@@ -209,7 +266,7 @@ object LakeToJdbc {
         require(ok, s"catchUp: reseed of v$liveV left drift")
         writeWatermark(cfg, stateTable, liveV, dialect)
         CatchUpReport("reseed", w.getOrElse(-1), liveV, n, 0, 0,
-          0, 0, ok)
+          0, 0, ok, nAddCols = nAdd, nDropCols = nDrop)
     }
   }
 

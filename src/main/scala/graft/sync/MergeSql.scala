@@ -121,4 +121,62 @@ object MergeSql {
         Seq(key, valueCol, "ver"))
     }
   }
+
+  /** Spark type → column DDL type, per dialect. The T-SQL column stays
+    * [[TypeMapping.toSqlServerType]]'s rendering (one source of truth);
+    * Derby gets its own map because the two disagree on every
+    * interesting type (NVARCHAR(MAX)/VARBINARY(MAX)/BIT/DATETIME2 are
+    * all T-SQL-only spellings). Strings go to VARCHAR(32672) — Derby's
+    * widest comparable VARCHAR — rather than CLOB, because a CLOB
+    * column cannot sit in a predicate or GROUP BY on the target side. */
+  def columnType(dialect: Dialect,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dialect match {
+      case TSql  => TypeMapping.toSqlServerType(dt)
+      case Derby => dt match {
+        case LongType       => "BIGINT"
+        case IntegerType    => "INTEGER"
+        case ShortType      => "SMALLINT"
+        case ByteType       => "SMALLINT"
+        case BooleanType    => "BOOLEAN"
+        case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+        case DoubleType     => "DOUBLE"
+        case FloatType      => "REAL"
+        case DateType       => "DATE"
+        case TimestampType  => "TIMESTAMP"
+        case StringType     => "VARCHAR(32672)"
+        case BinaryType     => "BLOB"
+        case other => throw new IllegalArgumentException(
+          s"no Derby DDL mapping for ${other.simpleString}")
+      }
+    }
+  }
+
+  /** ADD COLUMN, always nullable (the target's existing rows have no
+    * value for it; tighten after a backfill). Derby requires the
+    * COLUMN keyword T-SQL rejects — hence the dialect split. */
+  def addColumnDdl(dialect: Dialect, table: String, column: String,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    validate(table, Seq(column))
+    dialect match {
+      case Derby =>
+        s"ALTER TABLE $table ADD COLUMN $column ${columnType(dialect, dt)}"
+      case TSql =>
+        s"ALTER TABLE $table ADD $column ${columnType(dialect, dt)} NULL"
+    }
+  }
+
+  /** DROP COLUMN. Derby's RESTRICT refuses when an index or constraint
+    * still references the column — the loud failure a sync wants (a
+    * keyed index on a column the source dropped is an operator
+    * decision, not something to cascade silently). */
+  def dropColumnDdl(dialect: Dialect, table: String,
+      column: String): String = {
+    validate(table, Seq(column))
+    dialect match {
+      case Derby => s"ALTER TABLE $table DROP COLUMN $column RESTRICT"
+      case TSql  => s"ALTER TABLE $table DROP COLUMN $column"
+    }
+  }
 }

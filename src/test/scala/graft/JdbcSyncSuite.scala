@@ -259,6 +259,65 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
       .mode == "noop")
   }
 
+  test("Y51 law: schema-evolving catch-up — adds flow to the target, drops track the source, type changes refuse") {
+    import graft.ops.Sync
+    import org.apache.spark.sql.types.{StructField, StringType}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y51")
+      .toString + "/lake"
+    val tcfg = cfg.copy(table = "LAKE_EVOLVE")
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "price")
+    assert(Sync.publish(spark, v1.repartition(1), root, 1,
+      _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$root/v1", "k")
+    writeTable(v1.limit(0).select(col("k").as("K"),
+      col("price").as("PRICE")), tcfg, SaveMode.Overwrite)
+    ensureKeyIndex(tcfg, Seq("K"))
+    assert(graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+      .mode == "reseed")
+    // ADD path: evolve (+note), backfill one key via cow, one tick —
+    // the target must gain NOTE and carry the backfilled value
+    assert(Sync.evolveSchema(spark, root, 1, 2,
+      Seq(StructField("note", StringType, nullable = true))))
+    val b = Seq((2L, 22.0, "hot", "U", 2L), (4L, 40.0, null, "I", 2L))
+      .toDF("k", "price", "note", "op", "version")
+    assert(Sync.cowApplyChanges(spark, root, 2, 3, "k", b).published)
+    val r = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r.mode == "incremental" && r.fromVersion == 1 &&
+      r.toVersion == 3 && r.nAddCols == 1 && r.nDropCols == 0 &&
+      r.validated, s"$r")
+    val rows = readTable(spark, tcfg, None).collect()
+      .map(t => (t.getLong(0), t.getDouble(1),
+        Option(t.getString(2)))).toSet
+    assert(rows == Set((1L, 10.0, None), (2L, 22.0, Some("hot")),
+      (3L, 30.0, None), (4L, 40.0, None)), s"$rows")
+    // DROP path: a target column the lake never had must go — a mirror
+    // that keeps it is drift wearing a schema. Next tick is noop-mode
+    // but still reconciles (schema rides every tick, not just data).
+    Class.forName(tcfg.driver)
+    val c = java.sql.DriverManager.getConnection(tcfg.url)
+    try c.createStatement().execute(
+      "ALTER TABLE LAKE_EVOLVE ADD COLUMN JUNK INTEGER")
+    finally c.close()
+    val r2 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
+    assert(r2.mode == "noop" && r2.nDropCols == 1 &&
+      !readTable(spark, tcfg, None).columns.map(_.toUpperCase)
+        .contains("JUNK"), s"$r2")
+    // TYPE-CHANGE refusal: a hand-built target with PRICE INTEGER
+    // against the lake's DOUBLE is an operator decision, not a tick's
+    val t3 = tcfg.copy(table = "LAKE_BADTYPE")
+    val c2 = java.sql.DriverManager.getConnection(tcfg.url)
+    try c2.createStatement().execute(
+      "CREATE TABLE LAKE_BADTYPE (K BIGINT NOT NULL PRIMARY KEY, " +
+        "PRICE INTEGER, NOTE VARCHAR(32))")
+    finally c2.close()
+    val ex = intercept[IllegalArgumentException] {
+      graft.sync.LakeToJdbc.catchUp(spark, root, "k", t3)
+    }
+    assert(ex.getMessage.contains("type changes cannot auto-apply"))
+  }
+
   test("Y48b law: CDF-driven lake→SCD2 sync — history accretes, current slice converges, replay is a no-op, chain extends history") {
     import graft.ops.Sync
     val spark0 = spark
