@@ -3555,6 +3555,90 @@ object Sync {
         .withColumn("replay_noop", lit(replayNoop))
     }),
 
+    // Y52: GROUP CATCH-UP — the multi-table form of the reference's
+    // job: a y44-consistent (nation, customer) group catches up into a
+    // Derby database whose CHILD TABLE CARRIES A REAL FOREIGN KEY to
+    // the parent, so the apply ORDER is load-bearing — v1 plants a
+    // ghost nation with customers moved/ghosted onto it, v2 removes
+    // it; the tick must update/delete those customers BEFORE the
+    // nation delete or Derby itself refuses. Tick 1 group-reseeds
+    // (parent loads first for the same reason), tick 2 runs one
+    // churn-sized CDF step per table (customer: I/U/D mix; nation: the
+    // ghost D), tick 3 noops. Output = the two TARGETS joined over
+    // JDBC and rolled up per nation — matching the oracle proves both
+    // tables converged AND every FK held on the way. Wrong-order
+    // refusal and the all-or-nothing group reseed are law-tested in
+    // JdbcSyncSuite.
+    "y52_group_catchup" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y52_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d).select("c_custkey",
+        "c_nationkey", "c_acctbal", "c_mktsegment")
+      val ghostNat = nat.limit(1).select(
+        lit(99).as("n_nationkey"), lit("GHOSTLAND").as("n_name"))
+      val ghostCust = cust.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_nationkey", lit(99))
+      val cust1 = cust.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 13 === 0, lit(99))
+            .otherwise(col("c_nationkey")))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(ghostCust)
+      require(publishGroup(s, root,
+        Seq("nation" -> nat.unionByName(ghostNat), "customer" -> cust1),
+        1, _.head(1).nonEmpty), "y52: v1 group publish refused")
+      val db = Sources.stage(s"y52_db_$n")
+      val url = s"jdbc:derby:$db;create=true"
+      val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+      Class.forName(drv)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE NATION_TGT (N_NATIONKEY INTEGER " +
+          "NOT NULL PRIMARY KEY, N_NAME VARCHAR(64))")
+        st.execute("CREATE TABLE CUSTOMER_TGT (C_CUSTKEY BIGINT " +
+          "NOT NULL PRIMARY KEY, C_NATIONKEY INTEGER NOT NULL " +
+          "REFERENCES NATION_TGT (N_NATIONKEY), C_ACCTBAL DOUBLE, " +
+          "C_MKTSEGMENT VARCHAR(32))")
+      } finally conn.close()
+      val members = Seq(
+        graft.sync.LakeToJdbc.GroupMember("nation", "n_nationkey",
+          graft.sources.JdbcSync.JdbcConfig(url = url,
+            table = "NATION_TGT", driver = drv)),
+        graft.sync.LakeToJdbc.GroupMember("customer", "c_custkey",
+          graft.sources.JdbcSync.JdbcConfig(url = url,
+            table = "CUSTOMER_TGT", driver = drv)))
+      val t1 = graft.sync.LakeToJdbc.catchUpGroup(s, root, members)
+      require(publishGroup(s, root,
+        Seq("nation" -> nat, "customer" -> cust), 2,
+        _.head(1).nonEmpty), "y52: v2 group publish refused")
+      val t2 = graft.sync.LakeToJdbc.catchUpGroup(s, root, members)
+      val t3 = graft.sync.LakeToJdbc.catchUpGroup(s, root, members)
+      val t2m = t2.toMap
+      val cT = graft.sources.JdbcSync.readTable(s, members(1).cfg, None)
+      val nT = graft.sources.JdbcSync.readTable(s, members(0).cfg, None)
+      cT.join(nT, col("C_NATIONKEY") === col("N_NATIONKEY"))
+        .groupBy(col("N_NAME").as("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Det.dsum(col("C_ACCTBAL")).as("sum_bal"))
+        .withColumn("modes_observed",
+          lit(t1.forall(_._2.mode == "reseed") &&
+            t2.forall(_._2.mode == "incremental") &&
+            t3.forall(_._2.mode == "noop")))
+        .withColumn("fk_ops_real",
+          lit(t2m("customer").nInsert > 0 && t2m("customer").nUpdate > 0 &&
+            t2m("customer").nDelete > 0 && t2m("nation").nDelete > 0))
+        .withColumn("sync_validated",
+          lit((t1 ++ t2 ++ t3).forall(_._2.validated)))
+    }),
+
     // Y51: SCHEMA-EVOLVING CATCH-UP — the y50 tick surviving the drift
     // every long-lived sync eventually hits: the lake gains a column
     // (y43 metadata-only evolution) and the next tick must carry the
@@ -5026,6 +5110,18 @@ object Sync {
          |  TRUE AS ops_mix_real, TRUE AS history_accreted,
          |  TRUE AS replay_noop
          |FROM orders""".stripMargin,
+
+    // the group catch-up converged BOTH targets on v2 ≡ the clean
+    // tables; the per-nation rollup joins the two JDBC targets, so a
+    // match proves both wires and every FK-ordered step; audited
+    // booleans as in y50
+    "y52_group_catchup" ->
+      s"""SELECT n_name, COUNT(*) AS n_cust,
+         |  ${Det.Sql.dsum("c_acctbal")} AS sum_bal,
+         |  TRUE AS modes_observed, TRUE AS fk_ops_real,
+         |  TRUE AS sync_validated
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1""".stripMargin,
 
     // the evolving catch-up converged the target on v3 ≡ the plain
     // projection + notes on exactly the %7 keys (n_noted reads the

@@ -270,6 +270,140 @@ object LakeToJdbc {
     }
   }
 
+  /** One member of a synced group: the lake table name under the group
+    * root, its PK column, and its JDBC target. */
+  final case class GroupMember(table: String, key: String,
+      cfg: JdbcConfig)
+
+  /** Y52: GROUP CATCH-UP — the multi-table form of the reference's job
+    * ([INFERRED] SURVEY §3.1: real sync configs enumerate related
+    * tables, not one): catch a CONSISTENT cross-table snapshot (the
+    * y44 group pointer) up into a JDBC database whose tables carry
+    * REAL foreign-key constraints, which makes apply ORDER
+    * load-bearing, not cosmetic:
+    *
+    *  - `members` is a topological PARENT-FIRST order (the caller's
+    *    FK graph, y17's input);
+    *  - upserts (I/U) apply parent→child — a child row referencing a
+    *    freshly-inserted parent key finds it present;
+    *  - deletes apply child→parent — a parent key leaves only after
+    *    every referencing child row was deleted or updated away
+    *    (child updates ran in the upsert phase, strictly before);
+    *  - reseed is ALL-OR-NOTHING: one member needing a rebuild forces
+    *    the group, because clearing a parent under live children is an
+    *    FK violation and a half-reseeded group is not a consistent
+    *    snapshot of anything. Clearing runs child→parent (DELETE, not
+    *    TRUNCATE — Derby refuses TRUNCATE on an FK-referenced table
+    *    even when empty), loading parent→child.
+    *
+    * Watermarks stay PER TABLE (`SYNC_STATE` rows keyed by target
+    * table), but they only advance after EVERY changed member
+    * validated against its live version — a crash mid-group leaves all
+    * watermarks unmoved and the next tick re-runs the replay-idempotent
+    * steps. The apply itself is not a cross-table transaction (no JDBC
+    * target gives one across statements from many connections); the
+    * certificate is CONVERGENCE, with the FK constraints themselves
+    * refusing any interleaving that would expose a dangling reference.
+    *
+    * At 100 TB the per-member cost is y50's: a churn-sized CDF jump
+    * per changed table, noop members pay one watermark probe. */
+  def catchUpGroup(s: SparkSession, root: String,
+      members: Seq[GroupMember], stateTable: String = "SYNC_STATE",
+      jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby,
+      writers: Int = 1): Seq[(String, CatchUpReport)] = {
+    val group = graft.ops.Sync.readPublishedGroup(s, root)
+    members.foreach(m => require(group.contains(m.table),
+      s"catchUpGroup: '${m.table}' not in the published group " +
+        s"(${group.keys.toSeq.sorted.mkString(", ")})"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val state = members.map { m =>
+      val liveV = group(m.table)._1
+      val w = readWatermark(m.cfg, stateTable)
+      val reseed = w.isEmpty || w.exists(_ > liveV) ||
+        w.exists(wv => !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/${m.table}/v$wv")))
+      (m, w, liveV, reseed)
+    }
+    if (state.exists(_._4)) {
+      // ALL-OR-NOTHING RESEED: clear child→parent, load parent→child
+      state.reverse.foreach { case (m, _, _, _) =>
+        execDdl(m.cfg, s"DELETE FROM ${m.cfg.table}") }
+      state.map { case (m, w, liveV, _) =>
+        val live = group(m.table)._2
+        reconcileTargetSchema(s, live.schema, m.key, m.cfg, jdbcName,
+          dialect)
+        val n = seed(s, s"$root/${m.table}", liveV, m.key, m.cfg,
+          jdbcName, dialect, writers, bulk = true)
+        val ok = SyncJob.validate(live,
+          JdbcSync.readTable(s, m.cfg, None),
+          SyncJob.SyncConfig(Seq(m.key),
+            live.columns.toSeq.filterNot(_ == m.key),
+            deleteMissing = true))
+        require(ok, s"catchUpGroup: reseed of ${m.table} left drift")
+        writeWatermark(m.cfg, stateTable, liveV, dialect)
+        m.table -> CatchUpReport("reseed", w.getOrElse(-1), liveV,
+          n, 0, 0, 0, 0, ok)
+      }
+    } else {
+      val changed = state.filter { case (_, w, liveV, _) =>
+        w.exists(_ < liveV) }
+      changed.foreach { case (m, _, _, _) =>
+        val live = group(m.table)._2
+        reconcileTargetSchema(s, live.schema, m.key, m.cfg, jdbcName,
+          dialect)
+      }
+      // one churn-sized feed per changed member, reused by both phases
+      val feeds = changed.map { case (m, w, liveV, _) =>
+        val cdf = graft.ops.Sync.lakeChanges(s, s"$root/${m.table}",
+          w.get, liveV, m.key)
+        val feed = cdf.changes.select(
+            (col("op") +: cdf.changes.columns.filterNot(_ == "op").toSeq
+              .map(c => col(c).as(jdbcName(c)))): _*)
+          .repartitionByRange(writers, col(jdbcName(m.key)))
+          .persist()
+        val ops = feed.groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (m, w.get, liveV, feed, ops, cdf)
+      }
+      // upserts parent→child, then deletes child→parent
+      feeds.foreach { case (m, _, _, feed, _, _) =>
+        JdbcSync.applyChangeFeed(feed.filter(col("op") =!= "D"),
+          m.cfg, jdbcName(m.key), "op", dialect) }
+      feeds.reverse.foreach { case (m, _, _, feed, _, _) =>
+        JdbcSync.applyChangeFeed(feed.filter(col("op") === "D"),
+          m.cfg, jdbcName(m.key), "op", dialect) }
+      val applied = feeds.map { case (m, wv, liveV, feed, ops, cdf) =>
+        val live = group(m.table)._2
+        val ok = SyncJob.validate(live,
+          JdbcSync.readTable(s, m.cfg, None),
+          SyncJob.SyncConfig(Seq(m.key),
+            live.columns.toSeq.filterNot(_ == m.key),
+            deleteMissing = true))
+        require(ok,
+          s"catchUpGroup: incremental ${m.table} $wv→$liveV left drift")
+        feed.unpersist(blocking = false)
+        m.table -> CatchUpReport("incremental", wv, liveV,
+          ops.getOrElse("I", 0L), ops.getOrElse("U", 0L),
+          ops.getOrElse("D", 0L),
+          cdf.scannedFrom + cdf.scannedTo,
+          cdf.totalFrom + cdf.totalTo, ok)
+      }
+      // watermarks advance only after EVERY member validated
+      applied.foreach { case (t, rep) =>
+        val m = members.find(_.table == t).get
+        writeWatermark(m.cfg, stateTable, rep.toVersion, dialect)
+      }
+      val noops = state.filter { case (_, w, liveV, _) =>
+        w.contains(liveV) }.map { case (m, _, liveV, _) =>
+        m.table -> CatchUpReport("noop", liveV, liveV, 0, 0, 0, 0, 0,
+          validated = true)
+      }
+      members.map(m => (applied ++ noops).find(_._1 == m.table).get)
+    }
+  }
+
   /** The watermark row: `stateTable(TBL VARCHAR PK, SYNCED_VERSION)`,
     * keyed by the TARGET table's name so one state table serves every
     * synced table in the database. Missing state table or row = never

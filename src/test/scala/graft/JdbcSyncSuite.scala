@@ -318,6 +318,98 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("type changes cannot auto-apply"))
   }
 
+  test("Y52 law: group catch-up — FK-safe order, replay converges, all-or-nothing reseed, wrong order refuses") {
+    import graft.ops.Sync
+    import graft.sync.LakeToJdbc.GroupMember
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y52")
+      .toString + "/grp"
+    val p1 = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val c1 = Seq((10L, 1L, 100.0), (11L, 2L, 200.0)).toDF("k", "fk", "v")
+    assert(Sync.publishGroup(spark, root,
+      Seq("p" -> p1, "c" -> c1), 1, _.head(1).nonEmpty))
+    Class.forName(cfg.driver)
+    def ddl(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(cfg.url)
+      try c.createStatement().execute(sql) finally c.close()
+    }
+    // REAL FK constraint: the law is Derby refusing bad orderings, not
+    // this suite asserting them
+    ddl("CREATE TABLE GRP_P (K BIGINT NOT NULL PRIMARY KEY, " +
+      "NAME VARCHAR(32))")
+    ddl("CREATE TABLE GRP_C (K BIGINT NOT NULL PRIMARY KEY, " +
+      "FK BIGINT NOT NULL REFERENCES GRP_P (K), V DOUBLE)")
+    val mp = GroupMember("p", "k", cfg.copy(table = "GRP_P"))
+    val mc = GroupMember("c", "k", cfg.copy(table = "GRP_C"))
+    val r1 = graft.sync.LakeToJdbc.catchUpGroup(spark, root, Seq(mp, mc))
+    assert(r1.forall(_._2.mode == "reseed") &&
+      r1.forall(_._2.validated), s"$r1")
+    // v2: parent gains 3 / loses 2; child 11 re-homes 2→3 (must apply
+    // BEFORE the parent delete), child 12 inserts onto the NEW parent
+    // (must apply AFTER the parent insert)
+    val p2 = Seq((1L, "a"), (3L, "c")).toDF("k", "name")
+    val c2 = Seq((10L, 1L, 100.0), (11L, 3L, 200.0), (12L, 3L, 300.0))
+      .toDF("k", "fk", "v")
+    assert(Sync.publishGroup(spark, root,
+      Seq("p" -> p2, "c" -> c2), 2, _.head(1).nonEmpty))
+    val r2 = graft.sync.LakeToJdbc.catchUpGroup(spark, root, Seq(mp, mc))
+    val r2m = r2.toMap
+    assert(r2.forall(_._2.mode == "incremental") &&
+      r2m("p").nInsert == 1 && r2m("p").nDelete == 1 &&
+      r2m("c").nInsert == 1 && r2m("c").nUpdate == 1, s"$r2")
+    def tset(t: String): Set[(Long, Long)] = {
+      val c = java.sql.DriverManager.getConnection(cfg.url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT K, ${if (t == "GRP_C") "FK" else "K"} FROM $t")
+        val b = Set.newBuilder[(Long, Long)]
+        while (rs.next()) b += ((rs.getLong(1), rs.getLong(2)))
+        b.result()
+      } finally c.close()
+    }
+    assert(tset("GRP_P").map(_._1) == Set(1L, 3L) &&
+      tset("GRP_C") == Set((10L, 1L), (11L, 3L), (12L, 3L)))
+    // CRASH-WINDOW REPLAY: both watermarks wound back; the re-run must
+    // re-apply the same FK-ordered step onto the synced target
+    ddl("UPDATE SYNC_STATE SET SYNCED_VERSION = 1 " +
+      "WHERE TBL IN ('GRP_P', 'GRP_C')")
+    val r3 = graft.sync.LakeToJdbc.catchUpGroup(spark, root, Seq(mp, mc))
+    assert(r3.forall(_._2.mode == "incremental") &&
+      r3.forall(_._2.validated) &&
+      tset("GRP_C") == Set((10L, 1L), (11L, 3L), (12L, 3L)), s"$r3")
+    // ALL-OR-NOTHING: child-only v3 publish, parent watermark lost →
+    // the whole group reseeds (a parent rebuild under live children is
+    // FK-impossible piecemeal), then the next tick noops
+    assert(Sync.publishGroup(spark, root,
+      Seq("c" -> Seq((10L, 1L, 110.0)).toDF("k", "fk", "v")), 3,
+      _.head(1).nonEmpty))
+    ddl("DELETE FROM SYNC_STATE WHERE TBL = 'GRP_P'")
+    val r4 = graft.sync.LakeToJdbc.catchUpGroup(spark, root, Seq(mp, mc))
+    assert(r4.forall(_._2.mode == "reseed") &&
+      tset("GRP_C") == Set((10L, 1L)), s"$r4")
+    assert(graft.sync.LakeToJdbc.catchUpGroup(spark, root, Seq(mp, mc))
+      .forall(_._2.mode == "noop"))
+    // WRONG ORDER REFUSES: fresh FK-constrained targets, members listed
+    // child-first — the child seed fires before its parents exist and
+    // Derby itself throws; nothing in the sync layer special-cases it
+    ddl("CREATE TABLE GRP_P2 (K BIGINT NOT NULL PRIMARY KEY, " +
+      "NAME VARCHAR(32))")
+    ddl("CREATE TABLE GRP_C2 (K BIGINT NOT NULL PRIMARY KEY, " +
+      "FK BIGINT NOT NULL REFERENCES GRP_P2 (K), V DOUBLE)")
+    val bad = Seq(GroupMember("c", "k", cfg.copy(table = "GRP_C2")),
+      GroupMember("p", "k", cfg.copy(table = "GRP_P2")))
+    val ex = intercept[Exception] {
+      graft.sync.LakeToJdbc.catchUpGroup(spark, root, bad)
+    }
+    def fkViolation(t: Throwable): Boolean =
+      if (t == null) false
+      else t.isInstanceOf[java.sql.SQLException] &&
+        t.getMessage.contains("foreign key") || fkViolation(t.getCause)
+    assert(fkViolation(ex) || ex.getMessage.toLowerCase.contains("foreign"),
+      s"expected an FK violation, got: $ex")
+  }
+
   test("Y48b law: CDF-driven lake→SCD2 sync — history accretes, current slice converges, replay is a no-op, chain extends history") {
     import graft.ops.Sync
     val spark0 = spark
