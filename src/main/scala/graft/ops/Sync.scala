@@ -3555,6 +3555,152 @@ object Sync {
         .withColumn("replay_noop", lit(replayNoop))
     }),
 
+    // Y53: JDBC → LAKE CAPTURE — the pull half (see [[graft.sync
+    // .JdbcToLake]]): tick 1 bootstraps the lake from a perturbed
+    // Derby source, the source then converges to the clean projection
+    // (full overwrite — the diff classifies states, not statements),
+    // tick 2 captures ONE snapshot-diff into a churn-pruned cow
+    // publish, tick 3 finds an empty diff and mints NO version (the
+    // version-history-∝-change audit). The projection is the %3 key
+    // slice: the embedded-Derby wire is a semantics stand-in, not a
+    // throughput target, so the timed surface bounds it while the
+    // banded construction keeps the full I/U/D mix. Output = the LAKE
+    // live version's rollup; oracle = the same slice of orders.
+    "y53_jdbc_capture" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y53_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band = col("o_orderkey")
+        .between(lo + 2 * (span / 10), lo + 4 * (span / 10))
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      val src1 = proj.filter(!(band && col("o_orderkey") % 11 === 0))
+        .withColumn("o_totalprice",
+          when(band && col("o_orderkey") % 5 === 0,
+            col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      val db = Sources.stage(s"y53_db_$n")
+      val cfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$db;create=true", table = "ORDERS_SRC",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      def loadSource(df: DataFrame): Unit = {
+        graft.sources.JdbcSync.writeTable(
+          df.select(df.columns.toSeq
+            .map(c => col(c).as(c.toUpperCase)): _*),
+          cfg, org.apache.spark.sql.SaveMode.Overwrite)
+        graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      }
+      loadSource(src1)
+      val t1 = graft.sync.JdbcToLake.capture(s, cfg, root, "o_orderkey")
+      loadSource(proj) // the source converges; the diff must restore
+      val t2 = graft.sync.JdbcToLake.capture(s, cfg, root, "o_orderkey")
+      val t3 = graft.sync.JdbcToLake.capture(s, cfg, root, "o_orderkey")
+      readPublished(s, root)._2
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("modes_observed",
+          lit(t1.mode == "bootstrap" && t2.mode == "incremental" &&
+            t3.mode == "noop"))
+        .withColumn("noop_mints_no_version",
+          lit(t2.version == 2 && t3.version == 2))
+        .withColumn("ops_mix_real",
+          lit(t2.nInsert > 0 && t2.nUpdate > 0 && t2.nDelete > 0))
+        .withColumn("sync_validated",
+          lit(t1.validated && t2.validated && t3.validated))
+    }),
+
+    // Y54: ROUND-TRIP SYNC — the reference's ACTUAL end-to-end in one
+    // query: source DB → (y53 capture) → staging lake → (y50 catch-up)
+    // → target DB, every layer the engine's own machinery. The source
+    // starts perturbed, both pipelines bootstrap, the source then
+    // converges and ONE capture tick + ONE catch-up tick carry the
+    // churn through the lake to the target; the closing audit
+    // validates TARGET ≡ SOURCE (digest full-outer, end to end across
+    // both wire hops). Output = the TARGET's rollup read back over
+    // JDBC; oracle = the same %3 slice of orders — a match proves the
+    // whole chain. Same %3 cost bound as y53.
+    "y54_roundtrip_sync" -> ((s, d) => {
+      val n = y48Runs.incrementAndGet()
+      val root = Sources.stage(s"y54_lake_$n")
+      val fsp = new org.apache.hadoop.fs.Path(root)
+      fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsp, true)
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus")
+      val b = proj.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()(0)
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val band = col("o_orderkey")
+        .between(lo + 2 * (span / 10), lo + 4 * (span / 10))
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      val src1 = proj.filter(!(band && col("o_orderkey") % 11 === 0))
+        .withColumn("o_totalprice",
+          when(band && col("o_orderkey") % 5 === 0,
+            col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      val dbS = Sources.stage(s"y54_src_$n")
+      val srcCfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$dbS;create=true", table = "ORDERS_SRC",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      val dbT = Sources.stage(s"y54_tgt_$n")
+      val tgtCfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$dbT;create=true", table = "ORDERS_TGT",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      def loadSource(df: DataFrame): Unit = {
+        graft.sources.JdbcSync.writeTable(
+          df.select(df.columns.toSeq
+            .map(c => col(c).as(c.toUpperCase)): _*),
+          srcCfg, org.apache.spark.sql.SaveMode.Overwrite)
+        graft.sources.JdbcSync.ensureKeyIndex(srcCfg, Seq("O_ORDERKEY"))
+      }
+      loadSource(src1)
+      graft.sources.JdbcSync.writeTable(
+        proj.limit(0).select(proj.columns.toSeq
+          .map(c => col(c).as(c.toUpperCase)): _*),
+        tgtCfg, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.JdbcSync.ensureKeyIndex(tgtCfg, Seq("O_ORDERKEY"))
+      val c1 = graft.sync.JdbcToLake.capture(s, srcCfg, root, "o_orderkey")
+      val u1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", tgtCfg)
+      loadSource(proj) // the source converges
+      val c2 = graft.sync.JdbcToLake.capture(s, srcCfg, root, "o_orderkey")
+      val u2 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", tgtCfg)
+      val u3 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", tgtCfg)
+      // the end-to-end certificate: TARGET ≡ SOURCE, across both hops
+      val srcBack = graft.sources.JdbcSync.readTable(s, srcCfg, None)
+      val tgtBack = graft.sources.JdbcSync.readTable(s, tgtCfg, None)
+      val e2e = graft.sync.SyncJob.validate(srcBack, tgtBack,
+        graft.sync.SyncJob.SyncConfig(Seq("O_ORDERKEY"),
+          Seq("O_CUSTKEY", "O_TOTALPRICE", "O_ORDERSTATUS"),
+          deleteMissing = true))
+      tgtBack
+        .groupBy(col("O_ORDERSTATUS").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("O_TOTALPRICE")).as("sum_price"))
+        .withColumn("modes_observed",
+          lit(c1.mode == "bootstrap" && u1.mode == "reseed" &&
+            c2.mode == "incremental" && u2.mode == "incremental" &&
+            u3.mode == "noop"))
+        .withColumn("churn_sized_hops",
+          lit(c2.nUpdate > 0 && u2.nUpdate > 0 &&
+            u2.scannedFiles < u2.totalFiles))
+        .withColumn("e2e_validated",
+          lit(e2e && c1.validated && c2.validated &&
+            u1.validated && u2.validated))
+    }),
+
     // Y52: GROUP CATCH-UP — the multi-table form of the reference's
     // job: a y44-consistent (nation, customer) group catches up into a
     // Derby database whose CHILD TABLE CARRIES A REAL FOREIGN KEY to
@@ -5110,6 +5256,25 @@ object Sync {
          |  TRUE AS ops_mix_real, TRUE AS history_accreted,
          |  TRUE AS replay_noop
          |FROM orders""".stripMargin,
+
+    // the capture converged the LAKE on the clean %3 slice; audited
+    // booleans as in y50
+    "y53_jdbc_capture" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS modes_observed, TRUE AS noop_mints_no_version,
+         |  TRUE AS ops_mix_real, TRUE AS sync_validated
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
+
+    // the full chain (source DB → lake → target DB) converged the
+    // TARGET on the clean %3 slice; the e2e digest and per-hop modes
+    // ride as audited booleans
+    "y54_roundtrip_sync" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS modes_observed, TRUE AS churn_sized_hops,
+         |  TRUE AS e2e_validated
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
     // the group catch-up converged BOTH targets on v2 ≡ the clean
     // tables; the per-nation rollup joins the two JDBC targets, so a

@@ -318,6 +318,55 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("type changes cannot auto-apply"))
   }
 
+  test("Y53 law: JDBC→lake capture — bootstrap/incremental/noop, quiet ticks mint no version, replay converges, round-trip closes") {
+    import graft.ops.Sync
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_y53")
+      .toString + "/lake"
+    val sCfg = cfg.copy(table = "CAPTURE_SRC")
+    def loadSrc(rows: Seq[(Long, Double)]): Unit = {
+      writeTable(rows.toDF("k", "price").select(col("k").as("K"),
+        col("price").as("PRICE")), sCfg, SaveMode.Overwrite)
+      ensureKeyIndex(sCfg, Seq("K"))
+    }
+    loadSrc(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    val t1 = graft.sync.JdbcToLake.capture(spark, sCfg, root, "k")
+    assert(t1.mode == "bootstrap" && t1.version == 1 && t1.validated)
+    def lakeSet(): Set[(Long, Double)] =
+      Sync.readPublished(spark, root)._2.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(lakeSet() == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // quiet tick: empty diff, NO version minted
+    val t2 = graft.sync.JdbcToLake.capture(spark, sCfg, root, "k")
+    assert(t2.mode == "noop" && t2.version == 1)
+    // source mutates: U(2), D(3), I(9) → one cow version, mix counted
+    loadSrc(Seq((1L, 10.0), (2L, 22.0), (9L, 90.0)))
+    val t3 = graft.sync.JdbcToLake.capture(spark, sCfg, root, "k")
+    assert(t3.mode == "incremental" && t3.version == 2 &&
+      t3.nInsert == 1 && t3.nUpdate == 1 && t3.nDelete == 1 &&
+      t3.validated, s"$t3")
+    assert(lakeSet() == Set((1L, 10.0), (2L, 22.0), (9L, 90.0)))
+    // replay (the crash-window: tick re-runs after an applied cow):
+    // the diff against the NEW live version is empty → noop, v stays
+    assert(graft.sync.JdbcToLake.capture(spark, sCfg, root, "k")
+      .version == 2)
+    // ROUND-TRIP CLOSES: catch the captured lake up into a second
+    // Derby table and digest-match it against the original source
+    val tCfg = cfg.copy(table = "CAPTURE_TGT")
+    writeTable(Seq.empty[(Long, Double)].toDF("k", "price")
+      .select(col("k").as("K"), col("price").as("PRICE")),
+      tCfg, SaveMode.Overwrite)
+    ensureKeyIndex(tCfg, Seq("K"))
+    assert(graft.sync.LakeToJdbc.catchUp(spark, root, "k", tCfg)
+      .mode == "reseed")
+    val e2e = graft.sync.SyncJob.validate(
+      readTable(spark, sCfg, None), readTable(spark, tCfg, None),
+      graft.sync.SyncJob.SyncConfig(Seq("K"), Seq("PRICE"),
+        deleteMissing = true))
+    assert(e2e, "round-trip source≡target digest failed")
+  }
+
   test("Y52 law: group catch-up — FK-safe order, replay converges, all-or-nothing reseed, wrong order refuses") {
     import graft.ops.Sync
     import graft.sync.LakeToJdbc.GroupMember
