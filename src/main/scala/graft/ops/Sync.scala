@@ -644,6 +644,24 @@ object Sync {
       "left_anti"))
   }
 
+  /** A version dir's LOGICAL content: its files MINUS its deletion
+    * vector, under the version's logical schema — what y40 defines a
+    * MOR version to MEAN. Every consumer that treats a version as "the
+    * table" (the lake→JDBC sync layer, validation digests) must read
+    * through this, never [[readVersionDir]] raw: a raw read of a
+    * DV-carrying version resurrects logically-deleted ghosts. The DV
+    * is delete-sized → broadcast anti-join, no shuffle. */
+  private[graft] def readVersionLogical(s: SparkSession, dir: String,
+      key: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = readVersionDir(s, dir)
+    val p = new Path(s"$dir/_deletes")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) base
+    else base.join(broadcast(s.read.parquet(p.toString)
+      .select(col(key))), Seq(key), "left_anti")
+  }
+
   /** Fold the accumulated deletion vector into the base files — one
     * cow rewrite ([[cowApply]] prunes to the files whose key spans
     * contain DV keys; everything else carries verbatim) whose staged

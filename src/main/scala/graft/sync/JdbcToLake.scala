@@ -96,13 +96,13 @@ object JdbcToLake {
         lakeRoot, 1, _.head(1).nonEmpty),
         s"capture: bootstrap publish refused under $lakeRoot")
       graft.ops.Sync.writeFileStats(s, s"$lakeRoot/v1", key)
-      val (_, live) = graft.ops.Sync.readPublished(s, lakeRoot)
+      val (_, live) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
       val ok = validateAgainstSource(s, live, key, cfg, lakeName,
         jdbcName, readers)
       require(ok, "capture: bootstrap left drift vs the source")
       CaptureReport("bootstrap", 1, live.count(), 0, 0, ok)
     } else {
-      val (vname, live) = graft.ops.Sync.readPublished(s, lakeRoot)
+      val (vname, live) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
       val v = vname.stripPrefix("v").toInt
       val dataCols = live.columns.toSeq.filterNot(_ == key)
       val l = live.select(col(key) +: lit(true).as("__l") +:
@@ -131,7 +131,7 @@ object JdbcToLake {
         require(graft.ops.Sync.cowApplyChanges(s, lakeRoot, v, v + 1,
           key, batch).published,
           s"capture: cow publish v$v→v${v + 1} refused")
-        val (_, newLive) = graft.ops.Sync.readPublished(s, lakeRoot)
+        val (_, newLive) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
         val ok = validateAgainstSource(s, newLive, key, cfg, lakeName,
           jdbcName, readers)
         require(ok, s"capture: v${v + 1} left drift vs the source")

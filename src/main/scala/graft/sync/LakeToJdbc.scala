@@ -63,7 +63,8 @@ object LakeToJdbc {
       cfg: JdbcConfig, jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
       writers: Int = 1, bulk: Boolean = false): Long = {
-    val snap = graft.ops.Sync.readVersionDir(s, s"$lakeRoot/v$version")
+    val snap = graft.ops.Sync.readVersionLogical(s,
+      s"$lakeRoot/v$version", key)
     val up = snap.select(snap.columns.toSeq
       .map(c => col(c).as(jdbcName(c))): _*)
     // `bulk` = batched plain INSERTs — the retry-FREE case writeTable's
@@ -120,7 +121,8 @@ object LakeToJdbc {
     // drift certificate: the target must now equal the published v_to
     // snapshot exactly (deleteMissing = true — applied deletes mean
     // target-only leftovers are drift, not expected residue)
-    val lake = graft.ops.Sync.readVersionDir(s, s"$lakeRoot/v$toVersion")
+    val lake = graft.ops.Sync.readVersionLogical(s,
+      s"$lakeRoot/v$toVersion", key)
     val compareCols = lake.columns.toSeq.filterNot(_ == key)
     val ok = SyncJob.validate(lake,
       JdbcSync.readTable(s, cfg, None),
@@ -225,7 +227,7 @@ object LakeToJdbc {
       jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
       writers: Int = 1): CatchUpReport = {
-    val (vname, live) = graft.ops.Sync.readPublished(s, lakeRoot)
+    val (vname, live) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
     val liveV = vname.stripPrefix("v").toInt
     val w = readWatermark(cfg, stateTable)
     val fromDir = new org.apache.hadoop.fs.Path(
@@ -331,7 +333,10 @@ object LakeToJdbc {
       state.reverse.foreach { case (m, _, _, _) =>
         execDdl(m.cfg, s"DELETE FROM ${m.cfg.table}") }
       state.map { case (m, w, liveV, _) =>
-        val live = group(m.table)._2
+        // LOGICAL content (files minus any deletion vector) — a raw
+        // read of a MOR-state member would seed resurrected ghosts
+        val live = graft.ops.Sync.readVersionLogical(s,
+          s"$root/${m.table}/v$liveV", m.key)
         reconcileTargetSchema(s, live.schema, m.key, m.cfg, jdbcName,
           dialect)
         val n = seed(s, s"$root/${m.table}", liveV, m.key, m.cfg,
@@ -375,7 +380,8 @@ object LakeToJdbc {
         JdbcSync.applyChangeFeed(feed.filter(col("op") === "D"),
           m.cfg, jdbcName(m.key), "op", dialect) }
       val applied = feeds.map { case (m, wv, liveV, feed, ops, cdf) =>
-        val live = group(m.table)._2
+        val live = graft.ops.Sync.readVersionLogical(s,
+          s"$root/${m.table}/v$liveV", m.key)
         val ok = SyncJob.validate(live,
           JdbcSync.readTable(s, m.cfg, None),
           SyncJob.SyncConfig(Seq(m.key),
@@ -499,7 +505,8 @@ object LakeToJdbc {
     JdbcSync.applyScd2Feed(feed, cfg, jdbcName(key), jdbcName(valueCol),
       "op", "ver", dialect)
     val m = obs.get
-    val lake = graft.ops.Sync.readVersionDir(s, s"$lakeRoot/v$toVersion")
+    val lake = graft.ops.Sync.readVersionLogical(s,
+      s"$lakeRoot/v$toVersion", key)
       .select(key, valueCol)
     val current = JdbcSync.readTable(s, cfg, None)
       .filter(col("is_current") === 1)

@@ -171,6 +171,144 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
     proj.unpersist()
   }
 
+  test("lake fuzz: a JDBC mirror catch-up follows interleaved lake histories — random-cadence ticks always converge, across MOR/compaction/evolution states") {
+    // The y50 catch-up under GENERATED histories: every walk interleaves
+    // cow CDC, MOR delete vectors, compaction, and evolution, and a
+    // mirror tick fires at RANDOM CADENCE — so single jumps span
+    // multiple lake versions and whatever physical state (deletion
+    // vectors pending, layout rewritten, schema widened) the walk left.
+    // Convergence is checked INDEPENDENTLY of catchUp's own validation:
+    // the Derby table is read back and set-compared against the
+    // algebraically-maintained logical twin. This is the arm that
+    // forces the sync layer to read LOGICAL content (files minus DV) —
+    // a raw version read resurrects ghosts and diverges immediately.
+    val proj0 = ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = proj0.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val lo = b0.getLong(0); val hi = b0.getLong(1); val span = hi - lo
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(5150L + seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mirfz$seed").toString + "/lake"
+      val db = java.nio.file.Files
+        .createTempDirectory(s"graft_mirdb$seed").resolve("db")
+      val cfg = graft.sources.JdbcSync.JdbcConfig(
+        url = s"jdbc:derby:$db;create=true", table = "MIRROR_FZ",
+        driver = "org.apache.derby.jdbc.EmbeddedDriver")
+      assert(ops.Sync.publish(spark,
+        proj0.repartitionByRange(5, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
+      ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
+      graft.sources.JdbcSync.writeTable(
+        proj0.limit(0).select(proj0.columns.toSeq
+          .map(c => col(c).as(c.toUpperCase)): _*),
+        cfg, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      var cur = 1
+      var expected = proj0
+      var evolved = false
+      var step = 0
+      def mirrorConverged(what: String): Unit = {
+        val r = graft.sync.LakeToJdbc.catchUp(spark, root,
+          "o_orderkey", cfg)
+        assert(r.validated, s"seed $seed step $step [$what]: $r")
+        val back0 = graft.sources.JdbcSync.readTable(spark, cfg, None)
+        val back = back0.select(back0.columns.toSeq
+          .map(c => col(c).as(c.toLowerCase)): _*)
+          .select(expected.columns.map(col).toIndexedSeq: _*)
+        sameSet(back, expected,
+          s"seed $seed step $step [$what]: mirror diverged from twin")
+      }
+      mirrorConverged("seed-tick")
+      for (_ <- 1 to 5) {
+        step += 1
+        expected = expected.localCheckpoint(true)
+        rnd.nextInt(5) match {
+          case 0 | 1 => // cow CDC
+            val dm = Seq(3, 5, 7)(rnd.nextInt(3))
+            val d0 = lo + (span / 10) * rnd.nextInt(8)
+            val um = Seq(2, 3, 4)(rnd.nextInt(3))
+            val u0 = lo + (span / 10) * rnd.nextInt(8)
+            val delta = 1 + rnd.nextInt(400)
+            val dl = expected.filter(col("o_orderkey").between(d0,
+                d0 + span / 10) && col("o_orderkey") % dm === 0)
+              .withColumn("op", lit("D")).withColumn("version", lit(50L))
+            val up = expected.filter(col("o_orderkey").between(u0,
+                u0 + span / 10) && col("o_orderkey") % um === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + delta)
+              .withColumn("op", lit("U")).withColumn("version", lit(100L))
+            val ins = expected.filter(col("o_orderkey") % 31 === 0 &&
+                col("o_orderkey") <= hi)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + hi + step * 10000000L)
+              .withColumn("op", lit("I")).withColumn("version", lit(100L))
+            val changes = dl.unionByName(up).unionByName(ins)
+              .select((expected.columns.toSeq ++ Seq("op", "version"))
+                .map(col): _*).cache()
+            if (changes.head(1).isEmpty) { changes.unpersist() }
+            else {
+              val keep = expected.columns.toSeq
+              val latest = changes.groupBy("o_orderkey")
+                .agg(max_by(struct(col("op") +:
+                  keep.filterNot(_ == "o_orderkey").map(col): _*),
+                  col("version")).as("m"))
+              assert(ops.Sync.cowApplyChanges(spark, root, cur, cur + 1,
+                "o_orderkey", changes).published)
+              cur += 1
+              expected = expected.join(latest.select("o_orderkey"),
+                  Seq("o_orderkey"), "left_anti")
+                .unionByName(latest.filter(col("m.op") =!= "D")
+                  .select(col("o_orderkey") +:
+                    keep.filterNot(_ == "o_orderkey")
+                      .map(c => col(s"m.$c").as(c)): _*)
+                  .select(keep.map(col): _*))
+              changes.unpersist()
+            }
+          case 2 => // MOR delete vector — stays PENDING for the mirror
+            val m = Seq(3, 4, 5)(rnd.nextInt(3))
+            val b1 = lo + (span / 8) * rnd.nextInt(7)
+            val dv = expected.filter(col("o_orderkey").between(b1,
+                b1 + span / 8) && col("o_orderkey") % m === 0)
+              .select("o_orderkey")
+            if (dv.head(1).nonEmpty) {
+              assert(ops.Sync.dvDelete(spark, root, cur, cur + 1,
+                "o_orderkey", dv).published)
+              cur += 1
+              expected = expected.join(dv, Seq("o_orderkey"), "left_anti")
+            }
+          case 3 => // compaction — layout only; the mirror must see a
+            // zero-op feed across it
+            val fsRoot = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val bytes = fsRoot.listStatus(
+                new org.apache.hadoop.fs.Path(s"$root/v$cur")).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.startsWith("part-"))
+              .map(_.getLen).sum
+            assert(ops.Sync.compactPublished(spark, root, cur, cur + 1,
+              "o_orderkey", math.max(bytes / 3, 1L)).published)
+            cur += 1
+          case 4 => // evolution — the mirror must ALTER before rows flow
+            if (!evolved) {
+              assert(ops.Sync.evolveSchema(spark, root, cur, cur + 1,
+                Seq(org.apache.spark.sql.types.StructField(s"x_m$seed",
+                  org.apache.spark.sql.types.DoubleType))))
+              cur += 1
+              evolved = true
+              expected = expected.withColumn(s"x_m$seed",
+                lit(null).cast("double"))
+            }
+          case _ => ()
+        }
+        // RANDOM CADENCE: the mirror sometimes sleeps through moves —
+        // the next tick must absorb a multi-version, mixed-state jump
+        if (rnd.nextBoolean()) mirrorConverged("tick")
+      }
+      mirrorConverged("final-tick")
+    }
+  }
+
   test("lake fuzz: interleaved cdc/MOR-delete/compact/evolve/GC move sequences hold the logical-state law and the CDF closure at every step") {
     // The full-op-mix generalization of the two generators above: one
     // seeded walk interleaves EVERY lake verb — cow CDC applies, MOR
