@@ -431,6 +431,87 @@ object Sources {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // S19: the DataSourceV2 lake connector end-to-end — publish v1,
+    // MOR-delete to v2, then read THROUGH spark.read.format("graftlake")
+    // with a span-prunable key filter. The rollup only matches the
+    // oracle if the connector applied the deletion vector AND the
+    // pruned read stayed row-exact; the audited flags pin that the
+    // manifest actually pruned input partitions (not just rows) and
+    // that no ghost survived. 100 TB shape: a point/range lookup on a
+    // key-clustered published table plans only the overlapping files —
+    // the connector's planInputPartitions is where that decision lives,
+    // visible to Catalyst as a smaller, broadcastable scan.
+    "s19_lake_connector" -> ((s, d) => {
+      val root = stage("s19_lake/orders_t")
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      val proj = Tables.orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      require(Sync.publish(s,
+        proj.repartitionByRange(6, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s19: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      require(Sync.dvDelete(s, root, 1, 2, "o_orderkey",
+        proj.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"))
+        .published, "s19: v2 MOR publish refused")
+      val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val lake = s.read.format("graftlake")
+        .option("path", root).option("key", "o_orderkey").load()
+      val filtered = lake.filter(col("o_orderkey") <= mid)
+      val scans = filtered.queryExecution.executedPlan.collectLeaves()
+        .collect { case bs: org.apache.spark.sql.execution
+          .datasources.v2.BatchScanExec => bs }
+      val planned = scans.head.partitions.flatten.size
+      val total = graft.sources.lake.LakeRef
+        .resolve(s, root, None, Some("o_orderkey")).files.size
+      val ghostFree =
+        lake.filter(col("o_orderkey") % 13 === 0).count() == 0
+      filtered.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("span_pruned", lit(planned > 0 && planned < total))
+        .withColumn("dv_subtracted", lit(ghostFree))
+    }),
+
+    // S19b: the SQL face of the same table — a read-only TableCatalog
+    // over the lake root, with Spark's native `VERSION AS OF` time
+    // travel resolving through the pointer protocol's immutable dirs.
+    // v1 (pre-delete) and the live MOR version are read in ONE SQL
+    // statement; the v1 branch only matches the oracle if time travel
+    // really landed on the old version, the live branch only if the
+    // catalog's DV subtraction held.
+    "s19b_lake_sql_timetravel" -> ((s, d) => {
+      val parent = stage("s19b_cat")
+      val root = s"$parent/orders_tt"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      val proj = Tables.orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      require(Sync.publish(s,
+        proj.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s19b: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      require(Sync.dvDelete(s, root, 1, 2, "o_orderkey",
+        proj.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"))
+        .published, "s19b: v2 MOR publish refused")
+      s.conf.set("spark.sql.catalog.glakeq",
+        "graft.sources.lake.LakeCatalog")
+      s.conf.set("spark.sql.catalog.glakeq.root", parent)
+      s.conf.set("spark.sql.catalog.glakeq.key.orders_tt", "o_orderkey")
+      s.sql(
+        s"""SELECT 'v1' AS snap, COUNT(*) AS n_rows,
+           |  ${Det.Sql.dsum("o_totalprice")} AS sum_price
+           |FROM glakeq.orders_tt VERSION AS OF 1
+           |UNION ALL
+           |SELECT 'live' AS snap, COUNT(*) AS n_rows,
+           |  ${Det.Sql.dsum("o_totalprice")} AS sum_price
+           |FROM glakeq.orders_tt""".stripMargin)
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -441,6 +522,30 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    // DV'd ghosts (%13) excluded, half-key-span filter — matches only
+    // if the connector's MOR subtraction and span-pruned read are
+    // row-exact (integer k <= real mid ⇔ k <= floor(mid), so Spark's
+    // integer-division mid and DuckDB's rational one agree)
+    "s19_lake_connector" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS span_pruned, TRUE AS dv_subtracted
+         |FROM orders
+         |WHERE o_orderkey % 13 <> 0
+         |  AND o_orderkey <= (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
+         |                     FROM orders)
+         |GROUP BY 1""".stripMargin,
+
+    // v1 = the full projection (pre-delete), live = minus the %13 DV
+    "s19b_lake_sql_timetravel" ->
+      s"""SELECT 'v1' AS snap, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |UNION ALL
+         |SELECT 'live' AS snap, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+
     "s11_orc_roundtrip" ->
       s"""SELECT COUNT(*) AS n_rows, ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust, MIN(o_orderkey) AS min_key

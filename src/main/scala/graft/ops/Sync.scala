@@ -1493,6 +1493,17 @@ object Sync {
 
   /** Resolve the `_CURRENT` pointer and open exactly that version,
     * under its logical schema (see [[versionSchema]]). */
+  /** The live version NAME (`"v3"`) without opening it — the pointer
+    * resolution half of [[readPublished]], exposed for consumers that
+    * plan their own read (the DataSourceV2 connector resolves the
+    * version at table-load time, then reads files directly). */
+  private[graft] def liveVersion(s: SparkSession, root: String)
+      : Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    readPointer(fs, root)
+  }
+
   /** Has ANY version been committed under `root`? (Pointer-protocol
     * aware: generations first, legacy mirror second.) */
   private[graft] def hasPublished(s: SparkSession, root: String): Boolean = {

@@ -1,0 +1,120 @@
+package graft.sources.lake
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** S19b: a read-only `TableCatalog` over a directory of published lake
+  * tables — the layer that gives the lakehouse a SQL surface, including
+  * native time travel:
+  *
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.lake.LakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/lake")
+  *   spark.conf.set("spark.sql.catalog.graft.key.orders_t", "o_orderkey")
+  *
+  *   spark.sql("SELECT * FROM graft.orders_t")                -- live
+  *   spark.sql("SELECT * FROM graft.orders_t VERSION AS OF 1") -- y25
+  *
+  * `VERSION AS OF n` is Spark's own time-travel syntax resolving
+  * through `loadTable(ident, version)`; it lands on the same immutable
+  * `v{n}` dirs the pointer protocol publishes, so SQL time travel and
+  * the library's `readVersionLogical` can never disagree. Each table is
+  * a subdirectory of `root` (one pointer protocol per table); the key
+  * column for deletion-vector reads comes from `key.<table>` (or a
+  * catalog-wide `key`) in the catalog options. The catalog is
+  * intentionally READ-ONLY: writes go through the publish protocol
+  * (staged + validated + pointer-committed), which a blind
+  * `CREATE TABLE AS` could only weaken — DDL methods refuse loudly.
+  *
+  * Scale note: `loadTable` re-resolves the pointer and manifest on
+  * every call (no caching), so a catalog instance held for hours always
+  * plans against the live version; the resolved `LakeTable` itself pins
+  * one version for its whole query — the snapshot-isolation split Spark
+  * expects (resolution per query, immutability within one).
+  */
+class LakeCatalog extends TableCatalog {
+  private var catName: String = _
+  private var options: CaseInsensitiveStringMap = _
+
+  private def root: String = Option(options.get("root")).getOrElse(
+    throw new IllegalStateException(
+      s"LakeCatalog $catName: set spark.sql.catalog.$catName.root"))
+
+  override def initialize(name: String,
+      opts: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    options = opts
+  }
+
+  override def name(): String = catName
+
+  private def keyFor(table: String): Option[String] =
+    Option(options.get(s"key.$table")).orElse(Option(options.get("key")))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  private def load(ident: Identifier, version: Option[String]): Table = {
+    val spark = SparkSession.active
+    val tableRoot = s"$root/${ident.name}"
+    try new LakeTable(LakeRef.resolve(
+      spark, tableRoot, version, keyFor(ident.name)))
+    catch {
+      case e: IllegalStateException if version.isEmpty =>
+        // unpublished dir → the SQL-standard "no such table", so
+        // IF EXISTS / error reporting behave like any other catalog
+        throw new NoSuchTableException(ident)
+          .initCause(e).asInstanceOf[NoSuchTableException]
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <n>` — the SQL face of y25 time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version))
+
+  /** `TIMESTAMP AS OF` arrives as epoch micros; versions are the lake's
+    * only clock, so refuse with the actionable alternative. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graftlake: TIMESTAMP AS OF is not supported — versions are the " +
+        "lake clock; use VERSION AS OF <n>")
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    graft.ops.Sync.hasPublished(spark, s"$root/${ident.name}")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : Table = throw new UnsupportedOperationException(
+    "graftlake catalog is read-only: publish through the staged " +
+      "pointer-commit protocol (graft.ops.Sync.publish)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*)
+      : Table = throw new UnsupportedOperationException(
+    "graftlake catalog is read-only: evolve through " +
+      "graft.ops.Sync.evolveSchema (metadata-only, versioned)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "graftlake catalog is read-only: retention is gcPublished's job")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier)
+      : Unit = throw new UnsupportedOperationException(
+    "graftlake catalog is read-only")
+}

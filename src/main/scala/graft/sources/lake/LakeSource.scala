@@ -1,0 +1,448 @@
+package graft.sources.lake
+
+import java.util.{List => JList, Map => JMap, OptionalLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** S19: DataSourceV2 connector for the published lake — the piece that
+  * turns the y36–y49 transactional storage from a library API into a
+  * first-class Spark TABLE:
+  *
+  *   spark.read.format("graftlake")
+  *     .option("path", root).option("key", "o_orderkey")
+  *     .option("version", 2)          // omit → live pointer
+  *     .load()
+  *
+  * Everything the library read path (`Sync.readVersionLogical`) does is
+  * re-expressed through the connector contract, where Catalyst can see
+  * and use it:
+  *
+  *  - VERSION RESOLUTION happens once at table-load time (the pointer
+  *    protocol's `_ptr_gen_*` resolve), so a query plans against one
+  *    immutable version dir — snapshot isolation for free, and the same
+  *    table object can be held across publishes without torn reads.
+  *  - FILE PRUNING: pushed key filters (`EqualTo/In/range`) are
+  *    intersected with the version's `_file_stats` key-span manifest in
+  *    `planInputPartitions` — a point lookup on a key-clustered 100 TB
+  *    table plans ONE input partition instead of all of them. The
+  *    pushed filters are also handed back to Spark (`pushFilters`
+  *    returns its input): span pruning is file-level, so Spark's
+  *    row-level re-evaluation keeps exactness — same contract as
+  *    parquet's own row-group skipping.
+  *  - COLUMN PRUNING reaches the parquet decoder: only requested
+  *    columns are materialized (`SupportsPushDownRequiredColumns` →
+  *    the vectorized reader's requested schema).
+  *  - VECTORIZED reads: clean versions scan as `ColumnarBatch`es
+  *    through Spark's own `VectorizedParquetRecordReader` (the decoder
+  *    the built-in parquet source uses), so the connector loses nothing
+  *    to the native path. A DV-carrying version (y40 merge-on-read)
+  *    degrades to row reads with the delta-sized deletion vector
+  *    applied as a per-task hash-set probe — the executor-side analogue
+  *    of `readPublishedMor`'s broadcast anti-join, chosen because a
+  *    connector cannot inject a join above itself; the scheduled
+  *    `dvFold` restores the columnar path, which is exactly the
+  *    MOR trade (read tax until the fold).
+  *  - SCHEMA EVOLUTION (y43): the version's `_schema` sidecar is the
+  *    table schema; files that predate an added column return constant
+  *    null vectors for it — zero data movement, same semantics as the
+  *    library read.
+  *  - STATISTICS (`SupportsReportStatistics`): size/row counts of the
+  *    PRUNED file set from the manifest, so AQE and join planning see a
+  *    post-pruning size (a span-pruned fact side can broadcast).
+  *
+  * Local-mode stand-in, disclosed: readers open files with a default
+  * Hadoop `Configuration` (local/HDFS-default FS); a cluster deployment
+  * threads the job's serialized Hadoop conf through the reader factory
+  * — one constructor argument, no structural change.
+  */
+class LakeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlake"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeRef.resolve(options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new LakeTable(LakeRef.resolve(new CaseInsensitiveStringMap(properties)))
+}
+
+/** A resolved, immutable (version, schema, file set) snapshot — all the
+  * driver-side metadata a scan needs, captured once at load time. */
+final case class LakeRef(root: String, version: String, dir: String,
+    schema: StructType, key: Option[String],
+    files: Seq[LakeRef.FileStat], dvPath: Option[String]) {
+  def keyType: Option[DataType] =
+    key.flatMap(k => schema.fields.find(_.name.equalsIgnoreCase(k))
+      .map(_.dataType))
+}
+
+object LakeRef {
+  /** One data file with its manifest span. `kmin`/`kmax` are None when
+    * the version has no `_file_stats` (or the file holds only null
+    * keys) — such files are never pruned. */
+  final case class FileStat(name: String, kmin: Option[Any],
+      kmax: Option[Any], rows: Long, bytes: Long)
+
+  def resolve(options: CaseInsensitiveStringMap): LakeRef = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graftlake: option 'path' (lake root) is required"))
+    resolve(SparkSession.active, root,
+      Option(options.get("version")), Option(options.get("key")))
+  }
+
+  def resolve(spark: SparkSession, root: String, version: Option[String],
+      key: Option[String]): LakeRef = {
+    import graft.ops.Sync
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vName = version.map(v => if (v.startsWith("v")) v else s"v$v")
+      .getOrElse(Sync.liveVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"graftlake: no published version under $root")))
+    val dir = s"$root/$vName"
+    if (!fs.exists(new Path(dir)))
+      throw new IllegalStateException(
+        s"graftlake: version dir $dir does not exist — never published, " +
+          "or reaped by retention GC (pin it with a reader lease)")
+    val schema = Sync.versionSchema(spark, dir)
+    val dvPath =
+      if (fs.exists(new Path(s"$dir/_deletes"))) Some(s"$dir/_deletes")
+      else None
+    if (dvPath.nonEmpty && key.isEmpty)
+      throw new IllegalArgumentException(
+        s"graftlake: $dir carries a deletion vector; option 'key' is " +
+          "required so the reader can subtract it (or dvFold the version)")
+    val statuses = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val sizes = statuses.map(st => st.getPath.getName -> st.getLen).toMap
+    // The manifest is one tiny row per data file (bounded by file
+    // count, the same driver-side budget every cow/compaction path
+    // already spends); spans type as the key column.
+    val spans: Map[String, (Option[Any], Option[Any], Long)] =
+      if (!fs.exists(new Path(s"$dir/_file_stats"))) Map.empty
+      else spark.read.parquet(s"$dir/_file_stats").collect().map { r =>
+        r.getString(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3))
+      }.toMap
+    val files = statuses.map(_.getPath.getName).sorted.map { n =>
+      val (lo, hi, rows) = spans.getOrElse(n, (None, None, -1L))
+      FileStat(n, lo, hi, rows, sizes(n))
+    }
+    LakeRef(root, vName, dir, schema, key, files, dvPath)
+  }
+}
+
+final class LakeTable(ref: LakeRef) extends Table with SupportsRead {
+  override def name(): String = s"graftlake ${ref.root} @ ${ref.version}"
+  override def schema(): StructType = ref.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new LakeScanBuilder(ref)
+}
+
+/** File-span pruning: decide whether a file MAY contain a row
+  * satisfying a pushed key filter. Conservative by construction — a
+  * file with no span survives everything, and only the five exact
+  * single-column shapes prune. Values compare as BigDecimal when both
+  * sides are numeric (filter literals arrive as the narrowest JVM type
+  * Catalyst chose, not necessarily the column's), else via Comparable
+  * when classes match. */
+private object SpanPrune {
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
+    case _ => None
+  }
+
+  /** Is this a filter the manifest can prune files with? */
+  def prunable(f: Filter, key: String): Boolean = f match {
+    case EqualTo(a, _) => a.equalsIgnoreCase(key)
+    case GreaterThan(a, _) => a.equalsIgnoreCase(key)
+    case GreaterThanOrEqual(a, _) => a.equalsIgnoreCase(key)
+    case LessThan(a, _) => a.equalsIgnoreCase(key)
+    case LessThanOrEqual(a, _) => a.equalsIgnoreCase(key)
+    case In(a, vs) => a.equalsIgnoreCase(key) && vs.nonEmpty
+    case _ => false
+  }
+
+  /** May `file` contain a row passing `f`? (true = keep the file) */
+  def mayMatch(file: LakeRef.FileStat, f: Filter): Boolean =
+    (file.kmin, file.kmax) match {
+      case (Some(lo), Some(hi)) => f match {
+        case EqualTo(_, v) =>
+          cmp(lo, v).forall(_ <= 0) && cmp(v, hi).forall(_ <= 0)
+        case GreaterThan(_, v) => cmp(hi, v).forall(_ > 0)
+        case GreaterThanOrEqual(_, v) => cmp(hi, v).forall(_ >= 0)
+        case LessThan(_, v) => cmp(lo, v).forall(_ < 0)
+        case LessThanOrEqual(_, v) => cmp(lo, v).forall(_ <= 0)
+        case In(_, vs) => vs.exists(v =>
+          cmp(lo, v).forall(_ <= 0) && cmp(v, hi).forall(_ <= 0))
+        case _ => true
+      }
+      case _ => true // no span recorded — never prune
+    }
+}
+
+final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = ref.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = ref.key match {
+      case Some(k) => filters.filter(SpanPrune.prunable(_, k))
+      case None => Array.empty
+    }
+    // span pruning is file-level: every filter is handed back so Spark
+    // re-evaluates row-exact semantics above the scan
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LakeScan(ref, required, pushed)
+}
+
+final case class LakeFilePartition(path: String, rows: Long)
+    extends InputPartition
+
+final class LakeScan(ref: LakeRef, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
+
+  private val pruned: Seq[LakeRef.FileStat] =
+    ref.files.filter(f => pushed.forall(SpanPrune.mayMatch(f, _)))
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftlake ${ref.root} @ ${ref.version}, " +
+      s"files=${pruned.length}/${ref.files.length}" +
+      (if (pushed.nonEmpty) s", PushedKeySpanFilters: [${pushed.mkString(", ")}]"
+       else "") +
+      (if (ref.dvPath.nonEmpty) ", mor=deletion-vector" else "")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pruned.map(f =>
+      LakeFilePartition(s"${ref.dir}/${f.name}", f.rows)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required,
+      ref.key, ref.keyType, ref.dvPath, 4096)
+
+  /** Post-pruning estimates from the manifest — what makes a span-
+    * pruned scan broadcastable in the eyes of join planning. Row
+    * counts fall back to size-only when a file has no manifest row. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, pruned.map(_.bytes).sum))
+    override def numRows(): OptionalLong =
+      if (pruned.exists(_.rows < 0)) OptionalLong.empty()
+      else OptionalLong.of(pruned.map(_.rows).sum)
+  }
+}
+
+final class LakeReaderFactory(required: StructType, key: Option[String],
+    keyType: Option[DataType], dvPath: Option[String], capacity: Int)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    dvPath.isEmpty
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    new LakeColumnarReader(
+      p.asInstanceOf[LakeFilePartition].path, required, capacity)
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = dvPath match {
+    case Some(dv) =>
+      new LakeMorRowReader(p.asInstanceOf[LakeFilePartition].path,
+        required, key.get, keyType.get, dv, capacity)
+    case None => // row-wise view over the columnar reader
+      val inner = createColumnarReader(p)
+      new PartitionReader[InternalRow] {
+        private var it: java.util.Iterator[InternalRow] = _
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          while ((it == null || !it.hasNext) && inner.next())
+            it = inner.get().rowIterator()
+          if (it != null && it.hasNext) { row = it.next(); true }
+          else false
+        }
+        override def get(): InternalRow = row
+        override def close(): Unit = inner.close()
+      }
+  }
+}
+
+private object LakeRead {
+  /** Field names physically present in a parquet file (footer read —
+    * one small ranged GET per task on an object store). */
+  def fileFields(path: String): Set[String] = {
+    val rd = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try rd.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally rd.close()
+  }
+
+  def rowCount(path: String): Long = {
+    val rd = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try rd.getRecordCount finally rd.close()
+  }
+
+  def open(path: String, cols: Seq[String], capacity: Int)
+      : VectorizedParquetRecordReader = {
+    val r = new VectorizedParquetRecordReader(false, capacity)
+    r.initialize(path, cols.asJava: JList[String])
+    r
+  }
+
+  /** Load a version's deletion-vector keys into a per-task probe set.
+    * The DV is delta-sized by the y40 contract (dvFold bounds growth);
+    * the cap turns a silently melting executor into a loud instruction
+    * to fold. Values are deep-copied — the decoder reuses buffers. */
+  def dvKeys(dvDir: String, key: String, keyType: DataType)
+      : java.util.HashSet[Any] = {
+    val fs = new Path(dvDir).getFileSystem(new Configuration())
+    val parts = fs.listStatus(new Path(dvDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val set = new java.util.HashSet[Any]()
+    parts.foreach { st =>
+      val r = open(st.getPath.toString, Seq(key), capacity = 4096)
+      try {
+        val batch = r.resultBatch() // allocates the batch vectors
+        while (r.nextBatch()) {
+          val it = batch.rowIterator()
+          while (it.hasNext) {
+            set.add(InternalRow.copyValue(it.next().get(0, keyType)))
+            if (set.size() > 10000000) throw new IllegalStateException(
+              s"graftlake: deletion vector $dvDir exceeds 10M keys — " +
+                "run dvFold before reading this version through the " +
+                "connector")
+          }
+        }
+      } finally r.close()
+    }
+    set
+  }
+}
+
+/** Vectorized reader for one file: requested columns decode through
+  * Spark's own parquet decoder; columns the file predates (y43
+  * evolution) surface as constant-null vectors; an empty projection
+  * (count(*), or a projection entirely of post-evolution columns)
+  * short-circuits to footer-count batches with zero data IO. */
+final class LakeColumnarReader(path: String, required: StructType,
+    capacity: Int) extends PartitionReader[ColumnarBatch] {
+
+  private val present = LakeRead.fileFields(path)
+  private val readCols = required.fields.map(_.name).filter(present.contains)
+
+  private val reader =
+    if (readCols.isEmpty) null
+    else LakeRead.open(path, readCols.toSeq, capacity)
+  private var remaining = // footer-count path only
+    if (readCols.isEmpty) LakeRead.rowCount(path) else 0L
+  private val inner = if (reader == null) null else reader.resultBatch()
+
+  private val out: ColumnarBatch = {
+    val vecs = new Array[ColumnVector](required.length)
+    var pi = 0
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      if (present.contains(f.name)) { vecs(i) = inner.column(pi); pi += 1 }
+      else {
+        val c = new ConstantColumnVector(capacity, f.dataType)
+        c.setNull()
+        vecs(i) = c
+      }
+    }
+    new ColumnarBatch(vecs)
+  }
+  private var lastRows = 0
+
+  override def next(): Boolean =
+    if (reader != null) {
+      val has = reader.nextBatch()
+      if (has) lastRows = inner.numRows()
+      has
+    } else if (remaining > 0) {
+      lastRows = math.min(capacity.toLong, remaining).toInt
+      remaining -= lastRows
+      true
+    } else false
+
+  override def get(): ColumnarBatch = { out.setNumRows(lastRows); out }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Merge-on-read row reader: decode vectorized, probe each row's key
+  * against the deletion-vector set, emit survivors. The key column is
+  * force-included in the read schema and projected back out when the
+  * query didn't ask for it. Rows are copied on emit — the batch
+  * buffers are reused by the decoder and Spark may buffer rows. */
+final class LakeMorRowReader(path: String, required: StructType,
+    key: String, keyType: DataType, dvDir: String, capacity: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val hasKey = required.fields.exists(_.name.equalsIgnoreCase(key))
+  private val readSchema =
+    if (hasKey) required
+    else StructType(required.fields :+ StructField(key, keyType))
+  private val keyIdx =
+    readSchema.fields.indexWhere(_.name.equalsIgnoreCase(key))
+  private val dv = LakeRead.dvKeys(dvDir, key, keyType)
+  private val inner = new LakeColumnarReader(path, readSchema, capacity)
+  private var it: java.util.Iterator[InternalRow] = _
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      while (it != null && it.hasNext) {
+        val r = it.next()
+        if (!dv.contains(r.get(keyIdx, keyType))) { row = r; return true }
+      }
+      if (!inner.next()) return false
+      it = inner.get().rowIterator()
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val copied = row.copy()
+    if (hasKey) copied
+    else new GenericInternalRow(Array.tabulate[Any](required.length)(i =>
+      copied.get(i, required.fields(i).dataType)))
+  }
+
+  override def close(): Unit = inner.close()
+}

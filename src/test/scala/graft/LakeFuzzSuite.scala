@@ -356,6 +356,16 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
         val exp = expected.select(got.columns.map(col).toIndexedSeq: _*)
         sameSet(got, exp, s"seed $seed step $step [$what]: logical " +
           "state diverged from the algebraic twin")
+        // third arm: the DataSourceV2 connector must agree with the
+        // library read at EVERY interleaving point — span manifests,
+        // deletion vectors, evolved schemas and compacted layouts all
+        // flow through its planInputPartitions/reader path here
+        val viaConnector = spark.read.format("graftlake")
+          .option("path", root).option("key", "o_orderkey")
+          .option("version", cur).load()
+          .select(got.columns.map(col).toIndexedSeq: _*)
+        sameSet(viaConnector, exp, s"seed $seed step $step [$what]: " +
+          "DSv2 connector read diverged from the algebraic twin")
       }
       for (_ <- 1 to 6) {
         step += 1
