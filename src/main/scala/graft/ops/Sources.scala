@@ -512,6 +512,66 @@ object Sources {
            |FROM glakeq.orders_tt""".stripMargin)
     }),
 
+    // S19c: SQL DML through the catalog — one INSERT INTO that is BOTH
+    // a frontier append (%3 keys are new) and a DV-collision fold
+    // (band-limited DV'd keys re-asserted with changed payloads): old
+    // files outside the collision band carry verbatim, affected files
+    // rewrite minus their ghosts, and the DV empties because every
+    // entry was re-asserted. The rollup matches the oracle only if all
+    // three moves were row-exact; the flags pin the layout claims.
+    "s19c_lake_sql_insert" -> ((s, d) => {
+      val parent = stage("s19c_cat")
+      val root = s"$parent/orders_ins"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rp, true)
+      val proj = Tables.orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val b = proj.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val base = proj.filter(col("o_orderkey") % 3 =!= 0)
+      require(Sync.publish(s,
+        base.repartitionByRange(6, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s19c: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      val dvBand = col("o_orderkey") % 7 === 0 &&
+        col("o_orderkey") <= mid
+      require(Sync.dvDelete(s, root, 1, 2, "o_orderkey",
+        base.filter(dvBand).select("o_orderkey")).published,
+        "s19c: v2 MOR publish refused")
+      def files(v: Int) = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toSet
+      val v2Files = files(2)
+      s.conf.set("spark.sql.catalog.glakei",
+        "graft.sources.lake.LakeCatalog")
+      s.conf.set("spark.sql.catalog.glakei.root", parent)
+      s.conf.set("spark.sql.catalog.glakei.key.orders_ins", "o_orderkey")
+      proj.filter(col("o_orderkey") % 3 === 0)
+        .unionByName(base.filter(dvBand)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .withColumn("o_orderstatus", lit("R")))
+        .createOrReplaceTempView("s19c_incr")
+      s.sql("INSERT INTO glakei.orders_ins SELECT * FROM s19c_incr")
+      val v3Files = files(3)
+      val dvCleared = !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v3/_deletes"))
+      s.sql("SELECT o_orderstatus, o_totalprice FROM glakei.orders_ins")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("version_advanced",
+          lit(Sync.liveVersion(s, root).contains("v3")))
+        .withColumn("frontier_carry",
+          lit((v2Files & v3Files).nonEmpty))
+        .withColumn("fold_applied",
+          lit((v2Files -- v3Files).nonEmpty))
+        .withColumn("dv_cleared", lit(dvCleared))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -535,6 +595,30 @@ object Sources {
          |  AND o_orderkey <= (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
          |                     FROM orders)
          |GROUP BY 1""".stripMargin,
+
+    // live = (base minus band-DV, those keys re-asserted as 'R'/+100)
+    // plus the %3 frontier — matches only if the INSERT's frontier
+    // append, collision fold and DV clearing were all row-exact
+    "s19c_lake_sql_insert" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS version_advanced, TRUE AS frontier_carry,
+         |  TRUE AS fold_applied, TRUE AS dv_cleared
+         |FROM (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <> 0 AND NOT (o_orderkey % 7 = 0
+         |    AND o_orderkey <= (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
+         |                       FROM orders))
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'R' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+         |  FROM orders
+         |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+         |    AND o_orderkey <= (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
+         |                       FROM orders)
+         |) t GROUP BY 1""".stripMargin,
 
     // v1 = the full projection (pre-delete), live = minus the %13 DV
     "s19b_lake_sql_timetravel" ->

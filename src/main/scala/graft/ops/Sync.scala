@@ -1287,6 +1287,136 @@ object Sync {
     publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
   }
 
+  /** Y47: SQL DML INGEST under the publish protocol — the write half of
+    * the DataSourceV2 connector (`INSERT INTO` / `INSERT OVERWRITE`
+    * through the lake catalog land here). Append is a pure FRONTIER
+    * move: every existing data file, and the manifest rows describing
+    * them, carry to the new version VERBATIM (the local-FS copy stands
+    * in for an object-store manifest entry, as everywhere in the
+    * stack); the increment writes as NEW key-clustered files whose
+    * manifest rows are computed from the increment alone — publish
+    * cost ∝ |insert batch|, never ∝ table size. Overwrite is a full
+    * snapshot publish (y2's shape) under the same staged protocol.
+    * Two correctness seams both modes honor:
+    *  - SCHEMA CONTRACT: incoming columns must equal the live logical
+    *    schema by name (y43 evolution first, then backfill) — a
+    *    silent reorder/typo becomes a loud refusal;
+    *  - DV RE-ASSERTION: appending a key the carried deletion vector
+    *    holds must RESURRECT it (INSERT has no "matched" state — the
+    *    new row is asserted content), so carried DV = old DV minus
+    *    the increment's keys, mirroring mergeInto's only-reasserted
+    *    rule. Without this an insert into a MOR table silently loses
+    *    exactly the rows it claims to add. */
+  private[graft] def appendPublish(s: SparkSession, root: String,
+      key: String, df: DataFrame, overwrite: Boolean,
+      writeFiles: Int = 4): Boolean = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val curName = liveVersion(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"appendPublish: no published version under $root — bootstrap " +
+          "through publish() first"))
+    val cur = curName.stripPrefix("v").toInt
+    val fromDir = s"$root/$curName"
+    val logical = versionSchema(s, fromDir)
+    require(df.columns.toSet == logical.fieldNames.toSet,
+      s"appendPublish: incoming columns ${df.columns.toSeq.sorted} do " +
+        s"not match the live logical schema " +
+        s"${logical.fieldNames.toSeq.sorted} — evolve first (y43), " +
+        "then write")
+    val aligned = df.select(logical.fieldNames.toIndexedSeq.map(col): _*)
+    val staging = new Path(s"$root/_staging_v${cur + 1}")
+    fs.delete(staging, true)
+    if (overwrite) {
+      // full snapshot: fresh manifest, no DV (all content re-asserted)
+      aligned.repartitionByRange(math.max(writeFiles, 1), col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(staging.toString)
+      writeFileStats(s, staging.toString, key)
+      carrySidecar(s, fromDir, staging.toString, "_schema")
+    } else {
+      // DV COLLISION FOLD: a key the increment asserts while the old
+      // deletion vector still masks a physical ghost cannot ride the
+      // pure frontier — the DV is KEYED, not positional, so carrying
+      // its entry would kill the new row too, and dropping it would
+      // resurrect the ghost next to the new row (observed: count 2).
+      // The only exact move is to physically fold the ghost out of its
+      // files NOW: affected files (manifest-pruned on the colliding
+      // keys) rewrite minus those keys, everything else carries
+      // verbatim — cost ∝ collisions, the cow bill arriving exactly
+      // when MOR's deferred-delete debt comes due.
+      val hasDv = fs.exists(new Path(s"$fromDir/_deletes"))
+      val oldDv =
+        if (hasDv) s.read.parquet(s"$fromDir/_deletes").select(col(key))
+        else aligned.select(col(key)).limit(0)
+      val colliding = oldDv
+        .join(aligned.select(col(key)).distinct(), Seq(key), "left_semi")
+        .cache()
+      val collide = colliding.head(1).nonEmpty
+      val statsPath = new Path(s"$fromDir/_file_stats")
+      val oldStats =
+        if (fs.exists(statsPath)) Some(s.read.parquet(statsPath.toString))
+        else None
+      val oldFiles = fs.listStatus(new Path(fromDir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName)
+      val affected: Seq[String] =
+        if (!collide) Nil
+        else oldStats match {
+          case Some(st) => st.join(colliding,
+              col(key) >= col("kmin") && col(key) <= col("kmax"))
+            .select("file").distinct().collect().map(_.getString(0)).toSeq
+          case None => oldFiles // no manifest — rewrite conservatively
+        }
+      val rewritten =
+        if (affected.isEmpty) aligned.limit(0)
+        else s.read.schema(logical)
+          .parquet(affected.map(f => s"$fromDir/$f"): _*)
+          .join(colliding, Seq(key), "left_anti")
+          .select(logical.fieldNames.toIndexedSeq.map(col): _*)
+      // one staged write carries the increment + any folded rewrites
+      aligned.unionByName(rewritten)
+        .repartitionByRange(math.max(writeFiles, 1), col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(staging.toString)
+      val newStats = s.read.parquet(staging.toString)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+          .as("file"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+          count(lit(1)).as("n_rows"))
+        .collect().toIndexedSeq
+      val carryFiles = oldFiles.filterNot(affected.contains)
+      carryFiles.foreach { f =>
+        FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+          fs, new Path(s"$staging/$f"), false, conf)
+      }
+      oldStats match {
+        case Some(st) =>
+          val carried =
+            if (affected.isEmpty) st
+            else st.filter(!col("file").isin(affected: _*))
+          s.createDataFrame(
+              s.sparkContext.parallelize(newStats, 1), carried.schema)
+            .unionByName(carried)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/_file_stats")
+        case None => writeFileStats(s, staging.toString, key)
+      }
+      if (hasDv) {
+        // folded keys leave the DV (their ghosts are physically gone);
+        // DV ∩ increment = colliding, so this is the whole adjustment
+        val carriedDv = oldDv.join(colliding, Seq(key), "left_anti")
+        if (carriedDv.head(1).nonEmpty)
+          carriedDv.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/_deletes")
+      }
+      colliding.unpersist()
+      carrySidecar(s, fromDir, staging.toString, "_schema")
+    }
+    publishStagedDir(s, root, cur + 1, _.head(1).nonEmpty)
+  }
+
   /** Y44: MULTI-TABLE ATOMIC PUBLISH — the cross-table transaction
     * single-table lakehouses famously lack, and exactly what
     * FK-consistent sync (y17) needs on the publish side: a parent and

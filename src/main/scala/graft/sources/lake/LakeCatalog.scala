@@ -27,11 +27,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `v{n}` dirs the pointer protocol publishes, so SQL time travel and
   * the library's `readVersionLogical` can never disagree. Each table is
   * a subdirectory of `root` (one pointer protocol per table); the key
-  * column for deletion-vector reads comes from `key.<table>` (or a
-  * catalog-wide `key`) in the catalog options. The catalog is
-  * intentionally READ-ONLY: writes go through the publish protocol
-  * (staged + validated + pointer-committed), which a blind
-  * `CREATE TABLE AS` could only weaken — DDL methods refuse loudly.
+  * column for deletion-vector reads and manifest-maintaining writes
+  * comes from `key.<table>` (or a catalog-wide `key`) in the catalog
+  * options. DML is transactional: `INSERT INTO` / `INSERT OVERWRITE`
+  * route through `LakeWriteBuilder` → the staged publish protocol
+  * (frontier append / snapshot swap). DDL is intentionally REFUSED:
+  * create/drop/rename/alter outside the protocol could only weaken its
+  * guarantees — evolution is `evolveSchema` (versioned, metadata-only),
+  * retention is `gcPublished` (lease-aware).
   *
   * Scale note: `loadTable` re-resolves the pointer and manifest on
   * every call (no caching), so a catalog instance held for hours always

@@ -11,12 +11,13 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -149,13 +150,56 @@ object LakeRef {
   }
 }
 
-final class LakeTable(ref: LakeRef) extends Table with SupportsRead {
+final class LakeTable(ref: LakeRef) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlake ${ref.root} @ ${ref.version}"
   override def schema(): StructType = ref.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new LakeScanBuilder(ref)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(ref)
+}
+
+/** The write half: `INSERT INTO` (append) and `INSERT OVERWRITE`
+  * (truncate) both land on `Sync.appendPublish` — a STAGED, VALIDATED,
+  * POINTER-COMMITTED new version, never an in-place mutation. The
+  * `V1Write` seam hands the whole incoming DataFrame to the publish
+  * protocol on the driver, which is exactly right here: the protocol's
+  * value IS its single commit point, and the data path inside it is
+  * ordinary distributed parquet writes. Appends are frontier moves
+  * (old files + manifest rows carry verbatim, cost ∝ batch); an
+  * appended key that the carried deletion vector holds is re-asserted
+  * (resurrected), mirroring MERGE's only-reasserted rule. The write
+  * lands on the LIVE version at insert time (not the version this
+  * table object resolved for reads) — last-writer-wins on the pointer,
+  * serialized by the publish protocol itself. */
+final class LakeWriteBuilder(ref: LakeRef) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            v1Overwrite: Boolean): Unit = {
+          val key = ref.key.getOrElse(throw new IllegalArgumentException(
+            "graftlake: writes need option 'key' (catalog: " +
+              "key.<table>) to maintain the span manifest"))
+          val ok = graft.ops.Sync.appendPublish(SparkSession.active,
+            ref.root, key, data, overwrite || v1Overwrite)
+          if (!ok) throw new IllegalStateException(
+            s"graftlake: publish of the ${if (overwrite) "overwrite"
+              else "append"} version was refused (validation failed " +
+              "or a concurrent publisher staged the same version) — " +
+              "no reader-visible change was made; retry")
+        }
+      }
+  }
 }
 
 /** File-span pruning: decide whether a file MAY contain a row

@@ -149,6 +149,111 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(prunedStats.numRows.getAsLong < all.numRows.getAsLong)
   }
 
+  /** A separate table for write tests so the shared read fixture stays
+    * immutable. */
+  private def freshWriteTable(sub: String): (String, String) = {
+    spark // force session init before Sources.stage's SparkSession.active
+    val parent = ops.Sources.stage(s"lakesrc_w/$sub")
+    val r = s"$parent/wt"
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    assert(Sync.publish(spark,
+      proj.filter(col(key) % 3 =!= 0)
+        .repartitionByRange(3, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    (parent, r)
+  }
+
+  test("INSERT INTO appends as a frontier publish: old files carry verbatim") {
+    val (parent, r) = freshWriteTable("ins")
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(v: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$r/v$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    val v1Files = dataFiles(1)
+    spark.conf.set("spark.sql.catalog.glakew",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glakew.root", parent)
+    spark.conf.set("spark.sql.catalog.glakew.key.wt", key)
+    proj.filter(col(key) % 3 === 0).createOrReplaceTempView("incr_rows")
+    spark.sql("INSERT INTO glakew.wt SELECT * FROM incr_rows")
+    assert(Sync.liveVersion(spark, r).contains("v2"))
+    // content = full projection now
+    sameContent(spark.sql("SELECT * FROM glakew.wt"), proj)
+    // frontier law: every v1 file carried into v2 byte-for-byte (name+len)
+    val v2Files = dataFiles(2)
+    assert(v1Files.toSet.subsetOf(v2Files.toSet),
+      "append must carry every old data file verbatim")
+    assert(v2Files.size > v1Files.size, "append must add new files")
+    // manifest covers the new files: a key filter still prunes
+    val probe = proj.agg(min(col(key))).collect()(0).getLong(0)
+    val pf = spark.read.format("graftlake")
+      .option("path", r).option("key", key).load()
+      .filter(col(key) === probe)
+    val planned = pf.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
+    assert(planned < v2Files.size, "post-append manifest must still prune")
+  }
+
+  test("INSERT of a DV'd key re-asserts it (resurrection, not silent loss)") {
+    val (parent, r) = freshWriteTable("dvins")
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val victim = proj.filter(col(key) % 3 =!= 0)
+      .agg(min(col(key))).collect()(0).getLong(0)
+    assert(Sync.dvDelete(spark, r, 1, 2, key,
+      spark.range(1).select(lit(victim).as(key))).published)
+    spark.conf.set("spark.sql.catalog.glakew2",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glakew2.root", parent)
+    spark.conf.set("spark.sql.catalog.glakew2.key.wt", key)
+    assert(spark.sql(
+      s"SELECT * FROM glakew2.wt WHERE o_orderkey = $victim").count() === 0)
+    spark.sql(s"INSERT INTO glakew2.wt VALUES ($victim, 1L, 9.5D, 'Z')")
+    val back = spark.sql(
+      s"SELECT * FROM glakew2.wt WHERE o_orderkey = $victim").collect()
+    assert(back.length === 1, "the inserted row must resurrect the DV'd key")
+    assert(back(0).getString(3) === "Z")
+  }
+
+  test("INSERT OVERWRITE swaps the snapshot under the same protocol") {
+    val (parent, r) = freshWriteTable("ovw")
+    spark.conf.set("spark.sql.catalog.glakew3",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glakew3.root", parent)
+    spark.conf.set("spark.sql.catalog.glakew3.key.wt", key)
+    spark.sql(
+      "INSERT OVERWRITE glakew3.wt VALUES (1L, 2L, 3.5D, 'O'), (2L, 3L, 4.5D, 'F')")
+    assert(Sync.liveVersion(spark, r).contains("v2"))
+    val rows = spark.sql("SELECT * FROM glakew3.wt ORDER BY o_orderkey")
+      .collect()
+    assert(rows.length === 2 && rows(0).getLong(0) === 1L)
+    // time travel still sees the pre-overwrite snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM glakew3.wt VERSION AS OF 1")
+      .collect()(0).getLong(0) > 2)
+  }
+
+  test("a write with mismatched columns refuses loudly") {
+    val (_, r) = freshWriteTable("bad")
+    val e = intercept[IllegalArgumentException] {
+      Sync.appendPublish(spark, r, key,
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        overwrite = false)
+    }
+    assert(e.getMessage.contains("logical schema"))
+    // and the refusal left no reader-visible change
+    assert(Sync.liveVersion(spark, r).contains("v1"))
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
