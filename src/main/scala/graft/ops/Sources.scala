@@ -572,6 +572,48 @@ object Sources {
         .withColumn("dv_cleared", lit(dvCleared))
     }),
 
+    // S20: CDF-on-write + the change-feed source — mutate an enabled
+    // lake through cow (I/U/D) and a MOR delete, then read the feed
+    // BATCH-STYLE over a version window. Planning is pure metadata
+    // (list `_changes` per version — no diffing, no data-file scan);
+    // the per-op rollup matches the oracle only if every mutation path
+    // staged exactly its applied delta.
+    "s20_cdf_feed" -> ((s, d) => {
+      val root = stage("s20_cdf/orders_t")
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      Sync.enableCdf(s, root)
+      val proj = Tables.orders(s, d).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+      val hi = proj.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      require(Sync.publish(s,
+        proj.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s20: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      val batch = proj.filter(col("o_orderkey") % 31 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + hi + 1000000L)
+        .withColumn("op", lit("I"))
+        .unionByName(proj.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+          .withColumn("op", lit("U")))
+        .unionByName(proj.filter(col("o_orderkey") % 11 === 0 &&
+            col("o_orderkey") % 7 =!= 0)
+          .withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      require(Sync.cowApplyChanges(s, root, 1, 2, "o_orderkey", batch)
+        .published, "s20: cow publish refused")
+      require(Sync.dvDelete(s, root, 2, 3, "o_orderkey",
+        proj.filter(col("o_orderkey") % 13 === 0 &&
+          col("o_orderkey") % 11 =!= 0 && col("o_orderkey") % 7 =!= 0)
+          .select("o_orderkey")).published, "s20: dv publish refused")
+      s.read.format("graftlake-cdf").option("path", root)
+        .option("startingVersion", 2).load()
+        .groupBy("op")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"))
+    }),
+
     // S7: range source — synthetic keys without any input table.
     "s7_range" -> ((s, _) =>
       s.range(0, 100000)
@@ -618,6 +660,25 @@ object Sources {
          |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
          |    AND o_orderkey <= (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2
          |                       FROM orders)
+         |) t GROUP BY 1""".stripMargin,
+
+    // per-op feed rollup: I = the +hi+1e6 rekeys, U = %7 bumps, D =
+    // the cow deletes plus the MOR vector — the exact applied deltas
+    "s20_cdf_feed" ->
+      s"""SELECT op, COUNT(*) AS n_rows,
+         |  CAST(SUM(k) AS BIGINT) AS sum_key
+         |FROM (
+         |  SELECT 'I' AS op,
+         |    o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1000000 AS k
+         |  FROM orders WHERE o_orderkey % 31 = 0
+         |  UNION ALL
+         |  SELECT 'U' AS op, o_orderkey AS k FROM orders
+         |  WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT 'D' AS op, o_orderkey AS k FROM orders
+         |  WHERE (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+         |     OR (o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+         |         AND o_orderkey % 7 <> 0)
          |) t GROUP BY 1""".stripMargin,
 
     // v1 = the full projection (pre-delete), live = minus the %13 DV

@@ -199,6 +199,23 @@ object Sync {
     // swapping the pointer anyway would publish a missing/stale version.
     // The existence pre-check makes both failure shapes a deterministic
     // refusal BEFORE any reader-visible change.
+    // Y55 hook: a SNAPSHOT publish on a CDF-enabled root emits its own
+    // feed here (v1 = the I bootstrap, later = T reseed sentinel + I);
+    // incremental paths staged their exact deltas before calling in,
+    // so a present `_changes` is never second-guessed.
+    if (cdfEnabled(fs, root) &&
+        !fs.exists(new Path(s"$staging/_changes"))) {
+      val logical = versionSchema(s, staging.toString)
+      val snap = s.read.schema(logical).parquet(staging.toString)
+      val iRows = snap.withColumn("op", lit("I"))
+      val rows =
+        if (version <= 1) iRows
+        else s.range(1).select(logical.fields.toIndexedSeq.map(f =>
+            lit(null).cast(f.dataType).as(f.name)) :+
+            lit("T").as("op"): _*)
+          .unionByName(iRows)
+      stageChanges(s, staging.toString, logical, rows, version)
+    }
     val finalDir = new Path(s"$root/v$version")
     if (fs.exists(finalDir) || !fs.rename(staging, finalDir)) {
       fs.delete(staging, true)
@@ -281,6 +298,62 @@ object Sync {
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_file_stats")
 
+  /** Y55: CDF-ON-WRITE — opt-in per lake root (`enableCdf`). Every
+    * mutation path stages a `_changes` sidecar INSIDE the version dir
+    * it publishes: the RESOLVED batch the commit applied (op ∈
+    * {I,U,D,T} + the logical columns + `_commit_version`), Delta's
+    * CDC-file idiom under this publish protocol. y41's `lakeChanges`
+    * derives the net diff after the fact by re-scanning churned files;
+    * the on-write feed makes the delta a pure METADATA READ — which is
+    * what turns the lake into a streaming SOURCE: a change reader
+    * (`graftlake-cdf`) lists `_changes` per version, never diffing,
+    * never scanning data files. The feed is the applied batch, not the
+    * minimal net diff (a U identical to the current row still rides);
+    * replay-idempotent MERGE consumers converge on either, and
+    * consumers needing minimal diffs keep y41. Layout-only publishes
+    * (compaction, evolution, DV folds) stage an EMPTY feed — "this
+    * version changed no logical row" stated positively, so a reader
+    * can tell "no change" from "feed missing" (= the version predates
+    * enablement, or a non-CDF writer published it → reseed). Snapshot
+    * publishes emit `I` for v1 (the bootstrap) and a leading `T`
+    * (truncate) sentinel + `I` for later reseeds. */
+  private[graft] def enableCdf(s: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val out = fs.create(new Path(s"$root/_cdf_enabled"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def cdfEnabled(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/_cdf_enabled"))
+
+  /** Stage a version's change feed: null-fill logical columns the batch
+    * doesn't carry (a delete needs only its key), stamp the version. */
+  private[graft] def stageChanges(s: SparkSession, stagingDir: String,
+      logical: org.apache.spark.sql.types.StructType, rows: DataFrame,
+      toVersion: Int): Unit = {
+    val present = rows.columns.toSet
+    val proj = logical.fields.toIndexedSeq.map { f =>
+      if (present.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("op") :+ lit(toVersion.toLong).as("_commit_version")
+    rows.select(proj: _*).write.mode("overwrite")
+      .parquet(s"$stagingDir/_changes")
+  }
+
+  private[graft] def stageEmptyChanges(s: SparkSession,
+      stagingDir: String,
+      logical: org.apache.spark.sql.types.StructType,
+      toVersion: Int): Unit =
+    stageChanges(s, stagingDir, logical,
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(logical.fields :+
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType))),
+      toVersion)
+
   private[graft] final case class CowReport(published: Boolean,
       nFilesTotal: Int, nFilesRewritten: Int,
       rewritten: Seq[String], untouched: Seq[String])
@@ -313,7 +386,8 @@ object Sync {
   private[graft] def cowApply(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
       deletes: DataFrame, updates: DataFrame,
-      carryDeletes: Boolean = true): CowReport = {
+      carryDeletes: Boolean = true,
+      logicalCdf: Boolean = true): CowReport = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
@@ -357,6 +431,37 @@ object Sync {
             count(lit(1)).as("n_rows"))
           .collect()
       }
+    // Y55 feed (staged while the dir holds ONLY rewritten files):
+    // U = post-images of updated keys MINUS the deletion vector — an
+    // update of a DV'd ghost is the SQL no-op, the logical row did NOT
+    // change and a mirror fed that U would drift; D = the delete keys
+    // (a D of an already-DV'd key replays as a no-op downstream).
+    // dvFold passes logicalCdf=false: its rewrite changes no logical
+    // row, so it states "no change" with an EMPTY feed.
+    if (cdfEnabled(fs, root)) {
+      val logical = versionSchema(s, fromDir)
+      if (!logicalCdf)
+        stageEmptyChanges(s, staging.toString, logical, toVersion)
+      else {
+        val dvKeys =
+          if (fs.exists(new Path(s"$fromDir/_deletes")))
+            s.read.parquet(s"$fromDir/_deletes").select(col(key))
+          else deletes.select(col(key)).limit(0)
+        val uRows =
+          if (newStatsRows.isEmpty)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+          else s.read.schema(logical).parquet(staging.toString)
+            .join(broadcast(updates.select(col(key)).distinct()),
+              Seq(key), "left_semi")
+            .join(broadcast(dvKeys), Seq(key), "left_anti")
+        stageChanges(s, staging.toString, logical,
+          uRows.withColumn("op", lit("U")).unionByName(
+            deletes.select(col(key)).withColumn("op", lit("D")),
+            allowMissingColumns = true),
+          toVersion)
+      }
+    }
     untouched.foreach { f =>
       FileUtil.copy(fs, new Path(s"$fromDir/$f"),
         fs, new Path(s"$staging/$f"), false, conf)
@@ -481,6 +586,11 @@ object Sync {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/_deletes")
     }
+    // Y55: the resolved (latest-wins) batch IS this commit's change
+    // feed — stage it with the version it creates
+    if (cdfEnabled(fs, root))
+      stageChanges(s, staging.toString, evolved,
+        latest.drop("version"), toVersion)
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
@@ -573,6 +683,10 @@ object Sync {
     if (fs.exists(new Path(s"$fromDir/_deletes")))
       FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
         fs, new Path(s"$staging/_deletes"), false, conf)
+    // Y55: layout-only — state "no logical change" with an empty feed
+    if (cdfEnabled(fs, root))
+      stageEmptyChanges(s, staging.toString,
+        versionSchema(s, fromDir), toVersion)
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
@@ -625,6 +739,14 @@ object Sync {
       .distinct()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/_deletes")
+    // Y55 feed: D for the NEWLY deleted keys only — re-deleting an
+    // already-DV'd key changes no logical row
+    if (cdfEnabled(fs, root))
+      stageChanges(s, staging.toString, versionSchema(s, fromDir),
+        deletes.select(col(key)).distinct()
+          .join(broadcast(prior.select(col(key))), Seq(key), "left_anti")
+          .withColumn("op", lit("D")),
+        toVersion)
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, files.length, 0, Nil, files)
   }
@@ -673,7 +795,8 @@ object Sync {
       fromVersion: Int, toVersion: Int, key: String): CowReport = {
     val dv = s.read.parquet(s"$root/v$fromVersion/_deletes")
     cowApply(s, root, fromVersion, toVersion, key,
-      deletes = dv, updates = dv.limit(0), carryDeletes = false)
+      deletes = dv, updates = dv.limit(0), carryDeletes = false,
+      logicalCdf = false) // folding already-deleted ghosts changes no row
   }
 
   private[graft] final case class MergeReport(published: Boolean,
@@ -862,6 +985,25 @@ object Sync {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/_deletes")
     }
+    // Y55 feed: the clause routing IS the change classification —
+    // fired updates as U (post-image), fired matched/NMBS deletes as D
+    // (key only), fired inserts (in-span + frontier) as I
+    if (cdfEnabled(fs, root)) {
+      val uRows = joined.filter(updM).select(outCols: _*)
+        .withColumn("op", lit("U"))
+      val iRows = joined.filter(sOnly && insC).select(outCols: _*)
+        .unionByName(frontier.select(
+          (col(key) +: srcCols.map(c => col(s"src_$c").as(c)))
+            .toIndexedSeq: _*)
+          .select(cols.map(col).toIndexedSeq: _*))
+        .withColumn("op", lit("I"))
+      val dRows = joined.filter(delM || nmbsDel).select(col(key))
+        .withColumn("op", lit("D"))
+      stageChanges(s, staging.toString, evolved,
+        uRows.unionByName(iRows)
+          .unionByName(dRows, allowMissingColumns = true),
+        toVersion)
+    }
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     MergeReport(ok, cardinalityOk = true,
@@ -1009,14 +1151,21 @@ object Sync {
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Option[String] = {
     import org.apache.hadoop.fs.Path
-    pointerGenerations(fs, root).lastOption match {
-      case Some(gen) =>
-        Some(readTextFile(fs, new Path(f"$root/_ptr_gen_$gen%05d")).trim)
-      case None =>
+    // On an object store a pointer generation lands atomically
+    // (conditional PUT: existence and body together). The local-FS
+    // stand-in is create-exclusive THEN write, so a concurrent reader
+    // can list a generation whose body isn't flushed yet — skip any
+    // empty/torn generation and resolve the newest COMPLETE one, which
+    // is exactly the pre-commit state that reader was entitled to see.
+    val gens = pointerGenerations(fs, root)
+    gens.reverseIterator
+      .map(g => readTextFile(fs, new Path(f"$root/_ptr_gen_$g%05d")).trim)
+      .find(v => v.startsWith("v") && v.drop(1).forall(_.isDigit))
+      .orElse {
         val cur = new Path(s"$root/_CURRENT")
         if (!fs.exists(cur)) None
-        else Some(readTextFile(fs, cur).trim)
-    }
+        else Some(readTextFile(fs, cur).trim).filter(_.nonEmpty)
+      }
   }
 
   /** Y36b phase 1 — stage + validate under OPTIMISTIC concurrency
@@ -1284,6 +1433,12 @@ object Sync {
     carrySidecar(s, fromDir, staging.toString, "_deletes")
     writeSchemaSidecar(s, staging.toString,
       org.apache.spark.sql.types.StructType(base.fields ++ addCols))
+    // Y55: metadata-only — empty feed UNDER THE WIDENED SCHEMA, so a
+    // streaming consumer's null-fill picks up the new column from here
+    if (cdfEnabled(fs, root))
+      stageEmptyChanges(s, staging.toString,
+        org.apache.spark.sql.types.StructType(base.fields ++ addCols),
+        toVersion)
     publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
   }
 
@@ -1412,8 +1567,16 @@ object Sync {
             .parquet(s"$staging/_deletes")
       }
       colliding.unpersist()
+      // Y55: an append's feed is the increment as I — the collision
+      // fold's rewrites changed no OTHER logical row, and a re-asserted
+      // ghost's logical event is exactly "this row now exists"
+      if (cdfEnabled(fs, root))
+        stageChanges(s, staging.toString, logical,
+          aligned.withColumn("op", lit("I")), cur + 1)
       carrySidecar(s, fromDir, staging.toString, "_schema")
     }
+    // (overwrite stages no feed here: the publishStagedDir hook emits
+    // the T reseed sentinel + the snapshot as I)
     publishStagedDir(s, root, cur + 1, _.head(1).nonEmpty)
   }
 

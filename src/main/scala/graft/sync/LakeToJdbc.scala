@@ -53,6 +53,70 @@ object LakeToJdbc {
       scannedFiles: Int, totalFiles: Int,
       validated: Boolean)
 
+  /** Y55: apply ONE micro-batch of the `graftlake-cdf` stream to the
+    * JDBC target. Three rules make arbitrary version ranges per batch
+    * safe:
+    *  1. a `T` (reseed) sentinel obsoletes every row the batch carries
+    *     from EARLIER versions: truncate the target, then apply only
+    *     rows stamped at or after the reseed;
+    *  2. multi-version batches collapse LATEST-WINS per key before the
+    *     wire (a key updated in v2 and deleted in v3 inside one batch
+    *     must net to deleted — partition apply order is arbitrary, so
+    *     the collapse, not the order, carries the semantics);
+    *  3. the wire is the replay-idempotent MERGE/DELETE writer, so a
+    *     batch that fails mid-apply (even after the truncate) replays
+    *     from the checkpoint onto the same final state. */
+  def applyCdfBatch(batch: org.apache.spark.sql.DataFrame,
+      cfg: JdbcConfig, key: String,
+      jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby): Unit = {
+    if (batch.isEmpty) return
+    val tVer = batch.filter(col("op") === "T")
+      .agg(max(col("_commit_version"))).collect()(0)
+    val cut =
+      if (tVer.isNullAt(0)) Long.MinValue
+      else {
+        withConn(cfg)(_.createStatement()
+          .executeUpdate(s"DELETE FROM ${cfg.table}"))
+        tVer.getLong(0)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_commit_version").desc)
+    val resolved = batch
+      .filter(col("op") =!= "T" && col("_commit_version") >= cut)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "_commit_version")
+    val feed = resolved.select(
+      (col("op") +: resolved.columns.filterNot(_ == "op").toSeq
+        .map(c => col(c).as(jdbcName(c)))): _*)
+    JdbcSync.applyChangeFeed(feed, cfg, jdbcName(key), "op", dialect)
+  }
+
+  /** Y55: CONTINUOUS lake→JDBC mirror — the reference's job as a LIVE
+    * pipeline instead of a scheduled tick (y50 remains the batch
+    * form). The `graftlake-cdf` source makes lake versions the stream
+    * offsets, so this is Structured Streaming's standard contract
+    * end-to-end: the checkpoint remembers the last mirrored version,
+    * restarts resume from it, a replayed batch re-lands idempotently,
+    * and a version published while the mirror slept costs exactly its
+    * churn when it wakes. `startingVersion = 0` bootstraps the target
+    * from v1's `I` feed — no separate seed step. */
+  def mirrorStream(s: SparkSession, lakeRoot: String, key: String,
+      cfg: JdbcConfig, checkpoint: String, startingVersion: Long = 0L,
+      jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.format("graftlake-cdf")
+      .option("path", lakeRoot)
+      .option("startingVersion", startingVersion)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        applyCdfBatch(b, cfg, key, jdbcName, dialect)
+      }
+      .start()
+
   /** Seed the target with a published lake version — the one-time full
     * load before the incremental cadence starts. Goes through the
     * retry-idempotent MERGE (not a plain append) so a died-and-retried

@@ -254,6 +254,157 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(Sync.liveVersion(spark, r).contains("v1"))
   }
 
+  /** CDF-enabled five-version fixture: v1 I-bootstrap, v2 cow I/U/D,
+    * v3 MOR delete, v4 compaction (empty feed), v5 evolution (empty
+    * feed, widened schema). */
+  private def cdfLake(sub: String): (String, Long, Long, Long, Long) = {
+    spark
+    val r = ops.Sources.stage(s"lakesrc_cdf/$sub")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    Sync.enableCdf(spark, r)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val hi = proj.agg(max(col(key))).collect()(0).getLong(0)
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(4, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    val ins = proj.filter(col(key) % 31 === 0)
+      .withColumn(key, col(key) + hi + 1000000L)
+      .withColumn("op", lit("I"))
+    val upd = proj.filter(col(key) % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      .withColumn("op", lit("U"))
+    val del = proj.filter(col(key) % 11 === 0 && col(key) % 7 =!= 0)
+      .withColumn("op", lit("D"))
+    val batch = ins.unionByName(upd).unionByName(del)
+      .withColumn("version", lit(1L))
+    assert(Sync.cowApplyChanges(spark, r, 1, 2, key, batch).published)
+    val dv = proj.filter(col(key) % 13 === 0 && col(key) % 11 =!= 0 &&
+      col(key) % 7 =!= 0).select(col(key))
+    assert(Sync.dvDelete(spark, r, 2, 3, key, dv).published)
+    assert(Sync.compactPublished(spark, r, 3, 4, key,
+      Long.MaxValue / 4).published)
+    assert(Sync.evolveSchema(spark, r, 4, 5, Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))))
+    (r, ins.count(), upd.count(), del.count(), dv.count())
+  }
+
+  test("CDF-on-write + batch change-feed read: ops, versions, empty layout feeds") {
+    val (r, nI, nU, nD, nDv) = cdfLake("batch")
+    val base = Tables.orders(spark, sf).count()
+    val feed = spark.read.format("graftlake-cdf").option("path", r).load()
+    assert(feed.schema.fieldNames.contains("tag")) // evolved schema rides
+    val byOp = feed.groupBy("op").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(byOp("I") === base + nI) // v1 bootstrap I + v2 inserts
+    assert(byOp("U") === nU)
+    assert(byOp("D") === nD + nDv)
+    assert(!byOp.contains("T"))
+    // layout-only versions carry EMPTY feeds, present but zero rows
+    assert(feed.filter(col("_commit_version").isin(4L, 5L)).count() === 0)
+    // version-windowed read: only v2..v3 changes
+    val window = spark.read.format("graftlake-cdf").option("path", r)
+      .option("startingVersion", 2).option("endingVersion", 3).load()
+    assert(window.count() === nI + nU + nD + nDv)
+    // the feed replays to the live logical state: apply I/U/D over v1
+    val v1 = Sync.readVersionLogical(spark, s"$r/v1", key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_commit_version").desc)
+    val net = window.withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+    val replayed = v1.join(net.select(col(key)), Seq(key), "left_anti")
+      .unionByName(net.filter(col("op") =!= "D")
+        .select(v1.columns.map(col).toIndexedSeq: _*))
+    sameContent(replayed,
+      Sync.readVersionLogical(spark, s"$r/v3", key))
+  }
+
+  test("a feed-less version refuses loudly instead of silently skipping") {
+    // the shared read fixture was published WITHOUT enableCdf
+    val e = intercept[Exception] {
+      spark.read.format("graftlake-cdf").option("path", root).load()
+        .count()
+    }
+    assert(e.getMessage.contains("_changes") ||
+      Option(e.getCause).exists(_.getMessage.contains("_changes")))
+  }
+
+  test("streaming mirror: versions as offsets, checkpoint restart, T reseed") {
+    import graft.sources.JdbcSync
+    spark
+    val r = ops.Sources.stage("lakesrc_cdf/stream")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    Sync.enableCdf(spark, r)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(4, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    val db = ops.Sources.stage("lakesrc_cdf/streamdb")
+    val cfg = JdbcSync.JdbcConfig(
+      url = s"jdbc:derby:$db;create=true", table = "MIRROR_T",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    JdbcSync.writeTable(
+      proj.limit(0).select(proj.columns.toSeq
+        .map(c => col(c).as(c.toUpperCase)): _*),
+      cfg, org.apache.spark.sql.SaveMode.Overwrite)
+    JdbcSync.ensureKeyIndex(cfg, Seq(key.toUpperCase))
+    val ck = ops.Sources.stage("lakesrc_cdf/stream_ck")
+    def mirrored = JdbcSync.readTable(spark, cfg, None)
+      .select(proj.columns.toSeq
+        .map(c => col(c.toUpperCase).as(c)): _*)
+    def lakeLive = {
+      val (v, _) = Sync.readPublished(spark, r)
+      Sync.readVersionLogical(spark, s"$r/$v", key)
+    }
+    // phase 1: bootstrap from v1's I feed (startingVersion 0)
+    val q1 = graft.sync.LakeToJdbc.mirrorStream(spark, r, key, cfg, ck)
+    try {
+      q1.processAllAvailable()
+      sameContent(mirrored, lakeLive)
+      // phase 2: live mutations stream through while the query runs
+      val hi = proj.agg(max(col(key))).collect()(0).getLong(0)
+      val batch = proj.filter(col(key) % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+        .withColumn("op", lit("U"))
+        .unionByName(proj.filter(col(key) % 17 === 0 && col(key) % 9 =!= 0)
+          .withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      assert(Sync.cowApplyChanges(spark, r, 1, 2, key, batch).published)
+      assert(Sync.dvDelete(spark, r, 2, 3, key,
+        proj.filter(col(key) % 23 === 0 && col(key) % 17 =!= 0 &&
+          col(key) % 9 =!= 0).select(col(key))).published)
+      q1.processAllAvailable()
+      sameContent(mirrored, lakeLive)
+    } finally q1.stop()
+    // phase 3: mutations while the mirror is DOWN, then restart from
+    // the checkpoint — only the missed versions replay
+    assert(Sync.appendPublish(spark, r, key,
+      proj.filter(col(key) % 29 === 0)
+        .withColumn(key, col(key) + 50000000L),
+      overwrite = false))
+    val q2 = graft.sync.LakeToJdbc.mirrorStream(spark, r, key, cfg, ck)
+    try {
+      q2.processAllAvailable()
+      sameContent(mirrored, lakeLive)
+      // phase 4: INSERT OVERWRITE publishes a T reseed; the mirror
+      // truncates and converges on the tiny new snapshot
+      assert(Sync.appendPublish(spark, r, key,
+        proj.filter(col(key) % 41 === 0), overwrite = true))
+      q2.processAllAvailable()
+      sameContent(mirrored, lakeLive)
+      assert(mirrored.count() === proj.filter(col(key) % 41 === 0).count())
+    } finally q2.stop()
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
