@@ -338,6 +338,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
       val rnd = new scala.util.Random(90210L + seed)
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_mixfz$seed").toString + "/lake"
+      ops.Sync.enableCdf(spark, root)
       assert(ops.Sync.publish(spark,
         proj0.repartitionByRange(5, col("o_orderkey"))
           .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty))
@@ -367,9 +368,32 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
         sameSet(viaConnector, exp, s"seed $seed step $step [$what]: " +
           "DSv2 connector read diverged from the algebraic twin")
       }
+      // fourth arm (Y55): EVERY minted version's on-write feed replays
+      // the previous logical state to the new one — layout moves via
+      // their empty feeds, mutations via their staged deltas. The walk
+      // never overwrites, so T cannot appear.
+      def checkFeed(prev: Int, what: String): Unit = {
+        val fd = spark.read
+          .parquet(s"$root/v$cur/_changes").cache()
+        assert(fd.filter(col("op") === "T").isEmpty)
+        val prevL = logicalAt(root, prev)
+        val curCols = logicalAt(root, cur).columns.toSeq
+        val prevAligned = curCols.foldLeft(prevL)((df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast("double")))
+        val replayed = prevAligned
+          .join(fd.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(fd.filter(col("op") =!= "D")
+            .select(curCols.map(col).toIndexedSeq: _*))
+        sameSet(replayed,
+          logicalAt(root, cur).select(curCols.map(col).toIndexedSeq: _*),
+          s"seed $seed step $step [$what]: the on-write feed does not " +
+            "replay the previous logical state to the new one")
+        fd.unpersist()
+      }
       for (_ <- 1 to 6) {
         step += 1
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // CDC cow apply (double weight)
             val dm = Seq(3, 5, 7)(rnd.nextInt(3))
             val d0 = lo + (span / 10) * rnd.nextInt(8)
@@ -407,6 +431,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
                   Seq("o_orderkey"), "left_anti")
                 .unionByName(latest.filter(col("op") =!= "D").drop("op"))
               checkState("cdc")
+              checkFeed(prev, "cdc")
               // CDF closure against whatever MOR/evolution state holds
               val ch = ops.Sync.lakeChanges(spark, root, prev, cur,
                 "o_orderkey").changes.cache()
@@ -436,6 +461,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
               cur += 1
               expected = expected.join(dv, Seq("o_orderkey"), "left_anti")
               checkState("mor")
+              checkFeed(cur - 1, "mor")
             }
           case 3 => // incremental compaction — pure layout, state fixed
             val bytes = fsRoot.listStatus(
@@ -448,6 +474,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
             assert(rep.published, s"seed $seed step $step: compact refused")
             cur += 1
             checkState("compact")
+            checkFeed(cur - 1, "compact")
           case 4 => // metadata-only evolution (once per walk)
             if (evolvedCol.isEmpty) {
               val name = s"x_evo$seed"
@@ -459,12 +486,43 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
               expected = expected.withColumn(name,
                 lit(null).cast("double"))
               checkState("evolve")
+              checkFeed(cur - 1, "evolve")
             }
           case 5 => // retention GC — current + window must stay whole
             val rep = ops.Sync.gcPublished(spark, root, keepPrevious = 2)
             assert(!rep.deleted.contains(s"v$cur"),
               s"seed $seed step $step: GC reaped the live version")
             checkState("gc")
+          case 6 => // SQL-DML append (y47): absent keys only — fresh
+            // frontier keys plus keys earlier moves deleted (cow) or
+            // ghosted (MOR DV — exercising the collision fold)
+            val m = Seq(6, 8, 9)(rnd.nextInt(3))
+            val dataCols = expected.columns.toSeq
+              .filterNot(_ == evolvedCol.getOrElse(""))
+            val candidates = proj0
+              .filter(col("o_orderkey") % m === rnd.nextInt(m))
+              .select(dataCols.map(col).toIndexedSeq: _*)
+            val fresh = candidates.limit(40)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + hi + step * 77000000L)
+            val inc0 = candidates.unionByName(fresh)
+              .join(expected.select("o_orderkey"), Seq("o_orderkey"),
+                "left_anti")
+            val inc = evolvedCol.fold(inc0)(c =>
+              inc0.withColumn(c, lit(null).cast("double")))
+              .select(expected.columns.map(col).toIndexedSeq: _*)
+              .cache()
+            if (inc.head(1).isEmpty) { inc.unpersist() }
+            else {
+              assert(ops.Sync.appendPublish(spark, root, "o_orderkey",
+                inc, overwrite = false),
+                s"seed $seed step $step: append refused")
+              cur += 1
+              expected = expected.unionByName(inc)
+              checkState("append")
+              checkFeed(cur - 1, "append")
+              inc.unpersist()
+            }
         }
       }
       // end-of-walk: the MOR view equals the twin too
