@@ -67,6 +67,12 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *  - STATISTICS (`SupportsReportStatistics`): size/row counts of the
   *    PRUNED file set from the manifest, so AQE and join planning see a
   *    post-pruning size (a span-pruned fact side can broadcast).
+  *  - PARTITIONED VERSIONS (y49): `part=` subdirs are detected at load
+  *    time; pushed equality/IN filters on the partition column prune
+  *    whole partitions BEFORE key spans (the standard 100 TB fact
+  *    layout reads one day, not all of them), and the partition column
+  *    — absent from the data files — materializes as a constant vector
+  *    per file, never decoded, never stored.
   *
   * Local-mode stand-in, disclosed: readers open files with a default
   * Hadoop `Configuration` (local/HDFS-default FS); a cluster deployment
@@ -85,10 +91,15 @@ class LakeSource extends TableProvider with DataSourceRegister {
 }
 
 /** A resolved, immutable (version, schema, file set) snapshot — all the
-  * driver-side metadata a scan needs, captured once at load time. */
+  * driver-side metadata a scan needs, captured once at load time.
+  * `partCol` is set for Y49 partitioned versions: file names are then
+  * RELATIVE (`part=<v>/part-*.parquet`), each file carries its
+  * partition value, and the partition column — absent from the data
+  * files — materializes in the reader as a constant vector. */
 final case class LakeRef(root: String, version: String, dir: String,
     schema: StructType, key: Option[String],
-    files: Seq[LakeRef.FileStat], dvPath: Option[String]) {
+    files: Seq[LakeRef.FileStat], dvPath: Option[String],
+    partCol: Option[String]) {
   def keyType: Option[DataType] =
     key.flatMap(k => schema.fields.find(_.name.equalsIgnoreCase(k))
       .map(_.dataType))
@@ -97,9 +108,11 @@ final case class LakeRef(root: String, version: String, dir: String,
 object LakeRef {
   /** One data file with its manifest span. `kmin`/`kmax` are None when
     * the version has no `_file_stats` (or the file holds only null
-    * keys) — such files are never pruned. */
+    * keys) — such files are never pruned. `part` is the partition
+    * value's path rendering (Y49 layouts only). */
   final case class FileStat(name: String, kmin: Option[Any],
-      kmax: Option[Any], rows: Long, bytes: Long)
+      kmax: Option[Any], rows: Long, bytes: Long,
+      part: Option[String] = None)
 
   def resolve(options: CaseInsensitiveStringMap): LakeRef = {
     val root = Option(options.get("path")).getOrElse(
@@ -123,6 +136,8 @@ object LakeRef {
       throw new IllegalStateException(
         s"graftlake: version dir $dir does not exist — never published, " +
           "or reaped by retention GC (pin it with a reader lease)")
+    // versionSchema goes through Spark's reader, so a partitioned
+    // version's schema already includes the inferred partition column
     val schema = Sync.versionSchema(spark, dir)
     val dvPath =
       if (fs.exists(new Path(s"$dir/_deletes"))) Some(s"$dir/_deletes")
@@ -131,22 +146,42 @@ object LakeRef {
       throw new IllegalArgumentException(
         s"graftlake: $dir carries a deletion vector; option 'key' is " +
           "required so the reader can subtract it (or dvFold the version)")
-    val statuses = fs.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val sizes = statuses.map(st => st.getPath.getName -> st.getLen).toMap
+    val partDirs = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val partCol = partDirs.headOption
+      .map(_.getPath.getName.split("=", 2)(0))
+    // (relative name, partition value, size) per data file
+    val statuses: Seq[(String, Option[String], Long)] = partCol match {
+      case None =>
+        fs.listStatus(new Path(dir)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => (st.getPath.getName, None, st.getLen))
+      case Some(_) =>
+        partDirs.flatMap { pd =>
+          val pv = pd.getPath.getName.split("=", 2)(1)
+          fs.listStatus(pd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.startsWith("part-"))
+            .map(st => (s"${pd.getPath.getName}/${st.getPath.getName}",
+              Some(pv), st.getLen))
+        }
+    }
     // The manifest is one tiny row per data file (bounded by file
     // count, the same driver-side budget every cow/compaction path
-    // already spends); spans type as the key column.
+    // already spends); spans type as the key column, `file` is the
+    // relative name in both flat and partitioned layouts.
     val spans: Map[String, (Option[Any], Option[Any], Long)] =
       if (!fs.exists(new Path(s"$dir/_file_stats"))) Map.empty
       else spark.read.parquet(s"$dir/_file_stats").collect().map { r =>
-        r.getString(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3))
+        r.getAs[String]("file") ->
+          (Option(r.getAs[Any]("kmin")), Option(r.getAs[Any]("kmax")),
+            r.getAs[Long]("n_rows"))
       }.toMap
-    val files = statuses.map(_.getPath.getName).sorted.map { n =>
+    val files = statuses.sortBy(_._1).map { case (n, pv, len) =>
       val (lo, hi, rows) = spans.getOrElse(n, (None, None, -1L))
-      FileStat(n, lo, hi, rows, sizes(n))
+      FileStat(n, lo, hi, rows, len, pv)
     }
-    LakeRef(root, vName, dir, schema, key, files, dvPath)
+    LakeRef(root, vName, dir, schema, key, files, dvPath, partCol)
   }
 }
 
@@ -230,6 +265,25 @@ private object SpanPrune {
     case _ => false
   }
 
+  /** Partition-column filters prune on the manifest's path-rendered
+    * value — equality shapes only (range semantics on a string
+    * rendering would silently mis-prune numerics). */
+  def partPrunable(f: Filter, partCol: String): Boolean = f match {
+    case EqualTo(a, _) => a.equalsIgnoreCase(partCol)
+    case In(a, vs) => a.equalsIgnoreCase(partCol) && vs.nonEmpty
+    case _ => false
+  }
+
+  def mayMatchPart(file: LakeRef.FileStat, f: Filter): Boolean =
+    file.part match {
+      case Some(pv) => f match {
+        case EqualTo(_, v) => v != null && pv == v.toString
+        case In(_, vs) => vs.exists(v => v != null && pv == v.toString)
+        case _ => true
+      }
+      case None => true
+    }
+
   /** May `file` contain a row passing `f`? (true = keep the file) */
   def mayMatch(file: LakeRef.FileStat, f: Filter): Boolean =
     (file.kmin, file.kmax) match {
@@ -257,12 +311,11 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = ref.key match {
-      case Some(k) => filters.filter(SpanPrune.prunable(_, k))
-      case None => Array.empty
-    }
-    // span pruning is file-level: every filter is handed back so Spark
-    // re-evaluates row-exact semantics above the scan
+    pushed = filters.filter(f =>
+      ref.key.exists(SpanPrune.prunable(f, _)) ||
+        ref.partCol.exists(SpanPrune.partPrunable(f, _)))
+    // span/partition pruning is file-level: every filter is handed
+    // back so Spark re-evaluates row-exact semantics above the scan
     filters
   }
 
@@ -271,15 +324,23 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
   override def build(): Scan = new LakeScan(ref, required, pushed)
 }
 
-final case class LakeFilePartition(path: String, rows: Long)
-    extends InputPartition
+final case class LakeFilePartition(path: String, rows: Long,
+    partValue: Option[String] = None) extends InputPartition
 
 final class LakeScan(ref: LakeRef, required: StructType,
     pushed: Array[Filter]) extends Scan with Batch
     with SupportsReportStatistics {
 
   private val pruned: Seq[LakeRef.FileStat] =
-    ref.files.filter(f => pushed.forall(SpanPrune.mayMatch(f, _)))
+    ref.files.filter { f =>
+      pushed.forall { p =>
+        val keyOk = if (ref.key.exists(SpanPrune.prunable(p, _)))
+          SpanPrune.mayMatch(f, p) else true
+        val partOk = if (ref.partCol.exists(SpanPrune.partPrunable(p, _)))
+          SpanPrune.mayMatchPart(f, p) else true
+        keyOk && partOk
+      }
+    }
 
   override def readSchema(): StructType = required
 
@@ -294,11 +355,11 @@ final class LakeScan(ref: LakeRef, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     pruned.map(f =>
-      LakeFilePartition(s"${ref.dir}/${f.name}", f.rows)).toArray
+      LakeFilePartition(s"${ref.dir}/${f.name}", f.rows, f.part)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required,
-      ref.key, ref.keyType, ref.dvPath, 4096)
+      ref.key, ref.keyType, ref.dvPath, 4096, ref.partCol)
 
   /** Post-pruning estimates from the manifest — what makes a span-
     * pruned scan broadcastable in the eyes of join planning. Row
@@ -313,8 +374,14 @@ final class LakeScan(ref: LakeRef, required: StructType,
 }
 
 final class LakeReaderFactory(required: StructType, key: Option[String],
-    keyType: Option[DataType], dvPath: Option[String], capacity: Int)
-    extends PartitionReaderFactory {
+    keyType: Option[DataType], dvPath: Option[String], capacity: Int,
+    partCol: Option[String] = None) extends PartitionReaderFactory {
+
+  private def constantsOf(p: InputPartition): Map[String, String] =
+    (partCol, p.asInstanceOf[LakeFilePartition].partValue) match {
+      case (Some(c), Some(v)) => Map(c -> v)
+      case _ => Map.empty
+    }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     dvPath.isEmpty
@@ -322,13 +389,14 @@ final class LakeReaderFactory(required: StructType, key: Option[String],
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
     new LakeColumnarReader(
-      p.asInstanceOf[LakeFilePartition].path, required, capacity)
+      p.asInstanceOf[LakeFilePartition].path, required, capacity,
+      constantsOf(p))
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = dvPath match {
     case Some(dv) =>
       new LakeMorRowReader(p.asInstanceOf[LakeFilePartition].path,
-        required, key.get, keyType.get, dv, capacity)
+        required, key.get, keyType.get, dv, capacity, constantsOf(p))
     case None => // row-wise view over the columnar reader
       val inner = createColumnarReader(p)
       new PartitionReader[InternalRow] {
@@ -370,6 +438,32 @@ private object LakeRead {
     r
   }
 
+  /** A constant vector for a Y49 partition value (its path rendering,
+    * parsed back to the column's inferred type — Hive's convention,
+    * including the null-partition sentinel). */
+  def constantVector(capacity: Int, dt: DataType, raw: String)
+      : ConstantColumnVector = {
+    import org.apache.spark.sql.types._
+    val c = new ConstantColumnVector(capacity, dt)
+    if (raw == "__HIVE_DEFAULT_PARTITION__") c.setNull()
+    else dt match {
+      case StringType =>
+        c.setUtf8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case LongType => c.setLong(raw.toLong)
+      case IntegerType => c.setInt(raw.toInt)
+      case ShortType => c.setShort(raw.toShort)
+      case DoubleType => c.setDouble(raw.toDouble)
+      case FloatType => c.setFloat(raw.toFloat)
+      case BooleanType => c.setBoolean(raw.toBoolean)
+      case DateType => c.setInt(java.time.LocalDate.parse(raw)
+        .toEpochDay.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"graftlake: partition column type $other is not supported")
+    }
+    c
+  }
+
   /** Load a version's deletion-vector keys into a per-task probe set.
     * The DV is delta-sized by the y40 contract (dvFold bounds growth);
     * the cap turns a silently melting executor into a loud instruction
@@ -402,14 +496,18 @@ private object LakeRead {
 
 /** Vectorized reader for one file: requested columns decode through
   * Spark's own parquet decoder; columns the file predates (y43
-  * evolution) surface as constant-null vectors; an empty projection
-  * (count(*), or a projection entirely of post-evolution columns)
+  * evolution) surface as constant-null vectors; a Y49 partition column
+  * (absent from data files by construction) surfaces as a constant
+  * vector carrying the file's partition value; an empty projection
+  * (count(*), or a projection entirely of constant columns)
   * short-circuits to footer-count batches with zero data IO. */
 final class LakeColumnarReader(path: String, required: StructType,
-    capacity: Int) extends PartitionReader[ColumnarBatch] {
+    capacity: Int, constants: Map[String, String] = Map.empty)
+    extends PartitionReader[ColumnarBatch] {
 
   private val present = LakeRead.fileFields(path)
-  private val readCols = required.fields.map(_.name).filter(present.contains)
+  private val readCols = required.fields.map(_.name)
+    .filter(n => present.contains(n) && !constants.contains(n))
 
   private val reader =
     if (readCols.isEmpty) null
@@ -422,8 +520,12 @@ final class LakeColumnarReader(path: String, required: StructType,
     val vecs = new Array[ColumnVector](required.length)
     var pi = 0
     required.fields.zipWithIndex.foreach { case (f, i) =>
-      if (present.contains(f.name)) { vecs(i) = inner.column(pi); pi += 1 }
-      else {
+      if (constants.contains(f.name))
+        vecs(i) = LakeRead.constantVector(capacity, f.dataType,
+          constants(f.name))
+      else if (present.contains(f.name)) {
+        vecs(i) = inner.column(pi); pi += 1
+      } else {
         val c = new ConstantColumnVector(capacity, f.dataType)
         c.setNull()
         vecs(i) = c
@@ -455,7 +557,8 @@ final class LakeColumnarReader(path: String, required: StructType,
   * query didn't ask for it. Rows are copied on emit — the batch
   * buffers are reused by the decoder and Spark may buffer rows. */
 final class LakeMorRowReader(path: String, required: StructType,
-    key: String, keyType: DataType, dvDir: String, capacity: Int)
+    key: String, keyType: DataType, dvDir: String, capacity: Int,
+    constants: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val hasKey = required.fields.exists(_.name.equalsIgnoreCase(key))
@@ -465,7 +568,8 @@ final class LakeMorRowReader(path: String, required: StructType,
   private val keyIdx =
     readSchema.fields.indexWhere(_.name.equalsIgnoreCase(key))
   private val dv = LakeRead.dvKeys(dvDir, key, keyType)
-  private val inner = new LakeColumnarReader(path, readSchema, capacity)
+  private val inner =
+    new LakeColumnarReader(path, readSchema, capacity, constants)
   private var it: java.util.Iterator[InternalRow] = _
   private var row: InternalRow = _
 

@@ -405,6 +405,43 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("partitioned version (y49): partition + span pruning, constant partition vectors") {
+    import graft.ops.PartLake
+    spark
+    val r = ops.Sources.stage("lakesrc_part/orders_p")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val proj = Tables.orders(spark, sf).select(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    assert(PartLake.publishPartitioned(spark,
+      proj.repartitionByRange(3, col(key)).sortWithinPartitions(key),
+      r, 1, "o_orderstatus", _.head(1).nonEmpty))
+    PartLake.writeFileStats(spark, s"$r/v1", key, "o_orderstatus")
+    val df = spark.read.format("graftlake")
+      .option("path", r).option("key", key).load()
+    // content law incl. the constant partition column
+    sameContent(df.select(proj.columns.map(col).toIndexedSeq: _*), proj)
+    // partition filter prunes to that partition's files
+    val all = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
+    val one = df.filter(col("o_orderstatus") === "F")
+    val onePlanned = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
+    assert(onePlanned < all && onePlanned > 0,
+      s"partition filter must prune files: $onePlanned vs $all")
+    sameContent(one.select(proj.columns.map(col).toIndexedSeq: _*),
+      proj.filter(col("o_orderstatus") === "F"))
+    // partition + key-span compose: a point lookup in one partition
+    val probe = proj.filter(col("o_orderstatus") === "F")
+      .agg(min(col(key))).collect()(0).getLong(0)
+    val pt = df.filter(col("o_orderstatus") === "F" && col(key) === probe)
+    val ptPlanned = pt.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
+    assert(ptPlanned <= onePlanned && ptPlanned < all)
+    assert(pt.count() === 1)
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
