@@ -441,6 +441,94 @@ object StreamOps {
         ()
       }
 
+  /** Y56: apply one `graftlake-cdf` micro-batch to a REPLICA lake —
+    * the kernel of continuous lake→lake replication. Exactly-once by
+    * the [[applyCdcBatch]] construction: replica version = batchId + 1
+    * (deterministic per checkpoint — a replayed batch finds its
+    * version already published and skips after healing the pointer);
+    * empty batches mint nothing, so version numbers may gap and the
+    * cow base is simply the highest existing version below the target.
+    * Batch content rules mirror [[graft.sync.LakeToJdbc.applyCdfBatch]]:
+    * multi-version batches collapse LATEST-WINS per key, and a `T`
+    * reseed sentinel (primary snapshot/overwrite) turns the batch into
+    * a fresh SNAPSHOT publish of the rows at/after it — the replica's
+    * version history is its own (batch-granular, reseeds flattened),
+    * but every published replica version is a consistent logical state
+    * and the LIVE one converges to the primary's. If the replica root
+    * is itself CDF-enabled, its publishes stage their own feeds —
+    * replication CHAINS. */
+  def applyFeedToLake(s: org.apache.spark.sql.SparkSession,
+      dstRoot: String, key: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dstRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val target = batchId.toInt + 1
+    val versions = (if (fs.exists(new Path(dstRoot)))
+        fs.listStatus(new Path(dstRoot)).toSeq else Seq.empty)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+    if (versions.contains(target)) {
+      val newest = versions.max
+      val (cur, _) = graft.ops.Sync.readPublished(s, dstRoot)
+      if (cur.stripPrefix("v").toInt < newest)
+        graft.ops.Sync.repoint(s, dstRoot, newest)
+      false
+    } else if (batch.isEmpty) false
+    else {
+      val tRow = batch.filter(col("op") === "T")
+        .agg(max(col("_commit_version"))).collect()(0)
+      val cut = if (tRow.isNullAt(0)) Long.MinValue else tRow.getLong(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col("_commit_version").desc)
+      val resolved = batch
+        .filter(col("op") =!= "T" && col("_commit_version") >= cut)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val published =
+        if (versions.isEmpty || cut > Long.MinValue) {
+          // bootstrap, or reseed: a fresh snapshot publish of the
+          // collapsed non-deleted rows (D rows net keys OUT of it)
+          val snap = resolved.filter(col("op") =!= "D")
+            .drop("op", "_commit_version")
+          val ok = graft.ops.Sync.publish(s,
+            snap.repartitionByRange(4, col(key))
+              .sortWithinPartitions(key),
+            dstRoot, target, _.head(1).nonEmpty)
+          if (ok)
+            graft.ops.Sync.writeFileStats(s, s"$dstRoot/v$target", key)
+          ok
+        } else {
+          val from = versions.filter(_ < target).max
+          graft.ops.Sync.cowApplyChanges(s, dstRoot, from, target, key,
+            resolved.withColumnRenamed("_commit_version", "version"))
+            .published
+        }
+      if (!published) throw new IllegalStateException(
+        s"applyFeedToLake: publish of $dstRoot/v$target refused — " +
+          s"failing batch $batchId so the stream retries instead of " +
+          "committing the checkpoint past lost changes")
+      true
+    }
+  }
+
+  /** The [[applyFeedToLake]] kernel bound to a `graftlake-cdf` stream.
+    * Caller binds the checkpoint:
+    * `lakeReplica(s, src, dst, "k").option("checkpointLocation", ck)
+    * .start()`. `startingVersion = 0` bootstraps the replica from the
+    * primary's v1 feed. */
+  def lakeReplica(s: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String, key: String) =
+    s.readStream.format("graftlake-cdf")
+      .option("path", srcRoot).option("startingVersion", 0L)
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFeedToLake(batch.sparkSession, dstRoot, key, batch, batchId)
+        ()
+      }
+
   def upsertToJdbc(changes: DataFrame, url: String, table: String,
                    driver: String,
                    dialect: graft.sync.MergeSql.Dialect = graft.sync.MergeSql.Derby) = {

@@ -442,6 +442,64 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(pt.count() === 1)
   }
 
+  test("lake-to-lake replication: CDF stream, restart, T reseed, replica consistency") {
+    spark
+    val src = ops.Sources.stage("lakesrc_repl/primary")
+    val dst = ops.Sources.stage("lakesrc_repl/replica")
+    val fsp = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(src, dst).foreach(p =>
+      fsp.delete(new org.apache.hadoop.fs.Path(p), true))
+    Sync.enableCdf(spark, src)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(4, col(key)).sortWithinPartitions(key),
+      src, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$src/v1", key)
+    val ck = ops.Sources.stage("lakesrc_repl/ck")
+    def liveOf(root: String) = {
+      val (v, _) = Sync.readPublished(spark, root)
+      Sync.readVersionLogical(spark, s"$root/$v", key)
+    }
+    val q1 = graft.streaming.StreamOps.lakeReplica(spark, src, dst, key)
+      .option("checkpointLocation", ck).start()
+    try {
+      q1.processAllAvailable()
+      sameContent(liveOf(dst), liveOf(src)) // bootstrap from v1's feed
+      // live mutations: cow + MOR delete
+      val batch = proj.filter(col(key) % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 3.0)
+        .withColumn("op", lit("U"))
+        .unionByName(proj.filter(col(key) % 14 === 0 && col(key) % 9 =!= 0)
+          .withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      assert(Sync.cowApplyChanges(spark, src, 1, 2, key, batch).published)
+      assert(Sync.dvDelete(spark, src, 2, 3, key,
+        proj.filter(col(key) % 25 === 0 && col(key) % 14 =!= 0 &&
+          col(key) % 9 =!= 0).select(col(key))).published)
+      q1.processAllAvailable()
+      sameContent(liveOf(dst), liveOf(src))
+    } finally q1.stop()
+    // mutate while the replica is down, restart from the checkpoint
+    assert(Sync.appendPublish(spark, src, key,
+      proj.filter(col(key) % 33 === 0)
+        .withColumn(key, col(key) + 70000000L), overwrite = false))
+    val q2 = graft.streaming.StreamOps.lakeReplica(spark, src, dst, key)
+      .option("checkpointLocation", ck).start()
+    try {
+      q2.processAllAvailable()
+      sameContent(liveOf(dst), liveOf(src))
+      // a primary overwrite reseeds the replica through the T sentinel
+      assert(Sync.appendPublish(spark, src, key,
+        proj.filter(col(key) % 51 === 0), overwrite = true))
+      q2.processAllAvailable()
+      sameContent(liveOf(dst), liveOf(src))
+      assert(liveOf(dst).count() ===
+        proj.filter(col(key) % 51 === 0).count())
+    } finally q2.stop()
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
