@@ -161,6 +161,16 @@ object PartLake {
         carried.schema).unionByName(carried)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$staging/_file_stats")
+    // Y55 feed on the partitioned path: the resolved batch, partition
+    // column included (a cross-partition move is its D+I pair here, so
+    // downstream consumers see exactly the two events row identity
+    // (partition, key) implies)
+    if (Sync.cdfEnabled(fs, root)) {
+      val logical = org.apache.spark.sql.types.StructType(
+        latest.drop("op", "version").schema.fields)
+      Sync.stageChanges(s, staging.toString, logical,
+        latest.drop("version"), toVersion)
+    }
     val ok = Sync.publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     val partOf = allFiles.toMap
     val touchedParts = affected.flatMap(partOf.get).distinct

@@ -500,6 +500,76 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("post-pruning statistics drive join planning: span-pruned scan broadcasts") {
+    // full lake joined to lineitem would sort-merge; a span-pruned
+    // slice reports a tiny size via SupportsReportStatistics, so the
+    // planner broadcasts it — the stats are load-bearing, not cosmetic
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val probe = Tables.orders(spark, sf)
+      .agg(min(col(key))).collect()(0).getLong(0)
+    val sliced = connector(1).filter(col(key) <= probe + 50)
+      .withColumnRenamed(key, "l_orderkey")
+    val joined = li.join(sliced, Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"span-pruned lake side must broadcast, got:\n$plan")
+  }
+
+  test("CDF planning is metadata-only: partitions == the window's feed files") {
+    val (r, _, _, _, _) = cdfLake("plan")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def feedFiles(v: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$r/v$v/_changes")).toSeq
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val expected = (2 to 3).map(feedFiles).sum
+    val df = spark.read.format("graftlake-cdf").option("path", r)
+      .option("startingVersion", 2).option("endingVersion", 3).load()
+    val planned = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
+    assert(planned === expected,
+      s"CDF must plan exactly the window's feed files: $planned vs $expected")
+  }
+
+  test("partitioned lake emits its feed too; replay law holds with the partition column") {
+    import graft.ops.PartLake
+    spark
+    val r = ops.Sources.stage("lakesrc_cdf/part")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    Sync.enableCdf(spark, r)
+    val proj = Tables.orders(spark, sf).select(
+      "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    assert(PartLake.publishPartitioned(spark,
+      proj.repartitionByRange(3, col(key)).sortWithinPartitions(key),
+      r, 1, "o_orderstatus", _.head(1).nonEmpty))
+    PartLake.writeFileStats(spark, s"$r/v1", key, "o_orderstatus")
+    val batch = proj.filter(col(key) % 8 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+      .withColumn("op", lit("U"))
+      .unionByName(proj.filter(col(key) % 19 === 0 && col(key) % 8 =!= 0)
+        .withColumn("op", lit("D")))
+      .withColumn("version", lit(1L))
+    assert(PartLake.cowApplyChanges(spark, r, 1, 2, key,
+      "o_orderstatus", batch).published)
+    // v1 snapshot feed carries the partition column; v2 feed = the batch
+    val feed = spark.read.format("graftlake-cdf").option("path", r).load()
+    assert(feed.schema.fieldNames.contains("o_orderstatus"))
+    assert(feed.filter(col("_commit_version") === 1L).count() ===
+      proj.count())
+    val v2 = feed.filter(col("_commit_version") === 2L)
+    assert(v2.count() === batch.count())
+    // replay: v1 content + v2 feed == v2 content
+    val v1c = spark.read.parquet(s"$r/v1")
+      .select(proj.columns.map(col).toIndexedSeq: _*)
+    val replayed = v1c.join(v2.select(col(key)), Seq(key), "left_anti")
+      .unionByName(v2.filter(col("op") =!= "D")
+        .select(proj.columns.map(col).toIndexedSeq: _*))
+    sameContent(replayed, spark.read.parquet(s"$r/v2")
+      .select(proj.columns.map(col).toIndexedSeq: _*))
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
