@@ -90,12 +90,38 @@ class LakeCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version))
 
-  /** `TIMESTAMP AS OF` arrives as epoch micros; versions are the lake's
-    * only clock, so refuse with the actionable alternative. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graftlake: TIMESTAMP AS OF is not supported — versions are the " +
-        "lake clock; use VERSION AS OF <n>")
+  /** `TIMESTAMP AS OF` (epoch micros): resolve the newest pointer
+    * generation COMMITTED at or before the timestamp and open the
+    * version it names — the commit clock is the generation file's
+    * mtime (the local-FS stand-in; an object-store pointer records the
+    * commit time in its body, same resolution logic). A timestamp
+    * predating the first commit refuses with the table's earliest
+    * commit time, mirroring Delta's contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val tableRoot = s"$root/${ident.name}"
+    val fs = new Path(tableRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tsMillis = timestamp / 1000L
+    val gens = graft.ops.Sync.pointerGenerations(fs, tableRoot)
+      .map { g =>
+        val p = new Path(f"$tableRoot/_ptr_gen_$g%05d")
+        (fs.getFileStatus(p).getModificationTime, p)
+      }
+    val committed = gens.filter(_._1 <= tsMillis)
+    if (committed.isEmpty) throw new IllegalStateException(
+      s"graftlake: no commit on ${ident.name} at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)}" +
+        gens.headOption.fold(" — the table has no pointer generations")(
+          g => s" — the earliest commit is " +
+            s"${java.time.Instant.ofEpochMilli(g._1)}"))
+    val p = committed.maxBy(_._1)._2
+    val in = fs.open(p)
+    val v =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    load(ident, Some(v))
+  }
 
   override def tableExists(ident: Identifier): Boolean = {
     val spark = SparkSession.active

@@ -23,6 +23,7 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     * v2 = v1 minus a DV ghost band (merge-on-read), v3 = v2 plus a
     * metadata-only `note` column. */
   private lazy val root: String = {
+    spark // force session init before Sources.stage's SparkSession.active
     val r = ops.Sources.stage("lakesrc_suite/orders_t")
     val fs = new org.apache.hadoop.fs.Path(r)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -570,6 +571,40 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       .select(proj.columns.map(col).toIndexedSeq: _*))
   }
 
+  test("runtime filtering (DPP analogue): a dimension join prunes lake files at execution") {
+    // nation keys (0..24) all land in the FIRST of the four clustered
+    // files; the region filter is on a NON-join column, so nothing is
+    // statically inferable onto the fact key — only the runtime filter
+    // (the dim's key values, pushed at execution) can prune files
+    val dim = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("k"), col("n_regionkey"))
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val fact = connector(1)
+      val joined = fact.join(dim.filter(col("n_regionkey") === 1),
+        fact(key) === dim("k"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan
+      val fin = plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = fin.collectLeaves()
+        .collect { case b: BatchScanExec => b }.head
+      assert(scan.toString.contains("RuntimeFilters: [dynamicpruning"),
+        s"expected a runtime filter on the lake scan:\n$fin")
+      // the surviving keys live in ONE of the four clustered files —
+      // the scan must not have decoded the table
+      val rows = scan.metrics("numOutputRows").value
+      val full = Tables.orders(spark, sf).count()
+      assert(rows < full / 2,
+        s"runtime filter must prune file reads: scanned $rows of $full")
+    } finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
@@ -592,8 +627,21 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE glake.orders_t")
     }
     assert(e.getMessage.toLowerCase.contains("read-only"))
-    intercept[Exception] {
-      spark.sql("SELECT * FROM glake.orders_t TIMESTAMP AS OF '2026-01-01'")
+    // TIMESTAMP AS OF: commit clock = pointer-generation mtime. v1/v2/
+    // v3 committed within this suite run, so "now" resolves the newest
+    // generation (v3, the live version) and a pre-epoch timestamp
+    // refuses with the earliest commit time.
+    val nowN = spark.sql(
+      "SELECT count(*) FROM glake.orders_t TIMESTAMP AS OF " +
+        "current_timestamp()").collect()(0).getLong(0)
+    val liveN2 = spark.sql("SELECT count(*) FROM glake.orders_t")
+      .collect()(0).getLong(0)
+    assert(nowN === liveN2)
+    val tsErr = intercept[Exception] {
+      spark.sql("SELECT * FROM glake.orders_t TIMESTAMP AS OF " +
+        "'1999-01-01'").collect()
     }
+    assert(tsErr.getMessage.contains("earliest commit") ||
+      Option(tsErr.getCause).exists(_.getMessage.contains("earliest commit")))
   }
 }
