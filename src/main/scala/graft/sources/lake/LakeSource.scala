@@ -244,8 +244,8 @@ final class LakeWriteBuilder(ref: LakeRef) extends WriteBuilder
   * sides are numeric (filter literals arrive as the narrowest JVM type
   * Catalyst chose, not necessarily the column's), else via Comparable
   * when classes match. */
-private object SpanPrune {
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+private[lake] object SpanPrune {
+  private[lake] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString)))
@@ -303,9 +303,11 @@ private object SpanPrune {
 }
 
 final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = ref.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -321,7 +323,98 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LakeScan(ref, required, pushed)
+  /** METADATA-ONLY AGGREGATES: an unfiltered COUNT(*) / MIN(key) /
+    * MAX(key) over a clean version is already answered by the
+    * manifest — row counts sum, spans fold — so the whole query costs
+    * zero data IO regardless of table size (the same trick Delta
+    * plays with its commit stats). Declined whenever exactness could
+    * slip: any filter (Spark only offers the pushdown when it kept no
+    * post-scan filters, but belt and braces), a deletion vector
+    * (counts/extremes would need the DV subtracted against actual
+    * content), a file without manifest rows, or a span the key-type
+    * comparison can't order. */
+  private def computeAgg(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.length == 1 &&
+          ref.key.exists(_.equalsIgnoreCase(nr.fieldNames()(0)))
+      case _ => false
+    }
+    if (a.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+        ref.dvPath.nonEmpty || ref.files.isEmpty) return None
+    val kType = ref.keyType
+    val cols = a.aggregateExpressions.toSeq.map {
+      case _: CountStar if ref.files.forall(_.rows >= 0) =>
+        Some((StructField("count_star", LongType),
+          ref.files.map(_.rows).sum: Any))
+      case m: Min if keyRef(m.column) && kType.nonEmpty &&
+          ref.files.forall(_.kmin.nonEmpty) =>
+        ref.files.flatMap(_.kmin).reduceLeftOption((x, y) =>
+          SpanPrune.cmp(x, y) match {
+            case Some(c) => if (c <= 0) x else y
+            case None => return None
+          }).map(v => (StructField("min_key", kType.get), v))
+      case m: Max if keyRef(m.column) && kType.nonEmpty &&
+          ref.files.forall(_.kmax.nonEmpty) =>
+        ref.files.flatMap(_.kmax).reduceLeftOption((x, y) =>
+          SpanPrune.cmp(x, y) match {
+            case Some(c) => if (c >= 0) x else y
+            case None => return None
+          }).map(v => (StructField("max_key", kType.get), v))
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.flatten.map(_._1)), cols.flatten.map(_._2)))
+  }
+
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeAgg(a).isDefined
+
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = computeAgg(a)
+    aggResult.nonEmpty
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new LakeAggScan(ref, schema, values)
+    case None => new LakeScan(ref, required, pushed)
+  }
+}
+
+/** The one-row scan a fully-pushed manifest aggregate resolves to. */
+final class LakeAggScan(ref: LakeRef, out: StructType,
+    values: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"graftlake ${ref.root} @ ${ref.version}, " +
+      s"PushedAggregates (manifest-only): ${out.fieldNames.mkString(", ")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeFilePartition("<manifest>", 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val row = values.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(row.toArray)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 final case class LakeFilePartition(path: String, rows: Long,

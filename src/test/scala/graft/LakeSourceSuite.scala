@@ -605,6 +605,30 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       "spark.sql.optimizer.dynamicPartitionPruning.useStats")
   }
 
+  test("manifest-only aggregate pushdown: count/min/max answer without data IO") {
+    val aggDf = connector(1)
+      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"),
+        max(col(key)).as("hi"))
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates (manifest-only)"),
+      s"expected the manifest to answer the aggregate:\n$plan")
+    val got = aggDf.collect()(0)
+    val exp = Tables.orders(spark, sf)
+      .agg(count(lit(1)), min(col(key)), max(col(key))).collect()(0)
+    assert(got.getLong(0) === exp.getLong(0))
+    assert(got.getLong(1) === exp.getLong(1))
+    assert(got.getLong(2) === exp.getLong(2))
+    // declined whenever exactness could slip: a DV version or a filter
+    val dvPlan = connector(2).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!dvPlan.contains("manifest-only"))
+    assert(connector(2).agg(count(lit(1))).collect()(0).getLong(0) ===
+      Sync.readVersionLogical(spark, s"$root/v2", key).count())
+    val filtered = connector(1).filter(col(key) > 10)
+    assert(!filtered.agg(count(lit(1))).queryExecution.executedPlan
+      .toString.contains("manifest-only"))
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
