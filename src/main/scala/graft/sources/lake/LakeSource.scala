@@ -304,10 +304,25 @@ private[lake] object SpanPrune {
 
 final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = ref.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT trims the PLANNED FILE SET: any N files whose manifest rows
+    * already cover the limit satisfy an unordered LIMIT, so a
+    * `LIMIT 10` on a million-file table plans one file. Partial
+    * pushdown — Spark still applies the row-exact limit above; the
+    * connector only refuses to read files that cannot matter. Declined
+    * under a DV (a file's logical rows < its manifest rows) or a
+    * missing row count. */
+  override def pushLimit(n: Int): Boolean = {
+    if (ref.dvPath.nonEmpty || ref.files.exists(_.rows < 0)) false
+    else { limit = Some(n); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -385,7 +400,7 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new LakeAggScan(ref, schema, values)
-    case None => new LakeScan(ref, required, pushed)
+    case None => new LakeScan(ref, required, pushed, limit)
   }
 }
 
@@ -421,8 +436,8 @@ final case class LakeFilePartition(path: String, rows: Long,
     partValue: Option[String] = None) extends InputPartition
 
 final class LakeScan(ref: LakeRef, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch
-    with SupportsReportStatistics
+    pushed: Array[Filter], limit: Option[Int] = None) extends Scan
+    with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   /** Runtime (DPP-style) filters: a join against this table can push
@@ -446,8 +461,8 @@ final class LakeScan(ref: LakeRef, required: StructType,
       ref.key.exists(SpanPrune.prunable(f, _)) ||
         ref.partCol.exists(SpanPrune.partPrunable(f, _)))
 
-  private def pruned: Seq[LakeRef.FileStat] =
-    ref.files.filter { f =>
+  private def pruned: Seq[LakeRef.FileStat] = {
+    val filtered = ref.files.filter { f =>
       (pushed ++ runtime).forall { p =>
         val keyOk = if (ref.key.exists(SpanPrune.prunable(p, _)))
           SpanPrune.mayMatch(f, p) else true
@@ -456,6 +471,17 @@ final class LakeScan(ref: LakeRef, required: StructType,
         keyOk && partOk
       }
     }
+    limit match {
+      case Some(n) =>
+        // keep files until the manifest rows cover the limit (pushLimit
+        // already refused DVs and unknown counts, so rows are exact)
+        var need = n.toLong
+        filtered.takeWhile { f =>
+          val take = need > 0; need -= f.rows; take
+        }
+      case None => filtered
+    }
+  }
 
   override def readSchema(): StructType = required
 

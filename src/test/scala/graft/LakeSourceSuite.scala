@@ -629,6 +629,22 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       .toString.contains("manifest-only"))
   }
 
+  test("limit pushdown trims the planned file set (partial — Spark keeps row exactness)") {
+    val df = connector(1).limit(10)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitions.flatten.size === 1,
+      "LIMIT 10 over 4 clustered files must plan one file")
+    assert(df.count() === 10)
+    // declined on a DV version (logical rows < manifest rows) — the
+    // limit still lands row-exact through the normal path
+    val dvScan = connector(2).limit(10).queryExecution.executedPlan
+      .collectLeaves().collect { case b: BatchScanExec => b }.head
+    assert(dvScan.partitions.flatten.size > 1)
+    assert(connector(2).limit(10).count() === 10)
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
