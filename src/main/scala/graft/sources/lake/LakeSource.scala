@@ -472,14 +472,17 @@ final class LakeScan(ref: LakeRef, required: StructType,
       }
     }
     limit match {
-      case Some(n) =>
-        // keep files until the manifest rows cover the limit (pushLimit
-        // already refused DVs and unknown counts, so rows are exact)
+      // Spark only pushes a limit when no post-scan filter sits above
+      // the relation (and we hand every filter back, so one always
+      // does) — but guard anyway: with ANY filter in play a file's
+      // MATCHING rows can be fewer than its manifest rows, and
+      // trimming by total counts could under-return.
+      case Some(n) if pushed.isEmpty && runtime.isEmpty =>
         var need = n.toLong
         filtered.takeWhile { f =>
           val take = need > 0; need -= f.rows; take
         }
-      case None => filtered
+      case _ => filtered
     }
   }
 
