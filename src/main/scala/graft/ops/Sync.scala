@@ -1632,6 +1632,30 @@ object Sync {
     }
   }
 
+  /** The live group pointer as (table → version) — the resolution half
+    * of [[readPublishedGroup]], for consumers that plan their own read
+    * (the SQL catalog's group mode). */
+  private[graft] def groupPointerVersions(s: SparkSession, root: String)
+      : Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    readGroupPointer(
+      new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration),
+      root)
+  }
+
+  /** A PINNED group generation as (table → version). Generation files
+    * are immutable, so every resolution against the same `gen` returns
+    * the same map forever — the cross-table snapshot-isolation token. */
+  private[graft] def groupGenVersions(s: SparkSession, root: String,
+      gen: Int): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = new Path(f"$root/_group_gen_$gen%05d")
+    require(fs.exists(p), s"groupGenVersions: no generation $gen under " +
+      s"$root (have ${groupGenerations(fs, root).mkString(",")})")
+    parseGroup(readTextFile(fs, p))
+  }
+
   private[graft] def publishGroup(s: SparkSession, root: String,
       tables: Seq[(String, DataFrame)], version: Int,
       validate: DataFrame => Boolean): Boolean = {

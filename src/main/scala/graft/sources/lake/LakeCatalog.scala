@@ -61,8 +61,31 @@ class LakeCatalog extends TableCatalog {
   private def keyFor(table: String): Option[String] =
     Option(options.get(s"key.$table")).orElse(Option(options.get("key")))
 
+  /** Y44 GROUP MODE (`group=true`): table versions resolve from the
+    * ONE group pointer instead of per-table pointers, so SQL sees the
+    * same cross-table generation a `readPublishedGroup` caller would.
+    * Pinning `groupGen=<n>` makes that resolution IMMUTABLE: every
+    * `loadTable` of every member — across however many queries — lands
+    * on generation n's snapshot, which is the only way a multi-table
+    * SQL query (or a whole session) gets true cross-table snapshot
+    * isolation when publishers keep committing; the live group mode
+    * re-resolves per table-load, which is per-table-torn-free but can
+    * straddle a group commit between two loads. */
+  private def groupMode: Boolean =
+    Option(options.get("group")).exists(_.toBoolean)
+
+  private def groupVersions(spark: SparkSession): Map[String, Int] =
+    Option(options.get("groupGen")) match {
+      case Some(g) =>
+        graft.ops.Sync.groupGenVersions(spark, root, g.toInt)
+      case None => graft.ops.Sync.groupPointerVersions(spark, root)
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
+    if (groupMode)
+      return groupVersions(spark).keys.toArray.sorted
+        .map(Identifier.of(namespace, _))
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Array.empty
@@ -73,8 +96,15 @@ class LakeCatalog extends TableCatalog {
   private def load(ident: Identifier, version: Option[String]): Table = {
     val spark = SparkSession.active
     val tableRoot = s"$root/${ident.name}"
+    val resolved = version.orElse {
+      if (!groupMode) None
+      else groupVersions(spark).get(ident.name) match {
+        case Some(v) => Some(s"v$v")
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     try new LakeTable(LakeRef.resolve(
-      spark, tableRoot, version, keyFor(ident.name)))
+      spark, tableRoot, resolved, keyFor(ident.name)))
     catch {
       case e: IllegalStateException if version.isEmpty =>
         // unpublished dir → the SQL-standard "no such table", so

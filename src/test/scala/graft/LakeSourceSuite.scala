@@ -645,6 +645,51 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(connector(2).limit(10).count() === 10)
   }
 
+  test("group catalog (y44): cross-table SQL from one pointer; pinned generation is immutable") {
+    spark
+    val r = ops.Sources.stage("lakesrc_grp")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    assert(Sync.publishGroup(spark, r,
+      Seq("orders_g" -> o, "cust_g" -> c), 1, _.head(1).nonEmpty))
+    spark.conf.set("spark.sql.catalog.glakeg",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glakeg.root", r)
+    spark.conf.set("spark.sql.catalog.glakeg.group", "true")
+    val joined = spark.sql(
+      """SELECT c.c_mktsegment, count(*) AS n
+        |FROM glakeg.orders_g o JOIN glakeg.cust_g c
+        |  ON o.o_custkey = c.c_custkey GROUP BY 1""".stripMargin)
+    val expected = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    sameContent(joined, expected
+      .select(col("c_mktsegment"), col("count").as("n")))
+    // generation 2 mutates orders only; the live group follows, a
+    // pinned generation does not
+    assert(Sync.publishGroup(spark, r,
+      Seq("orders_g" -> o.filter(col(key) % 2 === 0)), 2,
+      _.head(1).nonEmpty))
+    val liveN = spark.sql("SELECT count(*) FROM glakeg.orders_g")
+      .collect()(0).getLong(0)
+    assert(liveN === o.filter(col(key) % 2 === 0).count())
+    spark.conf.set("spark.sql.catalog.glakegp",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glakegp.root", r)
+    spark.conf.set("spark.sql.catalog.glakegp.group", "true")
+    spark.conf.set("spark.sql.catalog.glakegp.groupGen", "1")
+    val pinnedN = spark.sql("SELECT count(*) FROM glakegp.orders_g")
+      .collect()(0).getLong(0)
+    assert(pinnedN === o.count())
+    // a table outside the group refuses as missing
+    intercept[Exception] {
+      spark.sql("SELECT * FROM glakeg.not_a_member").collect()
+    }
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
