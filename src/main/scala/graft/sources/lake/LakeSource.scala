@@ -308,7 +308,7 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = ref.schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
   private var limit: Option[Int] = None
 
   /** LIMIT trims the PLANNED FILE SET: any N files whose manifest rows
@@ -350,7 +350,7 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
     * comparison can't order. */
   private def computeAgg(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -360,31 +360,82 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
           ref.key.exists(_.equalsIgnoreCase(nr.fieldNames()(0)))
       case _ => false
     }
-    if (a.groupByExpressions.nonEmpty || pushed.nonEmpty ||
-        ref.dvPath.nonEmpty || ref.files.isEmpty) return None
-    val kType = ref.keyType
-    val cols = a.aggregateExpressions.toSeq.map {
-      case _: CountStar if ref.files.forall(_.rows >= 0) =>
-        Some((StructField("count_star", LongType),
-          ref.files.map(_.rows).sum: Any))
-      case m: Min if keyRef(m.column) && kType.nonEmpty &&
-          ref.files.forall(_.kmin.nonEmpty) =>
-        ref.files.flatMap(_.kmin).reduceLeftOption((x, y) =>
-          SpanPrune.cmp(x, y) match {
-            case Some(c) => if (c <= 0) x else y
-            case None => return None
-          }).map(v => (StructField("min_key", kType.get), v))
-      case m: Max if keyRef(m.column) && kType.nonEmpty &&
-          ref.files.forall(_.kmax.nonEmpty) =>
-        ref.files.flatMap(_.kmax).reduceLeftOption((x, y) =>
-          SpanPrune.cmp(x, y) match {
-            case Some(c) => if (c >= 0) x else y
-            case None => return None
-          }).map(v => (StructField("max_key", kType.get), v))
-      case _ => None
+    // grouping: none, or exactly the partition column (Y49) — then the
+    // manifest's per-file partition values key the fold and the result
+    // is one row per partition, still zero data IO ("rows per day" on
+    // a date-partitioned fact is THE warehouse metadata query)
+    val groupByPart = a.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(e: org.apache.spark.sql.connector.expressions.NamedReference)
+        if e.fieldNames.length == 1 &&
+          ref.partCol.exists(_.equalsIgnoreCase(e.fieldNames()(0))) => true
+      case _ => return None
     }
-    if (cols.exists(_.isEmpty)) None
-    else Some((StructType(cols.flatten.map(_._1)), cols.flatten.map(_._2)))
+    if (pushed.nonEmpty || ref.dvPath.nonEmpty || ref.files.isEmpty)
+      return None
+    if (groupByPart && ref.files.exists(_.part.isEmpty)) return None
+    val kType = ref.keyType
+    val groups: Seq[(Option[String], Seq[LakeRef.FileStat])] =
+      if (groupByPart)
+        ref.files.groupBy(_.part).toSeq.sortBy(_._1.getOrElse(""))
+      else Seq((None, ref.files))
+    def foldGroup(files: Seq[LakeRef.FileStat])
+        : Option[Seq[(StructField, Any)]] = {
+      val cols = a.aggregateExpressions.toSeq.map {
+        case _: CountStar if files.forall(_.rows >= 0) =>
+          Some((StructField("count_star", LongType),
+            files.map(_.rows).sum: Any))
+        case m: Min if keyRef(m.column) && kType.nonEmpty &&
+            files.forall(_.kmin.nonEmpty) =>
+          files.flatMap(_.kmin).reduceLeftOption((x, y) =>
+            SpanPrune.cmp(x, y) match {
+              case Some(c) => if (c <= 0) x else y
+              case None => return None
+            }).map(v => (StructField("min_key", kType.get), v))
+        case m: Max if keyRef(m.column) && kType.nonEmpty &&
+            files.forall(_.kmax.nonEmpty) =>
+          files.flatMap(_.kmax).reduceLeftOption((x, y) =>
+            SpanPrune.cmp(x, y) match {
+              case Some(c) => if (c >= 0) x else y
+              case None => return None
+            }).map(v => (StructField("max_key", kType.get), v))
+        case _ => None
+      }
+      if (cols.exists(_.isEmpty)) None else Some(cols.flatten)
+    }
+    val folded = groups.map { case (pv, files) =>
+      foldGroup(files).map(cols => (pv, cols))
+    }
+    if (folded.exists(_.isEmpty)) return None
+    val rows = folded.flatten
+    val aggFields = rows.head._2.map(_._1)
+    val partType = ref.partCol.flatMap(c =>
+      ref.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    val schema =
+      if (groupByPart)
+        StructType(StructField(ref.partCol.get, partType.get) +: aggFields)
+      else StructType(aggFields)
+    // values per output row; partition values parse from their path
+    // rendering exactly as the constant-vector reader does
+    val out = rows.map { case (pv, cols) =>
+      val aggVals = cols.map(_._2)
+      if (groupByPart) {
+        val raw = pv.get
+        val v: Any =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else partType.get match {
+            case org.apache.spark.sql.types.StringType => raw
+            case org.apache.spark.sql.types.LongType => raw.toLong
+            case org.apache.spark.sql.types.IntegerType => raw.toInt
+            case org.apache.spark.sql.types.DoubleType => raw.toDouble
+            case org.apache.spark.sql.types.DateType =>
+              java.sql.Date.valueOf(raw)
+            case _ => return None
+          }
+        v +: aggVals
+      } else aggVals
+    }
+    Some((schema, out))
   }
 
   override def supportCompletePushDown(
@@ -404,28 +455,30 @@ final class LakeScanBuilder(ref: LakeRef) extends ScanBuilder
   }
 }
 
-/** The one-row scan a fully-pushed manifest aggregate resolves to. */
+/** The scan a fully-pushed manifest aggregate resolves to: one row
+  * (global fold) or one row per partition value (GROUP BY partCol). */
 final class LakeAggScan(ref: LakeRef, out: StructType,
-    values: Seq[Any]) extends Scan with Batch {
+    values: Seq[Seq[Any]]) extends Scan with Batch {
   override def readSchema(): StructType = out
   override def description(): String =
     s"graftlake ${ref.root} @ ${ref.version}, " +
-      s"PushedAggregates (manifest-only): ${out.fieldNames.mkString(", ")}"
+      s"PushedAggregates (manifest-only): ${out.fieldNames.mkString(", ")}" +
+      s", rows=${values.length}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(LakeFilePartition("<manifest>", 1))
+    Array(LakeFilePartition("<manifest>", values.length.toLong))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val row = values.map(
-      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst)
+    val rows = values.map(_.map(org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.convertToCatalyst).toArray)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var emitted = false
+          private val it = rows.iterator
+          private var row: Array[Any] = _
           override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow =
-            new GenericInternalRow(row.toArray)
+            if (it.hasNext) { row = it.next(); true } else false
+          override def get(): InternalRow = new GenericInternalRow(row)
           override def close(): Unit = ()
         }
     }

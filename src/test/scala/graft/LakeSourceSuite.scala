@@ -690,6 +690,34 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("GROUP BY partition aggregate answers per-partition from the manifest") {
+    import graft.ops.PartLake
+    spark
+    val r = ops.Sources.stage("lakesrc_part_agg/orders_pa")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val proj = Tables.orders(spark, sf).select(
+      "o_orderkey", "o_custkey", "o_orderstatus")
+    assert(PartLake.publishPartitioned(spark,
+      proj.repartitionByRange(3, col(key)).sortWithinPartitions(key),
+      r, 1, "o_orderstatus", _.head(1).nonEmpty))
+    PartLake.writeFileStats(spark, s"$r/v1", key, "o_orderstatus")
+    val df = spark.read.format("graftlake")
+      .option("path", r).option("key", key).load()
+    val agg = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), min(col(key)).as("lo"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates (manifest-only)"),
+      s"per-partition counts must come from the manifest:\n$plan")
+    sameContent(agg,
+      proj.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min(col(key)).as("lo")))
+    // grouping by a non-partition column declines
+    assert(!df.groupBy("o_custkey").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString.contains("manifest-only"))
+  }
+
   test("catalog: SQL reads, VERSION AS OF, read-only refusals") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake",
