@@ -108,9 +108,15 @@ class LakeCatalog extends TableCatalog {
     catch {
       case e: IllegalStateException if version.isEmpty =>
         // unpublished dir → the SQL-standard "no such table", so
-        // IF EXISTS / error reporting behave like any other catalog
-        throw new NoSuchTableException(ident)
-          .initCause(e).asInstanceOf[NoSuchTableException]
+        // IF EXISTS / error reporting behave like any other catalog.
+        // AnalysisException already initializes its cause slot (to
+        // null) in the constructor, so initCause would itself throw
+        // "Can't overwrite cause" and mask this path with an
+        // IllegalStateException; the original error rides along as a
+        // suppressed exception instead.
+        val nste = new NoSuchTableException(ident)
+        nste.addSuppressed(e)
+        throw nste
     }
   }
 

@@ -246,6 +246,11 @@ final class LakeWriteBuilder(ref: LakeRef) extends WriteBuilder
   * when classes match. */
 private[lake] object SpanPrune {
   private[lake] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    // null on either side: no ordering — callers' forall(...) keeps
+    // the file (conservative), and the null-literal shapes below
+    // never reach here. Matched FIRST because the class-equality
+    // guard would otherwise dereference a null side.
+    case (null, _) | (_, null) => None
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString)))
@@ -288,13 +293,18 @@ private[lake] object SpanPrune {
   def mayMatch(file: LakeRef.FileStat, f: Filter): Boolean =
     (file.kmin, file.kmax) match {
       case (Some(lo), Some(hi)) => f match {
+        // a null comparison value can never match a row (SQL: `k = NULL`
+        // is unknown, a NULL element of an IN list matches nothing), so
+        // `= NULL` prunes every file and In skips null elements — an
+        // `In(k, [1, NULL])` arrives legally from `WHERE k IN (1, NULL)`
+        case EqualTo(_, null) => false
         case EqualTo(_, v) =>
           cmp(lo, v).forall(_ <= 0) && cmp(v, hi).forall(_ <= 0)
         case GreaterThan(_, v) => cmp(hi, v).forall(_ > 0)
         case GreaterThanOrEqual(_, v) => cmp(hi, v).forall(_ >= 0)
         case LessThan(_, v) => cmp(lo, v).forall(_ < 0)
         case LessThanOrEqual(_, v) => cmp(lo, v).forall(_ <= 0)
-        case In(_, vs) => vs.exists(v =>
+        case In(_, vs) => vs.exists(v => v != null &&
           cmp(lo, v).forall(_ <= 0) && cmp(v, hi).forall(_ <= 0))
         case _ => true
       }

@@ -757,4 +757,44 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(tsErr.getMessage.contains("earliest commit") ||
       Option(tsErr.getCause).exists(_.getMessage.contains("earliest commit")))
   }
+
+  test("missing table surfaces the SQL-standard no-such-table error") {
+    val parent = new java.io.File(root).getParent
+    spark.conf.set("spark.sql.catalog.glake2",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.glake2.root", parent)
+    // the catch-and-translate path used to initCause a
+    // NoSuchTableException whose cause slot AnalysisException had
+    // already initialized — every missing-table lookup then died with
+    // "Can't overwrite cause" instead of the SQL error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM glake2.no_such_published_table").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"),
+      s"expected a no-such-table AnalysisException, got: ${e.getMessage}")
+    // the original refusal rides along for operators, suppressed
+    assert(e.getSuppressed.nonEmpty)
+    // and DROP TABLE IF EXISTS on a missing name resolves cleanly
+    // through tableExists instead of exploding mid-lookup
+    spark.sql("DROP TABLE IF EXISTS glake2.no_such_published_table")
+  }
+
+  test("null filter values neither crash planning nor mis-prune") {
+    // WHERE key IN (probe, NULL) pushes sources.In with a null element;
+    // SpanPrune.cmp used to NPE dereferencing it during file planning
+    val probe = Tables.orders(spark, sf)
+      .agg(min(col(key))).collect()(0).getLong(0)
+    val df = connector(1).filter(
+      col(key).isin(probe, null.asInstanceOf[java.lang.Long]))
+    assert(df.count() === 1 && df.collect()(0).getLong(0) === probe)
+    // a null IN element matches nothing, so pruning still plans the
+    // single covering file — conservative, not disabled
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case b: BatchScanExec => b }
+    assert(scans.head.partitions.flatten.size === 1)
+    // `key = NULL` matches no row: zero count, and zero planned files
+    val eq = connector(1).filter(col(key) === lit(null).cast("bigint"))
+    assert(eq.count() === 0)
+  }
 }
