@@ -25,6 +25,17 @@ object Sources {
     p.toString
   }
 
+  /** One embedded-Derby DATABASE per Spark application, shared by every
+    * JDBC-backed query. Derby boots its engine once per JVM but pays a
+    * directory create + recovery-log init per DATABASE (~0.5-1 s), so a
+    * suite that mints a fresh db per query spends seconds on boots that
+    * model nothing — the wire protocol under test is identical. Queries
+    * isolate by TABLE NAME (their run counters make names unique across
+    * passes); the application-scoped stage path keeps concurrent
+    * sessions off each other's db. */
+  private[graft] lazy val sharedDerbyUrl: String =
+    s"jdbc:derby:${stage("shared_derby/db")};create=true"
+
   private def resetDirs(s: org.apache.spark.sql.SparkSession,
                         dirs: String*): Unit = {
     val conf = s.sparkContext.hadoopConfiguration

@@ -3735,7 +3735,12 @@ object Sync {
       val fsp = new org.apache.hadoop.fs.Path(root)
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(fsp, true)
-      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      // %3 key slice (the y53/y54 idiom): the embedded-Derby wire is a
+      // semantics stand-in, not a throughput target — the slice bounds
+      // the timed row volume while the banded construction keeps the
+      // full I/U/D mix; JdbcSyncSuite keeps the full-volume laws
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey",
         "o_totalprice", "o_orderstatus")
       val b = proj.agg(min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi")).collect()(0)
@@ -3761,9 +3766,8 @@ object Sync {
         .withColumn("version", lit(1L))
       require(cowApplyChanges(s, root, 1, 2, "o_orderkey", batch)
         .published, "y48: cow publish refused")
-      val db = Sources.stage(s"y48_db_$n")
       val cfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$db;create=true", table = "ORDERS_TGT",
+        url = Sources.sharedDerbyUrl, table = s"Y48_TGT_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       graft.sources.JdbcSync.writeTable(
         proj.limit(0).select(proj.columns.toSeq
@@ -3816,7 +3820,9 @@ object Sync {
       val fsp = new org.apache.hadoop.fs.Path(root)
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(fsp, true)
-      val proj = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      // %3 slice — same timed-cost bound as y48 (scaladoc there)
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
       val b = proj.agg(min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi")).collect()(0)
       val lo = b.getLong(0); val span = b.getLong(1) - lo
@@ -3840,9 +3846,8 @@ object Sync {
         .withColumn("version", lit(1L))
       require(cowApplyChanges(s, root, 1, 2, "o_orderkey", batch)
         .published, "y48b: cow publish refused")
-      val db = Sources.stage(s"y48b_db_$n")
       val cfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$db;create=true", table = "ORDERS_HIST",
+        url = Sources.sharedDerbyUrl, table = s"Y48B_HIST_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       // the history table needs its composite PK up front (the close
       // UPDATE probes (key, is_current), the open MERGE probes
@@ -3852,7 +3857,7 @@ object Sync {
       Class.forName(cfg.driver)
       val conn = java.sql.DriverManager.getConnection(cfg.url)
       try conn.createStatement().execute(
-        "CREATE TABLE ORDERS_HIST (O_ORDERKEY BIGINT NOT NULL, " +
+        s"CREATE TABLE ${cfg.table} (O_ORDERKEY BIGINT NOT NULL, " +
           "O_TOTALPRICE DOUBLE, VALID_FROM BIGINT NOT NULL, " +
           "VALID_TO BIGINT, IS_CURRENT SMALLINT, " +
           "PRIMARY KEY (O_ORDERKEY, VALID_FROM))")
@@ -3934,9 +3939,8 @@ object Sync {
           when(band && col("o_orderkey") % 5 === 0,
             col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
         .unionByName(ghosts)
-      val db = Sources.stage(s"y53_db_$n")
       val cfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$db;create=true", table = "ORDERS_SRC",
+        url = Sources.sharedDerbyUrl, table = s"Y53_SRC_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       def loadSource(df: DataFrame): Unit = {
         graft.sources.JdbcSync.writeTable(
@@ -3997,13 +4001,11 @@ object Sync {
           when(band && col("o_orderkey") % 5 === 0,
             col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
         .unionByName(ghosts)
-      val dbS = Sources.stage(s"y54_src_$n")
       val srcCfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$dbS;create=true", table = "ORDERS_SRC",
+        url = Sources.sharedDerbyUrl, table = s"Y54_SRC_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
-      val dbT = Sources.stage(s"y54_tgt_$n")
       val tgtCfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$dbT;create=true", table = "ORDERS_TGT",
+        url = Sources.sharedDerbyUrl, table = s"Y54_TGT_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       def loadSource(df: DataFrame): Unit = {
         graft.sources.JdbcSync.writeTable(
@@ -4068,7 +4070,10 @@ object Sync {
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(fsp, true)
       val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
-      val cust = Tables.customer(s, d).select("c_custkey",
+      // %3 slice on the child table — y48's timed-cost bound; the
+      // parent is 25 rows and stays whole
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 === 0).select("c_custkey",
         "c_nationkey", "c_acctbal", "c_mktsegment")
       val ghostNat = nat.limit(1).select(
         lit(99).as("n_nationkey"), lit("GHOSTLAND").as("n_name"))
@@ -4086,27 +4091,27 @@ object Sync {
       require(publishGroup(s, root,
         Seq("nation" -> nat.unionByName(ghostNat), "customer" -> cust1),
         1, _.head(1).nonEmpty), "y52: v1 group publish refused")
-      val db = Sources.stage(s"y52_db_$n")
-      val url = s"jdbc:derby:$db;create=true"
+      val url = Sources.sharedDerbyUrl
+      val natTbl = s"Y52_NATION_$n"; val custTbl = s"Y52_CUSTOMER_$n"
       val drv = "org.apache.derby.jdbc.EmbeddedDriver"
       Class.forName(drv)
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         val st = conn.createStatement()
-        st.execute("CREATE TABLE NATION_TGT (N_NATIONKEY INTEGER " +
+        st.execute(s"CREATE TABLE $natTbl (N_NATIONKEY INTEGER " +
           "NOT NULL PRIMARY KEY, N_NAME VARCHAR(64))")
-        st.execute("CREATE TABLE CUSTOMER_TGT (C_CUSTKEY BIGINT " +
+        st.execute(s"CREATE TABLE $custTbl (C_CUSTKEY BIGINT " +
           "NOT NULL PRIMARY KEY, C_NATIONKEY INTEGER NOT NULL " +
-          "REFERENCES NATION_TGT (N_NATIONKEY), C_ACCTBAL DOUBLE, " +
+          s"REFERENCES $natTbl (N_NATIONKEY), C_ACCTBAL DOUBLE, " +
           "C_MKTSEGMENT VARCHAR(32))")
       } finally conn.close()
       val members = Seq(
         graft.sync.LakeToJdbc.GroupMember("nation", "n_nationkey",
           graft.sources.JdbcSync.JdbcConfig(url = url,
-            table = "NATION_TGT", driver = drv)),
+            table = natTbl, driver = drv)),
         graft.sync.LakeToJdbc.GroupMember("customer", "c_custkey",
           graft.sources.JdbcSync.JdbcConfig(url = url,
-            table = "CUSTOMER_TGT", driver = drv)))
+            table = custTbl, driver = drv)))
       val t1 = graft.sync.LakeToJdbc.catchUpGroup(s, root, members)
       require(publishGroup(s, root,
         Seq("nation" -> nat, "customer" -> cust), 2,
@@ -4151,7 +4156,9 @@ object Sync {
       val fsp = new org.apache.hadoop.fs.Path(root)
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(fsp, true)
-      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      // %3 slice — y48's timed-cost bound
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey",
         "o_totalprice", "o_orderstatus")
       val b = proj.agg(min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi")).collect()(0)
@@ -4169,9 +4176,8 @@ object Sync {
       publish(s, v1.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
       writeFileStats(s, s"$root/v1", "o_orderkey")
-      val db = Sources.stage(s"y51_db_$n")
       val cfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$db;create=true", table = "ORDERS_EVOLVE",
+        url = Sources.sharedDerbyUrl, table = s"Y51_EVOLVE_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       graft.sources.JdbcSync.writeTable(
         proj.limit(0).select(proj.columns.toSeq
@@ -4244,7 +4250,9 @@ object Sync {
       val fsp = new org.apache.hadoop.fs.Path(root)
       fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(fsp, true)
-      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      // %3 slice — y48's timed-cost bound
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey",
         "o_totalprice", "o_orderstatus")
       val b = proj.agg(min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi")).collect()(0)
@@ -4262,9 +4270,8 @@ object Sync {
       publish(s, v1.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"), root, 1, _.head(1).nonEmpty)
       writeFileStats(s, s"$root/v1", "o_orderkey")
-      val db = Sources.stage(s"y50_db_$n")
       val cfg = graft.sources.JdbcSync.JdbcConfig(
-        url = s"jdbc:derby:$db;create=true", table = "ORDERS_CATCH",
+        url = Sources.sharedDerbyUrl, table = s"Y50_CATCH_$n",
         driver = "org.apache.derby.jdbc.EmbeddedDriver")
       graft.sources.JdbcSync.writeTable(
         proj.limit(0).select(proj.columns.toSeq
@@ -5589,7 +5596,7 @@ object Sync {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  TRUE AS cdf_pruned, TRUE AS sync_validated,
          |  TRUE AS ops_mix_real
-         |FROM orders GROUP BY 1""".stripMargin,
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
     // the history target's is_current=1 slice converged on v2 ≡ the
     // plain projection; the accretion/replay/prune laws ride as
@@ -5601,7 +5608,7 @@ object Sync {
          |  TRUE AS cdf_pruned, TRUE AS sync_validated,
          |  TRUE AS ops_mix_real, TRUE AS history_accreted,
          |  TRUE AS replay_noop
-         |FROM orders""".stripMargin,
+         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
 
     // the capture converged the LAKE on the clean %3 slice; audited
     // booleans as in y50
@@ -5632,6 +5639,7 @@ object Sync {
          |  TRUE AS modes_observed, TRUE AS fk_ops_real,
          |  TRUE AS sync_validated
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_custkey % 3 = 0
          |GROUP BY 1""".stripMargin,
 
     // the evolving catch-up converged the target on v3 ≡ the plain
@@ -5645,7 +5653,7 @@ object Sync {
          |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_noted,
          |  TRUE AS modes_observed, TRUE AS schema_migrated,
          |  TRUE AS cdf_spans_evolution, TRUE AS sync_validated
-         |FROM orders GROUP BY 1""".stripMargin,
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
     // three catch-up ticks converged the target on v2 ≡ the plain
     // projection; the mode-sequence/prune/validation laws ride as
@@ -5655,7 +5663,7 @@ object Sync {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  TRUE AS modes_observed, TRUE AS cdf_pruned,
          |  TRUE AS sync_validated, TRUE AS ops_mix_real
-         |FROM orders GROUP BY 1""".stripMargin,
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
     // the partitioned cow converged on v2 ≡ the plain projection; the
     // partition/file/CDF-prune laws ride as audited booleans

@@ -28,10 +28,14 @@ import graft.sources.JdbcSync.JdbcConfig
   *    key is a no-op), so task retries and whole-feed replays land on
   *    the same state — exactly-once without target-side transactions
   *    spanning the job;
-  *  - validation is ONE full-outer digest diff ([[SyncJob.validate]]),
-  *    the same certificate the reference's validate step emits — and
-  *    it reads the lake side from the published version dir, so the
-  *    certificate names an immutable snapshot, not a moving table.
+  *  - validation is churn-proportional too ([[Validation]]): the
+  *    default tick certificate is a rotating deterministic key-bucket
+  *    sample (pushed into the target's SQL — wire cost ∝ 1/buckets)
+  *    plus an exact two-sided COUNT probe; the full digest diff runs
+  *    on an explicit cadence or on demand, with the target pull
+  *    range-partitioned. Either way the lake side reads the published
+  *    version dir, so the certificate names an immutable snapshot,
+  *    not a moving table.
   *
   * Identifier casing: unquoted DDL folds identifiers UPPER in
   * Derby/DB2 and is case-preserving-but-insensitive in T-SQL, while
@@ -46,12 +50,142 @@ object LakeToJdbc {
   /** One incremental sync's certificate: the net CDF op counts that
     * were applied, the file-level scan proof (`scannedFiles` out of
     * `totalFiles` — the manifest prune at work), and the post-apply
-    * drift validation. */
+    * drift validation (`validation` names the mode that produced it —
+    * "full" or "sampled[buckets:bucket]"). */
   final case class LakeSyncReport(
       fromVersion: Int, toVersion: Int,
       nInsert: Long, nUpdate: Long, nDelete: Long,
       scannedFiles: Int, totalFiles: Int,
-      validated: Boolean)
+      validated: Boolean, validation: String = "full")
+
+  /** How a sync tick certifies convergence against the published lake
+    * version. The r11 shape — a FULL two-sided digest diff with a
+    * single-connection pull of the whole target after EVERY tick — is
+    * the one O(table) cost in an otherwise churn-proportional pipeline:
+    * at 100 TB it turns a 0.1 %-churn nightly step into two full scans
+    * and a full wire read. The modes:
+    *
+    *  - [[Validation.Sampled]] (the default): y24's deterministic
+    *    key-bucket sample, with the SAME membership predicate applied
+    *    on the lake side (Spark `pmod`) and PUSHED INTO the target's
+    *    SQL (dbtable subquery, [[MergeSql.modPredicate]]) so the wire
+    *    carries ~1/`buckets` of the table — plus an exact COUNT(*)
+    *    probe on both sides (one 1-row query; parquet answers from
+    *    footers), which catches volume drift OUTSIDE the bucket
+    *    (missed deletes, duplicate inserts) that a sample alone would
+    *    miss. The bucket ROTATES with the destination version, so a
+    *    standing value drift anywhere is caught within `buckets`
+    *    ticks; `fullEvery > 0` adds a hard cadence — every
+    *    `fullEvery`-th version runs the full digest. Requires a
+    *    non-negative integral key (MOD must mean the same thing on
+    *    both sides); non-integral keys fall back to full.
+    *  - [[Validation.Full]]: the complete two-sided digest — the
+    *    strongest certificate, now with the target pull
+    *    RANGE-PARTITIONED over the key (`readers` parallel JDBC
+    *    scans, bounds from the lake's own min/max — y14's planning)
+    *    instead of one connection streaming the table. The reseed
+    *    path always validates fully: the seed just shipped the whole
+    *    table, so a full check is churn-proportional by definition.
+    */
+  sealed trait Validation
+  object Validation {
+    final case class Full(readers: Int = 4) extends Validation
+    final case class Sampled(buckets: Int = 16, fullEvery: Int = 0,
+        readers: Int = 4) extends Validation
+  }
+
+  /** `SELECT COUNT(*)` straight over JDBC — one row on the wire. */
+  private def countWhere(cfg: JdbcConfig, where: Option[String]): Long =
+    withConn(cfg) { conn =>
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${cfg.table}" +
+          where.fold("")(w => s" WHERE $w"))
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    }
+
+  /** The target read a FULL validation uses: range-partitioned on the
+    * key when it is integral (bounds from the LAKE side — the source
+    * of truth and a 1-row parquet agg), one connection otherwise.
+    * Spark's JDBC partitioning keeps the first/last partitions
+    * unbounded, so target rows outside the lake's key span (exactly
+    * the drift a validation exists to find) are still read. */
+  private[graft] def fullTargetRead(s: SparkSession,
+      lake: org.apache.spark.sql.DataFrame, key: String,
+      cfg: JdbcConfig, keyUp: String, readers: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val integral = lake.schema(key).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val part =
+      if (!integral || readers <= 1) None
+      else {
+        val b = lake.agg(min(col(key)).cast("long"),
+          max(col(key)).cast("long")).collect()(0)
+        if (b.isNullAt(0) || b.getLong(1) <= b.getLong(0)) None
+        else Some(JdbcSync.ReadPartitioning(keyUp, b.getLong(0),
+          b.getLong(1) + 1, readers))
+      }
+    JdbcSync.readTable(s, cfg, part)
+  }
+
+  /** One tick's convergence certificate: lake version content vs the
+    * JDBC target, per `mode` (scaladoc on [[Validation]]). Optional
+    * `targetWhere` scopes the target side in ITS OWN SQL (pushed into
+    * the count probe and the read subquery — the SCD2 `is_current = 1`
+    * slice); `targetCols` projects the pull to the compared columns.
+    * Returns (converged, mode-tag-for-the-report). */
+  private[graft] def validateTarget(s: SparkSession,
+      lake: org.apache.spark.sql.DataFrame, key: String,
+      cfg: JdbcConfig, toVersion: Int, mode: Validation,
+      jdbcName: String => String = _.toUpperCase,
+      dialect: MergeSql.Dialect = MergeSql.Derby,
+      targetWhere: Option[String] = None,
+      targetCols: Option[Seq[String]] = None): (Boolean, String) = {
+    val keyUp = jdbcName(key)
+    val compareCols = lake.columns.toSeq.filterNot(_ == key)
+    val selList = targetCols.fold("*")(_.mkString(", "))
+    def scoped(extra: Option[String]): JdbcConfig = {
+      val conds = (targetWhere.toSeq ++ extra.toSeq)
+      if (conds.isEmpty && targetCols.isEmpty) cfg
+      else cfg.copy(table = s"(SELECT $selList FROM ${cfg.table}" +
+        (if (conds.isEmpty) ""
+         else conds.mkString(" WHERE ", " AND ", "")) + ") AS SYNC_V")
+    }
+    val integral = lake.schema(key).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def full(readers: Int): Boolean =
+      SyncJob.validate(lake,
+        fullTargetRead(s, lake, key, scoped(None), keyUp, readers),
+        SyncJob.SyncConfig(Seq(key), compareCols, deleteMissing = true))
+    mode match {
+      case Validation.Full(readers) => (full(readers), "full")
+      case Validation.Sampled(_, fullEvery, readers)
+          if !integral ||
+            (fullEvery > 0 && toVersion % fullEvery == 0) =>
+        (full(readers), "full")
+      case Validation.Sampled(buckets, _, _) =>
+        val bucket = java.lang.Math.floorMod(toVersion, buckets)
+        val pred = MergeSql.modPredicate(dialect, keyUp, buckets, bucket)
+        val nTarget = countWhere(cfg, targetWhere)
+        val nLake = lake.count()
+        val sampleOk = nTarget == nLake && SyncJob.validate(
+          lake.filter(
+            pmod(col(key).cast("long"), lit(buckets.toLong)) === bucket),
+          JdbcSync.readTable(s, scoped(Some(pred)), None),
+          SyncJob.SyncConfig(Seq(key), compareCols,
+            deleteMissing = true))
+        (sampleOk, s"sampled[$buckets:$bucket]")
+    }
+  }
 
   /** Y55: apply ONE micro-batch of the `graftlake-cdf` stream to the
     * JDBC target. Three rules make arbitrary version ranges per batch
@@ -166,7 +300,8 @@ object LakeToJdbc {
       fromVersion: Int, toVersion: Int, key: String, cfg: JdbcConfig,
       jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
-      writers: Int = 1): LakeSyncReport = {
+      writers: Int = 1,
+      validation: Validation = Validation.Sampled()): LakeSyncReport = {
     val cdf = graft.ops.Sync.lakeChanges(s, lakeRoot, fromVersion,
       toVersion, key)
     // one churn-sized pass: per-op counts via observe on the SAME scan
@@ -183,19 +318,18 @@ object LakeToJdbc {
     JdbcSync.applyChangeFeed(feed, cfg, jdbcName(key), "op", dialect)
     val m = obs.get
     // drift certificate: the target must now equal the published v_to
-    // snapshot exactly (deleteMissing = true — applied deletes mean
-    // target-only leftovers are drift, not expected residue)
+    // snapshot (deleteMissing = true — applied deletes mean target-only
+    // leftovers are drift, not expected residue). Churn-proportional by
+    // default — see [[Validation]].
     val lake = graft.ops.Sync.readVersionLogical(s,
       s"$lakeRoot/v$toVersion", key)
-    val compareCols = lake.columns.toSeq.filterNot(_ == key)
-    val ok = SyncJob.validate(lake,
-      JdbcSync.readTable(s, cfg, None),
-      SyncJob.SyncConfig(Seq(key), compareCols, deleteMissing = true))
+    val (ok, vmode) = validateTarget(s, lake, key, cfg, toVersion,
+      validation, jdbcName, dialect)
     LakeSyncReport(fromVersion, toVersion,
       m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
       m("nD").asInstanceOf[Long],
       cdf.scannedFrom + cdf.scannedTo, cdf.totalFrom + cdf.totalTo,
-      validated = ok)
+      validated = ok, validation = vmode)
   }
 
   /** Y50: one scheduled catch-up's certificate. `mode` names the path
@@ -211,7 +345,8 @@ object LakeToJdbc {
       mode: String, fromVersion: Int, toVersion: Int,
       nInsert: Long, nUpdate: Long, nDelete: Long,
       scannedFiles: Int, totalFiles: Int, validated: Boolean,
-      nAddCols: Int = 0, nDropCols: Int = 0)
+      nAddCols: Int = 0, nDropCols: Int = 0,
+      validation: String = "full")
 
   /** Y51: RECONCILE THE TARGET'S PHYSICAL SCHEMA with the live lake
     * version's logical schema before a sync step — the schema-drift
@@ -290,7 +425,8 @@ object LakeToJdbc {
       cfg: JdbcConfig, stateTable: String = "SYNC_STATE",
       jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
-      writers: Int = 1): CatchUpReport = {
+      writers: Int = 1,
+      validation: Validation = Validation.Sampled()): CatchUpReport = {
     val (vname, live) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
     val liveV = vname.stripPrefix("v").toInt
     val w = readWatermark(cfg, stateTable)
@@ -308,31 +444,37 @@ object LakeToJdbc {
     w match {
       case Some(wv) if wv == liveV =>
         CatchUpReport("noop", wv, liveV, 0, 0, 0, 0, 0, validated = true,
-          nAddCols = nAdd, nDropCols = nDrop)
+          nAddCols = nAdd, nDropCols = nDrop, validation = "noop")
       case Some(wv) if wv < liveV && fs.exists(fromDir) =>
         val rep = incrementalSync(s, lakeRoot, wv, liveV, key, cfg,
-          jdbcName, dialect, writers)
+          jdbcName, dialect, writers, validation)
         require(rep.validated,
           s"catchUp: incremental step $wv→$liveV left drift: $rep")
         writeWatermark(cfg, stateTable, liveV, dialect)
         CatchUpReport("incremental", wv, liveV, rep.nInsert,
           rep.nUpdate, rep.nDelete, rep.scannedFiles, rep.totalFiles,
-          rep.validated, nAddCols = nAdd, nDropCols = nDrop)
+          rep.validated, nAddCols = nAdd, nDropCols = nDrop,
+          validation = rep.validation)
       case _ =>
         // first run, watermark dir reaped, or lake rolled back below
-        // the watermark — rebuild from the live snapshot
+        // the watermark — rebuild from the live snapshot. The reseed
+        // just shipped the WHOLE table, so a full validation is
+        // churn-proportional here by definition — always Full, with
+        // the range-partitioned parallel pull.
         execDdl(cfg, s"TRUNCATE TABLE ${cfg.table}")
         val n = seed(s, lakeRoot, liveV, key, cfg, jdbcName, dialect,
           writers, bulk = true)
-        val compareCols = live.columns.toSeq.filterNot(_ == key)
-        val ok = SyncJob.validate(live,
-          JdbcSync.readTable(s, cfg, None),
-          SyncJob.SyncConfig(Seq(key), compareCols,
-            deleteMissing = true))
+        val fullReaders = validation match {
+          case Validation.Full(r) => r
+          case Validation.Sampled(_, _, r) => r
+        }
+        val (ok, vmode) = validateTarget(s, live, key, cfg, liveV,
+          Validation.Full(fullReaders), jdbcName, dialect)
         require(ok, s"catchUp: reseed of v$liveV left drift")
         writeWatermark(cfg, stateTable, liveV, dialect)
         CatchUpReport("reseed", w.getOrElse(-1), liveV, n, 0, 0,
-          0, 0, ok, nAddCols = nAdd, nDropCols = nDrop)
+          0, 0, ok, nAddCols = nAdd, nDropCols = nDrop,
+          validation = vmode)
     }
   }
 
@@ -377,7 +519,9 @@ object LakeToJdbc {
       members: Seq[GroupMember], stateTable: String = "SYNC_STATE",
       jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
-      writers: Int = 1): Seq[(String, CatchUpReport)] = {
+      writers: Int = 1,
+      validation: Validation = Validation.Sampled())
+      : Seq[(String, CatchUpReport)] = {
     val group = graft.ops.Sync.readPublishedGroup(s, root)
     members.foreach(m => require(group.contains(m.table),
       s"catchUpGroup: '${m.table}' not in the published group " +
@@ -405,15 +549,14 @@ object LakeToJdbc {
           dialect)
         val n = seed(s, s"$root/${m.table}", liveV, m.key, m.cfg,
           jdbcName, dialect, writers, bulk = true)
-        val ok = SyncJob.validate(live,
-          JdbcSync.readTable(s, m.cfg, None),
-          SyncJob.SyncConfig(Seq(m.key),
-            live.columns.toSeq.filterNot(_ == m.key),
-            deleteMissing = true))
+        // reseed shipped the whole member — full validation is
+        // churn-proportional here (parallel range-partitioned pull)
+        val (ok, vmode) = validateTarget(s, live, m.key, m.cfg, liveV,
+          Validation.Full(), jdbcName, dialect)
         require(ok, s"catchUpGroup: reseed of ${m.table} left drift")
         writeWatermark(m.cfg, stateTable, liveV, dialect)
         m.table -> CatchUpReport("reseed", w.getOrElse(-1), liveV,
-          n, 0, 0, 0, 0, ok)
+          n, 0, 0, 0, 0, ok, validation = vmode)
       }
     } else {
       val changed = state.filter { case (_, w, liveV, _) =>
@@ -446,11 +589,8 @@ object LakeToJdbc {
       val applied = feeds.map { case (m, wv, liveV, feed, ops, cdf) =>
         val live = graft.ops.Sync.readVersionLogical(s,
           s"$root/${m.table}/v$liveV", m.key)
-        val ok = SyncJob.validate(live,
-          JdbcSync.readTable(s, m.cfg, None),
-          SyncJob.SyncConfig(Seq(m.key),
-            live.columns.toSeq.filterNot(_ == m.key),
-            deleteMissing = true))
+        val (ok, vmode) = validateTarget(s, live, m.key, m.cfg, liveV,
+          validation, jdbcName, dialect)
         require(ok,
           s"catchUpGroup: incremental ${m.table} $wv→$liveV left drift")
         feed.unpersist(blocking = false)
@@ -458,7 +598,7 @@ object LakeToJdbc {
           ops.getOrElse("I", 0L), ops.getOrElse("U", 0L),
           ops.getOrElse("D", 0L),
           cdf.scannedFrom + cdf.scannedTo,
-          cdf.totalFrom + cdf.totalTo, ok)
+          cdf.totalFrom + cdf.totalTo, ok, validation = vmode)
       }
       // watermarks advance only after EVERY member validated
       applied.foreach { case (t, rep) =>
@@ -468,7 +608,7 @@ object LakeToJdbc {
       val noops = state.filter { case (_, w, liveV, _) =>
         w.contains(liveV) }.map { case (m, _, liveV, _) =>
         m.table -> CatchUpReport("noop", liveV, liveV, 0, 0, 0, 0, 0,
-          validated = true)
+          validated = true, validation = "noop")
       }
       members.map(m => (applied ++ noops).find(_._1 == m.table).get)
     }
@@ -554,7 +694,8 @@ object LakeToJdbc {
       fromVersion: Int, toVersion: Int, key: String, valueCol: String,
       cfg: JdbcConfig, jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
-      writers: Int = 1): LakeSyncReport = {
+      writers: Int = 1,
+      validation: Validation = Validation.Sampled()): LakeSyncReport = {
     val cdf = graft.ops.Sync.lakeChanges(s, lakeRoot, fromVersion,
       toVersion, key)
     val obs = org.apache.spark.sql.Observation()
@@ -572,15 +713,17 @@ object LakeToJdbc {
     val lake = graft.ops.Sync.readVersionLogical(s,
       s"$lakeRoot/v$toVersion", key)
       .select(key, valueCol)
-    val current = JdbcSync.readTable(s, cfg, None)
-      .filter(col("is_current") === 1)
-      .select(jdbcName(key), jdbcName(valueCol))
-    val ok = SyncJob.validate(lake, current,
-      SyncJob.SyncConfig(Seq(key), Seq(valueCol), deleteMissing = true))
+    // the compared slice is the history's OPEN EDGE — push the
+    // `is_current = 1` scope into the target's own SQL so neither
+    // mode pulls closed history rows over the wire
+    val (ok, vmode) = validateTarget(s, lake, key, cfg, toVersion,
+      validation, jdbcName, dialect,
+      targetWhere = Some(s"${jdbcName("is_current")} = 1"),
+      targetCols = Some(Seq(jdbcName(key), jdbcName(valueCol))))
     LakeSyncReport(fromVersion, toVersion,
       m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
       m("nD").asInstanceOf[Long],
       cdf.scannedFrom + cdf.scannedTo, cdf.totalFrom + cdf.totalTo,
-      validated = ok)
+      validated = ok, validation = vmode)
   }
 }

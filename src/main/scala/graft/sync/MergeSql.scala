@@ -77,6 +77,28 @@ object MergeSql {
     Stmt(s"DELETE FROM $table WHERE $key = ?", Seq(key))
   }
 
+  /** Deterministic key-bucket membership rendered in the target's own
+    * SQL — the pushdown face of y24's sampled validation: the SAME
+    * predicate filters the lake side (Spark `pmod`) and the target side
+    * (this text inside the dbtable subquery), so the wire carries only
+    * ~1/buckets of the table per validation tick. Dialect split because
+    * T-SQL has no MOD function (only the `%` operator) while Derby has
+    * only MOD. Both agree with Spark's `pmod` on NON-NEGATIVE keys —
+    * the only keys sampled validation accepts (it requires an integral
+    * key column; negative keys would diverge MOD/% (dividend-signed)
+    * from pmod (always non-negative) and silently sample different
+    * rows per side). */
+  def modPredicate(dialect: Dialect, column: String, buckets: Int,
+      bucket: Int): String = {
+    validate("DUAL", Seq(column))
+    require(buckets > 0 && bucket >= 0 && bucket < buckets,
+      s"MergeSql.modPredicate: bucket $bucket out of [0, $buckets)")
+    dialect match {
+      case Derby => s"MOD($column, $buckets) = $bucket"
+      case TSql  => s"($column % $buckets) = $bucket"
+    }
+  }
+
   /** SCD2 step 1 — close the key's current version: stamp valid_to with
     * the incoming change's version and clear is_current. The
     * `valid_from < ?` guard makes replay idempotent: after the change

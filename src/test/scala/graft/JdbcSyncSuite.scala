@@ -518,4 +518,62 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
       ((9L, 90.0, 2L, Some(3L), 0)) + ((9L, 99.0, 3L, None, 1)),
       s"chained history wrong: ${hist()}")
   }
+
+  test("Validation law: sampled ticks are churn-priced; count probe, " +
+      "cadence and bucket rotation catch what one sample misses") {
+    import graft.sync.LakeToJdbc
+    import graft.sync.LakeToJdbc.Validation
+    val cfgV = cfg.copy(table = "ORDERS_VALM")
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(cfgV.url)
+      try c.createStatement().executeUpdate(sql) finally c.close()
+    }
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("O_ORDERKEY"),
+        col("o_totalprice").as("O_TOTALPRICE")).limit(400)
+    writeTable(o.limit(0), cfgV, SaveMode.Overwrite)
+    ensureKeyIndex(cfgV, Seq("O_ORDERKEY"))
+    writeTable(o, cfgV, SaveMode.Append)
+    val lake = o // stands in for the published v_to content
+    val buckets = 8
+    // converged: both modes certify, and the sample tag discloses mode
+    val (ok0, tag0) = LakeToJdbc.validateTarget(spark, lake,
+      "O_ORDERKEY", cfgV, 2, Validation.Sampled(buckets))
+    assert(ok0 && tag0 == s"sampled[$buckets:2]")
+    assert(LakeToJdbc.validateTarget(spark, lake, "O_ORDERKEY", cfgV,
+      2, Validation.Full(4))._1)
+    // the full pull is range-partitioned: 4 parallel JDBC scans, not
+    // one connection streaming the table (the r11 scale defect)
+    assert(LakeToJdbc.fullTargetRead(spark, lake, "O_ORDERKEY", cfgV,
+      "O_ORDERKEY", 4).rdd.getNumPartitions == 4)
+    val bucketAt2 = 2 // floorMod(version 2, 8)
+    // VOLUME drift outside the sampled bucket: the exact COUNT probe
+    // (one 1-row query) fails the very next sampled tick
+    val gone = o.filter(pmod(col("O_ORDERKEY"), lit(buckets))
+        =!= bucketAt2).select("O_ORDERKEY", "O_TOTALPRICE").head()
+    exec(s"DELETE FROM ORDERS_VALM WHERE O_ORDERKEY = ${gone.getLong(0)}")
+    assert(!LakeToJdbc.validateTarget(spark, lake, "O_ORDERKEY", cfgV,
+      2, Validation.Sampled(buckets))._1,
+      "count probe must catch volume drift outside the bucket")
+    exec(s"INSERT INTO ORDERS_VALM VALUES (${gone.getLong(0)}, " +
+      s"${gone.getDouble(1)})")
+    // VALUE drift outside the bucket: version 2's sampled tick misses
+    // it — the disclosed, churn-priced trade —
+    val drift = o.filter(pmod(col("O_ORDERKEY"), lit(buckets))
+      =!= bucketAt2).select("O_ORDERKEY").head().getLong(0)
+    exec(s"UPDATE ORDERS_VALM SET O_TOTALPRICE = -1 " +
+      s"WHERE O_ORDERKEY = $drift")
+    assert(LakeToJdbc.validateTarget(spark, lake, "O_ORDERKEY", cfgV,
+      2, Validation.Sampled(buckets))._1)
+    // — but the full-cadence tick runs the complete digest and catches
+    val (okCad, tagCad) = LakeToJdbc.validateTarget(spark, lake,
+      "O_ORDERKEY", cfgV, 2, Validation.Sampled(buckets, fullEvery = 2))
+    assert(!okCad && tagCad == "full")
+    // — and bucket ROTATION catches it within `buckets` plain ticks:
+    // the version whose bucket covers the drifted key fails sampled
+    val driftBucket = java.lang.Math.floorMod(drift, buckets).toInt
+    val (okRot, tagRot) = LakeToJdbc.validateTarget(spark, lake,
+      "O_ORDERKEY", cfgV, driftBucket, Validation.Sampled(buckets))
+    assert(!okRot && tagRot == s"sampled[$buckets:$driftBucket]")
+  }
 }
