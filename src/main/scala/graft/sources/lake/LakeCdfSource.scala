@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,6 +25,7 @@ import graft.ops.Sync
   *
   *   spark.readStream.format("graftlake-cdf").option("path", root)
   *     .option("startingVersion", 0)            // offset, EXCLUSIVE;
+  *     .option("maxVersionsPerBatch", 3)        // admission control
   *     .load()                                  // default = live at start
   *
   * VERSIONS ARE THE OFFSETS. Each micro-batch covers a contiguous
@@ -156,22 +157,59 @@ final class LakeCdfScan(root: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new LakeCdfMicroBatchStream(root, required,
-      Option(options.get("startingVersion")).map(_.toLong))
+      Option(options.get("startingVersion")).map(_.toLong),
+      Option(options.get("maxVersionsPerBatch")).map(_.toLong))
 }
 
 final case class LakeVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Admission control (`maxVersionsPerBatch`): without it, a mirror
+  * restarting N versions behind plans ONE micro-batch spanning all N —
+  * unbounded batch size and unbounded latest-wins collapse state in the
+  * applier. With it, catch-up proceeds in bounded version windows: each
+  * `latestOffset(start, _)` admits at most `maxVersionsPerBatch`
+  * versions past the checkpoint, the engine commits each window's
+  * offset before planning the next, and progress survives a crash
+  * mid-catch-up at window granularity. Planning stays metadata-only
+  * either way. Default (option absent): all available — correct for
+  * the steady state where a trigger sees one or two new versions. */
 final class LakeCdfMicroBatchStream(root: String, required: StructType,
-    startingVersion: Option[Long]) extends MicroBatchStream {
+    startingVersion: Option[Long], maxVersionsPerBatch: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val spark = SparkSession.active
+  require(maxVersionsPerBatch.forall(_ > 0),
+    s"graftlake-cdf: maxVersionsPerBatch must be positive, got " +
+      s"${maxVersionsPerBatch.get}")
 
   override def initialOffset(): Offset =
     LakeVersionOffset(startingVersion.getOrElse(
       LakeCdf.liveVersion(spark, root)))
 
+  // With SupportsAdmissionControl the engine calls the two-arg form;
+  // this one existing silently would mask a wiring bug upstream.
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admitted end offset: live, clamped to `start +
+    * maxVersionsPerBatch`. The engine's own ReadLimit vocabulary is
+    * rows/files; versions are this source's natural unit (a version =
+    * one atomic publish = one replay-idempotent apply), so the bound
+    * rides the source option, mirroring how rate-limited sources map
+    * their own units. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val live = LakeCdf.liveVersion(spark, root)
+    val s0 = start.asInstanceOf[LakeVersionOffset].v
+    LakeVersionOffset(
+      maxVersionsPerBatch.fold(live)(m => math.min(live, s0 + m)))
+  }
+
+  /** The true frontier, for progress reporting (lag = report - end). */
+  override def reportLatestOffset(): Offset =
     LakeVersionOffset(LakeCdf.liveVersion(spark, root))
 
   override def deserializeOffset(json: String): Offset =

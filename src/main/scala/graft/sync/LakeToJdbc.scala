@@ -238,18 +238,25 @@ object LakeToJdbc {
   def mirrorStream(s: SparkSession, lakeRoot: String, key: String,
       cfg: JdbcConfig, checkpoint: String, startingVersion: Long = 0L,
       jdbcName: String => String = _.toUpperCase,
-      dialect: MergeSql.Dialect = MergeSql.Derby)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    s.readStream.format("graftlake-cdf")
+      dialect: MergeSql.Dialect = MergeSql.Derby,
+      maxVersionsPerBatch: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = s.readStream.format("graftlake-cdf")
       .option("path", lakeRoot)
       .option("startingVersion", startingVersion)
-      .load()
+    // bound catch-up batches (admission control): a mirror restarting
+    // far behind applies N bounded windows, each committed, instead of
+    // one unbounded batch — see LakeCdfMicroBatchStream
+    maxVersionsPerBatch.foreach(m =>
+      base.option("maxVersionsPerBatch", m))
+    base.load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         applyCdfBatch(b, cfg, key, jdbcName, dialect)
       }
       .start()
+  }
 
   /** Seed the target with a published lake version — the one-time full
     * load before the incremental cadence starts. Goes through the

@@ -406,6 +406,64 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("CDF admission control: a consumer far behind catches up in " +
+      "bounded version windows") {
+    import scala.jdk.CollectionConverters._
+    spark
+    val r = ops.Sources.stage("lakesrc_cdf/admission")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    Sync.enableCdf(spark, r)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").limit(60)
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(2, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    (2 to 7).foreach { i =>
+      assert(Sync.appendPublish(spark, r, key,
+        proj.withColumn(key, col(key) + i * 100000000L),
+        overwrite = false))
+    }
+    // start 7 versions behind with a 2-version admission bound
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long)]()
+    val ck = ops.Sources.stage("lakesrc_cdf/admission_ck")
+    fs.delete(new org.apache.hadoop.fs.Path(ck), true)
+    val q = spark.readStream.format("graftlake-cdf")
+      .option("path", r).option("startingVersion", 0)
+      .option("maxVersionsPerBatch", 2)
+      .load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val mm = b.agg(min("_commit_version"), max("_commit_version"),
+          count(lit(1))).collect()(0)
+        if (!mm.isNullAt(0))
+          seen.add((mm.getLong(0), mm.getLong(1), mm.getLong(2)))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batches = seen.asScala.toSeq
+    // each batch admits at most 2 versions — never the whole backlog
+    assert(batches.forall { case (lo, hi, _) => hi - lo <= 1 },
+      s"a batch spanned more than 2 versions: $batches")
+    assert(batches.size >= 4, // ceil(7/2)
+      s"7 versions under limit 2 must take >= 4 batches: $batches")
+    // windows advance monotonically without overlap (the committed
+    // checkpoint is the only cursor)
+    assert(batches.sliding(2).forall {
+      case Seq((_, h1, _), (l2, _, _)) => l2 > h1
+      case _ => true
+    }, s"non-monotone version windows: $batches")
+    // full coverage: bounded catch-up delivers exactly the whole feed
+    val fullFeed = spark.read.format("graftlake-cdf")
+      .option("path", r).option("startingVersion", 1)
+      .option("endingVersion", 7).load().count()
+    assert(batches.map(_._3).sum === fullFeed)
+    assert(batches.head._1 === 1L && batches.last._2 === 7L)
+  }
+
   test("partitioned version (y49): partition + span pruning, constant partition vectors") {
     import graft.ops.PartLake
     spark
