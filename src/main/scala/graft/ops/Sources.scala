@@ -583,6 +583,74 @@ object Sources {
         .withColumn("dv_cleared", lit(dvCleared))
     }),
 
+    // S21: SQL ROW-LEVEL DML — `DELETE FROM` / `UPDATE` / `MERGE INTO`
+    // on the catalog, each landing as a keyed cow publish through
+    // Spark's delta-based row-level API ([[graft.sources.lake
+    // .LakeRowLevel]]). v1 is the y48 perturbation on the %3 slice
+    // (ghosts above the live keyspace, +500 on %5 keys, %11 keys
+    // missing); THREE SQL STATEMENTS restore the plain slice — a
+    // span-pruned DELETE of the ghost band (audited: untouched files
+    // carry byte-verbatim), an UPDATE subtracting the perturbation,
+    // and a MERGE inserting the missing keys — then a fourth,
+    // no-matching-row DELETE proves quiet DML mints NO version
+    // (history ∝ change, y53's law for SQL). The oracle recomputes
+    // the restored rollup from the base table: a match proves all
+    // three statements' semantics end to end through the publish
+    // protocol.
+    "s21_lake_sql_dml" -> ((s, d) => {
+      val parent = stage("s21_cat")
+      val root = s"$parent/orders_dml"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rp, true)
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val hi = proj.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val ghosts = proj.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      val v1 = proj.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice", when(col("o_orderkey") % 5 === 0,
+          col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .unionByName(ghosts)
+      require(Sync.publish(s,
+        v1.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s21: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      def files(v: Int) = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toSet
+      val v1Files = files(1)
+      s.conf.set("spark.sql.catalog.glakem",
+        "graft.sources.lake.LakeCatalog")
+      s.conf.set("spark.sql.catalog.glakem.root", parent)
+      s.conf.set("spark.sql.catalog.glakem.key.orders_dml", "o_orderkey")
+      // 1. span-pruned DELETE: the ghost band lives above the live
+      //    keyspace, so only ghost-carrying files rewrite
+      s.sql(s"DELETE FROM glakem.orders_dml WHERE o_orderkey > $hi")
+      val deleteCarried = (v1Files & files(2)).nonEmpty
+      // 2. UPDATE restores the perturbed prices
+      s.sql("UPDATE glakem.orders_dml SET o_totalprice = " +
+        "o_totalprice - 500.0 WHERE o_orderkey % 5 = 0")
+      // 3. MERGE inserts the missing keys (matched rows stay put)
+      proj.filter(col("o_orderkey") % 11 === 0)
+        .createOrReplaceTempView("s21_missing")
+      s.sql("MERGE INTO glakem.orders_dml t USING s21_missing s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      // 4. quiet DML: nothing matches, no version may be minted
+      s.sql(s"DELETE FROM glakem.orders_dml WHERE o_orderkey > $hi")
+      val live = Sync.liveVersion(s, root)
+      s.sql("SELECT * FROM glakem.orders_dml")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("dml_versions_minted", lit(live.contains("v4")))
+        .withColumn("delete_pruned", lit(deleteCarried))
+    }),
+
     // S20: CDF-on-write + the change-feed source — mutate an enabled
     // lake through cow (I/U/D) and a MOR delete, then read the feed
     // BATCH-STYLE over a version window. Planning is pure metadata
@@ -652,6 +720,15 @@ object Sources {
     // live = (base minus band-DV, those keys re-asserted as 'R'/+100)
     // plus the %3 frontier — matches only if the INSERT's frontier
     // append, collision fold and DV clearing were all row-exact
+    // three DML statements restored the plain %3 slice; the version
+    // and prune laws ride as audited booleans (genuinely computed on
+    // the Spark side, constants here — the a5/a19 idiom)
+    "s21_lake_sql_dml" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS dml_versions_minted, TRUE AS delete_pruned
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
+
     "s19c_lake_sql_insert" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,

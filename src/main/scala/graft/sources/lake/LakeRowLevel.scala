@@ -207,6 +207,8 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
     val fmt = new ParquetOutputFormat[InternalRow](new ParquetWriteSupport)
     // partitionId (not taskId) names the file: a speculative/retried
     // attempt REPLACES its partition's spool instead of adding to it

@@ -137,8 +137,13 @@ object LakeRef {
         s"graftlake: version dir $dir does not exist — never published, " +
           "or reaped by retention GC (pin it with a reader lease)")
     // versionSchema goes through Spark's reader, so a partitioned
-    // version's schema already includes the inferred partition column
-    val schema = Sync.versionSchema(spark, dir)
+    // version's schema already includes the inferred partition column.
+    // The key column surfaces NON-NULLABLE: it is the lake's routing
+    // contract (span manifests, DV probes, cow routing all key on it),
+    // and row-level SQL requires a non-nullable row id.
+    val schema = StructType(Sync.versionSchema(spark, dir).fields.map(f =>
+      if (key.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+      else f))
     val dvPath =
       if (fs.exists(new Path(s"$dir/_deletes"))) Some(s"$dir/_deletes")
       else None
@@ -186,7 +191,8 @@ object LakeRef {
 }
 
 final class LakeTable(ref: LakeRef) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlake ${ref.root} @ ${ref.version}"
   override def schema(): StructType = ref.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -196,6 +202,11 @@ final class LakeTable(ref: LakeRef) extends Table
       : ScanBuilder = new LakeScanBuilder(ref)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LakeWriteBuilder(ref)
+  /** S21: SQL DELETE/UPDATE/MERGE — see [[LakeRowLevelBuilder]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new LakeRowLevelBuilder(ref, info)
 }
 
 /** The write half: `INSERT INTO` (append) and `INSERT OVERWRITE`

@@ -816,6 +816,127 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       Option(tsErr.getCause).exists(_.getMessage.contains("earliest commit")))
   }
 
+  test("SQL row-level DML: DELETE/UPDATE/MERGE land as keyed cow publishes") {
+    spark
+    val r = ops.Sources.stage("lakesrc_rlo/orders_dml")
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(4, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    val parent = new java.io.File(r).getParent
+    spark.conf.set("spark.sql.catalog.gdml",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.root", parent)
+    spark.conf.set("spark.sql.catalog.gdml.key.orders_dml", key)
+    def live = {
+      val (v, _) = Sync.readPublished(spark, r)
+      v
+    }
+    def liveDf = Sync.readVersionLogical(spark, s"$r/$live", key)
+    def filesOf(v: String): Map[String, Long] = {
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$r/$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    // ---- DELETE with a span-prunable predicate: one file rewrites,
+    // the other three carry byte-verbatim into v2 ----
+    val keys = proj.select(col(key)).orderBy(col(key))
+      .limit((proj.count() / 4).toInt).collect().map(_.getLong(0))
+    val cut = keys.last // everything in roughly the first file
+    val v1Files = filesOf("v1")
+    spark.sql(s"DELETE FROM gdml.orders_dml WHERE $key <= $cut")
+    assert(live === "v2", s"DELETE must mint exactly one version, at $live")
+    sameContent(liveDf, proj.filter(col(key) > cut))
+    val v2Files = filesOf("v2")
+    val carried = v1Files.toSeq.filter { case (n, len) =>
+      v2Files.get(n).contains(len) }
+    assert(carried.size >= 2,
+      s"a span-pruned DELETE must carry untouched files verbatim; " +
+        s"v1=${v1Files.keys}, v2=${v2Files.keys}")
+    // ---- quiet DML mints NO version ----
+    spark.sql(s"DELETE FROM gdml.orders_dml WHERE $key < 0")
+    assert(live === "v2", "a DELETE matching nothing must not publish")
+    // ---- UPDATE (in place) ----
+    spark.sql(s"UPDATE gdml.orders_dml SET o_totalprice = " +
+      s"o_totalprice + 100.0 WHERE $key % 7 = 0")
+    assert(live === "v3")
+    sameContent(liveDf, proj.filter(col(key) > cut)
+      .withColumn("o_totalprice", when(col(key) % 7 === 0,
+        col("o_totalprice") + 100.0).otherwise(col("o_totalprice"))))
+    // ---- UPDATE that MOVES THE KEY: nets to delete(old)+insert(new) ----
+    val moved = liveDf.filter(col(key) % 11 === 0).count()
+    spark.sql(s"UPDATE gdml.orders_dml SET $key = $key + 90000000 " +
+      s"WHERE $key % 11 = 0")
+    assert(live === "v4")
+    val after = liveDf
+    assert(after.filter(col(key) % 11 === 0 &&
+      col(key) < 90000000L).count() === 0)
+    assert(after.filter(col(key) >= 90000000L).count() === moved)
+    // ---- MERGE INTO: the full I/U/D mix in one statement ----
+    val pre = liveDf.cache(); pre.count()
+    val srcIns = pre.limit(3).select(
+      (col(key) + 200000000L).as(key),
+      lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus"))
+    val srcUpd = pre.filter(col(key) % 5 === 0).limit(50)
+      .select(col(key), (col("o_totalprice") * 2).as("o_totalprice"),
+        col("o_orderstatus"))
+    val srcDel = pre.filter(col(key) % 5 =!= 0 && col(key) % 3 === 0)
+      .limit(50).select(col(key), col("o_totalprice"),
+        col("o_orderstatus"))
+    srcIns.unionByName(srcUpd).unionByName(srcDel)
+      .createOrReplaceTempView("dml_src")
+    spark.sql(
+      s"""MERGE INTO gdml.orders_dml t USING dml_src s
+         |ON t.$key = s.$key
+         |WHEN MATCHED AND s.$key % 3 = 0 AND s.$key % 5 != 0
+         |  THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(live === "v5")
+    val delKeys = srcDel.select(col(key))
+    val updMap = srcUpd.select(col(key), col("o_totalprice")
+      .as("new_price"))
+    val expected = pre
+      .join(delKeys, Seq(key), "left_anti")
+      .join(updMap, Seq(key), "left")
+      .select(col(key),
+        coalesce(col("new_price"), col("o_totalprice"))
+          .as("o_totalprice"),
+        col("o_orderstatus"))
+      .unionByName(srcIns)
+    sameContent(liveDf, expected)
+    pre.unpersist()
+    // ---- refusals: no key option, partitioned version ----
+    spark.conf.set("spark.sql.catalog.gnokey",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gnokey.root", parent)
+    val eNoKey = intercept[Exception] {
+      spark.sql(s"DELETE FROM gnokey.orders_dml WHERE $key = 1")
+    }
+    assert(eNoKey.getMessage.contains("key"),
+      s"keyless DML must refuse loudly: ${eNoKey.getMessage}")
+    val pr = ops.Sources.stage("lakesrc_rlo/orders_part")
+    fs.delete(new org.apache.hadoop.fs.Path(pr), true)
+    assert(ops.PartLake.publishPartitioned(spark, proj, pr, 1,
+      "o_orderstatus", _.head(1).nonEmpty))
+    // fresh catalog name: a catalog caches its options at first use,
+    // so key.orders_part must be visible from initialization
+    spark.conf.set("spark.sql.catalog.gpart",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gpart.root", parent)
+    spark.conf.set("spark.sql.catalog.gpart.key.orders_part", key)
+    val ePart = intercept[Exception] {
+      spark.sql(s"DELETE FROM gpart.orders_part WHERE $key = 1")
+    }
+    assert(ePart.getMessage.contains("partitioned"),
+      s"partitioned DML must refuse loudly: ${ePart.getMessage}")
+  }
+
   test("missing table surfaces the SQL-standard no-such-table error") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake2",
