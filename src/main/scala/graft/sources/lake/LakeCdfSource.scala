@@ -151,7 +151,9 @@ final class LakeCdfScan(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required, None, None, None, 4096)
+    new LakeReaderFactory(required, None, None, None, 4096, None,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   // ---- streaming: the version number IS the offset (exclusive) ----
   override def toMicroBatchStream(checkpointLocation: String)
@@ -224,7 +226,9 @@ final class LakeCdfMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required, None, None, None, 4096)
+    new LakeReaderFactory(required, None, None, None, 4096, None,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

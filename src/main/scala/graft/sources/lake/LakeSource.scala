@@ -74,10 +74,13 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *    — absent from the data files — materializes as a constant vector
   *    per file, never decoded, never stored.
   *
-  * Local-mode stand-in, disclosed: readers open files with a default
-  * Hadoop `Configuration` (local/HDFS-default FS); a cluster deployment
-  * threads the job's serialized Hadoop conf through the reader factory
-  * — one constructor argument, no structural change.
+  * Cluster-conf threading: the job's Hadoop configuration is captured
+  * driver-side at `createReaderFactory` (a `SerializableConfiguration`
+  * on [[LakeReaderFactory]]) and used for every executor-side touch —
+  * footer reads, DV loads, and the vectorized decode itself (the
+  * split-based initialize) — so programmatic filesystem settings
+  * (object-store credentials, fs impls, IO tuning) reach the readers
+  * exactly as they do in Spark's built-in sources.
   */
 class LakeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
@@ -577,7 +580,9 @@ final class LakeScan(ref: LakeRef, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required,
-      ref.key, ref.keyType, ref.dvPath, 4096, ref.partCol)
+      ref.key, ref.keyType, ref.dvPath, 4096, ref.partCol,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   /** Post-pruning estimates from the manifest — what makes a span-
     * pruned scan broadcastable in the eyes of join planning. Row
@@ -591,9 +596,16 @@ final class LakeScan(ref: LakeRef, required: StructType,
   }
 }
 
+/** `conf` is the JOB's serialized Hadoop configuration, captured
+  * driver-side at factory construction and carried to every task —
+  * the piece a cluster deployment needs so programmatic filesystem
+  * settings (object-store credentials, fs impls, IO tuning) reach the
+  * executor-side footer reads, DV loads, and vectorized decodes. */
 final class LakeReaderFactory(required: StructType, key: Option[String],
     keyType: Option[DataType], dvPath: Option[String], capacity: Int,
-    partCol: Option[String] = None) extends PartitionReaderFactory {
+    partCol: Option[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   private def constantsOf(p: InputPartition): Map[String, String] =
     (partCol, p.asInstanceOf[LakeFilePartition].partValue) match {
@@ -608,13 +620,14 @@ final class LakeReaderFactory(required: StructType, key: Option[String],
       : PartitionReader[ColumnarBatch] =
     new LakeColumnarReader(
       p.asInstanceOf[LakeFilePartition].path, required, capacity,
-      constantsOf(p))
+      constantsOf(p), conf.value)
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = dvPath match {
     case Some(dv) =>
       new LakeMorRowReader(p.asInstanceOf[LakeFilePartition].path,
-        required, key.get, keyType.get, dv, capacity, constantsOf(p))
+        required, key.get, keyType.get, dv, capacity, constantsOf(p),
+        conf.value)
     case None => // row-wise view over the columnar reader
       val inner = createColumnarReader(p)
       new PartitionReader[InternalRow] {
@@ -635,24 +648,51 @@ final class LakeReaderFactory(required: StructType, key: Option[String],
 private object LakeRead {
   /** Field names physically present in a parquet file (footer read —
     * one small ranged GET per task on an object store). */
-  def fileFields(path: String): Set[String] = {
+  def fileFields(path: String, conf: Configuration): Set[String] = {
     val rd = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+      HadoopInputFile.fromPath(new Path(path), conf))
     try rd.getFileMetaData.getSchema.getFields.asScala
       .map(_.getName).toSet
     finally rd.close()
   }
 
-  def rowCount(path: String): Long = {
+  def rowCount(path: String, conf: Configuration): Long = {
     val rd = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+      HadoopInputFile.fromPath(new Path(path), conf))
     try rd.getRecordCount finally rd.close()
   }
 
-  def open(path: String, cols: Seq[String], capacity: Int)
-      : VectorizedParquetRecordReader = {
+  /** Open a file through Spark's vectorized decoder WITH the job's
+    * Hadoop conf (the split-based initialize — the cluster-honest
+    * path: filesystem impls, credentials, and IO tuning set on the
+    * job reach every ranged read). The five decode-semantics flags
+    * are pinned to the same values the decoder's own test-facing
+    * String initializer uses, so behavior is identical to the
+    * pre-threading reader; the requested schema rides the standard
+    * conf key (only file-present columns — evolution's added columns
+    * materialize as constant null vectors above, never here). */
+  def open(path: String, requested: StructType, capacity: Int,
+      base: Configuration): VectorizedParquetRecordReader = {
+    val conf = new Configuration(base)
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet" +
+        ".ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      requested.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    val p = new Path(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    // the decoder downcasts to the mapred-API split internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     val r = new VectorizedParquetRecordReader(false, capacity)
-    r.initialize(path, cols.asJava: JList[String])
+    r.initialize(split, ctx)
     r
   }
 
@@ -686,14 +726,16 @@ private object LakeRead {
     * The DV is delta-sized by the y40 contract (dvFold bounds growth);
     * the cap turns a silently melting executor into a loud instruction
     * to fold. Values are deep-copied — the decoder reuses buffers. */
-  def dvKeys(dvDir: String, key: String, keyType: DataType)
-      : java.util.HashSet[Any] = {
-    val fs = new Path(dvDir).getFileSystem(new Configuration())
+  def dvKeys(dvDir: String, key: String, keyType: DataType,
+      conf: Configuration): java.util.HashSet[Any] = {
+    val fs = new Path(dvDir).getFileSystem(conf)
     val parts = fs.listStatus(new Path(dvDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
     val set = new java.util.HashSet[Any]()
     parts.foreach { st =>
-      val r = open(st.getPath.toString, Seq(key), capacity = 4096)
+      val r = open(st.getPath.toString,
+        StructType(Seq(StructField(key, keyType))), capacity = 4096,
+        conf)
       try {
         val batch = r.resultBatch() // allocates the batch vectors
         while (r.nextBatch()) {
@@ -720,18 +762,23 @@ private object LakeRead {
   * (count(*), or a projection entirely of constant columns)
   * short-circuits to footer-count batches with zero data IO. */
 final class LakeColumnarReader(path: String, required: StructType,
-    capacity: Int, constants: Map[String, String] = Map.empty)
+    capacity: Int, constants: Map[String, String] = Map.empty,
+    conf: Configuration = new Configuration())
     extends PartitionReader[ColumnarBatch] {
 
-  private val present = LakeRead.fileFields(path)
-  private val readCols = required.fields.map(_.name)
-    .filter(n => present.contains(n) && !constants.contains(n))
+  private val present = LakeRead.fileFields(path, conf)
+  // requested fields surface nullable: the decoder validates the
+  // file's repetition against the schema, and lake files write every
+  // column optional (the key's non-null contract is metadata-level)
+  private val readFields = required.fields
+    .filter(f => present.contains(f.name) && !constants.contains(f.name))
+    .map(_.copy(nullable = true))
 
   private val reader =
-    if (readCols.isEmpty) null
-    else LakeRead.open(path, readCols.toSeq, capacity)
+    if (readFields.isEmpty) null
+    else LakeRead.open(path, StructType(readFields), capacity, conf)
   private var remaining = // footer-count path only
-    if (readCols.isEmpty) LakeRead.rowCount(path) else 0L
+    if (readFields.isEmpty) LakeRead.rowCount(path, conf) else 0L
   private val inner = if (reader == null) null else reader.resultBatch()
 
   private val out: ColumnarBatch = {
@@ -776,7 +823,8 @@ final class LakeColumnarReader(path: String, required: StructType,
   * buffers are reused by the decoder and Spark may buffer rows. */
 final class LakeMorRowReader(path: String, required: StructType,
     key: String, keyType: DataType, dvDir: String, capacity: Int,
-    constants: Map[String, String] = Map.empty)
+    constants: Map[String, String] = Map.empty,
+    conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val hasKey = required.fields.exists(_.name.equalsIgnoreCase(key))
@@ -785,9 +833,9 @@ final class LakeMorRowReader(path: String, required: StructType,
     else StructType(required.fields :+ StructField(key, keyType))
   private val keyIdx =
     readSchema.fields.indexWhere(_.name.equalsIgnoreCase(key))
-  private val dv = LakeRead.dvKeys(dvDir, key, keyType)
+  private val dv = LakeRead.dvKeys(dvDir, key, keyType, conf)
   private val inner =
-    new LakeColumnarReader(path, readSchema, capacity, constants)
+    new LakeColumnarReader(path, readSchema, capacity, constants, conf)
   private var it: java.util.Iterator[InternalRow] = _
   private var row: InternalRow = _
 

@@ -937,6 +937,51 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       s"partitioned DML must refuse loudly: ${ePart.getMessage}")
   }
 
+  test("the job's Hadoop conf reaches executor-side readers") {
+    import graft.sources.lake.{LakeColumnarReader, LakeReaderFactory}
+    root // force the shared lake
+    // 1. the factory carries the conf through task serialization
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hconf.set("graft.test.conf.key", "reached")
+    val factory = new LakeReaderFactory(
+      Sync.readVersionLogical(spark, s"$root/v1", key).schema,
+      Some(key), None, None, 4096, None,
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    val bytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(factory); oo.close(); bo.toByteArray
+    }
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes)).readObject()
+      .asInstanceOf[LakeReaderFactory]
+    // the deserialized factory still creates working readers, i.e. the
+    // conf (FS settings and all) survived the executor hop
+    val file = new org.apache.hadoop.fs.Path(s"$root/v1")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .head.getPath.toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType)))
+    // 2. the reader genuinely CONSUMES the threaded conf (not a
+    // fallback default): sabotaging the filesystem impl in the conf
+    // must break the read — exactly the knob (fs impls, credentials)
+    // a cluster deployment sets programmatically — while the clean
+    // conf succeeds
+    val ok = new LakeColumnarReader(file, schema, 4096, Map.empty, hconf)
+    assert(ok.next() && ok.get().numRows() > 0); ok.close()
+    val bad = new org.apache.hadoop.conf.Configuration(hconf)
+    bad.set("fs.file.impl", "no.such.FileSystem")
+    bad.setBoolean("fs.file.impl.disable.cache", true)
+    intercept[Exception] {
+      val r = new LakeColumnarReader(file, schema, 4096, Map.empty, bad)
+      try r.next() finally r.close()
+    }
+  }
+
   test("missing table surfaces the SQL-standard no-such-table error") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake2",
