@@ -630,26 +630,38 @@ object Sync {
     val fs = new Path(root).getFileSystem(conf)
     val fromDir = s"$root/v$fromVersion"
     val stats = s.read.parquet(s"$fromDir/_file_stats")
-    val sized = stats.collect().map { r =>
-      val f = r.getAs[String]("file")
-      (f, r.getAs[Long]("kmin"),
-        fs.getFileStatus(new Path(s"$fromDir/$f")).getLen)
-    }.sortBy(_._2) // key order — groups stay span-adjacent
+    // metadata at million-file scale: sizes come from ONE directory
+    // listing (not a getFileStatus RPC per file), key order comes from
+    // the engine (orderBy on the manifest, streamed to the driver with
+    // toLocalIterator) — the driver holds names and the running group,
+    // the same budget as Spark's own driver-side FileIndex
+    val lens: Map[String, Long] = fs.listStatus(new Path(fromDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
     val groups = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     var cur = scala.collection.mutable.ArrayBuffer[String]()
     var curBytes = 0L
-    sized.foreach { case (f, _, len) =>
-      if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
-        cur += f; curBytes += len
-      } else {
-        if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
-        if (len < targetBytes / 2) { cur += f; curBytes = len }
-      }
+    var nFiles = 0
+    locally { // key order — groups stay span-adjacent
+      import scala.jdk.CollectionConverters._
+      stats.select(col("file")).orderBy(col("kmin"))
+        .toLocalIterator().asScala.foreach { r =>
+          val f = r.getString(0)
+          val len = lens(f)
+          nFiles += 1
+          if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
+            cur += f; curBytes += len
+          } else {
+            if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
+            if (len < targetBytes / 2) { cur += f; curBytes = len }
+          }
+        }
     }
     if (cur.nonEmpty) groups += cur.toSeq
     val rewriteGroups = groups.filter(_.length >= 2).toSeq
     val rewritten = rewriteGroups.flatten.sorted
-    val untouched = sized.map(_._1).toSeq.diff(rewritten).sorted
+    val rewrittenSet = rewritten.toSet
+    val untouched = lens.keysIterator.filterNot(rewrittenSet).toSeq.sorted
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     if (rewriteGroups.isEmpty) fs.mkdirs(staging)
@@ -689,7 +701,7 @@ object Sync {
         versionSchema(s, fromDir), toVersion)
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
-    CowReport(ok, sized.length, rewritten.length, rewritten, untouched)
+    CowReport(ok, nFiles, rewritten.length, rewritten, untouched)
   }
 
   /** Y40: MERGE-ON-READ DELETION VECTORS — the scale complement to
