@@ -662,7 +662,10 @@ object Sources {
       val rp = new org.apache.hadoop.fs.Path(root)
       rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
       Sync.enableCdf(s, root)
-      val proj = Tables.orders(s, d).select(
+      // %3 slice — the feed-exactness law is structural, not
+      // volume-dependent (y48's timed-cost bound)
+      val proj = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0).select(
         "o_orderkey", "o_custkey", "o_totalprice")
       val hi = proj.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
       require(Sync.publish(s,
@@ -757,16 +760,18 @@ object Sources {
          |  CAST(SUM(k) AS BIGINT) AS sum_key
          |FROM (
          |  SELECT 'I' AS op,
-         |    o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1000000 AS k
-         |  FROM orders WHERE o_orderkey % 31 = 0
+         |    o_orderkey + (SELECT MAX(o_orderkey) FROM orders
+         |                  WHERE o_orderkey % 3 = 0) + 1000000 AS k
+         |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 31 = 0
          |  UNION ALL
          |  SELECT 'U' AS op, o_orderkey AS k FROM orders
-         |  WHERE o_orderkey % 7 = 0
+         |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
          |  UNION ALL
          |  SELECT 'D' AS op, o_orderkey AS k FROM orders
-         |  WHERE (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+         |  WHERE o_orderkey % 3 = 0
+         |    AND ((o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
          |     OR (o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
-         |         AND o_orderkey % 7 <> 0)
+         |         AND o_orderkey % 7 <> 0))
          |) t GROUP BY 1""".stripMargin,
 
     // v1 = the full projection (pre-delete), live = minus the %13 DV

@@ -4332,7 +4332,10 @@ object Sync {
       val fsp = new org.apache.hadoop.fs.Path(root)
       val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(fsp, true)
-      val proj = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      // %3 slice — y48's timed-cost bound; the partition/file/CDF
+      // prune laws are structural, not volume-dependent
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey",
         "o_totalprice", "o_orderstatus")
       val b = proj.agg(min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi")).collect()(0)
@@ -5684,7 +5687,7 @@ object Sync {
          |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
          |  TRUE AS partition_pruned, TRUE AS file_pruned,
          |  TRUE AS cdf_pruned, TRUE AS cdf_mix_real
-         |FROM orders GROUP BY 1""".stripMargin,
+         |FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1""".stripMargin,
 
     // the winner's v3 content + the audited refusal flags (constants on
     // the oracle side, genuinely computed on the Spark side — the
