@@ -651,6 +651,66 @@ object Sources {
         .withColumn("delete_pruned", lit(deleteCarried))
     }),
 
+    // S22: SQL MAINTENANCE PROCEDURES — the lake's table-keeping verbs
+    // as `CALL <cat>.system.<proc>(...)` (Spark 4 ProcedureCatalog; see
+    // [[graft.sources.lake.LakeProcedures]]). Lifecycle: v1 (8 small
+    // files) → MOR delete of the %13 ghosts (v2) → CALL dv_fold pays
+    // the debt (v3, DV gone, columnar path restored) → CALL compact
+    // bin-packs the fragments (v4, fewer files, byte-equal content) →
+    // CALL gc(keep => 1) reaps v1/v2 → CALL rollback(version => 3)
+    // commits a NEW pointer generation naming v3 (zero data movement).
+    // Output = the final SQL read through the catalog; every verb's
+    // report is audited as booleans. The oracle recomputes the
+    // logical content — which NO maintenance verb may change.
+    "s22_lake_sql_maintenance" -> ((s, d) => {
+      val parent = stage("s22_cat")
+      val root = s"$parent/orders_m"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rp, true)
+      val proj = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      require(Sync.publish(s,
+        proj.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, 1, _.head(1).nonEmpty), "s22: v1 publish refused")
+      Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
+      require(Sync.dvDelete(s, root, 1, 2, "o_orderkey",
+        proj.filter(col("o_orderkey") % 13 === 0)
+          .select("o_orderkey")).published, "s22: MOR publish refused")
+      s.conf.set("spark.sql.catalog.gmaint",
+        "graft.sources.lake.LakeCatalog")
+      s.conf.set("spark.sql.catalog.gmaint.root", parent)
+      s.conf.set("spark.sql.catalog.gmaint.key.orders_m", "o_orderkey")
+      def dataFiles(v: Int) = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val fold = s.sql(
+        "CALL gmaint.system.dv_fold(table => 'orders_m')").collect()(0)
+      val foldOk = fold.getBoolean(3) && !fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v3/_deletes"))
+      val comp = s.sql(
+        "CALL gmaint.system.compact(table => 'orders_m')").collect()(0)
+      val compactOk = comp.getBoolean(4) && dataFiles(4) < dataFiles(3)
+      val gc = s.sql(
+        "CALL gmaint.system.gc(table => 'orders_m', keep => 1)")
+        .collect()(0)
+      val gcOk = gc.getInt(0) == 2 &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1"))
+      s.sql(
+        "CALL gmaint.system.rollback(table => 'orders_m', version => 3)")
+        .collect()
+      val rolledBack = Sync.liveVersion(s, root).contains("v3")
+      s.sql("SELECT * FROM gmaint.orders_m")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("fold_cleared_dv", lit(foldOk))
+        .withColumn("compact_reduced_files", lit(compactOk))
+        .withColumn("gc_reaped_history", lit(gcOk))
+        .withColumn("rollback_zero_copy", lit(rolledBack))
+    }),
+
     // S20: CDF-on-write + the change-feed source — mutate an enabled
     // lake through cow (I/U/D) and a MOR delete, then read the feed
     // BATCH-STYLE over a version window. Planning is pure metadata
@@ -723,6 +783,17 @@ object Sources {
     // live = (base minus band-DV, those keys re-asserted as 'R'/+100)
     // plus the %3 frontier — matches only if the INSERT's frontier
     // append, collision fold and DV clearing were all row-exact
+    // maintenance verbs change LAYOUT, never content: the oracle is
+    // the logical post-DV rollup; the per-verb reports ride as audited
+    // booleans (genuinely computed Spark-side, constants here)
+    "s22_lake_sql_maintenance" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+         |  ${Det.Sql.dsum("o_totalprice")} AS sum_price,
+         |  TRUE AS fold_cleared_dv, TRUE AS compact_reduced_files,
+         |  TRUE AS gc_reaped_history, TRUE AS rollback_zero_copy
+         |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 <> 0
+         |GROUP BY 1""".stripMargin,
+
     // three DML statements restored the plain %3 slice; the version
     // and prune laws ride as audited booleans (genuinely computed on
     // the Spark side, constants here — the a5/a19 idiom)

@@ -279,6 +279,22 @@ object Sync {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Roll the live pointer back to an EXISTING published version by
+    * committing a NEW generation naming it — the git-revert shape the
+    * pointer protocol documents: zero data movement, pointer history
+    * preserved (y37 GC trims it on its own cadence), monotone for
+    * readers. Refuses loudly when the target dir was GC'd — a pointer
+    * naming a reaped version would be a torn table. */
+  private[graft] def rollbackTo(s: SparkSession, root: String,
+      version: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$root/v$version")),
+      s"rollbackTo: $root/v$version does not exist (never published " +
+        "or reaped by retention GC) — cannot point the table at it")
+    swapPointer(fs, root, version)
+  }
+
   /** Y38: per-file key-span manifest for a published version — the
     * pruning index copy-on-write mutation needs: (file name, key min,
     * key max, rows). Stored INSIDE the version dir as `_file_stats`

@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * one version for its whole query — the snapshot-isolation split Spark
   * expects (resolution per query, immutability within one).
   */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var options: CaseInsensitiveStringMap = _
 
@@ -182,4 +183,17 @@ class LakeCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier)
       : Unit = throw new UnsupportedOperationException(
     "graftlake catalog is read-only")
+
+  /** S22: `CALL <cat>.system.<proc>(...)` — the maintenance verbs
+    * (compact / gc / dv_fold / rollback) as SQL procedures; see
+    * [[LakeProcedures]]. The only mutations besides DML, and every one
+    * routes through the staged publish / pointer protocol. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakeProcedures.load(root, keyFor, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    LakeProcedures.names
+      .map(Identifier.of(Array("system"), _)).toArray
 }

@@ -982,6 +982,74 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SQL maintenance procedures: dv_fold / compact / gc / rollback") {
+    spark
+    val parent = ops.Sources.stage("lakesrc_proc")
+    val r = s"$parent/orders_m"
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    assert(Sync.publish(spark,
+      proj.repartitionByRange(6, col(key)).sortWithinPartitions(key),
+      r, 1, _.head(1).nonEmpty))
+    Sync.writeFileStats(spark, s"$r/v1", key)
+    spark.conf.set("spark.sql.catalog.gproc",
+      "graft.sources.lake.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.root", parent)
+    spark.conf.set("spark.sql.catalog.gproc.key.orders_m", key)
+    def live = Sync.liveVersion(spark, r).get
+    def dataFiles(v: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$r/$v")).toSeq
+      .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val expected = proj.filter(col(key) % 13 =!= 0)
+    // fold on a clean version refuses: nothing to fold
+    val eClean = intercept[Exception] {
+      spark.sql("CALL gproc.system.dv_fold(table => 'orders_m')")
+        .collect()
+    }
+    assert(eClean.getMessage.contains("no deletion vector"))
+    // MOR delete, then CALL dv_fold pays the debt: DV gone, content kept
+    assert(Sync.dvDelete(spark, r, 1, 2, key,
+      proj.filter(col(key) % 13 === 0).select(col(key))).published)
+    val fold = spark.sql(
+      "CALL gproc.system.dv_fold(table => 'orders_m')").collect()(0)
+    assert(fold.getInt(0) === 2 && fold.getInt(1) === 3 &&
+      fold.getBoolean(3))
+    assert(live === "v3" && !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$r/v3/_deletes")))
+    sameContent(spark.sql("SELECT * FROM gproc.orders_m"), expected)
+    // CALL compact bin-packs the six small files; content unchanged
+    val comp = spark.sql(
+      "CALL gproc.system.compact(table => 'orders_m')").collect()(0)
+    assert(comp.getInt(0) === 3 && comp.getInt(1) === 4 &&
+      comp.getBoolean(4))
+    assert(live === "v4" && dataFiles("v4") < dataFiles("v3"))
+    sameContent(spark.sql("SELECT * FROM gproc.orders_m"), expected)
+    // CALL gc reaps history beyond the keep window, honors the live set
+    val gc = spark.sql(
+      "CALL gproc.system.gc(table => 'orders_m', keep => 1)")
+      .collect()(0)
+    assert(gc.getInt(0) === 2, s"expected v1+v2 reaped, got $gc")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$r/v1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$r/v3")))
+    // CALL rollback points the table at a RETAINED version: one new
+    // pointer generation, zero data movement
+    spark.sql(
+      "CALL gproc.system.rollback(table => 'orders_m', version => 3)")
+      .collect()
+    assert(live === "v3")
+    sameContent(spark.sql("SELECT * FROM gproc.orders_m"), expected)
+    // rolling back to a REAPED version refuses loudly
+    val eGone = intercept[Exception] {
+      spark.sql(
+        "CALL gproc.system.rollback(table => 'orders_m', version => 1)")
+        .collect()
+    }
+    assert(eGone.getMessage.contains("does not exist"))
+  }
+
   test("missing table surfaces the SQL-standard no-such-table error") {
     val parent = new java.io.File(root).getParent
     spark.conf.set("spark.sql.catalog.glake2",
