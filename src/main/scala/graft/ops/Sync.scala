@@ -3801,14 +3801,14 @@ object Sync {
         proj.limit(0).select(proj.columns.toSeq
           .map(c => col(c).as(c.toUpperCase)): _*),
         cfg, org.apache.spark.sql.SaveMode.Overwrite)
-      // the one DDL the apply path requires: without a key index every
-      // MERGE probe full-scans the target (O(n²) seed — see
-      // ensureKeyIndex's scaladoc); bulk seed = batched INSERTs into
-      // the fresh table (the retry-free staging case), the incremental
-      // step below still exercises the MERGE/DELETE wire path
-      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      // bulk seed = batched INSERTs into the fresh table (the
+      // retry-free staging case) — run UNINDEXED (no per-row index
+      // maintenance), then build the key index ONCE before the
+      // incremental step, whose MERGE probes structurally require it
+      // (unindexed probes full-scan — O(n²), see ensureKeyIndex)
       graft.sync.LakeToJdbc.seed(s, root, 1, "o_orderkey", cfg,
         bulk = true)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
       val rep = graft.sync.LakeToJdbc.incrementalSync(
         s, root, 1, 2, "o_orderkey", cfg)
       require(rep.validated, s"y48: post-sync drift: $rep")
@@ -4047,9 +4047,10 @@ object Sync {
         proj.limit(0).select(proj.columns.toSeq
           .map(c => col(c).as(c.toUpperCase)): _*),
         tgtCfg, org.apache.spark.sql.SaveMode.Overwrite)
-      graft.sources.JdbcSync.ensureKeyIndex(tgtCfg, Seq("O_ORDERKEY"))
       val c1 = graft.sync.JdbcToLake.capture(s, srcCfg, root, "o_orderkey")
+      // u1 is a bulk reseed: index the target AFTER it (y48's idiom)
       val u1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", tgtCfg)
+      graft.sources.JdbcSync.ensureKeyIndex(tgtCfg, Seq("O_ORDERKEY"))
       loadSource(proj) // the source converges
       val c2 = graft.sync.JdbcToLake.capture(s, srcCfg, root, "o_orderkey")
       val u2 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", tgtCfg)
@@ -4211,8 +4212,9 @@ object Sync {
         proj.limit(0).select(proj.columns.toSeq
           .map(c => col(c).as(c.toUpperCase)): _*),
         cfg, org.apache.spark.sql.SaveMode.Overwrite)
-      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      // index after the bulk reseed tick (y48's idiom)
       val t1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
       require(evolveSchema(s, root, 1, 2, Seq(
         org.apache.spark.sql.types.StructField("o_note",
           org.apache.spark.sql.types.StringType, nullable = true))),
@@ -4305,8 +4307,10 @@ object Sync {
         proj.limit(0).select(proj.columns.toSeq
           .map(c => col(c).as(c.toUpperCase)): _*),
         cfg, org.apache.spark.sql.SaveMode.Overwrite)
-      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
+      // tick 1 is a bulk reseed (no MERGE probes): index AFTER it,
+      // once, before the MERGE-driven incremental tick — y48's idiom
       val t1 = graft.sync.LakeToJdbc.catchUp(s, root, "o_orderkey", cfg)
+      graft.sources.JdbcSync.ensureKeyIndex(cfg, Seq("O_ORDERKEY"))
       val batch = proj.filter(band && col("o_orderkey") % 11 === 0)
         .withColumn("op", lit("I"))
         .unionByName(proj.filter(band && col("o_orderkey") % 5 === 0 &&
