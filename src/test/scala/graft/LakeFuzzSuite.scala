@@ -393,7 +393,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
       }
       for (_ <- 1 to 6) {
         step += 1
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 | 1 => // CDC cow apply (double weight)
             val dm = Seq(3, 5, 7)(rnd.nextInt(3))
             val d0 = lo + (span / 10) * rnd.nextInt(8)
@@ -522,6 +522,70 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
               checkState("append")
               checkFeed(cur - 1, "append")
               inc.unpersist()
+            }
+          case 7 => // SQL row-level MERGE via the catalog (s21's
+            // surface): the SAME walk laws must hold when the mutation
+            // arrives as a SQL statement through SupportsDelta instead
+            // of a library call — one statement mixing matched-DELETE,
+            // matched-UPDATE and NOT-MATCHED-INSERT clauses
+            val cat = s"gfz$seed"
+            spark.conf.set(s"spark.sql.catalog.$cat",
+              "graft.sources.lake.LakeCatalog")
+            spark.conf.set(s"spark.sql.catalog.$cat.root",
+              new java.io.File(root).getParent)
+            spark.conf.set(s"spark.sql.catalog.$cat.key.lake",
+              "o_orderkey")
+            val cols = expected.columns.toSeq
+            val um = Seq(4, 5, 6)(rnd.nextInt(3))
+            val ub = lo + (span / 8) * rnd.nextInt(7)
+            val delta = 1 + rnd.nextInt(300)
+            val upd = expected.filter(col("o_orderkey").between(ub,
+                ub + span / 8) && col("o_orderkey") % um === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + delta)
+              .withColumn("__act", lit("U"))
+            val dm = Seq(7, 9, 11)(rnd.nextInt(3))
+            val db = lo + (span / 8) * rnd.nextInt(7)
+            // disjoint from upd: one source row per target row or the
+            // MERGE cardinality check refuses (correctly)
+            val dels = expected.filter(col("o_orderkey").between(db,
+                db + span / 8) && col("o_orderkey") % dm === 0)
+              .join(upd.select("o_orderkey"), Seq("o_orderkey"),
+                "left_anti")
+              .withColumn("__act", lit("D"))
+            val ins = expected.filter(col("o_orderkey") % 29 === 0 &&
+                col("o_orderkey") <= hi)
+              .withColumn("o_orderkey",
+                col("o_orderkey") + hi + step * 31000000L)
+              .withColumn("__act", lit("I"))
+            val src = upd.unionByName(dels).unionByName(ins).cache()
+            if (src.head(1).isEmpty) { src.unpersist() }
+            else {
+              src.createOrReplaceTempView("fzdml_src")
+              spark.sql(
+                s"""MERGE INTO $cat.lake t USING fzdml_src s
+                   |ON t.o_orderkey = s.o_orderkey
+                   |WHEN MATCHED AND s.__act = 'D' THEN DELETE
+                   |WHEN MATCHED THEN UPDATE
+                   |  SET o_totalprice = s.o_totalprice
+                   |WHEN NOT MATCHED THEN INSERT
+                   |  (${cols.mkString(", ")})
+                   |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})
+                   |""".stripMargin)
+              cur += 1
+              val updMap = upd.select(col("o_orderkey"),
+                col("o_totalprice").as("__newp"))
+              expected = expected
+                .join(dels.select("o_orderkey"), Seq("o_orderkey"),
+                  "left_anti")
+                .join(updMap, Seq("o_orderkey"), "left")
+                .withColumn("o_totalprice",
+                  coalesce(col("__newp"), col("o_totalprice")))
+                .drop("__newp")
+                .unionByName(ins.drop("__act"))
+                .select(cols.map(col).toIndexedSeq: _*)
+              checkState("sqlmerge")
+              checkFeed(cur - 1, "sqlmerge")
+              src.unpersist()
             }
         }
       }
