@@ -3884,11 +3884,13 @@ object Sync {
       // generation 1 (open rows: valid_from = 1, valid_to = NULL)
       Class.forName(cfg.driver)
       val conn = java.sql.DriverManager.getConnection(cfg.url)
+      // bare table for the bulk history seed — the composite PK the
+      // close/open probes need lands ONCE afterwards (load-then-index:
+      // no per-row index maintenance during the 1-generation append)
       try conn.createStatement().execute(
         s"CREATE TABLE ${cfg.table} (O_ORDERKEY BIGINT NOT NULL, " +
           "O_TOTALPRICE DOUBLE, VALID_FROM BIGINT NOT NULL, " +
-          "VALID_TO BIGINT, IS_CURRENT SMALLINT, " +
-          "PRIMARY KEY (O_ORDERKEY, VALID_FROM))")
+          "VALID_TO BIGINT, IS_CURRENT SMALLINT)")
       finally conn.close()
       val seedRows = v1.count()
       graft.sources.JdbcSync.writeTable(
@@ -3899,6 +3901,11 @@ object Sync {
           lit(1).cast("smallint").as("IS_CURRENT"))
           .repartitionByRange(1, col("O_ORDERKEY")),
         cfg, org.apache.spark.sql.SaveMode.Append)
+      val c2 = java.sql.DriverManager.getConnection(cfg.url)
+      try c2.createStatement().execute(
+        s"ALTER TABLE ${cfg.table} ADD CONSTRAINT " +
+          s"PK_${cfg.table} PRIMARY KEY (O_ORDERKEY, VALID_FROM)")
+      finally c2.close()
       def histCounts(): (Long, Long) = {
         val r = graft.sources.JdbcSync.readTable(s, cfg, None)
           .agg(count(lit(1)), count(when(col("IS_CURRENT") === 0, 1)))
