@@ -90,10 +90,12 @@ object Bench {
     // timed-out two-pass one, so passes beyond the first — and stall
     // retries — only run while the elapsed wall plus an estimate of
     // the next pass (= the longest pass so far) fits the budget.
-    // Default 420 s of in-JVM time, leaving the driver's likely 600 s
-    // cap room for sbt/JVM startup; override via env.
+    // Default 600 s of in-JVM time: round 10's driver run completed
+    // THREE ~183 s passes (~610 s in-JVM) inside its cap, so the cap
+    // is >= ~700 s — 600 s leaves startup room while letting a healthy
+    // host (~250 s/pass) keep its two-pass smoothing. Override via env.
     val wallBudgetSec = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+      "SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val passWalls = scala.collection.mutable.ArrayBuffer[Double]()
