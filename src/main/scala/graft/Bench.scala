@@ -127,6 +127,19 @@ object Bench {
     val bracketSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     // Each pass with its (pre, post) bracket; health judged at the end.
     val passes = scala.collection.mutable.ArrayBuffer[(Map[String, Double], Double, Double)]()
+    // SETTLE: this host reliably stalls for a window right after
+    // JVM/sbt startup — every recorded run's FIRST sentinel is its
+    // worst (0.45-1.9 s vs the 0.08-0.13 healthy band). A pass that
+    // straddles that window inflates ~2x AND its wall then blocks the
+    // second pass through the budget estimate, so burn the stall in a
+    // bounded warm-wait (<=60 s) before anything is timed.
+    locally {
+      var t = sentinelLogged()
+      var waited = 0
+      while (t > 0.15 && waited < 20) {
+        Thread.sleep(3000); t = sentinelLogged(); waited += 1
+      }
+    }
     val s0 = sentinelLogged()
     val p1 = timedPass()
     val s1 = sentinelLogged()

@@ -54,13 +54,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *      version — version history stays proportional to actual change
   *      (the y53 law, here for SQL).
   *
-  * UPDATE of the key column itself arrives as `update(id, row)` with a
-  * changed key: spooled as D(old key) + I(new row) with the delete
-  * stamped before the insert, so latest-wins application nets to a
-  * correct key move. Refusals: a version without the `key` option
-  * (nothing to route by) and y49 partitioned versions (their rewrite
-  * is [[graft.ops.PartLake]]'s partition-first path, not wired to SQL
-  * yet) refuse at planning, loudly.
+  * UPDATE of the row's IDENTITY (the key — or, on a y49 partitioned
+  * version, the partition value: identity there is (partition, key))
+  * arrives as `update(id, row)` with a changed id: spooled as
+  * D(old identity) + I(new row) with the delete stamped before the
+  * insert, so latest-wins application nets to a correct move — a
+  * cross-partition UPDATE deletes from the old partition and inserts
+  * into the new one. Partitioned versions commit through
+  * [[graft.ops.PartLake.cowApplyChanges]] (partition-first pruning,
+  * same batch shape); a version without the `key` option refuses at
+  * planning, loudly.
   */
 final class LakeRowLevelBuilder(ref: LakeRef, info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
@@ -69,10 +72,6 @@ final class LakeRowLevelBuilder(ref: LakeRef, info: RowLevelOperationInfo)
       "graftlake: SQL DELETE/UPDATE/MERGE needs option 'key' " +
         "(catalog: spark.sql.catalog.<cat>.key.<table>) to route " +
         "changes through the keyed cow path"))
-    if (ref.partCol.nonEmpty) throw new UnsupportedOperationException(
-      s"graftlake: row-level SQL on a partitioned version " +
-        s"(${ref.dir}) is not supported — apply changes through " +
-        "graft.ops.PartLake's partition-pruned cow path")
     new LakeRowLevelOperation(ref, info.command, key)
   }
 }
@@ -98,8 +97,14 @@ final class LakeRowLevelOperation(ref: LakeRef, cmd: Command, key: String)
       }
     }
 
+  /** Row identity: the lake key — plus the partition column on a y49
+    * partitioned version, where (partition, key) is the identity the
+    * cow path routes by (a cross-partition move is a D+I pair; see
+    * [[graft.ops.PartLake.cowApplyChanges]]). Carrying the partition
+    * in the id also puts it on DELETE's wire, which partition-first
+    * pruning needs. */
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(key))
+    (key +: ref.partCol.toSeq).map(Expressions.column).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
@@ -108,8 +113,9 @@ final class LakeRowLevelOperation(ref: LakeRef, cmd: Command, key: String)
 }
 
 /** The spool row layout: every table column + the op marker. Deletes
-  * carry only the key (other columns null) — all `cowApplyChanges`
-  * needs from a D row. */
+  * carry only the row identity — key, plus partition value on y49
+  * versions — with other columns null: all the cow paths need from a
+  * D row. */
 private[lake] object LakeDelta {
   def spoolSchema(ref: LakeRef): StructType =
     StructType(ref.schema.fields :+
@@ -124,7 +130,7 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory =
     new LakeDeltaWriterFactory(spoolDir, LakeDelta.spoolSchema(ref),
-      ref.schema, key)
+      ref.schema, key, ref.partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -145,15 +151,21 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
           s"against ${ref.version} but the live version is now " +
           s"${live.getOrElse("<none>")}; re-run the statement")
       val fromV = ref.version.stripPrefix("v").toInt
-      // D rows stamp below I/U so a key-moving UPDATE (spooled as
-      // D(old)+I(new)) nets correctly under latest-wins
+      // D rows stamp below I/U so an identity-moving UPDATE (spooled
+      // as D(old)+I(new)) nets correctly under latest-wins
       val changes = spark.read.schema(LakeDelta.spoolSchema(ref))
         .parquet(spoolDir)
         .withColumn("version",
           when(col("op") === "D", lit(1L)).otherwise(lit(2L)))
-      val rep = graft.ops.Sync.cowApplyChanges(spark, ref.root,
-        fromV, fromV + 1, key, changes)
-      if (!rep.published) throw new IllegalStateException(
+      val published = ref.partCol match {
+        // y49 partitioned version: the partition-first cow path —
+        // same batch shape, identity (partition, key)
+        case Some(pc) => graft.ops.PartLake.cowApplyChanges(spark,
+          ref.root, fromV, fromV + 1, key, pc, changes).published
+        case None => graft.ops.Sync.cowApplyChanges(spark, ref.root,
+          fromV, fromV + 1, key, changes).published
+      }
+      if (!published) throw new IllegalStateException(
         "graftlake: the cow publish was refused (validation failed or " +
           "a concurrent publisher staged the same version) — no " +
           "reader-visible change was made; re-run the statement")
@@ -172,10 +184,12 @@ final case class LakeDeltaCommitMessage(rows: Long)
     extends WriterCommitMessage
 
 final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
-    data: StructType, key: String) extends DeltaWriterFactory {
+    data: StructType, key: String, partCol: Option[String])
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
-    new LakeDeltaWriter(spoolDir, spool, data, key, partitionId, taskId)
+    new LakeDeltaWriter(spoolDir, spool, data, key, partCol,
+      partitionId, taskId)
 }
 
 /** Executor-side spool: change rows land as ordinary parquet via
@@ -187,10 +201,15 @@ final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
   * task overwrites its predecessor's path (same partitionId), never
   * duplicating rows. */
 final class LakeDeltaWriter(spoolDir: String, spool: StructType,
-    data: StructType, key: String, partitionId: Int, taskId: Long)
+    data: StructType, key: String, partCol: Option[String],
+    partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
   private val keyIdx = data.fieldNames.indexWhere(_.equalsIgnoreCase(key))
+  // the row-id projection is [key] or [key, partCol] (rowId()); these
+  // are the DATA-schema slots its fields copy back into
+  private val idIdx: Array[Int] = keyIdx +: partCol.toArray.map(pc =>
+    data.fieldNames.indexWhere(_.equalsIgnoreCase(pc)))
   private val opIdx = spool.length - 1
   private var rows = 0L
   private var writer: org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow] = _
@@ -218,7 +237,7 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
   }
 
   /** Copy a (possibly Unsafe) row's fields into a fresh spool row with
-    * the op marker; deletes copy only the key. */
+    * the op marker. */
   private def spoolRow(row: InternalRow, op: String,
       keyOnly: Boolean): InternalRow = {
     val out = new GenericInternalRow(spool.length)
@@ -234,14 +253,36 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     out
   }
 
-  /** The delete spool row from the ROW-ID projection (key only). */
+  /** The delete spool row from the ROW-ID projection — the key, plus
+    * the partition value on partitioned versions (partition-first
+    * pruning needs it on the delete's wire). */
   private def spoolIdRow(id: InternalRow): InternalRow = {
     val out = new GenericInternalRow(spool.length)
-    out.update(keyIdx, InternalRow.copyValue(
-      id.get(0, data.fields(keyIdx).dataType)))
+    var i = 0
+    while (i < idIdx.length) {
+      if (!id.isNullAt(i))
+        out.update(idIdx(i), InternalRow.copyValue(
+          id.get(i, data.fields(idIdx(i)).dataType)))
+      i += 1
+    }
     out.update(opIdx, org.apache.spark.unsafe.types.UTF8String
       .fromString("D"))
     out
+  }
+
+  /** Has the row's IDENTITY moved (key, or partition on a partitioned
+    * version)? A moved identity nets as delete(old)+insert(new). */
+  private def idMoved(id: InternalRow, row: InternalRow): Boolean = {
+    var i = 0
+    while (i < idIdx.length) {
+      val di = idIdx(i)
+      val dt = data.fields(di).dataType
+      val a = if (id.isNullAt(i)) null else id.get(i, dt)
+      val b = if (row.isNullAt(di)) null else row.get(di, dt)
+      if (a != b) return true
+      i += 1
+    }
+    false
   }
 
   private def emit(r: InternalRow): Unit = {
@@ -252,15 +293,12 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     emit(spoolRow(row, "I", keyOnly = false))
 
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit = {
-    val oldKey = id.get(0, data.fields(keyIdx).dataType)
-    val newKey = row.get(keyIdx, data.fields(keyIdx).dataType)
-    if (oldKey == newKey) emit(spoolRow(row, "U", keyOnly = false))
-    else { // key-moving UPDATE: delete the old identity, insert the new
+      row: InternalRow): Unit =
+    if (!idMoved(id, row)) emit(spoolRow(row, "U", keyOnly = false))
+    else { // identity-moving UPDATE: delete the old, insert the new
       emit(spoolIdRow(id))
       emit(spoolRow(row, "I", keyOnly = false))
     }
-  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     emit(spoolIdRow(id))

@@ -139,13 +139,27 @@ object LakeRef {
       throw new IllegalStateException(
         s"graftlake: version dir $dir does not exist — never published, " +
           "or reaped by retention GC (pin it with a reader lease)")
+    val partDirs = fs.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val partCol = partDirs.headOption
+      .map(_.getPath.getName.split("=", 2)(0))
     // versionSchema goes through Spark's reader, so a partitioned
     // version's schema already includes the inferred partition column.
-    // The key column surfaces NON-NULLABLE: it is the lake's routing
-    // contract (span manifests, DV probes, cow routing all key on it),
-    // and row-level SQL requires a non-nullable row id.
+    // The key column — and the partition column, when present —
+    // surface NON-NULLABLE: they are the lake's row identity (span
+    // manifests, DV probes, partition-first cow routing all key on
+    // them), and row-level SQL requires a non-nullable row id. A
+    // null-partition sentinel dir would make that claim a lie, so it
+    // refuses loudly rather than silently mis-typing.
+    require(!partDirs.exists(_.getPath.getName
+        .endsWith("=__HIVE_DEFAULT_PARTITION__")),
+      s"graftlake: $dir carries a null-partition sentinel dir — the " +
+        "partition column is part of row identity and must be " +
+        "non-null; route null partitions to an explicit value")
+    val idCols = key.toSeq ++ partCol.toSeq
     val schema = StructType(Sync.versionSchema(spark, dir).fields.map(f =>
-      if (key.exists(_.equalsIgnoreCase(f.name))) f.copy(nullable = false)
+      if (idCols.exists(_.equalsIgnoreCase(f.name)))
+        f.copy(nullable = false)
       else f))
     val dvPath =
       if (fs.exists(new Path(s"$dir/_deletes"))) Some(s"$dir/_deletes")
@@ -154,10 +168,6 @@ object LakeRef {
       throw new IllegalArgumentException(
         s"graftlake: $dir carries a deletion vector; option 'key' is " +
           "required so the reader can subtract it (or dvFold the version)")
-    val partDirs = fs.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    val partCol = partDirs.headOption
-      .map(_.getPath.getName.split("=", 2)(0))
     // (relative name, partition value, size) per data file
     val statuses: Seq[(String, Option[String], Long)] = partCol match {
       case None =>
@@ -530,6 +540,10 @@ final class LakeScan(ref: LakeRef, required: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     (ref.key.toSeq ++ ref.partCol.toSeq)
+      // only columns this scan actually OUTPUTS: Spark resolves these
+      // against the (column-pruned) scan output and THROWS on a miss —
+      // a key projected out of a DPP-joined scan would kill the query
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 

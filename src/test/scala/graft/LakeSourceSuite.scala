@@ -920,21 +920,80 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     }
     assert(eNoKey.getMessage.contains("key"),
       s"keyless DML must refuse loudly: ${eNoKey.getMessage}")
-    val pr = ops.Sources.stage("lakesrc_rlo/orders_part")
+  }
+
+  test("SQL row-level DML on a PARTITIONED version: identity is " +
+      "(partition, key); cross-partition UPDATE nets as a move") {
+    spark
+    val pr = ops.Sources.stage("lakesrc_rlo2/orders_part")
+    val fs = new org.apache.hadoop.fs.Path(pr)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(pr), true)
+    val proj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
     assert(ops.PartLake.publishPartitioned(spark, proj, pr, 1,
       "o_orderstatus", _.head(1).nonEmpty))
-    // fresh catalog name: a catalog caches its options at first use,
-    // so key.orders_part must be visible from initialization
+    ops.PartLake.writeFileStats(spark, s"$pr/v1", key, "o_orderstatus")
+    val parent = new java.io.File(pr).getParent
+    // fresh catalog name: a catalog caches its options at first use
     spark.conf.set("spark.sql.catalog.gpart",
       "graft.sources.lake.LakeCatalog")
     spark.conf.set("spark.sql.catalog.gpart.root", parent)
     spark.conf.set("spark.sql.catalog.gpart.key.orders_part", key)
-    val ePart = intercept[Exception] {
-      spark.sql(s"DELETE FROM gpart.orders_part WHERE $key = 1")
-    }
-    assert(ePart.getMessage.contains("partitioned"),
-      s"partitioned DML must refuse loudly: ${ePart.getMessage}")
+    def sqlT = spark.sql("SELECT * FROM gpart.orders_part")
+    // DELETE scoped by partition + key span: partition-first pruning
+    spark.sql(s"DELETE FROM gpart.orders_part " +
+      s"WHERE o_orderstatus = 'F' AND $key % 7 = 0")
+    val afterDel = proj.filter(!(col("o_orderstatus") === "F" &&
+      col(key) % 7 === 0))
+    assert(Sync.liveVersion(spark, pr).contains("v2"))
+    sameContent(sqlT, afterDel)
+    // cross-partition UPDATE: the partition value IS row identity —
+    // the old partition's row deletes, the new partition's inserts
+    val moved = afterDel.filter(col(key) % 19 === 0).count()
+    spark.sql(s"UPDATE gpart.orders_part SET o_orderstatus = 'Z' " +
+      s"WHERE $key % 19 = 0")
+    val afterUpd = afterDel.withColumn("o_orderstatus",
+      when(col(key) % 19 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+    sameContent(sqlT, afterUpd)
+    assert(sqlT.filter(col("o_orderstatus") === "Z").count() === moved)
+    assert(sqlT.count() === afterDel.count(),
+      "a partition move must not change cardinality")
+    // the new partition materialized as its own part= subdir
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$pr/v3/o_orderstatus=Z")))
+    // MERGE with an I/U/D mix through the partitioned path
+    val pre = sqlT.cache(); pre.count()
+    val srcU = pre.filter(col(key) % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      .withColumn("__act", lit("U"))
+    val srcD = pre.filter(col(key) % 13 === 0 && col(key) % 11 =!= 0)
+      .withColumn("__act", lit("D"))
+    val srcI = pre.limit(5)
+      .withColumn("o_orderkey", col(key) + 400000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("__act", lit("I"))
+    srcU.unionByName(srcD).unionByName(srcI)
+      .createOrReplaceTempView("part_dml_src")
+    spark.sql(
+      s"""MERGE INTO gpart.orders_part t USING part_dml_src s
+         |ON t.$key = s.$key
+         |WHEN MATCHED AND s.__act = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_totalprice, o_orderstatus)
+         |  VALUES (s.o_orderkey, s.o_totalprice, s.o_orderstatus)
+         |""".stripMargin)
+    val expected = pre
+      .join(srcD.select(col(key)), Seq(key), "left_anti")
+      .join(srcU.select(col(key), col("o_totalprice").as("__p")),
+        Seq(key), "left")
+      .select(col(key),
+        coalesce(col("__p"), col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .unionByName(srcI.drop("__act"))
+    sameContent(sqlT, expected)
+    pre.unpersist()
   }
 
   test("the job's Hadoop conf reaches executor-side readers") {
