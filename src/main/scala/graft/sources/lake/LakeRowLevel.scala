@@ -137,11 +137,12 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
     val fs = new Path(ref.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val changed = messages.collect {
-        case m: LakeDeltaCommitMessage => m.rows
-      }.sum
+      val committed = messages.collect {
+        case m: LakeDeltaCommitMessage => m
+      }
+      val files = committed.flatMap(_.file).toSeq
       // quiet DML mints no version: history stays ∝ change
-      if (changed == 0L) return
+      if (committed.map(_.rows).sum == 0L || files.isEmpty) return
       // optimistic concurrency: the statement planned against the
       // version this table object pinned; if the pointer moved, the
       // matched set may be stale — refuse, never rebase silently
@@ -153,8 +154,10 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
       val fromV = ref.version.stripPrefix("v").toInt
       // D rows stamp below I/U so an identity-moving UPDATE (spooled
       // as D(old)+I(new)) nets correctly under latest-wins
+      // read exactly the winners' files, never the whole dir — a
+      // speculative loser's file must not double-apply its rows
       val changes = spark.read.schema(LakeDelta.spoolSchema(ref))
-        .parquet(spoolDir)
+        .parquet(files: _*)
         .withColumn("version",
           when(col("op") === "D", lit(1L)).otherwise(lit(2L)))
       val published = ref.partCol match {
@@ -180,7 +183,7 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
   }
 }
 
-final case class LakeDeltaCommitMessage(rows: Long)
+final case class LakeDeltaCommitMessage(rows: Long, file: Option[String])
     extends WriterCommitMessage
 
 final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
@@ -194,17 +197,18 @@ final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
 
 /** Executor-side spool: change rows land as ordinary parquet via
   * Spark's own `ParquetWriteSupport` (the codec the built-in sink
-  * uses), one file per task attempt — a failed attempt's file is
-  * ignored because only files named in commit messages… are not
-  * tracked here at all: the commit reads the whole spool dir, so the
-  * factory embeds the task ATTEMPT in the file name and a retried
-  * task overwrites its predecessor's path (same partitionId), never
-  * duplicating rows. */
+  * uses), one ATTEMPT-UNIQUE file per task (partitionId + taskId), and
+  * the commit message names it — the driver reads exactly the files
+  * the WINNING attempts reported, so a failed or speculative loser's
+  * file is simply never read (the standard v2 commit protocol; the
+  * spool dir delete at commit/abort sweeps orphans). */
 final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     data: StructType, key: String, partCol: Option[String],
     partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
+  private val fileName =
+    f"$spoolDir/delta-$partitionId%05d-$taskId%d.parquet"
   private val keyIdx = data.fieldNames.indexWhere(_.equalsIgnoreCase(key))
   // the row-id projection is [key] or [key, partCol] (rowId()); these
   // are the DATA-schema slots its fields copy back into
@@ -229,10 +233,7 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
       "false")
     val fmt = new ParquetOutputFormat[InternalRow](new ParquetWriteSupport)
-    // partitionId (not taskId) names the file: a speculative/retried
-    // attempt REPLACES its partition's spool instead of adding to it
-    writer = fmt.getRecordWriter(conf,
-      new Path(f"$spoolDir/delta-$partitionId%05d.parquet"),
+    writer = fmt.getRecordWriter(conf, new Path(fileName),
       CompressionCodecName.SNAPPY)
   }
 
@@ -305,7 +306,8 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close(null)
-    LakeDeltaCommitMessage(rows)
+    LakeDeltaCommitMessage(rows,
+      if (writer != null) Some(fileName) else None)
   }
 
   override def abort(): Unit = if (writer != null) writer.close(null)
