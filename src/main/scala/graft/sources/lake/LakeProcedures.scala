@@ -91,8 +91,23 @@ private[lake] object LakeProcedures {
         throw new IllegalStateException(
           s"graftlake: no published version under $tableRoot"))
         .stripPrefix("v").toInt
+      // compact/dv_fold rewrite through the FLAT cow path; running
+      // them on a y49 partitioned version would flatten its layout —
+      // refuse loudly (gc and rollback are layout-agnostic)
+      def refusePartitioned(): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(tableRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val vd = new org.apache.hadoop.fs.Path(s"$tableRoot/v$liveV")
+        if (fs.exists(vd) && fs.listStatus(vd).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("=")))
+          throw new UnsupportedOperationException(
+            s"graftlake: procedure $procName on a PARTITIONED version " +
+              s"would flatten its part= layout — not supported; " +
+              "partitioned rewrites are graft.ops.PartLake's job")
+      }
       val (schema, row): (StructType, Seq[Any]) = procName match {
         case "compact" =>
+          refusePartitioned()
           val v = liveV
           val rep = Sync.compactPublished(spark, tableRoot, v, v + 1,
             key, input.getInt(1).toLong * 1024 * 1024)
@@ -113,6 +128,7 @@ private[lake] object LakeProcedures {
             Seq(rep.deleted.size, rep.pinnedKept.size,
               rep.trimmedPtrGens.size))
         case "dv_fold" =>
+          refusePartitioned()
           val v = liveV
           val fs = new org.apache.hadoop.fs.Path(tableRoot)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1107,6 +1107,20 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
         .collect()
     }
     assert(eGone.getMessage.contains("does not exist"))
+    // flat-rewrite procedures refuse on a PARTITIONED version (they
+    // would flatten its part= layout)
+    val pr2 = ops.Sources.stage("lakesrc_proc/orders_pm")
+    fs.delete(new org.apache.hadoop.fs.Path(pr2), true)
+    assert(ops.PartLake.publishPartitioned(spark,
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      pr2, 1, "o_orderstatus", _.head(1).nonEmpty))
+    spark.conf.set("spark.sql.catalog.gproc.key.orders_pm", key)
+    val ePart = intercept[Exception] {
+      spark.sql("CALL gproc.system.compact(table => 'orders_pm')")
+        .collect()
+    }
+    assert(ePart.getMessage.contains("PARTITIONED"))
   }
 
   test("missing table surfaces the SQL-standard no-such-table error") {
