@@ -13,13 +13,16 @@ import org.apache.spark.sql.functions._
   *   v{n}/
   *     part=<a>/part-*.parquet     ← S12's layout, per version
   *     part=<b>/part-*.parquet
-  *     _file_stats                 ← manifest rows now carry (file,
-  *                                    part, kmin, kmax, n_rows) with
-  *                                    `file` RELATIVE (part=<v>/<name>)
+  *     _file_stats                 ← manifest rows carry (file, part,
+  *                                    kmin, kmax, n_rows, dir, bytes)
+  *                                    with `file` RELATIVE
+  *                                    (part=<v>/<name>) and `dir` the
+  *                                    VERSION DIR the file physically
+  *                                    lives in (r13 zero-copy carry)
   *
   * What each side gains:
   *  - READERS: a partition-filtered scan of a published version prunes
-  *    to matching subdirs via Spark's own partition discovery — zero
+  *    to matching subdirs via the manifest's partition values — zero
   *    data files listed or opened outside the partition
   *    (PlanAuditSuite pins `PartitionFilters` + the scanned-file
   *    count). The version pointer, rollback, GC, leases — all of
@@ -32,7 +35,9 @@ import org.apache.spark.sql.functions._
   *    key — ~|partitions|× write amplification. With the partition in
   *    the manifest the rewrite set is exactly (touched partitions) ×
   *    (touched spans); the law test plants overlapping spans across
-  *    partitions and pins the untouched partition's byte-identity.
+  *    partitions and pins the untouched partition's files carry as
+  *    manifest REFERENCES — zero bytes moved (r13; pre-r13 this was a
+  *    physical per-file copy, O(table) per publish at scale).
   *
   * Row identity here is (partition value, key): a row "moving" between
   * partitions is a D in the old partition + an I in the new one, the
@@ -51,6 +56,29 @@ object PartLake {
   private def relFile = regexp_extract(input_file_name(),
     "([^/]+=[^/]+/[^/]+)$", 1)
 
+  private def mintName(dirName: String): String =
+    if (dirName.startsWith("_staging_")) dirName.stripPrefix("_staging_")
+    else dirName
+
+  /** Canonical partitioned-manifest column order. */
+  private val Cols =
+    Seq("file", "part", "dir", "kmin", "kmax", "n_rows", "bytes")
+
+  /** Two-level listing of a partitioned dir: relative file → size. */
+  private def partLens(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(pd => fs.listStatus(pd.getPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(st =>
+          s"${pd.getPath.getName}/${st.getPath.getName}" -> st.getLen))
+      .toMap
+  }
+
   /** Publish one partitioned version: stage with `partitionBy`, then
     * the shared y36 validate→rename→pointer-commit tail (same staging
     * invisibility, same rename-free `_ptr_gen_*` commit, same rollback
@@ -64,41 +92,107 @@ object PartLake {
   }
 
   /** Per-file manifest for a partitioned version dir: one pass over
-    * the data grouped by (relative file, partition value). The
-    * partition value rides as a STRING (its path rendering) so the
-    * manifest join never depends on the column's data type. */
+    * the data grouped by (relative file, partition value) + ONE
+    * two-level listing for sizes. The partition value rides as a
+    * STRING (its path rendering) so the manifest join never depends on
+    * the column's data type; `dir` names the version dir each file
+    * physically lives in (all-local here — this writer only ever sees
+    * a freshly-staged dir). */
   def writeFileStats(s: SparkSession, dir: String, key: String,
       part: String): Unit = {
-    require(!Seq("file", "part", "kmin", "kmax", "n_rows").contains(part),
+    require(!Seq("file", "part", "dir", "kmin", "kmax", "n_rows",
+      "bytes").contains(part),
       s"writeFileStats: partition column '$part' collides with a manifest column")
-    s.read.parquet(dir)
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lens = partLens(fs, dir)
+    val vName = mintName(p.getName)
+    val agg = s.read.parquet(dir)
       .groupBy(relFile.as("file"), col(part).cast("string").as("part"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
         count(lit(1)).as("n_rows"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_file_stats")
+    val rows = agg.collect().map { r =>
+      org.apache.spark.sql.Row(r.getString(0), r.getString(1), vName,
+        r.get(2), r.get(3), r.getLong(4),
+        lens.getOrElse(r.getString(0), -1L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      agg.schema("file"), agg.schema("part"),
+      org.apache.spark.sql.types.StructField("dir",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      agg.schema("kmin"), agg.schema("kmax"), agg.schema("n_rows"),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        schema)
+      .write.mode("overwrite").parquet(s"$dir/_file_stats")
   }
+
+  /** Scan + size the NEW files a staged partitioned version just
+    * wrote, union the CARRIED rows verbatim (still naming the dirs
+    * their files live in), write the staged `_file_stats`. Returns the
+    * new rows. */
+  private def writeStagedManifest(s: SparkSession, root: String,
+      toVersion: Int, key: String, part: String, carried: DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$root/_staging_v$toVersion"
+    val fs = new Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(staging))) fs.mkdirs(new Path(staging))
+    val lens = partLens(fs, staging)
+    val newRows: Array[org.apache.spark.sql.Row] =
+      if (lens.isEmpty) Array.empty
+      else s.read.parquet(staging)
+        .groupBy(relFile.as("file"),
+          col(part).cast("string").as("part"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+          count(lit(1)).as("n_rows"))
+        .collect()
+        .map(r => org.apache.spark.sql.Row(r.getString(0),
+          r.getString(1), s"v$toVersion", r.get(2), r.get(3),
+          r.getLong(4), lens.getOrElse(r.getString(0), -1L)))
+    val carriedN = carried.select(Cols.map(col): _*)
+    s.createDataFrame(s.sparkContext.parallelize(newRows.toIndexedSeq, 1),
+        carriedN.schema)
+      .unionByName(carriedN)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    newRows
+  }
+
+  /** Read a set of (relative file, physical dir) pairs under their
+    * partition layout — one read per DISTINCT source dir (basePath =
+    * that dir so the partition column infers), unioned. */
+  private def readFiles(s: SparkSession, root: String,
+      fd: Seq[(String, String)]): DataFrame =
+    fd.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, fl) =>
+      s.read.option("basePath", s"$root/$d")
+        .parquet(fl.map { case (f, _) => s"$root/$d/$f" }: _*)
+    }.reduceLeft(_.unionByName(_))
 
   /** Copy-on-write apply of a CDC batch (op ∈ I/U/D + `version`
     * ordering column, y38b's shape, rows carrying the partition
     * column) onto a partitioned published version. Pruning is
     * partition-equality THEN key-span against the manifest; rewrites
-    * are per-partition `partitionBy` writes; untouched files carry
-    * byte-verbatim under their own `part=` subdir; one pointer commit
-    * publishes. Upserts landing in a partition+span no file owns are
-    * the append frontier — including entirely NEW partition values,
-    * which materialize as new `part=` subdirs with no rewrite at all. */
+    * are per-partition `partitionBy` writes; untouched files carry as
+    * ZERO-COPY manifest references under their own `part=` identity;
+    * one pointer commit publishes. Upserts landing in a partition+span
+    * no file owns are the append frontier — including entirely NEW
+    * partition values, which materialize as new `part=` subdirs with
+    * no rewrite at all. */
   def cowApplyChanges(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String, part: String,
       changes: DataFrame): PartCowReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    require(!Seq("file", "part", "kmin", "kmax", "n_rows", "op",
-      "version").contains(part),
+    import org.apache.hadoop.fs.Path
+    require(!Seq("file", "part", "dir", "kmin", "kmax", "n_rows",
+      "bytes", "op", "version").contains(part),
       s"cowApplyChanges: partition column '$part' collides with a " +
         "manifest/changelog column")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
-    val fromDir = s"$root/v$fromVersion"
-    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats = Sync.manifestDf(s, root, s"v$fromVersion")
     val wv = Window.partitionBy(part, key).orderBy(col("version").desc)
     val latest = changes.withColumn("__rn", row_number().over(wv))
       .filter(col("__rn") === 1).drop("__rn")
@@ -107,23 +201,24 @@ object PartLake {
     // the prune: partition equality FIRST (kills every same-span file
     // in other partitions), span second — both against the broadcast,
     // metadata-sized manifest; the table itself is never scanned
-    val affected = changeIds
+    val affectedFD = changeIds
       .join(broadcast(stats),
         col(part).cast("string") === col("part") &&
           col(key) >= col("kmin") && col(key) <= col("kmax"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .select("file", "dir").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val affected = affectedFD.map(_._1)
     val allFiles = stats.select("file", "part").collect()
-      .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
+      .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
     val untouched = allFiles.map(_._1).diff(affected)
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     require(allFiles.nonEmpty,
-      s"cowApplyChanges: $fromDir has no manifest files")
+      s"cowApplyChanges: $root/v$fromVersion has no manifest files")
     val survivors =
-      if (affected.isEmpty) upserts.limit(0)
-      else s.read.option("basePath", fromDir)
-        .parquet(affected.map(f => s"$fromDir/$f"): _*)
+      if (affectedFD.isEmpty) upserts.limit(0)
+      else readFiles(s, root, affectedFD)
         .join(broadcast(changeIds), Seq(part, key), "left_anti")
     val cols = survivors.columns.toSeq
     // span routing within the partition: an upsert joins the rewrite
@@ -132,10 +227,12 @@ object PartLake {
     val spanned = upserts.join(broadcast(stats),
       col(part).cast("string") === col("part") &&
         col(key) >= col("kmin") && col(key) <= col("kmax"), "left")
+    val manifestCols =
+      Seq("file", "part", "dir", "kmin", "kmax", "n_rows", "bytes")
     val inSpan = spanned.filter(col("file").isNotNull)
-      .drop("file", "part", "kmin", "kmax", "n_rows").distinct()
+      .drop(manifestCols: _*).distinct()
     val frontier = spanned.filter(col("file").isNull)
-      .drop("file", "part", "kmin", "kmax", "n_rows")
+      .drop(manifestCols: _*)
     survivors.select(cols.map(col): _*)
       .unionByName(inSpan.select(cols.map(col): _*))
       .unionByName(frontier.select(cols.map(col): _*))
@@ -143,24 +240,9 @@ object PartLake {
         col(part), col(key))
       .sortWithinPartitions(part, key)
       .write.partitionBy(part).mode("overwrite").parquet(staging.toString)
-    // stats of the STAGED (new) files only — computed before the
-    // verbatim carries land so the scan covers just the rewrite
-    val newStatsRows = s.read.parquet(staging.toString)
-      .groupBy(relFile.as("file"), col(part).cast("string").as("part"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-    untouched.foreach { f =>
-      val dst = new Path(s"$staging/$f")
-      fs.mkdirs(dst.getParent)
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"), fs, dst, false, conf)
-    }
-    val carried = stats.filter(col("file").isin(untouched: _*))
-    s.createDataFrame(
-        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
-        carried.schema).unionByName(carried)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/_file_stats")
+    // zero-copy carry: untouched files ride as manifest references
+    writeStagedManifest(s, root, toVersion, key, part,
+      stats.filter(col("file").isin(untouched: _*)))
     // Y55 feed on the partitioned path: the resolved batch, partition
     // column included (a cross-partition move is its D+I pair here, so
     // downstream consumers see exactly the two events row identity
@@ -179,38 +261,128 @@ object PartLake {
       affected, untouched)
   }
 
+  /** Y39 × Y49: PARTITIONED INCREMENTAL COMPACTION — the maintenance
+    * verb a partitioned 100 TB table needs on the same cadence as the
+    * flat compactor. Bin-packing runs PER PARTITION (files never merge
+    * across partition values — that would break the layout contract);
+    * within each partition, files smaller than half the target group
+    * into ADJACENT-key-range bins (sorted by kmin, so merged files
+    * keep narrow spans and partition+span pruning keeps working); only
+    * groups of ≥2 small files rewrite. Everything else — adequately
+    * sized files AND every file of untouched partitions — carries as
+    * zero-copy manifest references. Planning is metadata-only: names,
+    * partitions, dirs, and sizes all come from the manifest (zero
+    * listing RPCs). The rewrite reads each group under its partition
+    * layout and lands through one `partitionBy` staged write; one
+    * pointer commit publishes; content is invariant (the law test pins
+    * the digest). `CALL <cat>.system.compact` routes here for
+    * partitioned tables. */
+  def compact(s: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int, key: String, part: String,
+      targetBytes: Long): PartCowReport = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats = Sync.manifestDf(s, root, s"v$fromVersion")
+    // (file, part, dir, bytes) driver-side — manifest-scale
+    val entries = stats.select("file", "part", "dir", "kmin", "bytes")
+      .orderBy(col("part"), col("kmin")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    require(entries.nonEmpty,
+      s"compact: $root/v$fromVersion has no manifest files")
+    val lens: Map[String, Long] =
+      if (entries.forall(_._4 >= 0L))
+        entries.map(e => e._1 -> e._4).toMap
+      else entries.map(_._3).distinct.toSeq
+        .flatMap(d => partLens(fs, s"$root/$d")).toMap
+    val dirOf = entries.map(e => e._1 -> e._3).toMap
+    // per-partition span-adjacent bin-pack (entries arrive sorted by
+    // (part, kmin) from the engine)
+    val groups = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var curPart: String = null
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
+    }
+    entries.foreach { case (f, pv, _, _) =>
+      if (pv != curPart) { flush(); curPart = pv }
+      val len = lens(f)
+      if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
+        cur += f; curBytes += len
+      } else {
+        flush()
+        if (len < targetBytes / 2) { cur += f; curBytes = len }
+      }
+    }
+    flush()
+    val rewriteGroups = groups.filter(_.length >= 2).toSeq
+    val rewritten = rewriteGroups.flatten.sorted
+    val rewrittenSet = rewritten.toSet
+    val untouched =
+      entries.map(_._1).filterNot(rewrittenSet).toSeq.sorted
+    val staging = new Path(s"$root/_staging_v$toVersion")
+    fs.delete(staging, true)
+    if (rewriteGroups.isEmpty) fs.mkdirs(staging)
+    rewriteGroups.foreach { g =>
+      readFiles(s, root, g.map(f => (f, dirOf(f))))
+        .repartitionByRange(1, col(key)).sortWithinPartitions(key)
+        .write.partitionBy(part).mode("append").parquet(staging.toString)
+    }
+    writeStagedManifest(s, root, toVersion, key, part,
+      stats.filter(col("file").isin(untouched: _*)))
+    // layout-only publish: an empty feed states "no logical change"
+    if (Sync.cdfEnabled(fs, root)) {
+      val logical = readFiles(s, root,
+        Seq((entries.head._1, entries.head._3))).schema
+      Sync.stageChanges(s, staging.toString, logical,
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(logical.fields :+
+            org.apache.spark.sql.types.StructField("op",
+              org.apache.spark.sql.types.StringType))),
+        toVersion)
+    }
+    val ok = Sync.publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val partsAll = entries.map(_._2).distinct
+    val partOf = entries.map(e => e._1 -> e._2).toMap
+    PartCowReport(ok, entries.length, rewritten.length,
+      partsAll.length, rewritten.flatMap(partOf.get).distinct.length,
+      rewritten, untouched)
+  }
+
   /** Net change-data-feed between two partitioned versions — y41's
     * contract with the partition dimension in the diff unit: a file's
-    * identity is its RELATIVE path, so a carried `part=x/f` never
-    * scans, and the scan set is automatically partition-local (a
-    * version step that touched one partition diffs one partition's
-    * files). Emits one net row per (partition, key): I/U with the
-    * post-image, D with the pre-image. */
+    * identity is its (relative path, physical dir) manifest row, so a
+    * zero-copy carried `part=x/f` never scans, and the scan set is
+    * automatically partition-local (a version step that touched one
+    * partition diffs one partition's files). Emits one net row per
+    * (partition, key): I/U with the post-image, D with the pre-image. */
   def lakeChanges(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String, part: String)
       : (DataFrame, Int, Int) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    def files(v: Int): Set[String] = {
-      val dir = new Path(s"$root/v$v")
-      fs.listStatus(dir).toSeq.filter(_.isDirectory)
-        .filter(_.getPath.getName.contains("="))
-        .flatMap(p => fs.listStatus(p.getPath).toSeq.filter(_.isFile)
-          .map(st => s"${p.getPath.getName}/${st.getPath.getName}"))
-        .toSet
-    }
+    def files(v: Int): Map[String, String] = // rel file -> physical dir
+      if (fs.exists(new Path(s"$root/v$v/_file_stats")))
+        Sync.manifestDf(s, root, s"v$v").select("file", "dir").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      else
+        partLens(fs, s"$root/v$v").keysIterator
+          .map(_ -> s"v$v").toMap
     val (fromF, toF) = (files(fromVersion), files(toVersion))
-    val fromOnly = (fromF -- toF).toSeq.sorted
-    val toOnly = (toF -- fromF).toSeq.sorted
-    def side(v: Int, fl: Seq[String], own: Set[String]): DataFrame = {
-      val dir = s"$root/v$v"
-      if (fl.isEmpty) // schema-only read from one of THIS version's files
-        s.read.option("basePath", dir).parquet(s"$dir/${own.head}").limit(0)
-      else s.read.option("basePath", dir)
-        .parquet(fl.map(f => s"$dir/$f"): _*)
+    val carried = fromF.keySet.intersect(toF.keySet)
+      .filter(f => fromF(f) == toF(f))
+    val fromOnly = (fromF.keySet -- carried).toSeq.sorted
+    val toOnly = (toF.keySet -- carried).toSeq.sorted
+    def side(fl: Seq[String], own: Map[String, String]): DataFrame = {
+      if (fl.isEmpty) { // schema-only read from one of the version's files
+        val (f, d) = own.head
+        readFiles(s, root, Seq((f, d))).limit(0)
+      } else readFiles(s, root, fl.map(f => (f, own(f))))
     }
-    val pre = side(fromVersion, fromOnly, fromF)
-    val post = side(toVersion, toOnly, toF)
+    val pre = side(fromOnly, fromF)
+    val post = side(toOnly, toF)
     val dataCols = pre.columns.toSeq.filterNot(c => c == key || c == part)
     val preP = pre.select(col(part) +: col(key) +:
       dataCols.map(c => col(c).as(s"pre_$c")): _*).withColumn("__f", lit(1))

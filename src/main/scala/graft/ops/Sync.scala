@@ -189,7 +189,16 @@ object Sync {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(s"$root/_staging_v$version")
-    if (!validate(s.read.parquet(staging.toString))) {
+    // validation sees the version a READER will: manifest-RESOLVED
+    // (zero-copy carried files live in older version dirs; rows minted
+    // for v{n} still sit in staging until the rename). A manifest-less
+    // staging (plain snapshot publish) reads directly, as ever.
+    def stagedView: DataFrame =
+      if (fs.exists(new Path(s"$staging/_file_stats")))
+        readResolved(s, root, staging.getName,
+          versionSchema(s, staging.toString))
+      else s.read.parquet(staging.toString)
+    if (!validate(stagedView)) {
       fs.delete(staging, true) // abort BEFORE any reader-visible change
       return false
     }
@@ -206,7 +215,9 @@ object Sync {
     if (cdfEnabled(fs, root) &&
         !fs.exists(new Path(s"$staging/_changes"))) {
       val logical = versionSchema(s, staging.toString)
-      val snap = s.read.schema(logical).parquet(staging.toString)
+      val snap =
+        if (fs.exists(new Path(s"$staging/_file_stats"))) stagedView
+        else s.read.schema(logical).parquet(staging.toString)
       val iRows = snap.withColumn("op", lit("I"))
       val rows =
         if (version <= 1) iRows
@@ -289,30 +300,156 @@ object Sync {
       version: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$root/v$version")),
+    require(fs.exists(new Path(s"$root/v$version")) &&
+        !fs.exists(new Path(s"$root/v$version/_REAPED")),
       s"rollbackTo: $root/v$version does not exist (never published " +
         "or reaped by retention GC) — cannot point the table at it")
     swapPointer(fs, root, version)
   }
 
-  /** Y38: per-file key-span manifest for a published version — the
-    * pruning index copy-on-write mutation needs: (file name, key min,
-    * key max, rows). Stored INSIDE the version dir as `_file_stats`
-    * (underscore prefix = invisible to every Spark/parquet reader of
-    * the dir), so it travels with the immutable version it describes.
-    * Here it is derived by one grouped scan after the write; a
-    * production writer emits the same rows from the write job's own
-    * footer stats, zero extra IO — the scan is the local-mode stand-in,
-    * and for a MUTATED version [[cowApply]] scans only the rewritten
-    * subset and carries the rest verbatim. File NAME (not full path) is
-    * the join key so the manifest survives the staging→v{n} rename. */
+  /** Y38/r13: per-file manifest for a published version — the ONE
+    * authority on the version's CONTENT. Row layout ([[ManifestCols]]):
+    *
+    *   file    name relative to its dir (part=<v>/<name> on y49)
+    *   dir     the VERSION DIR the file physically lives in ("v3")
+    *   kmin/kmax  key span (the y38 pruning index)
+    *   n_rows  row count (manifest-only COUNT(*), LIMIT planning)
+    *   bytes   file size (connector stats + compaction planning with
+    *           ZERO listing RPCs)
+    *
+    * `dir` is what makes the version carry ZERO-COPY: version N+1
+    * references an untouched file as (dir=vK, file) instead of
+    * physically copying it into its own dir — the Iceberg/Delta
+    * manifest idiom re-expressed under this publish protocol. A 1-key
+    * DELETE on a 100 TB table thus writes one data file and one
+    * manifest, never moves the table. GC correspondingly switches to
+    * manifest REACHABILITY ([[gcPublished]]): a version dir is
+    * reapable only where no retained version references its files.
+    * Legacy two-column-less manifests normalize through [[manifestDf]]
+    * (dir = the version's own dir, bytes -1 → listing fallback).
+    * Stored INSIDE the version dir as `_file_stats` (underscore
+    * prefix = invisible to plain parquet readers); derived here by one
+    * grouped scan + ONE listing after the write — a production writer
+    * emits the same rows from its own footer stats. */
+  private[graft] val ManifestCols =
+    Seq("file", "dir", "kmin", "kmax", "n_rows", "bytes")
+
+  /** The version-dir name manifest rows minted inside `dirName` must
+    * claim: rows staged in `_staging_v{n}` travel to `v{n}`. */
+  private def mintDirName(dirName: String): String =
+    if (dirName.startsWith("_staging_")) dirName.stripPrefix("_staging_")
+    else dirName
+
+  /** A manifest row's PHYSICAL dir: inside a staging dir, rows minted
+    * for the version being staged still live in staging (the rename
+    * moves them); every other row names a live version dir. */
+  private[graft] def physDir(root: String, containerName: String,
+      rowDir: String): String =
+    if (containerName.startsWith("_staging_") &&
+        rowDir == mintDirName(containerName)) s"$root/$containerName"
+    else s"$root/$rowDir"
+
   private[graft] def writeFileStats(s: SparkSession, dir: String,
-      key: String): Unit =
-    s.read.parquet(dir)
+      key: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val lens: Map[String, Long] = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val agg = s.read.parquet(dir)
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
         count(lit(1)).as("n_rows"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_file_stats")
+    val vName = mintDirName(p.getName)
+    val rows = agg.collect().map { r =>
+      org.apache.spark.sql.Row(r.getString(0), vName, r.get(1), r.get(2),
+        r.getLong(3), lens.getOrElse(r.getString(0), -1L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      agg.schema("file"),
+      org.apache.spark.sql.types.StructField("dir",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      agg.schema("kmin"), agg.schema("kmax"), agg.schema("n_rows"),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        schema)
+      .write.mode("overwrite").parquet(s"$dir/_file_stats")
+  }
+
+  /** The normalized manifest of `root/$vName` — guaranteed to carry
+    * `dir` and `bytes` (legacy manifests read as all-local, unsized).
+    * Extra columns (y49's `part`) ride through untouched. */
+  private[graft] def manifestDf(s: SparkSession, root: String,
+      vName: String): DataFrame = {
+    val raw = s.read.parquet(s"$root/$vName/_file_stats")
+    val d = if (raw.columns.contains("dir")) raw
+      else raw.withColumn("dir", lit(mintDirName(vName)))
+    if (d.columns.contains("bytes")) d
+    else d.withColumn("bytes", lit(-1L))
+  }
+
+  /** Open a version (or staging) dir by RESOLVING its manifest: each
+    * row names the dir its file physically lives in, so a zero-copy
+    * carried file reads from the older version dir it has always sat
+    * in. Files group per source dir and read with that dir as basePath
+    * (partition columns infer per group), then union — one read per
+    * DISTINCT source dir, bounded by retention depth, never by file
+    * count. */
+  private[graft] def readResolved(s: SparkSession, root: String,
+      containerName: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val entries = manifestDf(s, root, containerName)
+      .select("dir", "file").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (entries.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, fl) =>
+      val base = physDir(root, containerName, d)
+      s.read.schema(schema).option("basePath", base)
+        .parquet(fl.map(e => s"$base/${e._2}").toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Manifest rows for the NEW data files a staged FLAT version just
+    * wrote (spans scanned from the staging dir's local files only —
+    * carried files are never there, that is the point; sizes from ONE
+    * listing; `dir` = the version the rename will mint), unioned with
+    * the CARRIED rows verbatim — each still naming the dir where its
+    * file physically lives — and written as the staged `_file_stats`.
+    * Returns the new rows (callers key CDF emptiness etc. off them). */
+  private def writeStagedManifest(s: SparkSession, root: String,
+      toVersion: Int, key: String, carried: DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$root/_staging_v$toVersion"
+    val fs = new Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(staging))) fs.mkdirs(new Path(staging))
+    val lens = fs.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val newRows: Array[org.apache.spark.sql.Row] =
+      if (lens.isEmpty) Array.empty
+      else s.read.parquet(staging)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+          .as("file"))
+        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+          count(lit(1)).as("n_rows"))
+        .collect()
+        .map(r => org.apache.spark.sql.Row(r.getString(0),
+          s"v$toVersion", r.get(1), r.get(2), r.getLong(3),
+          lens.getOrElse(r.getString(0), -1L)))
+    val carriedN = carried.select(ManifestCols.map(col): _*)
+    s.createDataFrame(s.sparkContext.parallelize(newRows.toIndexedSeq, 1),
+        carriedN.schema)
+      .unionByName(carriedN)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/_file_stats")
+    newRows
+  }
 
   /** Y55: CDF-ON-WRITE — opt-in per lake root (`enableCdf`). Every
     * mutation path stages a `_changes` sidecar INSIDE the version dir
@@ -404,49 +541,49 @@ object Sync {
       deletes: DataFrame, updates: DataFrame,
       carryDeletes: Boolean = true,
       logicalCdf: Boolean = true): CowReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
+    import org.apache.hadoop.fs.Path
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
     val fromDir = s"$root/v$fromVersion"
-    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val stats = manifestDf(s, root, s"v$fromVersion")
     val changeKeys = deletes.select(col(key))
       .unionByName(updates.select(col(key))).distinct()
-    val affected = changeKeys.join(broadcast(stats),
+    // (file, physical dir) pairs — a carried file may live several
+    // versions back; the manifest knows, the dir listing never would
+    val affectedFD = changeKeys.join(broadcast(stats),
         col(key) >= col("kmin") && col(key) <= col("kmax"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq // bounded by file count
+      .select("file", "dir").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq // bounded by file count
+    val affected = affectedFD.map(_._1)
     val untouched = stats.select("file").collect().map(_.getString(0))
       .sorted.toSeq.diff(affected)
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
-    val newStatsRows: Array[org.apache.spark.sql.Row] =
-      if (affected.isEmpty) { fs.mkdirs(staging); Array.empty }
-      else {
-        // the version's LOGICAL schema: post-evolution files and
-        // pre-evolution carries merge cleanly, added columns read null
-        val base = s.read.schema(versionSchema(s, fromDir))
-          .parquet(affected.map(f => s"$fromDir/$f"): _*)
-        val updCols = updates.columns.filterNot(_ == key).toSeq
-        val upd = updates.select(col(key) +:
-          updCols.map(c => col(c).as(s"__upd_$c")): _*)
-        val applied0 = base.join(broadcast(upd), Seq(key), "left")
-        val applied = updCols.foldLeft(applied0) { (df, c) =>
-            df.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
-          }.drop(updCols.map("__upd_" + _): _*)
-          .join(broadcast(deletes.select(col(key)).distinct()),
-            Seq(key), "left_anti")
-          .select(base.columns.map(col).toIndexedSeq: _*)
-        applied.sortWithinPartitions(key)
-          .write.mode("overwrite").parquet(staging.toString)
-        // manifest rows for the rewritten files — materialized BEFORE
-        // the verbatim copies land so the scan sees only the new files
-        s.read.parquet(staging.toString)
-          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-            .as("file"))
-          .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-            count(lit(1)).as("n_rows"))
-          .collect()
-      }
+    if (affected.isEmpty) fs.mkdirs(staging)
+    else {
+      // the version's LOGICAL schema: post-evolution files and
+      // pre-evolution carries merge cleanly, added columns read null
+      val base = s.read.schema(versionSchema(s, fromDir))
+        .parquet(affectedFD.map { case (f, d) => s"$root/$d/$f" }: _*)
+      val updCols = updates.columns.filterNot(_ == key).toSeq
+      val upd = updates.select(col(key) +:
+        updCols.map(c => col(c).as(s"__upd_$c")): _*)
+      val applied0 = base.join(broadcast(upd), Seq(key), "left")
+      val applied = updCols.foldLeft(applied0) { (df, c) =>
+          df.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
+        }.drop(updCols.map("__upd_" + _): _*)
+        .join(broadcast(deletes.select(col(key)).distinct()),
+          Seq(key), "left_anti")
+        .select(base.columns.map(col).toIndexedSeq: _*)
+      applied.sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    // ZERO-COPY CARRY: untouched files are never copied — their
+    // manifest rows (still naming the dirs they live in) ride into the
+    // staged manifest; only the rewritten files are new bytes
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      stats.filter(col("file").isin(untouched: _*)))
     // Y55 feed (staged while the dir holds ONLY rewritten files):
     // U = post-images of updated keys MINUS the deletion vector — an
     // update of a DV'd ghost is the SQL no-op, the logical row did NOT
@@ -478,16 +615,6 @@ object Sync {
           toVersion)
       }
     }
-    untouched.foreach { f =>
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-        fs, new Path(s"$staging/$f"), false, conf)
-    }
-    val carried = stats.filter(col("file").isin(untouched: _*))
-    val merged = s.createDataFrame(
-      s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
-      carried.schema).unionByName(carried)
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/_file_stats")
     // a MOR deletion vector on the source version still applies to the
     // new one: deletes here remove their rows physically (every present
     // change key lives in a rewritten file), and an UPDATE of a
@@ -496,8 +623,7 @@ object Sync {
     // vector (carryDeletes=false), because its rewrite just applied it.
     if (carryDeletes &&
         fs.exists(new Path(s"$fromDir/_deletes")))
-      FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
-        fs, new Path(s"$staging/_deletes"), false, conf)
+      carrySidecar(s, fromDir, staging.toString, "_deletes")
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
     CowReport(ok, affected.length + untouched.length, affected.length,
@@ -528,20 +654,22 @@ object Sync {
   private[graft] def cowApplyChanges(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
       changes: DataFrame): CowReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val stats = manifestDf(s, root, s"v$fromVersion")
     val wv = Window.partitionBy(key).orderBy(col("version").desc)
     val latest = changes.withColumn("__rn", row_number().over(wv))
       .filter(col("__rn") === 1).drop("__rn")
     val upserts = latest.filter(col("op") =!= "D").drop("op", "version")
     val changeKeys = latest.select(col(key)).distinct()
-    val affected = changeKeys.join(broadcast(stats),
+    val affectedFD = changeKeys.join(broadcast(stats),
         col(key) >= col("kmin") && col(key) <= col("kmax"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .select("file", "dir").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val affected = affectedFD.map(_._1)
     val untouched = stats.select("file").collect().map(_.getString(0))
       .sorted.toSeq.diff(affected)
     // span routing: in-span upserts join the rewrite of the file whose
@@ -549,9 +677,9 @@ object Sync {
     val spanned = upserts.join(broadcast(stats),
       col(key) >= col("kmin") && col(key) <= col("kmax"), "left")
     val inSpan = spanned.filter(col("file").isNotNull)
-      .drop("file", "kmin", "kmax", "n_rows").distinct()
+      .drop("file", "dir", "kmin", "kmax", "n_rows", "bytes").distinct()
     val frontier = spanned.filter(col("file").isNull)
-      .drop("file", "kmin", "kmax", "n_rows")
+      .drop("file", "dir", "kmin", "kmax", "n_rows", "bytes")
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     require(affected.nonEmpty || untouched.nonEmpty,
@@ -561,7 +689,8 @@ object Sync {
     val rewritten =
       (if (affected.nonEmpty)
          s.read.schema(evolved)
-           .parquet(affected.map(f => s"$fromDir/$f"): _*)
+           .parquet(affectedFD.map { case (f, d) =>
+             s"$root/$d/$f" }: _*)
            .join(broadcast(changeKeys), Seq(key), "left_anti")
            .select(cols.map(col).toIndexedSeq: _*)
            .unionByName(inSpan.select(cols.map(col).toIndexedSeq: _*))
@@ -575,21 +704,9 @@ object Sync {
       .repartitionByRange(math.max(affected.length, 1) + 1, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(staging.toString)
-    val newStatsRows = s.read.parquet(staging.toString)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-    untouched.foreach { f =>
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-        fs, new Path(s"$staging/$f"), false, conf)
-    }
-    val carried = stats.filter(col("file").isin(untouched: _*))
-    s.createDataFrame(
-        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
-        carried.schema).unionByName(carried)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/_file_stats")
+    // zero-copy carry: untouched files ride as manifest references
+    writeStagedManifest(s, root, toVersion, key,
+      stats.filter(col("file").isin(untouched: _*)))
     // MOR interplay: an UPSERT re-asserts its key's existence (CDC
     // semantics — I/U means the row exists at the source NOW), so the
     // carried deletion vector drops every upserted key; D keys need no
@@ -641,19 +758,28 @@ object Sync {
   private[graft] def compactPublished(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
       targetBytes: Long): CowReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = s.read.parquet(s"$fromDir/_file_stats")
-    // metadata at million-file scale: sizes come from ONE directory
-    // listing (not a getFileStatus RPC per file), key order comes from
-    // the engine (orderBy on the manifest, streamed to the driver with
+    val stats = manifestDf(s, root, s"v$fromVersion")
+    // metadata at million-file scale: names, PHYSICAL dirs, and sizes
+    // all come from the manifest (zero listing RPCs — `bytes` rides in
+    // every r13+ manifest); a legacy unsized manifest falls back to
+    // one listing per distinct source dir. Key order comes from the
+    // engine (orderBy on the manifest, streamed to the driver with
     // toLocalIterator) — the driver holds names and the running group,
     // the same budget as Spark's own driver-side FileIndex
-    val lens: Map[String, Long] = fs.listStatus(new Path(fromDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => st.getPath.getName -> st.getLen).toMap
+    val fd: Map[String, (String, Long)] =
+      stats.select("file", "dir", "bytes").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val lens: Map[String, Long] =
+      if (fd.values.forall(_._2 >= 0L)) fd.map { case (f, (_, b)) => f -> b }
+      else fd.values.map(_._1).toSet.toSeq.flatMap { (d: String) =>
+        fs.listStatus(new Path(s"$root/$d")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => st.getPath.getName -> st.getLen)
+      }.toMap
     val groups = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     var cur = scala.collection.mutable.ArrayBuffer[String]()
     var curBytes = 0L
@@ -677,7 +803,7 @@ object Sync {
     val rewriteGroups = groups.filter(_.length >= 2).toSeq
     val rewritten = rewriteGroups.flatten.sorted
     val rewrittenSet = rewritten.toSet
-    val untouched = lens.keysIterator.filterNot(rewrittenSet).toSeq.sorted
+    val untouched = fd.keysIterator.filterNot(rewrittenSet).toSeq.sorted
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     if (rewriteGroups.isEmpty) fs.mkdirs(staging)
@@ -685,32 +811,17 @@ object Sync {
       // logical schema: a bin-packed group can mix pre- and
       // post-evolution files — the overlay merges them cleanly
       s.read.schema(versionSchema(s, fromDir))
-        .parquet(g.map(f => s"$fromDir/$f"): _*)
+        .parquet(g.map(f => s"$root/${fd(f)._1}/$f"): _*)
         .repartitionByRange(1, col(key)).sortWithinPartitions(key)
         .write.mode("append").parquet(staging.toString)
     }
-    val newStatsRows = if (rewriteGroups.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else s.read.parquet(staging.toString)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-          count(lit(1)).as("n_rows"))
-        .collect()
-    untouched.foreach { f =>
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-        fs, new Path(s"$staging/$f"), false, conf)
-    }
-    val carried = stats.filter(col("file").isin(untouched: _*))
-    s.createDataFrame(
-        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
-        carried.schema).unionByName(carried)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/_file_stats")
+    // zero-copy carry: adequately-sized files ride as manifest refs
+    writeStagedManifest(s, root, toVersion, key,
+      stats.filter(col("file").isin(untouched: _*)))
     // compaction is a PURE layout change: a MOR deletion vector on the
     // source version still subtracts the same keys from the new one —
     // dropping it here would resurrect every MOR-deleted row
-    if (fs.exists(new Path(s"$fromDir/_deletes")))
-      FileUtil.copy(fs, new Path(s"$fromDir/_deletes"),
-        fs, new Path(s"$staging/_deletes"), false, conf)
+    carrySidecar(s, fromDir, staging.toString, "_deletes")
     // Y55: layout-only — state "no logical change" with an empty feed
     if (cdfEnabled(fs, root))
       stageEmptyChanges(s, staging.toString,
@@ -742,22 +853,21 @@ object Sync {
   private[graft] def dvDelete(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
       deletes: DataFrame): CowReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     fs.mkdirs(staging)
-    val files = fs.listStatus(new Path(fromDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath.getName).sorted
-    files.foreach { f =>
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-        fs, new Path(s"$staging/$f"), false, conf)
-    }
-    FileUtil.copy(fs, new Path(s"$fromDir/_file_stats"),
-      fs, new Path(s"$staging/_file_stats"), false, conf)
+    // EVERY data file carries as a manifest reference — the new
+    // version's only bytes are the folded `_deletes` sidecar (plus the
+    // feed): publish cost is truly O(|delete batch|) now, where the
+    // pre-r13 stand-in still copied the table through the driver
+    val stats = manifestDf(s, root, s"v$fromVersion")
+    val files = stats.select("file").collect()
+      .map(_.getString(0)).sorted.toSeq
+    writeStagedManifest(s, root, toVersion, key, stats)
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val prior =
       if (fs.exists(new Path(s"$fromDir/_deletes")))
@@ -874,11 +984,11 @@ object Sync {
       notMatchedInsertCond: Option[org.apache.spark.sql.Column],
       nmbsDelete: Option[(Long, Long, org.apache.spark.sql.Column)])
       : MergeReport = {
-    import org.apache.hadoop.fs.{FileUtil, Path}
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = s.read.parquet(s"$fromDir/_file_stats")
+    val stats = manifestDf(s, root, s"v$fromVersion")
     val nTotal = stats.count().toInt
     // SQL-standard cardinality gate: one source row per key, or refuse
     val dup = source.groupBy(key).count().filter(col("count") > 1)
@@ -906,13 +1016,15 @@ object Sync {
       else None
     val bySrc = srcKeys.join(broadcast(stats),
         col(key) >= col("kmin") && col(key) <= col("kmax"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSet
+      .select("file", "dir").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val byNmbs = nmbsDelete.map { case (lo, hi, _) =>
       stats.filter(col("kmax") >= lo && col("kmin") <= hi)
-        .select("file").collect().map(_.getString(0)).toSet
-    }.getOrElse(Set.empty[String])
-    val affected = (bySrc ++ byNmbs).toSeq.sorted
+        .select("file", "dir").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }.getOrElse(Set.empty[(String, String)])
+    val affectedFD = (bySrc ++ byNmbs).toSeq.sortBy(_._1)
+    val affected = affectedFD.map(_._1)
     val untouched = stats.select("file").collect().map(_.getString(0))
       .sorted.toSeq.diff(affected)
     // The joined namespace all four clause conditions see. FULL OUTER
@@ -925,7 +1037,8 @@ object Sync {
              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
        else
          s.read.schema(evolved)
-           .parquet(affected.map(f => s"$fromDir/$f"): _*))
+           .parquet(affectedFD.map { case (f, d) =>
+             s"$root/$d/$f" }: _*))
     // ghost rows (physically present, DV-subtracted) leave the match:
     // their keys are NOT MATCHED, so a re-asserting source row INSERTS
     //
@@ -985,21 +1098,9 @@ object Sync {
       .repartitionByRange(math.max(affected.length, 1) + 1, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(staging.toString)
-    val newStatsRows = s.read.parquet(staging.toString)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-    untouched.foreach { f =>
-      FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-        fs, new Path(s"$staging/$f"), false, conf)
-    }
-    val carried = stats.filter(col("file").isin(untouched: _*))
-    s.createDataFrame(
-        s.sparkContext.parallelize(newStatsRows.toIndexedSeq, 1),
-        carried.schema).unionByName(carried)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$staging/_file_stats")
+    // zero-copy carry: untouched files ride as manifest references
+    writeStagedManifest(s, root, toVersion, key,
+      stats.filter(col("file").isin(untouched: _*)))
     // the carried DV drops ONLY keys this merge physically re-asserted
     // (the inserted rows — a DV'd key can only be NOT MATCHED, so the
     // insert path is the one that can put a physical row back). A
@@ -1069,12 +1170,22 @@ object Sync {
       fromVersion: Int, toVersion: Int, key: String): CdfReport = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    def listing(v: Int): Map[String, Long] =
-      fs.listStatus(new Path(s"$root/v$v")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(st => st.getPath.getName -> st.getLen).toMap
-    val fromFiles = listing(fromVersion)
-    val toFiles = listing(toVersion)
+    // a version's file set from its MANIFEST — (file, physical dir)
+    // pairs, so a zero-copy carried file is PROVABLY unchanged (same
+    // identity row in both manifests = the same physical file, a
+    // strictly stronger claim than the old name+length match). A
+    // manifest-less version (pre-r13 snapshot) falls back to its
+    // listing, all-local by construction.
+    def fileSet(v: Int): Map[String, String] =
+      if (fs.exists(new Path(s"$root/v$v/_file_stats")))
+        manifestDf(s, root, s"v$v").select("file", "dir").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      else
+        fs.listStatus(new Path(s"$root/v$v")).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => st.getPath.getName -> s"v$v").toMap
+    val fromFiles = fileSet(fromVersion)
+    val toFiles = fileSet(toVersion)
     val carried = fromFiles.keySet.intersect(toFiles.keySet)
       .filter(f => fromFiles(f) == toFiles(f))
     val fromOnly = (fromFiles.keySet -- carried).toSeq.sorted
@@ -1082,12 +1193,14 @@ object Sync {
     // the TO side's logical schema frames the diff: across an
     // evolution the from-side's old files read null for added columns
     val schema = versionSchema(s, s"$root/v$toVersion")
-    def subset(v: Int, files: Seq[String]): DataFrame =
+    def subset(v: Int, files: Seq[String]): DataFrame = {
+      val dirs = fileSet(v)
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
       else s.read.schema(schema)
-        .parquet(files.map(f => s"$root/v$v/$f"): _*)
+        .parquet(files.map(f => s"$root/${dirs(f)}/$f"): _*)
+    }
     val dataCols = schema.fieldNames.toSeq.filterNot(_ == key)
     // MOR awareness: a version's logical content is its files MINUS its
     // deletion vector, so each side anti-joins its own DV before the
@@ -1321,7 +1434,8 @@ object Sync {
   }
 
   private[graft] final case class GcReport(deleted: Seq[String],
-      pinnedKept: Seq[String], trimmedPtrGens: Seq[String])
+      pinnedKept: Seq[String], trimmedPtrGens: Seq[String],
+      thinned: Seq[String] = Nil)
 
   private[graft] def gcPublished(s: SparkSession, root: String,
       keepPrevious: Int,
@@ -1356,20 +1470,72 @@ object Sync {
     val pinnedKept = dirs.flatMap(versionOf)
       .filter(v => v < cur && !keep(v) && pinned(v))
       .sorted.map(v => s"v$v")
+    // _staging_v* = abandoned publish attempts; _rlo_* = DML spool
+    // dirs a crashed driver left between spool write and commit —
+    // invisible to readers but storage leaks, reaped under the same
+    // single-writer discipline as staging (never run GC beside an
+    // in-flight DML)
     val doomedDirs = dirs.filter { n =>
-      n.startsWith("_staging_v") ||
+      n.startsWith("_staging_v") || n.startsWith("_rlo_") ||
         versionOf(n).exists(v => v < cur && !keep(v) && !pinned(v))
     }.sorted
+    // MANIFEST REACHABILITY (the zero-copy-carry flip side): a doomed
+    // version dir may still physically hold files that RETAINED
+    // versions reference. Referencers = every version dir NOT doomed
+    // (current, the rank window, pinned, AND rolled-past versions
+    // after current). A doomed dir with live references is THINNED —
+    // its sidecars and unreferenced files reclaim, referenced data
+    // files stay, and a `_REAPED` marker makes the husk refuse direct
+    // reads (it is no longer a readable version, just backing storage
+    // for newer manifests). Once the last referencing version is
+    // itself reaped, a later GC pass deletes the husk outright.
+    val doomedSet = doomedDirs.toSet
+    val referenced: Map[String, Set[String]] = dirs
+      .filter(n => versionOf(n).isDefined && !doomedSet(n))
+      .flatMap { vn =>
+        if (fs.exists(new Path(s"$root/$vn/_file_stats")))
+          manifestDf(s, root, vn).select("dir", "file").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        else Seq.empty[(String, String)]
+      }.groupBy(_._1).map { case (d, fl) => d -> fl.map(_._2).toSet }
+    val fullyDeleted = scala.collection.mutable.ArrayBuffer[String]()
+    val thinned = scala.collection.mutable.ArrayBuffer[String]()
+    doomedDirs.foreach { n =>
+      val refs =
+        if (versionOf(n).isDefined) referenced.getOrElse(n, Set.empty)
+        else Set.empty[String]
+      if (refs.isEmpty) {
+        fs.delete(new Path(s"$root/$n"), true); fullyDeleted += n
+      } else {
+        fs.listStatus(new Path(s"$root/$n")).foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isFile) {
+            if (!refs(nm) && nm != "_REAPED") fs.delete(st.getPath, false)
+          } else if (nm.contains("=")) { // y49 partition subdir
+            fs.listStatus(st.getPath).foreach { c =>
+              if (!refs(s"$nm/${c.getPath.getName}"))
+                fs.delete(c.getPath, true)
+            }
+            if (fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, true)
+          } else fs.delete(st.getPath, true) // sidecar dirs: never refd
+        }
+        val mk = fs.create(new Path(s"$root/$n/_REAPED"), true)
+        try mk.write("thinned by retention GC".getBytes("UTF-8"))
+        finally mk.close()
+        thinned += n
+      }
+    }
     // pointer-generation history is metadata-tiny but unbounded; keep
     // a window of the newest gens (enough to audit recent commits —
     // readers only ever resolve the max) and trim the rest
     val ptrGens = pointerGenerations(fs, root)
     val doomedGens = ptrGens.dropRight(math.max(keepPrevious + 1, 2))
       .map(g => f"_ptr_gen_$g%05d")
-    val doomed = (doomedDirs ++ expiredPins).sorted
-    (doomed ++ doomedGens).foreach(n =>
+    (expiredPins ++ doomedGens).foreach(n =>
       fs.delete(new Path(s"$root/$n"), true))
-    GcReport(doomed, pinnedKept, doomedGens)
+    GcReport((fullyDeleted.toSeq ++ expiredPins).sorted, pinnedKept,
+      doomedGens, thinned.toSeq)
   }
 
   /** Y43: a version's LOGICAL schema — the `_schema` sidecar when
@@ -1383,24 +1549,61 @@ object Sync {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/_schema")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) s.read.parquet(dir).schema
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       val json =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
+    } else {
+      // no sidecar → every referenced file shares one schema
+      // (evolution always writes the sidecar). Prefer the dir's own
+      // footers; a METADATA-ONLY version (zero local data files — the
+      // zero-copy carry) resolves one referenced dir group through the
+      // manifest instead.
+      val container = new Path(dir)
+      val hasLocalData = fs.exists(container) &&
+        fs.listStatus(container).exists(st =>
+          (st.isFile && st.getPath.getName.startsWith("part-")) ||
+            (st.isDirectory && st.getPath.getName.contains("=")))
+      if (hasLocalData ||
+          !fs.exists(new Path(s"$dir/_file_stats")))
+        s.read.parquet(dir).schema
+      else {
+        val root = container.getParent.toString
+        val entries = manifestDf(s, root, container.getName)
+          .select("dir", "file").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        require(entries.nonEmpty,
+          s"versionSchema: $dir has no _schema sidecar, no local data " +
+            "files, and an empty manifest — schema is undefined")
+        val (d, fl) = entries.groupBy(_._1).toSeq.minBy(_._1)
+        val base = physDir(root, container.getName, d)
+        s.read.option("basePath", base)
+          .parquet(fl.map(e => s"$base/${e._2}").toIndexedSeq: _*).schema
+      }
     }
   }
 
-  /** Open a version dir under its logical schema. */
+  /** Open a version dir under its logical schema — resolving through
+    * the manifest when one exists (zero-copy carried files live in
+    * OLDER version dirs; a raw dir read would miss them). */
   private[graft] def readVersionDir(s: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/_schema")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.schema(versionSchema(s, dir)).parquet(dir)
+    val container = new Path(dir)
+    val fs = container.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dir/_REAPED")))
+      throw new IllegalStateException(
+        s"readVersionDir: $dir was reaped by retention GC — its " +
+          "remaining files only back newer versions' manifests; " +
+          "pin versions with a reader lease (y47) to time-travel them")
+    if (fs.exists(new Path(s"$dir/_file_stats")))
+      readResolved(s, container.getParent.toString, container.getName,
+        versionSchema(s, dir))
+    else if (fs.exists(new Path(s"$dir/_schema")))
+      s.read.schema(versionSchema(s, dir)).parquet(dir)
     else s.read.parquet(dir)
   }
 
@@ -1451,13 +1654,21 @@ object Sync {
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     fs.mkdirs(staging)
-    fs.listStatus(new Path(fromDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .foreach { st =>
-        FileUtil.copy(fs, st.getPath,
-          fs, new Path(s"$staging/${st.getPath.getName}"), false, conf)
-      }
-    carrySidecar(s, fromDir, staging.toString, "_file_stats")
+    if (fs.exists(new Path(s"$fromDir/_file_stats")))
+      // zero-copy: every data file carries as a manifest reference —
+      // the normalized rewrite (not a sidecar copy) so legacy
+      // dir-less rows pin the dir they actually live in
+      manifestDf(s, root, s"v$fromVersion")
+        .select(ManifestCols.map(col): _*)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/_file_stats")
+    else // manifest-less version: the legacy physical carry
+      fs.listStatus(new Path(fromDir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          FileUtil.copy(fs, st.getPath,
+            fs, new Path(s"$staging/${st.getPath.getName}"), false, conf)
+        }
     carrySidecar(s, fromDir, staging.toString, "_deletes")
     writeSchemaSidecar(s, staging.toString,
       org.apache.spark.sql.types.StructType(base.fields ++ addCols))
@@ -1539,23 +1750,32 @@ object Sync {
       val collide = colliding.head(1).nonEmpty
       val statsPath = new Path(s"$fromDir/_file_stats")
       val oldStats =
-        if (fs.exists(statsPath)) Some(s.read.parquet(statsPath.toString))
+        if (fs.exists(statsPath))
+          Some(manifestDf(s, root, s"v$cur"))
         else None
-      val oldFiles = fs.listStatus(new Path(fromDir)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName)
-      val affected: Seq[String] =
+      // (file, physical dir) — manifest-first; a manifest-less version
+      // can only hold local files, so the listing fallback is exact
+      val oldFD: Seq[(String, String)] = oldStats match {
+        case Some(st) => st.select("file", "dir").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        case None => fs.listStatus(new Path(fromDir)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => (st.getPath.getName, s"v$cur"))
+      }
+      val affectedFD: Seq[(String, String)] =
         if (!collide) Nil
         else oldStats match {
           case Some(st) => st.join(colliding,
               col(key) >= col("kmin") && col(key) <= col("kmax"))
-            .select("file").distinct().collect().map(_.getString(0)).toSeq
-          case None => oldFiles // no manifest — rewrite conservatively
+            .select("file", "dir").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          case None => oldFD // no manifest — rewrite conservatively
         }
+      val affected = affectedFD.map(_._1)
       val rewritten =
-        if (affected.isEmpty) aligned.limit(0)
+        if (affectedFD.isEmpty) aligned.limit(0)
         else s.read.schema(logical)
-          .parquet(affected.map(f => s"$fromDir/$f"): _*)
+          .parquet(affectedFD.map { case (f, d) => s"$root/$d/$f" }: _*)
           .join(colliding, Seq(key), "left_anti")
           .select(logical.fieldNames.toIndexedSeq.map(col): _*)
       // one staged write carries the increment + any folded rewrites
@@ -1563,28 +1783,23 @@ object Sync {
         .repartitionByRange(math.max(writeFiles, 1), col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite").parquet(staging.toString)
-      val newStats = s.read.parquet(staging.toString)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-          .as("file"))
-        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-          count(lit(1)).as("n_rows"))
-        .collect().toIndexedSeq
-      val carryFiles = oldFiles.filterNot(affected.contains)
-      carryFiles.foreach { f =>
-        FileUtil.copy(fs, new Path(s"$fromDir/$f"),
-          fs, new Path(s"$staging/$f"), false, conf)
-      }
       oldStats match {
         case Some(st) =>
-          val carried =
+          // zero-copy frontier: every untouched old file rides as a
+          // manifest reference — append cost ∝ |increment| in BYTES
+          // now, not just in rewrites
+          writeStagedManifest(s, root, cur + 1, key,
             if (affected.isEmpty) st
-            else st.filter(!col("file").isin(affected: _*))
-          s.createDataFrame(
-              s.sparkContext.parallelize(newStats, 1), carried.schema)
-            .unionByName(carried)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(s"$staging/_file_stats")
-        case None => writeFileStats(s, staging.toString, key)
+            else st.filter(!col("file").isin(affected: _*)))
+        case None =>
+          // manifest-less source: physically carry (legacy), then
+          // mint a fresh manifest over the whole staged dir
+          oldFD.filterNot(fd => affected.contains(fd._1)).foreach {
+            case (f, _) =>
+              FileUtil.copy(fs, new Path(s"$fromDir/$f"),
+                fs, new Path(s"$staging/$f"), false, conf)
+          }
+          writeFileStats(s, staging.toString, key)
       }
       if (hasDv) {
         // folded keys leave the DV (their ghosts are physically gone);
