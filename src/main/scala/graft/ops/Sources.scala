@@ -552,11 +552,12 @@ object Sources {
       require(Sync.dvDelete(s, root, 1, 2, "o_orderkey",
         base.filter(dvBand).select("o_orderkey")).published,
         "s19c: v2 MOR publish refused")
-      def files(v: Int) = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName).toSet
-      val v2Files = files(2)
+      // a version's LOGICAL file set = its manifest (zero-copy carried
+      // files live in older dirs; the local listing no longer sees them)
+      def mfiles(v: Int): Map[String, String] =
+        Sync.manifestDf(s, root, s"v$v").select("file", "dir").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      val v2Files = mfiles(2)
       s.conf.set("spark.sql.catalog.glakei",
         "graft.sources.lake.LakeCatalog")
       s.conf.set("spark.sql.catalog.glakei.root", parent)
@@ -567,9 +568,12 @@ object Sources {
           .withColumn("o_orderstatus", lit("R")))
         .createOrReplaceTempView("s19c_incr")
       s.sql("INSERT INTO glakei.orders_ins SELECT * FROM s19c_incr")
-      val v3Files = files(3)
+      val v3Files = mfiles(3)
       val dvCleared = !fs.exists(
         new org.apache.hadoop.fs.Path(s"$root/v3/_deletes"))
+      // frontier carry is now ZERO-COPY: the carried files appear in
+      // v3's manifest still referencing the dir they live in (v1 — v2
+      // was the MOR publish that carried them by reference already)
       s.sql("SELECT o_orderstatus, o_totalprice FROM glakei.orders_ins")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"),
@@ -577,9 +581,10 @@ object Sources {
         .withColumn("version_advanced",
           lit(Sync.liveVersion(s, root).contains("v3")))
         .withColumn("frontier_carry",
-          lit((v2Files & v3Files).nonEmpty))
+          lit(v3Files.exists { case (f, dir) =>
+            v2Files.get(f).contains(dir) && dir != "v3" }))
         .withColumn("fold_applied",
-          lit((v2Files -- v3Files).nonEmpty))
+          lit((v2Files.keySet -- v3Files.keySet).nonEmpty))
         .withColumn("dv_cleared", lit(dvCleared))
     }),
 
@@ -618,11 +623,6 @@ object Sources {
           .sortWithinPartitions("o_orderkey"),
         root, 1, _.head(1).nonEmpty), "s21: v1 publish refused")
       Sync.writeFileStats(s, s"$root/v1", "o_orderkey")
-      def files(v: Int) = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName).toSet
-      val v1Files = files(1)
       s.conf.set("spark.sql.catalog.glakem",
         "graft.sources.lake.LakeCatalog")
       s.conf.set("spark.sql.catalog.glakem.root", parent)
@@ -630,7 +630,10 @@ object Sources {
       // 1. span-pruned DELETE: the ghost band lives above the live
       //    keyspace, so only ghost-carrying files rewrite
       s.sql(s"DELETE FROM glakem.orders_dml WHERE o_orderkey > $hi")
-      val deleteCarried = (v1Files & files(2)).nonEmpty
+      // span-pruned + zero-copy: v2's manifest still REFERENCES
+      // untouched files in v1's dir — no byte of them moved
+      val deleteCarried = Sync.manifestDf(s, root, "v2")
+        .filter(col("dir") === "v1").head(1).nonEmpty
       // 2. UPDATE restores the perturbed prices
       s.sql("UPDATE glakem.orders_dml SET o_totalprice = " +
         "o_totalprice - 500.0 WHERE o_orderkey % 5 = 0")
@@ -682,16 +685,17 @@ object Sources {
         "graft.sources.lake.LakeCatalog")
       s.conf.set("spark.sql.catalog.gmaint.root", parent)
       s.conf.set("spark.sql.catalog.gmaint.key.orders_m", "o_orderkey")
-      def dataFiles(v: Int) = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$root/v$v")).toSeq
-        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
       val fold = s.sql(
         "CALL gmaint.system.dv_fold(table => 'orders_m')").collect()(0)
       val foldOk = fold.getBoolean(3) && !fs.exists(
         new org.apache.hadoop.fs.Path(s"$root/v3/_deletes"))
       val comp = s.sql(
         "CALL gmaint.system.compact(table => 'orders_m')").collect()(0)
-      val compactOk = comp.getBoolean(4) && dataFiles(4) < dataFiles(3)
+      // logical file counts come from the MANIFEST (zero-copy carried
+      // files live outside the version's own dir)
+      val compactOk = comp.getBoolean(4) &&
+        Sync.manifestDf(s, root, "v4").count() <
+          Sync.manifestDf(s, root, "v3").count()
       val gc = s.sql(
         "CALL gmaint.system.gc(table => 'orders_m', keep => 1)")
         .collect()(0)

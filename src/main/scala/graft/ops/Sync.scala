@@ -1586,6 +1586,26 @@ object Sync {
     }
   }
 
+  /** Manifest-answered row count of a published version: Σ `n_rows`
+    * over the manifest — exact on a CLEAN version (no deletion vector
+    * subtracting rows at read, every file's count recorded) and ZERO
+    * data IO regardless of table size. None when exactness could
+    * slip — callers fall back to a scan. The library-side twin of the
+    * DSv2 connector's pushed-down COUNT(*). */
+  private[graft] def manifestRowCount(s: SparkSession, root: String,
+      version: Int): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$root/v$version/_deletes")) ||
+        !fs.exists(new Path(s"$root/v$version/_file_stats"))) None
+    else {
+      val counts = manifestDf(s, root, s"v$version").select("n_rows")
+        .collect().map(_.getLong(0))
+      if (counts.exists(_ < 0L)) None else Some(counts.sum)
+    }
+  }
+
   /** Open a version dir under its logical schema — resolving through
     * the manifest when one exists (zero-copy carried files live in
     * OLDER version dirs; a raw dir read would miss them). */
@@ -3418,12 +3438,17 @@ object Sync {
           (col("o_totalprice") + 100.0).as("o_totalprice"))
       val rep = cowApply(s, root, 1, 2, "o_orderkey", deletes, updates)
       val (v, cur) = readPublished(s, root)
+      // r13 zero-copy law: every untouched file is REFERENCED by v2's
+      // manifest still living in v1 (dir="v1", physical file intact),
+      // and v2's own dir holds ONLY the rewritten files — no carried
+      // byte was copied
+      val refs = manifestDf(s, root, "v2").select("file", "dir")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val untouchedIntact = rep.untouched.nonEmpty && rep.untouched
         .forall { f =>
-          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v1/$f"))
-            .getLen ==
-            fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
-              .getLen
+          refs.get(f).contains("v1") &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
         }
       val priorLive = s.read.parquet(s"$root/v1").count() == o.count()
       cur.agg(count(lit(1)).as("n_rows"),
@@ -3536,13 +3561,17 @@ object Sync {
       val rep = compactPublished(s, root, 1, 2, "o_orderkey",
         targetBytes = math.max(totalBytes / 4, 1L))
       val (v, cur) = readPublished(s, root)
+      // r13 zero-copy: the big file carries as a manifest REFERENCE
+      // into v1 — v2's dir holds only the merged rewrites
+      val refs = manifestDf(s, root, "v2").select("file", "dir")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val bigCarried = rep.untouched.nonEmpty && rep.untouched.forall { f =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v1/$f"))
-          .getLen ==
-          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
-            .getLen
+        refs.get(f).contains("v1") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/$f"))
       }
-      val nv1 = partFiles("v1").length; val nv2 = partFiles("v2").length
+      val nv1 = partFiles("v1").length
+      val nv2 = refs.size // v2's LOGICAL file count = its manifest
       cur.agg(count(lit(1)).as("n_rows"),
           Det.dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_custkey")).cast("long").as("sum_cust"),
@@ -3583,17 +3612,21 @@ object Sync {
         col("o_orderkey") % 4 === 0).select("o_orderkey")
       val rep1 = dvDelete(s, root, 1, 2, "o_orderkey", d1)
       val rep2 = dvDelete(s, root, 2, 3, "o_orderkey", d2)
-      // one listing per version dir (not a getFileStatus per file) —
-      // the metadata bill stays two RPCs however many files carry
-      def lens(dir: String): Map[String, Long] =
+      // r13: TRUE zero-copy — v3's dir holds NO data files at all
+      // (one listing proves it), every file rides as a manifest
+      // reference into v1, still physically intact there
+      def localDataFiles(dir: String): Int =
         fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-          .filter(_.isFile).map(st => st.getPath.getName -> st.getLen)
-          .toMap
-      val (l1, l3) = (lens(s"$root/v1"), lens(s"$root/v3"))
+          .count(st => st.isFile &&
+            st.getPath.getName.startsWith("part-"))
+      val refs3 = manifestDf(s, root, "v3").select("file", "dir")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val zeroCopy = rep1.published && rep2.published &&
         rep1.nFilesRewritten == 0 && rep2.nFilesRewritten == 0 &&
+        localDataFiles(s"$root/v3") == 0 &&
         rep2.untouched.nonEmpty && rep2.untouched.forall(f =>
-          l1.get(f).exists(l3.get(f).contains))
+          refs3.get(f).contains("v1") &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")))
       val dvAccumulated = s.read.parquet(s"$root/v3/_deletes").count() ==
         d1.count() + d2.count()
       val (_, morV3) = readPublishedMor(s, root, "o_orderkey")
@@ -3602,7 +3635,7 @@ object Sync {
       val (v, cur) = readPublishedMor(s, root, "o_orderkey")
       val foldedClean = rep3.published &&
         !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v4/_deletes")) &&
-        s.read.parquet(s"$root/v4").count() == morCount
+        readVersionDir(s, s"$root/v4").count() == morCount
       val prunedFold = rep3.nFilesRewritten > 0 &&
         rep3.nFilesRewritten < rep3.nFilesTotal
       cur.agg(count(lit(1)).as("n_rows"),
@@ -3738,7 +3771,7 @@ object Sync {
             + coalesce(col("ds_p").cast(sumT), dzero))
             .cast("double").as("sum_price"))
         .filter(col("n_rows") > 0)
-      val direct = rollup(s.read.parquet(s"$root/v2"))
+      val direct = rollup(readVersionDir(s, s"$root/v2"))
         .select(col("grp"), col("cnt").as("n_rows"),
           col("s").cast("double").as("sum_price"))
       // equality audit as ONE aggregate per side (count + order-free
@@ -3780,11 +3813,14 @@ object Sync {
       assert(evolveSchema(s, root, 1, 2, Seq(
         org.apache.spark.sql.types.StructField("o_score",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
-      def lens(v: String): Map[String, Long] =
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => st.getPath.getName -> st.getLen).toMap
-      val zeroCopy = lens("v1") == lens("v2") &&
+      // r13: v2's dir holds NO data files — every file is a manifest
+      // reference into v1, and the only new bytes are the sidecars
+      val v2Local = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/v2")).toSeq
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val refs2 = manifestDf(s, root, "v2").select("dir").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val zeroCopy = v2Local == 0 && refs2 == Seq("v1") &&
         readVersionDir(s, s"$root/v2").filter(col("o_score").isNotNull)
           .isEmpty
       val b = proj.agg(min(col("o_orderkey")).as("lo"),

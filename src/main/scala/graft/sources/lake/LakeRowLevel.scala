@@ -130,7 +130,9 @@ final class LakeDeltaBatchWrite(ref: LakeRef, key: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DeltaWriterFactory =
     new LakeDeltaWriterFactory(spoolDir, LakeDelta.spoolSchema(ref),
-      ref.schema, key, ref.partCol)
+      ref.schema, key, ref.partCol,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -187,12 +189,13 @@ final case class LakeDeltaCommitMessage(rows: Long, file: Option[String])
     extends WriterCommitMessage
 
 final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
-    data: StructType, key: String, partCol: Option[String])
+    data: StructType, key: String, partCol: Option[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new LakeDeltaWriter(spoolDir, spool, data, key, partCol,
-      partitionId, taskId)
+      partitionId, taskId, conf)
 }
 
 /** Executor-side spool: change rows land as ordinary parquet via
@@ -204,7 +207,8 @@ final class LakeDeltaWriterFactory(spoolDir: String, spool: StructType,
   * spool dir delete at commit/abort sweeps orphans). */
 final class LakeDeltaWriter(spoolDir: String, spool: StructType,
     data: StructType, key: String, partCol: Option[String],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    serConf: org.apache.spark.util.SerializableConfiguration)
     extends DeltaWriter[InternalRow] {
 
   private val fileName =
@@ -219,7 +223,13 @@ final class LakeDeltaWriter(spoolDir: String, spool: StructType,
   private var writer: org.apache.hadoop.mapreduce.RecordWriter[Void, InternalRow] = _
 
   private def open(): Unit = if (writer == null) {
-    val conf = new Configuration()
+    // the JOB's Hadoop configuration, serialized from the driver at
+    // factory construction — the same seam the read path threads
+    // (LakeSource's reader factory), so programmatic filesystem
+    // settings (object-store credentials, fs impls) reach the
+    // executor-side spool write too; a bare `new Configuration()`
+    // here was the r12 cluster-deployment gap
+    val conf = new Configuration(serConf.value)
     ParquetWriteSupport.setSchema(spool, conf)
     // the conf keys ParquetUtils.prepareWrite sets for the built-in
     // sink; fixed here because no SQLConf exists executor-side

@@ -112,10 +112,13 @@ object LakeRef {
   /** One data file with its manifest span. `kmin`/`kmax` are None when
     * the version has no `_file_stats` (or the file holds only null
     * keys) — such files are never pruned. `part` is the partition
-    * value's path rendering (Y49 layouts only). */
+    * value's path rendering (Y49 layouts only). `dir` is the VERSION
+    * DIR the file physically lives in (the r13 zero-copy carry: a
+    * file version N references may sit in v{K<N}'s dir) — None means
+    * the version's own dir. */
   final case class FileStat(name: String, kmin: Option[Any],
       kmax: Option[Any], rows: Long, bytes: Long,
-      part: Option[String] = None)
+      part: Option[String] = None, dir: Option[String] = None)
 
   def resolve(options: CaseInsensitiveStringMap): LakeRef = {
     val root = Option(options.get("path")).getOrElse(
@@ -139,23 +142,102 @@ object LakeRef {
       throw new IllegalStateException(
         s"graftlake: version dir $dir does not exist — never published, " +
           "or reaped by retention GC (pin it with a reader lease)")
-    val partDirs = fs.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    val partCol = partDirs.headOption
-      .map(_.getPath.getName.split("=", 2)(0))
-    // versionSchema goes through Spark's reader, so a partitioned
-    // version's schema already includes the inferred partition column.
+    if (fs.exists(new Path(s"$dir/_REAPED")))
+      throw new IllegalStateException(
+        s"graftlake: $dir was reaped by retention GC — its remaining " +
+          "files only back newer versions' manifests; pin versions " +
+          "with a reader lease to time-travel them")
+    // r13+ manifests carry `dir` + `bytes`: names, spans, row counts,
+    // sizes, partition values, and PHYSICAL dirs all resolve from the
+    // one metadata file — ZERO listing RPCs on the read path, and
+    // zero-copy carried files (living in older version dirs) plan
+    // correctly. Legacy/absent manifests fall back to the dir listing.
+    val manifestRows: Option[Array[org.apache.spark.sql.Row]] = {
+      val statsPath = new Path(s"$dir/_file_stats")
+      if (!fs.exists(statsPath)) None
+      else {
+        val df = spark.read.parquet(statsPath.toString)
+        if (df.columns.contains("dir") && df.columns.contains("bytes"))
+          Some(df.collect())
+        else None
+      }
+    }
     // The key column — and the partition column, when present —
     // surface NON-NULLABLE: they are the lake's row identity (span
     // manifests, DV probes, partition-first cow routing all key on
     // them), and row-level SQL requires a non-nullable row id. A
-    // null-partition sentinel dir would make that claim a lie, so it
+    // null-partition sentinel would make that claim a lie, so it
     // refuses loudly rather than silently mis-typing.
-    require(!partDirs.exists(_.getPath.getName
-        .endsWith("=__HIVE_DEFAULT_PARTITION__")),
-      s"graftlake: $dir carries a null-partition sentinel dir — the " +
+    def refuseNullPart(found: Boolean): Unit = require(!found,
+      s"graftlake: $dir carries a null-partition sentinel — the " +
         "partition column is part of row identity and must be " +
         "non-null; route null partitions to an explicit value")
+    val (partCol: Option[String], files: Seq[FileStat]) =
+      manifestRows match {
+        case Some(rows) =>
+          val names = rows.map(_.getAs[String]("file"))
+          val pc = names.collectFirst {
+            case n if n.contains("=") => n.split("=", 2)(0)
+          }
+          refuseNullPart(names.exists(
+            _.contains("=__HIVE_DEFAULT_PARTITION__/")))
+          val fl = rows.sortBy(_.getAs[String]("file")).map { r =>
+            val n = r.getAs[String]("file")
+            val pv =
+              if (n.contains("=") && n.contains("/"))
+                Some(n.split("/", 2)(0).split("=", 2)(1))
+              else None
+            FileStat(n, Option(r.getAs[Any]("kmin")),
+              Option(r.getAs[Any]("kmax")), r.getAs[Long]("n_rows"),
+              r.getAs[Long]("bytes"), pv,
+              Some(r.getAs[String]("dir")))
+          }.toSeq
+          (pc, fl)
+        case None =>
+          val partDirs = fs.listStatus(new Path(dir)).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.contains("="))
+          val pc = partDirs.headOption
+            .map(_.getPath.getName.split("=", 2)(0))
+          refuseNullPart(partDirs.exists(_.getPath.getName
+            .endsWith("=__HIVE_DEFAULT_PARTITION__")))
+          // (relative name, partition value, size) per data file
+          val statuses: Seq[(String, Option[String], Long)] = pc match {
+            case None =>
+              fs.listStatus(new Path(dir)).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.startsWith("part-"))
+                .map(st => (st.getPath.getName, None, st.getLen))
+            case Some(_) =>
+              partDirs.flatMap { pd =>
+                val pv = pd.getPath.getName.split("=", 2)(1)
+                fs.listStatus(pd.getPath).toSeq
+                  .filter(st => st.isFile &&
+                    st.getPath.getName.startsWith("part-"))
+                  .map(st =>
+                    (s"${pd.getPath.getName}/${st.getPath.getName}",
+                      Some(pv), st.getLen))
+              }
+          }
+          // a LEGACY manifest still feeds spans/row counts
+          val spans: Map[String, (Option[Any], Option[Any], Long)] =
+            if (!fs.exists(new Path(s"$dir/_file_stats"))) Map.empty
+            else spark.read.parquet(s"$dir/_file_stats").collect()
+              .map { r =>
+                r.getAs[String]("file") ->
+                  (Option(r.getAs[Any]("kmin")),
+                    Option(r.getAs[Any]("kmax")),
+                    r.getAs[Long]("n_rows"))
+              }.toMap
+          val fl = statuses.sortBy(_._1).map { case (n, pv, len) =>
+            val (lo, hi, rows) = spans.getOrElse(n, (None, None, -1L))
+            FileStat(n, lo, hi, rows, len, pv)
+          }
+          (pc, fl)
+      }
+    // versionSchema resolves a metadata-only version (zero local data
+    // files) through its manifest; partitioned schemas include the
+    // inferred partition column either way.
     val idCols = key.toSeq ++ partCol.toSeq
     val schema = StructType(Sync.versionSchema(spark, dir).fields.map(f =>
       if (idCols.exists(_.equalsIgnoreCase(f.name)))
@@ -168,37 +250,6 @@ object LakeRef {
       throw new IllegalArgumentException(
         s"graftlake: $dir carries a deletion vector; option 'key' is " +
           "required so the reader can subtract it (or dvFold the version)")
-    // (relative name, partition value, size) per data file
-    val statuses: Seq[(String, Option[String], Long)] = partCol match {
-      case None =>
-        fs.listStatus(new Path(dir)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-          .map(st => (st.getPath.getName, None, st.getLen))
-      case Some(_) =>
-        partDirs.flatMap { pd =>
-          val pv = pd.getPath.getName.split("=", 2)(1)
-          fs.listStatus(pd.getPath).toSeq
-            .filter(st => st.isFile &&
-              st.getPath.getName.startsWith("part-"))
-            .map(st => (s"${pd.getPath.getName}/${st.getPath.getName}",
-              Some(pv), st.getLen))
-        }
-    }
-    // The manifest is one tiny row per data file (bounded by file
-    // count, the same driver-side budget every cow/compaction path
-    // already spends); spans type as the key column, `file` is the
-    // relative name in both flat and partitioned layouts.
-    val spans: Map[String, (Option[Any], Option[Any], Long)] =
-      if (!fs.exists(new Path(s"$dir/_file_stats"))) Map.empty
-      else spark.read.parquet(s"$dir/_file_stats").collect().map { r =>
-        r.getAs[String]("file") ->
-          (Option(r.getAs[Any]("kmin")), Option(r.getAs[Any]("kmax")),
-            r.getAs[Long]("n_rows"))
-      }.toMap
-    val files = statuses.sortBy(_._1).map { case (n, pv, len) =>
-      val (lo, hi, rows) = spans.getOrElse(n, (None, None, -1L))
-      FileStat(n, lo, hi, rows, len, pv)
-    }
     LakeRef(root, vName, dir, schema, key, files, dvPath, partCol)
   }
 }
@@ -590,7 +641,10 @@ final class LakeScan(ref: LakeRef, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     pruned.map(f =>
-      LakeFilePartition(s"${ref.dir}/${f.name}", f.rows, f.part)).toArray
+      LakeFilePartition(
+        f.dir.fold(s"${ref.dir}/${f.name}")(d =>
+          s"${ref.root}/$d/${f.name}"),
+        f.rows, f.part)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required,

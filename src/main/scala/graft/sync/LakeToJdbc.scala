@@ -144,7 +144,8 @@ object LakeToJdbc {
       jdbcName: String => String = _.toUpperCase,
       dialect: MergeSql.Dialect = MergeSql.Derby,
       targetWhere: Option[String] = None,
-      targetCols: Option[Seq[String]] = None): (Boolean, String) = {
+      targetCols: Option[Seq[String]] = None,
+      lakeCount: Option[Long] = None): (Boolean, String) = {
     val keyUp = jdbcName(key)
     val compareCols = lake.columns.toSeq.filterNot(_ == key)
     val selList = targetCols.fold("*")(_.mkString(", "))
@@ -176,7 +177,10 @@ object LakeToJdbc {
         val bucket = java.lang.Math.floorMod(toVersion, buckets)
         val pred = MergeSql.modPredicate(dialect, keyUp, buckets, bucket)
         val nTarget = countWhere(cfg, targetWhere)
-        val nLake = lake.count()
+        // the lake-side COUNT comes from the version MANIFEST when the
+        // caller could prove it exact (clean version) — zero data IO;
+        // a full scan of the lake side per tick was the r12 gap
+        val nLake = lakeCount.getOrElse(lake.count())
         val sampleOk = nTarget == nLake && SyncJob.validate(
           lake.filter(
             pmod(col(key).cast("long"), lit(buckets.toLong)) === bucket),
@@ -331,7 +335,8 @@ object LakeToJdbc {
     val lake = graft.ops.Sync.readVersionLogical(s,
       s"$lakeRoot/v$toVersion", key)
     val (ok, vmode) = validateTarget(s, lake, key, cfg, toVersion,
-      validation, jdbcName, dialect)
+      validation, jdbcName, dialect,
+      lakeCount = graft.ops.Sync.manifestRowCount(s, lakeRoot, toVersion))
     LakeSyncReport(fromVersion, toVersion,
       m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
       m("nD").asInstanceOf[Long],
@@ -597,7 +602,9 @@ object LakeToJdbc {
         val live = graft.ops.Sync.readVersionLogical(s,
           s"$root/${m.table}/v$liveV", m.key)
         val (ok, vmode) = validateTarget(s, live, m.key, m.cfg, liveV,
-          validation, jdbcName, dialect)
+          validation, jdbcName, dialect,
+          lakeCount = graft.ops.Sync.manifestRowCount(s,
+            s"$root/${m.table}", liveV))
         require(ok,
           s"catchUpGroup: incremental ${m.table} $wv→$liveV left drift")
         feed.unpersist(blocking = false)
@@ -726,7 +733,8 @@ object LakeToJdbc {
     val (ok, vmode) = validateTarget(s, lake, key, cfg, toVersion,
       validation, jdbcName, dialect,
       targetWhere = Some(s"${jdbcName("is_current")} = 1"),
-      targetCols = Some(Seq(jdbcName(key), jdbcName(valueCol))))
+      targetCols = Some(Seq(jdbcName(key), jdbcName(valueCol))),
+      lakeCount = graft.ops.Sync.manifestRowCount(s, lakeRoot, toVersion))
     LakeSyncReport(fromVersion, toVersion,
       m("nI").asInstanceOf[Long], m("nU").asInstanceOf[Long],
       m("nD").asInstanceOf[Long],
