@@ -445,6 +445,11 @@ object LakeToJdbc {
     val fromDir = new org.apache.hadoop.fs.Path(
       s"$lakeRoot/v${w.getOrElse(-1)}")
     val fs = fromDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // zero-copy retention GC leaves a THINNED husk (files newer
+    // manifests reference stay, a _REAPED marker refuses reads) — a
+    // reaped watermark is retention loss exactly like a deleted dir
+    def fromReadable: Boolean = fs.exists(fromDir) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(fromDir, "_REAPED"))
     // Y51: schema first, data second — the ALTERs must land before the
     // feed binds against the new columns (and before a reseed INSERTs
     // the wider rows). When nothing drifted the plan is empty and this
@@ -457,7 +462,7 @@ object LakeToJdbc {
       case Some(wv) if wv == liveV =>
         CatchUpReport("noop", wv, liveV, 0, 0, 0, 0, 0, validated = true,
           nAddCols = nAdd, nDropCols = nDrop, validation = "noop")
-      case Some(wv) if wv < liveV && fs.exists(fromDir) =>
+      case Some(wv) if wv < liveV && fromReadable =>
         val rep = incrementalSync(s, lakeRoot, wv, liveV, key, cfg,
           jdbcName, dialect, writers, validation)
         require(rep.validated,
@@ -545,7 +550,9 @@ object LakeToJdbc {
       val w = readWatermark(m.cfg, stateTable)
       val reseed = w.isEmpty || w.exists(_ > liveV) ||
         w.exists(wv => !fs.exists(new org.apache.hadoop.fs.Path(
-          s"$root/${m.table}/v$wv")))
+          s"$root/${m.table}/v$wv")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/${m.table}/v$wv/_REAPED")))
       (m, w, liveV, reseed)
     }
     if (state.exists(_._4)) {

@@ -242,14 +242,20 @@ class JdbcSyncSuite extends AnyFunSuite with SparkFixture {
     val r4 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
     assert(r4.mode == "incremental" && r4.validated &&
       targetSet() == after2, s"crash replay diverged: $r4 ${targetSet()}")
-    // RETENTION LOSS: v3 publishes, then the watermark's dir (v2) is
-    // GC'd — the diff FROM v2 is impossible, so catchUp must fall back
-    // to a loud full reseed of the live version, never a wrong diff
+    // RETENTION LOSS: v3 publishes, then retention GC reaps the
+    // watermark version (v2) — under the zero-copy carry the husk may
+    // keep files newer manifests reference, but its _REAPED marker
+    // refuses reads, so the diff FROM v2 is impossible and catchUp
+    // must fall back to a loud full reseed of the live version, never
+    // a wrong diff
     val b3 = Seq((9L, 99.0, "U", 2L)).toDF("k", "price", "op", "version")
     assert(Sync.cowApplyChanges(spark, root, 2, 3, "k", b3).published)
+    Sync.gcPublished(spark, root, keepPrevious = 0)
     val p2 = new org.apache.hadoop.fs.Path(s"$root/v2")
-    p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(p2, true)
+    val p2fs = p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!p2fs.exists(p2) || p2fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/v2/_REAPED")),
+      "GC left the watermark version readable — fixture vacuous")
     val r5 = graft.sync.LakeToJdbc.catchUp(spark, root, "k", tcfg)
     assert(r5.mode == "reseed" && r5.toVersion == 3 && r5.validated &&
       targetSet() == Set((1L, 10.0), (2L, 22.0), (9L, 99.0)),

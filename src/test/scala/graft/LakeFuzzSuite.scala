@@ -81,7 +81,10 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
       val rep = ops.Sync.cowApplyChanges(spark, root, 1, 2,
         "o_orderkey", changes)
       assert(rep.published, s"seed $seed: publish failed")
-      val v2 = spark.read.parquet(s"$root/v2")
+      // zero-copy carry: v2's dir holds only REWRITTEN files; carried
+      // files resolve through the manifest into v1 — read the version,
+      // not the directory
+      val v2 = ops.Sync.readVersionDir(spark, s"$root/v2")
       // independent algebra: latest-wins by max_by over (version DESC,
       // D-beats-U-beats-I at equal version — matches the window's
       // row_number tie order only when versions are DISTINCT per key,
@@ -104,7 +107,7 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
       // reconstructs v2 from v1
       val cdf = ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
       val ch = cdf.changes.cache()
-      val replayed = spark.read.parquet(s"$root/v1")
+      val replayed = ops.Sync.readVersionDir(spark, s"$root/v1")
         .join(ch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
         .unionByName(ch.filter(col("op") =!= "D").drop("op"))
       sameSet(replayed, v2, s"seed $seed: CDF replay != v2")
@@ -156,8 +159,8 @@ class LakeFuzzSuite extends AnyFunSuite with SparkFixture {
       val repF = ops.Sync.dvFold(spark, root, lastV, lastV + 1,
         "o_orderkey")
       assert(repF.published, s"seed $seed: fold failed")
-      sameSet(spark.read.parquet(s"$root/v${lastV + 1}"), expected,
-        s"seed $seed: folded version != MOR view")
+      sameSet(ops.Sync.readVersionDir(spark, s"$root/v${lastV + 1}"),
+        expected, s"seed $seed: folded version != MOR view")
       // overlapping batches may cover every file; pruning is only
       // REQUIRED when some file's span escaped all delete bands
       val stats = spark.read.parquet(s"$root/v$lastV/_file_stats")

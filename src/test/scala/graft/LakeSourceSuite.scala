@@ -189,11 +189,20 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(Sync.liveVersion(spark, r).contains("v2"))
     // content = full projection now
     sameContent(spark.sql("SELECT * FROM glakew.wt"), proj)
-    // frontier law: every v1 file carried into v2 byte-for-byte (name+len)
+    // frontier law (zero-copy): every v1 file is REFERENCED by v2's
+    // manifest in its v1 home — never physically copied forward — and
+    // the appended rows land as new v2-local files
     val v2Files = dataFiles(2)
-    assert(v1Files.toSet.subsetOf(v2Files.toSet),
-      "append must carry every old data file verbatim")
-    assert(v2Files.size > v1Files.size, "append must add new files")
+    assert(v1Files.keySet.intersect(v2Files.keySet).isEmpty,
+      "append physically duplicated old data files into v2")
+    val m2 = spark.read.parquet(s"$r/v2/_file_stats")
+      .select("dir", "file").collect()
+      .map(row => (row.getString(0), row.getString(1)))
+    assert(v1Files.keySet.forall(f => m2.contains(("v1", f))),
+      s"append must reference every old data file: ${m2.toSeq}")
+    assert(v2Files.nonEmpty, "append must add new files")
+    assert(m2.count(_._1 == "v2") == v2Files.size,
+      "v2 manifest out of sync with its own dir")
     // manifest covers the new files: a key filter still prunes
     val probe = proj.agg(min(col(key))).collect()(0).getLong(0)
     val pf = spark.read.format("graftlake")
@@ -201,7 +210,7 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       .filter(col(key) === probe)
     val planned = pf.queryExecution.executedPlan.collectLeaves()
       .collect { case b: BatchScanExec => b }.head.partitions.flatten.size
-    assert(planned < v2Files.size, "post-append manifest must still prune")
+    assert(planned < m2.length, "post-append manifest must still prune")
   }
 
   test("INSERT of a DV'd key re-asserts it (resurrection, not silent loss)") {
@@ -853,11 +862,17 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
     assert(live === "v2", s"DELETE must mint exactly one version, at $live")
     sameContent(liveDf, proj.filter(col(key) > cut))
     val v2Files = filesOf("v2")
-    val carried = v1Files.toSeq.filter { case (n, len) =>
-      v2Files.get(n).contains(len) }
+    assert(v1Files.keySet.intersect(v2Files.keySet).isEmpty,
+      "DELETE physically copied carried files into v2")
+    val carried = spark.read.parquet(s"$r/v2/_file_stats")
+      .select("dir", "file").collect()
+      .map(row => (row.getString(0), row.getString(1)))
+      .filter(_._1 == "v1").map(_._2)
     assert(carried.size >= 2,
-      s"a span-pruned DELETE must carry untouched files verbatim; " +
-        s"v1=${v1Files.keys}, v2=${v2Files.keys}")
+      s"a span-pruned DELETE must reference untouched files in v1; " +
+        s"v1=${v1Files.keys}, v2=${v2Files.keys}, carried=${carried.toSeq}")
+    assert(carried.forall(v1Files.contains),
+      s"v2 references files absent from v1: ${carried.toSeq}")
     // ---- quiet DML mints NO version ----
     spark.sql(s"DELETE FROM gdml.orders_dml WHERE $key < 0")
     assert(live === "v2", "a DELETE matching nothing must not publish")
@@ -1058,6 +1073,9 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
       "graft.sources.lake.LakeCatalog")
     spark.conf.set("spark.sql.catalog.gproc.root", parent)
     spark.conf.set("spark.sql.catalog.gproc.key.orders_m", key)
+    // catalog options are CAPTURED at first use — the partitioned
+    // table's key must be configured before any gproc statement runs
+    spark.conf.set("spark.sql.catalog.gproc.key.orders_pm", key)
     def live = Sync.liveVersion(spark, r).get
     def dataFiles(v: String) = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$r/$v")).toSeq
@@ -1107,17 +1125,35 @@ class LakeSourceSuite extends AnyFunSuite with SparkFixture {
         .collect()
     }
     assert(eGone.getMessage.contains("does not exist"))
-    // flat-rewrite procedures refuse on a PARTITIONED version (they
-    // would flatten its part= layout)
+    // CALL compact on a PARTITIONED version routes to the
+    // per-partition bin-pack (layout preserved, content invariant)
     val pr2 = ops.Sources.stage("lakesrc_proc/orders_pm")
     fs.delete(new org.apache.hadoop.fs.Path(pr2), true)
+    val pproj = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
     assert(ops.PartLake.publishPartitioned(spark,
-      Tables.orders(spark, sf)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
-      pr2, 1, "o_orderstatus", _.head(1).nonEmpty))
-    spark.conf.set("spark.sql.catalog.gproc.key.orders_pm", key)
+      pproj.repartition(4), pr2, 1, "o_orderstatus",
+      _.head(1).nonEmpty))
+    ops.PartLake.writeFileStats(spark, s"$pr2/v1", key, "o_orderstatus")
+    val before = spark.read.parquet(s"$pr2/v1/_file_stats").count()
+    val pcomp = spark.sql(
+      "CALL gproc.system.compact(table => 'orders_pm')").collect()(0)
+    assert(pcomp.getInt(0) === 1 && pcomp.getInt(1) === 2 &&
+      pcomp.getBoolean(4), s"partitioned compact failed: $pcomp")
+    assert(pcomp.getInt(3) >= 2,
+      s"partitioned compact rewrote ${pcomp.getInt(3)} files")
+    assert(spark.read.parquet(s"$pr2/v2/_file_stats").count() < before,
+      "partitioned compact did not reduce the logical file count")
+    sameContent(spark.sql("SELECT * FROM gproc.orders_pm"), pproj)
+    // the partition layout survives: v2's manifest rows keep part=
+    val relNames = spark.read.parquet(s"$pr2/v2/_file_stats")
+      .select("file").collect().map(_.getString(0))
+    assert(relNames.nonEmpty && relNames.forall(_.contains("=")),
+      s"compacted files lost the part= layout: ${relNames.toSeq}")
+    // dv_fold stays refused on a partitioned version (a flat keyed DV
+    // fold would flatten the layout)
     val ePart = intercept[Exception] {
-      spark.sql("CALL gproc.system.compact(table => 'orders_pm')")
+      spark.sql("CALL gproc.system.dv_fold(table => 'orders_pm')")
         .collect()
     }
     assert(ePart.getMessage.contains("PARTITIONED"))

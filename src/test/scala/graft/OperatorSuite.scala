@@ -1525,26 +1525,29 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         .map(st => st.getPath.getName -> st.getLen).toMap
     val v1 = files("v1"); val v2 = files("v2")
-    val shared = v1.keySet.intersect(v2.keySet)
-    assert(shared.nonEmpty, "no file was carried — pruning collapsed to a full rewrite")
-    // carried files are BYTE-identical, not merely same-sized: a Spark
-    // re-encode of identical rows could coincide on size and still
-    // prove the files were rewritten
-    def bytes(p: String): Array[Byte] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(p))
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        out.toByteArray
-      } finally in.close()
-    }
-    shared.foreach { f =>
-      assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
-        bytes(s"$root/v2/$f")), s"carried file $f is not byte-identical")
-    }
-    // pruning exactness: a v1 file was rewritten (absent from v2) IFF
-    // its key span intersects a change band — re-derive the bands the
-    // query used and check against the v1 manifest
+    // ZERO-COPY CARRY: v2's dir holds ONLY the rewritten files — a
+    // carried file never moves; v2's manifest references it where it
+    // has always lived (dir=v1). Physical overlap between the dirs
+    // would mean bytes were copied.
+    assert(v1.keySet.intersect(v2.keySet).isEmpty,
+      "v2 physically duplicates v1 files — carry must be by reference")
+    val m2 = spark.read.parquet(s"$root/v2/_file_stats")
+      .select("dir", "file").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val carried = m2.filter(_._1 == "v1").map(_._2).toSet
+    assert(carried.nonEmpty,
+      "no file was carried — pruning collapsed to a full rewrite")
+    // every carried reference resolves: the file still sits in v1,
+    // at its original length (it was never touched, so byte identity
+    // is structural, not re-checked by copy)
+    carried.foreach { f =>
+      assert(v1.contains(f), s"v2 references v1/$f which is gone") }
+    // and v2's local manifest rows cover exactly its local files
+    assert(m2.filter(_._1 == "v2").map(_._2).toSet == v2.keySet,
+      "v2 manifest out of sync with its own dir")
+    // pruning exactness: a v1 file was rewritten (not referenced by
+    // v2) IFF its key span intersects a change band — re-derive the
+    // bands the query used and check against the v1 manifest
     val o = Tables.orders(spark, sf)
     val b = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
     val lo = b.getLong(0); val span = b.getLong(1) - lo
@@ -1555,22 +1558,26 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
         (st.getAs[String]("file"), st.getAs[Long]("kmin"),
           st.getAs[Long]("kmax"))
       val hits = bands.exists { case (blo, bhi) => kmin <= bhi && kmax >= blo }
-      assert(hits == !v2.contains(f),
-        s"file $f span [$kmin,$kmax]: intersects-band=$hits but carried=${v2.contains(f)}")
+      assert(hits == !carried.contains(f),
+        s"file $f span [$kmin,$kmax]: intersects-band=$hits but carried=${carried.contains(f)}")
     }
     // the rewritten layout stays range-clustered: the NEXT mutation on
-    // v2 (a single-key delete) prunes to exactly one file
-    val oneKey = spark.read.parquet(s"$root/v2")
-      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    // v2 (a single-key delete) prunes to exactly one file — and under
+    // the zero-copy carry, v3's dir holds EXACTLY that one data file
+    val v2df = Sync.readVersionDir(spark, s"$root/v2")
+    val oneKey = v2df.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
     val oneDel = spark.range(1).select(lit(oneKey).as("o_orderkey"))
-    val emptyUpd = spark.read.parquet(s"$root/v2")
+    val emptyUpd = v2df
       .select(col("o_orderkey"), col("o_totalprice")).limit(0)
     val rep2 = Sync.cowApply(spark, root, 2, 3, "o_orderkey",
       oneDel, emptyUpd)
     assert(rep2.published && rep2.nFilesRewritten == 1,
       s"single-key delete rewrote ${rep2.nFilesRewritten} files — the v2 manifest lost clustering")
-    assert(spark.read.parquet(s"$root/v3").count() ==
-      spark.read.parquet(s"$root/v2").count() - 1)
+    assert(files("v3").size == 1,
+      s"a 1-key DELETE must write exactly 1 data file in the new " +
+        s"version dir, found ${files("v3").keys}")
+    assert(Sync.readVersionDir(spark, s"$root/v3").count() ==
+      v2df.count() - 1)
     // a NO-OP change set publishes a fully-carried version
     val rep3 = Sync.cowApply(spark, root, 3, 4, "o_orderkey",
       oneDel.limit(0), emptyUpd)
@@ -1589,21 +1596,27 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     def parts(v: String) = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val nv1 = parts("v1").length; val nv2 = parts("v2").length
+    val nv1 = parts("v1").length
     assert(nv1 == 13, s"fixture drifted: v1 has $nv1 files")
-    assert(nv2 <= 5, s"compaction left $nv2 files (from $nv1)")
+    // the version's LOGICAL file count is its manifest row count —
+    // compacted outputs sit in v2, carried big files stay in v1
+    val m2 = spark.read.parquet(s"$root/v2/_file_stats")
+      .select("dir", "file", "bytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m2.length <= 5, s"compaction left ${m2.length} files (from $nv1)")
+    assert(m2.exists(_._1 == "v1"),
+      "the big file must carry as a v1 reference, never a copy")
     // data lossless across the layout change
-    val v1 = spark.read.parquet(s"$root/v1")
-    val v2 = spark.read.parquet(s"$root/v2")
+    val v1 = Sync.readVersionDir(spark, s"$root/v1")
+    val v2 = Sync.readVersionDir(spark, s"$root/v2")
     assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty)
-    // every v2 data file has exactly one manifest row (the next
-    // mutation's pruning depends on it)
-    val manifest = spark.read.parquet(s"$root/v2/_file_stats")
-      .select("file").collect().map(_.getString(0)).sorted.toSeq
-    assert(manifest == parts("v2").map(_.getPath.getName).sorted.toSeq,
+    // every LOCAL v2 data file has exactly one local manifest row (the
+    // next mutation's pruning depends on it)
+    assert(m2.filter(_._1 == "v2").map(_._2).sorted.toSeq ==
+      parts("v2").map(_.getPath.getName).sorted.toSeq,
       "compacted manifest out of sync with the data files")
     // convergence: a second pass finds nothing small enough to merge
-    val total = parts("v2").map(_.getLen).sum
+    val total = m2.map(_._3).sum
     val rep2 = Sync.compactPublished(spark, root, 2, 3, "o_orderkey",
       targetBytes = math.max(total / 4, 1L))
     assert(rep2.published && rep2.nFilesRewritten == 0,
@@ -1766,29 +1779,29 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     val root = graft.ops.Sources.stage("y40_mor")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def bytes(p: String): Array[Byte] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(p))
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        out.toByteArray
-      } finally in.close()
-    }
-    // zero-copy means BYTE-identical, not same-sized: every v3 data
-    // file must equal its v1 original verbatim (two DV publishes later)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .foreach { st =>
-        val f = st.getPath.getName
-        assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
-          bytes(s"$root/v3/$f")), s"MOR carried file $f was re-encoded")
-      }
+    // zero-copy means ZERO data-file movement: a DV publish writes a
+    // vector sidecar and a manifest whose every data row still points
+    // at v1 — the version dir itself holds no data files at all
+    def localData(v: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$v")).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName)
+    assert(localData("v3").isEmpty,
+      s"a MOR delete physically wrote data files: ${localData("v3")}")
+    val m3 = spark.read.parquet(s"$root/v3/_file_stats")
+      .select("dir", "file").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(m3.nonEmpty && m3.forall(_._1 == "v1"),
+      s"v3 manifest must reference every data file in v1: ${m3.toSeq}")
+    m3.foreach { case (_, f) =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")),
+        s"v3 references v1/$f which is gone") }
     // the MOR read of v3 (base anti DV) must equal the folded v4 —
     // fold is a pure layout change of the same logical content
     val v3dv = spark.read.parquet(s"$root/v3/_deletes")
-    val morV3 = spark.read.parquet(s"$root/v3")
+    val morV3 = Sync.readVersionDir(spark, s"$root/v3")
       .join(broadcast(v3dv), Seq("o_orderkey"), "left_anti")
-    val v4 = spark.read.parquet(s"$root/v4")
+    val v4 = Sync.readVersionDir(spark, s"$root/v4")
     assert(morV3.exceptAll(v4).isEmpty && v4.exceptAll(morV3).isEmpty,
       "dvFold changed the logical content")
     // accumulation is monotone: v3's vector contains all of v2's
@@ -1820,8 +1833,8 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
         s"from, ${cdf.scannedTo}/${cdf.totalTo} to")
     // the fundamental CDF law: v1 patched with the recovered changelog
     // IS v2 — any ghost U, missed D, or dropped I breaks set equality
-    val v1 = spark.read.parquet(s"$root/v1")
-    val v2 = spark.read.parquet(s"$root/v2")
+    val v1 = graft.ops.Sync.readVersionDir(spark, s"$root/v1")
+    val v2 = graft.ops.Sync.readVersionDir(spark, s"$root/v2")
     val ch = cdf.changes.cache()
     val touched = ch.select("o_orderkey")
     val replayed = v1
@@ -1885,18 +1898,20 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       "left_semi")).isEmpty, "MOR CDF pre-images diverge from v1 rows")
     ch12.unpersist()
     // compaction carries the vector; the MOR view is unchanged and the
-    // CDF across the compaction is EMPTY despite the file churn
-    val parts2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v2"))
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    // CDF across the compaction is EMPTY despite the file churn. A DV
+    // publish writes no data files, so v2's sizes live in its MANIFEST
+    // (zero-copy refs into v1), not its dir.
+    val bytes2 = spark.read.parquet(s"$root/v2/_file_stats")
+      .agg(sum(col("bytes"))).collect()(0).getLong(0)
     val rep3 = graft.ops.Sync.compactPublished(spark, root, 2, 3,
-      "o_orderkey", targetBytes = math.max(parts2.map(_.getLen).sum / 2, 1L))
+      "o_orderkey", targetBytes = math.max(bytes2 / 2, 1L))
     assert(rep3.published && rep3.nFilesRewritten >= 2,
       s"fixture drifted: compaction rewrote ${rep3.nFilesRewritten} files")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v3/_deletes")),
       "compaction dropped the deletion vector")
-    val mor2 = spark.read.parquet(s"$root/v2")
+    val mor2 = graft.ops.Sync.readVersionDir(spark, s"$root/v2")
       .join(dv1, Seq("o_orderkey"), "left_anti")
-    val mor3 = spark.read.parquet(s"$root/v3")
+    val mor3 = graft.ops.Sync.readVersionDir(spark, s"$root/v3")
       .join(spark.read.parquet(s"$root/v3/_deletes"),
         Seq("o_orderkey"), "left_anti")
     assert(mor3.exceptAll(mor2).isEmpty && mor2.exceptAll(mor3).isEmpty,
@@ -1968,22 +1983,19 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
     graft.ops.Sync.writeFileStats(spark, s"$root/v1", "o_orderkey")
     assert(graft.ops.Sync.evolveSchema(spark, root, 1, 2,
       Seq(StructField("o_score", DoubleType, nullable = true))))
-    // zero-copy = BYTE-identical data files, not merely same-length
-    def bytes(p: String): Array[Byte] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(p))
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-        out.toByteArray
-      } finally in.close()
-    }
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v1")).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .foreach { st =>
-        val f = st.getPath.getName
-        assert(java.util.Arrays.equals(bytes(s"$root/v1/$f"),
-          bytes(s"$root/v2/$f")), s"evolution re-encoded $f")
-      }
+    // zero-copy = ZERO data-file movement: evolution writes only the
+    // _schema sidecar + a manifest referencing every v1 file in place
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v2"))
+      .forall(st => !(st.isFile && st.getPath.getName.startsWith("part-"))),
+      "evolution physically wrote data files into v2")
+    val m2 = spark.read.parquet(s"$root/v2/_file_stats")
+      .select("dir", "file").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(m2.nonEmpty && m2.forall(_._1 == "v1"),
+      s"v2 manifest must reference every data file in v1: ${m2.toSeq}")
+    m2.foreach { case (_, f) =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")),
+        s"v2 references v1/$f which is gone") }
     assert(graft.ops.Sync.lakeChanges(spark, root, 1, 2, "o_orderkey")
       .changes.isEmpty, "CDF across an evolution must be empty")
     // backfill a band through the ordinary cow path, then COMPACT the
@@ -2000,10 +2012,12 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       backfill.select("o_orderkey").limit(0), backfill).published)
     val v3 = graft.ops.Sync.readVersionDir(spark, s"$root/v3")
       .select("o_orderkey", "o_score")
-    val parts3 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v3"))
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    // v3's total size lives in its manifest — its dir holds only the
+    // backfill rewrites, the pre-evolution carries stay in v1
+    val bytes3 = spark.read.parquet(s"$root/v3/_file_stats")
+      .agg(sum(col("bytes"))).collect()(0).getLong(0)
     val repC = graft.ops.Sync.compactPublished(spark, root, 3, 4,
-      "o_orderkey", targetBytes = math.max(parts3.map(_.getLen).sum / 2, 1L))
+      "o_orderkey", targetBytes = math.max(bytes3 / 2, 1L))
     assert(repC.published && repC.nFilesRewritten >= 2,
       s"fixture drifted: compaction rewrote ${repC.nFilesRewritten}")
     val v4 = graft.ops.Sync.readVersionDir(spark, s"$root/v4")
@@ -2362,9 +2376,19 @@ class OperatorSuite extends AnyFunSuite with SparkFixture {
       s"partition-first prune failed: $rep")
     val bFiles = rep.untouched.filter(_.startsWith("p=b"))
     assert(bFiles.nonEmpty, s"partition b should carry: $rep")
-    bFiles.foreach(f => assert(java.util.Arrays.equals(
-      bytes(s"$root/v1/$f"), bytes(s"$root/v2/$f")),
-      s"carried file $f is not byte-identical"))
+    // zero-copy: the untouched partition's files are REFERENCED in v1,
+    // never duplicated into v2's dir
+    val m2 = spark.read.parquet(s"$root/v2/_file_stats")
+      .select("dir", "file").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    bFiles.foreach { f =>
+      assert(m2.contains(("v1", f)),
+        s"carried file $f not referenced in v1 by the v2 manifest")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/$f")),
+        s"carried file $f missing from v1")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/$f")),
+        s"carried file $f was physically copied into v2")
+    }
     def snap(): Set[(String, Long, Double)] =
       Sync.readPublished(spark, root)._2.collect()
         .map(r => (r.getAs[String]("p"), r.getAs[Long]("k"),
