@@ -79,6 +79,57 @@ object PartLake {
       .toMap
   }
 
+  /** Two-level listing keeping the statuses (footer-stats sweep
+    * input): (status, relative name `part=<v>/<file>`). */
+  private def partStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap { pd =>
+        val pn = pd.getPath.getName
+        fs.listStatus(pd.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .map(st => (st, s"$pn/${st.getPath.getName}"))
+      }
+  }
+
+  /** The partition VALUE a relative manifest name encodes — unescaped
+    * exactly as the staged `partitionBy` write escaped it, so it
+    * matches the `col(part).cast("string")` the scan fallback emits. */
+  private def partOfRel(name: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(name.split("/", 2)(0).split("=", 2)(1))
+
+  /** Manifest rows for a partitioned dir's local files — parquet
+    * FOOTER stats first (zero Spark jobs; see [[FooterStats]]), None →
+    * caller falls back to the pre-r13 grouped scan. Rows in [[Cols]]
+    * order minted for `vName`. */
+  private def footerRows(s: SparkSession, dir: String, key: String,
+      vName: String,
+      expectKt: Option[org.apache.spark.sql.types.DataType])
+      : Option[(org.apache.spark.sql.types.DataType,
+                Array[org.apache.spark.sql.Row])] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sts = partStatuses(fs, dir)
+    if (sts.isEmpty)
+      return Some((expectKt.getOrElse(
+        org.apache.spark.sql.types.LongType), Array.empty))
+    val relOf = sts.map(t => t._1.getPath.toString -> t._2).toMap
+    FooterStats.sweep(s.sparkContext.hadoopConfiguration, sts.map(_._1),
+      key, st => relOf(st.getPath.toString)) match {
+      case Some((kt, stats)) if expectKt.forall(_ == kt) =>
+        Some((kt, stats.map { f =>
+          org.apache.spark.sql.Row(f.name, partOfRel(f.name), vName,
+            f.kmin, f.kmax, f.nRows, f.bytes)
+        }.toArray))
+      case _ => None
+    }
+  }
+
   /** Publish one partitioned version: stage with `partitionBy`, then
     * the shared y36 validate→rename→pointer-commit tail (same staging
     * invisibility, same rename-free `_ptr_gen_*` commit, same rollback
@@ -98,6 +149,38 @@ object PartLake {
     * the column's data type; `dir` names the version dir each file
     * physically lives in (all-local here — this writer only ever sees
     * a freshly-staged dir). */
+  private def partManifestSchema(
+      kt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("part", StringType, nullable = false),
+      StructField("dir", StringType, nullable = false),
+      StructField("kmin", kt, nullable = true),
+      StructField("kmax", kt, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+  }
+
+  /** The pre-r13 one-job grouped scan (fallback when footer stats
+    * aren't exactness-safe for the key type). */
+  private def scanRows(s: SparkSession, dir: String, key: String,
+      part: String, vName: String,
+      lens: Map[String, Long])
+      : (org.apache.spark.sql.types.DataType,
+         Array[org.apache.spark.sql.Row]) = {
+    val agg = s.read.parquet(dir)
+      .groupBy(relFile.as("file"), col(part).cast("string").as("part"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+        count(lit(1)).as("n_rows"))
+    (agg.schema("kmin").dataType, agg.collect().map { r =>
+      org.apache.spark.sql.Row(r.getString(0), r.getString(1), vName,
+        r.get(2), r.get(3), r.getLong(4),
+        lens.getOrElse(r.getString(0), -1L))
+    })
+  }
+
   def writeFileStats(s: SparkSession, dir: String, key: String,
       part: String): Unit = {
     require(!Seq("file", "part", "dir", "kmin", "kmax", "n_rows",
@@ -106,26 +189,13 @@ object PartLake {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val lens = partLens(fs, dir)
     val vName = mintName(p.getName)
-    val agg = s.read.parquet(dir)
-      .groupBy(relFile.as("file"), col(part).cast("string").as("part"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-        count(lit(1)).as("n_rows"))
-    val rows = agg.collect().map { r =>
-      org.apache.spark.sql.Row(r.getString(0), r.getString(1), vName,
-        r.get(2), r.get(3), r.getLong(4),
-        lens.getOrElse(r.getString(0), -1L))
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      agg.schema("file"), agg.schema("part"),
-      org.apache.spark.sql.types.StructField("dir",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      agg.schema("kmin"), agg.schema("kmax"), agg.schema("n_rows"),
-      org.apache.spark.sql.types.StructField("bytes",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
-        schema)
+    // footer stats first (zero Spark jobs; see FooterStats), scan
+    // fallback second
+    val (kt, rows) = footerRows(s, dir, key, vName, None)
+      .getOrElse(scanRows(s, dir, key, part, vName, partLens(fs, dir)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        partManifestSchema(kt))
       .write.mode("overwrite").parquet(s"$dir/_file_stats")
   }
 
@@ -141,20 +211,16 @@ object PartLake {
     val fs = new Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(staging))) fs.mkdirs(new Path(staging))
-    val lens = partLens(fs, staging)
-    val newRows: Array[org.apache.spark.sql.Row] =
-      if (lens.isEmpty) Array.empty
-      else s.read.parquet(staging)
-        .groupBy(relFile.as("file"),
-          col(part).cast("string").as("part"))
-        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-          count(lit(1)).as("n_rows"))
-        .collect()
-        .map(r => org.apache.spark.sql.Row(r.getString(0),
-          r.getString(1), s"v$toVersion", r.get(2), r.get(3),
-          r.getLong(4), lens.getOrElse(r.getString(0), -1L)))
     val carriedN = carried.select(Cols.map(col): _*)
-    s.createDataFrame(s.sparkContext.parallelize(newRows.toIndexedSeq, 1),
+    val carriedKt = carriedN.schema("kmin").dataType
+    // footer stats first (zero Spark jobs; the new rows must carry the
+    // carried manifest's kmin/kmax type), scan fallback second
+    val newRows: Array[org.apache.spark.sql.Row] =
+      footerRows(s, staging, key, s"v$toVersion", Some(carriedKt))
+        .map(_._2)
+        .getOrElse(scanRows(s, staging, key, part, s"v$toVersion",
+          partLens(fs, staging))._2)
+    s.createDataFrame(java.util.Arrays.asList(newRows: _*),
         carriedN.schema)
       .unionByName(carriedN)
       .coalesce(1).write.mode("overwrite")
@@ -192,7 +258,10 @@ object PartLake {
         "manifest/changelog column")
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats = Sync.manifestDf(s, root, s"v$fromVersion")
+    // ONE manifest read; further uses are driver-local (see
+    // Sync.cowApply — pre-r13 each use re-read the parquet sidecar)
+    val statsL = Sync.manifestLocal(s, root, s"v$fromVersion")
+    val stats = statsL.df(s)
     val wv = Window.partitionBy(part, key).orderBy(col("version").desc)
     val latest = changes.withColumn("__rn", row_number().over(wv))
       .filter(col("__rn") === 1).drop("__rn")
@@ -209,8 +278,13 @@ object PartLake {
       .collect().map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1).toSeq
     val affected = affectedFD.map(_._1)
-    val allFiles = stats.select("file", "part").collect()
-      .map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val affectedSet = affected.toSet
+    val allFiles = {
+      val (fi, pi) = (statsL.schema.fieldIndex("file"),
+        statsL.schema.fieldIndex("part"))
+      statsL.rows.map(r => r.getString(fi) -> r.getString(pi))
+        .sortBy(_._1)
+    }
     val untouched = allFiles.map(_._1).diff(affected)
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
@@ -241,8 +315,10 @@ object PartLake {
       .sortWithinPartitions(part, key)
       .write.partitionBy(part).mode("overwrite").parquet(staging.toString)
     // zero-copy carry: untouched files ride as manifest references
-    writeStagedManifest(s, root, toVersion, key, part,
-      stats.filter(col("file").isin(untouched: _*)))
+    // (filtered by the churn-sized affected set, driver-local)
+    val carriedL = statsL.filterFiles(!affectedSet(_))
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      part, carriedL.df(s))
     // Y55 feed on the partitioned path: the resolved batch, partition
     // column included (a cross-partition move is its D+I pair here, so
     // downstream consumers see exactly the two events row identity
@@ -253,7 +329,10 @@ object PartLake {
       Sync.stageChanges(s, staging.toString, logical,
         latest.drop("version"), toVersion)
     }
-    val ok = Sync.publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    // non-emptiness answered from the manifest rows just assembled —
+    // Σ n_rows, zero reads (see Sync.manifestValidate)
+    val ok = Sync.publishStagedDir(s, root, toVersion,
+      Sync.manifestValidate(newStatsRows.map(_.getLong(5)).sum, carriedL))
     val partOf = allFiles.toMap
     val touchedParts = affected.flatMap(partOf.get).distinct
     PartCowReport(ok, allFiles.length, affected.length,
@@ -283,12 +362,23 @@ object PartLake {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stats = Sync.manifestDf(s, root, s"v$fromVersion")
-    // (file, part, dir, bytes) driver-side — manifest-scale
-    val entries = stats.select("file", "part", "dir", "kmin", "bytes")
-      .orderBy(col("part"), col("kmin")).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getLong(4)))
+    // ONE manifest read; planning is driver-local — manifest-scale
+    val statsL = Sync.manifestLocal(s, root, s"v$fromVersion")
+    val entries = {
+      val (fi, pi, di, ki, bi) = (statsL.schema.fieldIndex("file"),
+        statsL.schema.fieldIndex("part"), statsL.schema.fieldIndex("dir"),
+        statsL.schema.fieldIndex("kmin"), statsL.schema.fieldIndex("bytes"))
+      statsL.rows
+        .map(r => (r.getString(fi), r.getString(pi), r.getString(di),
+          r.getLong(bi), r.get(ki)))
+        .sortWith { (a, b) => // (part, kmin) — null kmin first
+          if (a._2 != b._2) a._2 < b._2
+          else if (a._5 == null) b._5 != null
+          else if (b._5 == null) false
+          else a._5.asInstanceOf[Comparable[Any]].compareTo(b._5) < 0
+        }
+        .map(t => (t._1, t._2, t._3, t._4))
+    }
     require(entries.nonEmpty,
       s"compact: $root/v$fromVersion has no manifest files")
     val lens: Map[String, Long] =
@@ -330,8 +420,9 @@ object PartLake {
         .repartitionByRange(1, col(key)).sortWithinPartitions(key)
         .write.partitionBy(part).mode("append").parquet(staging.toString)
     }
-    writeStagedManifest(s, root, toVersion, key, part,
-      stats.filter(col("file").isin(untouched: _*)))
+    val carriedL = statsL.filterFiles(!rewrittenSet(_))
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      part, carriedL.df(s))
     // layout-only publish: an empty feed states "no logical change"
     if (Sync.cdfEnabled(fs, root)) {
       val logical = readFiles(s, root,
@@ -343,7 +434,8 @@ object PartLake {
               org.apache.spark.sql.types.StringType))),
         toVersion)
     }
-    val ok = Sync.publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val ok = Sync.publishStagedDir(s, root, toVersion,
+      Sync.manifestValidate(newStatsRows.map(_.getLong(5)).sum, carriedL))
     val partsAll = entries.map(_._2).distinct
     val partOf = entries.map(e => e._1 -> e._2).toMap
     PartCowReport(ok, entries.length, rewritten.length,

@@ -349,32 +349,65 @@ object Sync {
         rowDir == mintDirName(containerName)) s"$root/$containerName"
     else s"$root/$rowDir"
 
+  /** The manifest schema for a given key type (kmin/kmax carry it). */
+  private def manifestSchema(kt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("dir", StringType, nullable = false),
+      StructField("kmin", kt, nullable = true),
+      StructField("kmax", kt, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+  }
+
+  /** Manifest rows for `dir`'s local data files — parquet FOOTER
+    * statistics first (zero Spark jobs, no data-page IO; see
+    * [[FooterStats]]), falling back to the pre-r13 one-job grouped
+    * scan for key types whose footer stats aren't exactness-safe.
+    * Returns (kmin/kmax Spark type, rows in [[ManifestCols]] order
+    * minted for `vName`). */
+  private def statRows(s: SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus], dir: String,
+      key: String, vName: String,
+      rel: org.apache.hadoop.fs.FileStatus => String)
+      : (org.apache.spark.sql.types.DataType,
+         Array[org.apache.spark.sql.Row]) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    if (statuses.isEmpty)
+      return (org.apache.spark.sql.types.NullType, Array.empty)
+    FooterStats.sweep(conf, statuses, key, rel) match {
+      case Some((kt, stats)) =>
+        (kt, stats.map(f => org.apache.spark.sql.Row(
+          f.name, vName, f.kmin, f.kmax, f.nRows, f.bytes)).toArray)
+      case None =>
+        val lens = statuses.map(st => rel(st) -> st.getLen).toMap
+        val agg = s.read.parquet(dir)
+          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+            .as("file"))
+          .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+            count(lit(1)).as("n_rows"))
+        (agg.schema("kmin").dataType, agg.collect().map { r =>
+          org.apache.spark.sql.Row(r.getString(0), vName, r.get(1),
+            r.get(2), r.getLong(3), lens.getOrElse(r.getString(0), -1L))
+        })
+    }
+  }
+
   private[graft] def writeFileStats(s: SparkSession, dir: String,
       key: String): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val lens: Map[String, Long] = fs.listStatus(p).toSeq
+    val statuses = fs.listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => st.getPath.getName -> st.getLen).toMap
-    val agg = s.read.parquet(dir)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-        count(lit(1)).as("n_rows"))
     val vName = mintDirName(p.getName)
-    val rows = agg.collect().map { r =>
-      org.apache.spark.sql.Row(r.getString(0), vName, r.get(1), r.get(2),
-        r.getLong(3), lens.getOrElse(r.getString(0), -1L))
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      agg.schema("file"),
-      org.apache.spark.sql.types.StructField("dir",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      agg.schema("kmin"), agg.schema("kmax"), agg.schema("n_rows"),
-      org.apache.spark.sql.types.StructField("bytes",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
-        schema)
+    val (kt, rows) = statRows(s, statuses, dir, key, vName,
+      _.getPath.getName)
+    val kt2 = if (rows.isEmpty) org.apache.spark.sql.types.LongType else kt
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        manifestSchema(kt2))
       .write.mode("overwrite").parquet(s"$dir/_file_stats")
   }
 
@@ -388,6 +421,38 @@ object Sync {
       else raw.withColumn("dir", lit(mintDirName(vName)))
     if (d.columns.contains("bytes")) d
     else d.withColumn("bytes", lit(-1L))
+  }
+
+  /** The normalized manifest collected ONCE to the driver — file-count
+    * bounded, the same budget the compaction planner and Spark's own
+    * FileIndex already spend. Every further use inside one mutation
+    * (prune join, untouched diff, carried filter, total-row
+    * validation) is then IO-free; pre-r13 each use re-read the parquet
+    * sidecar as its own Spark job (2-3 redundant jobs per publish). */
+  private[graft] final case class LocalManifest(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]) {
+    private def idx(c: String) = schema.fieldIndex(c)
+    def files: Seq[String] = rows.map(_.getString(idx("file")))
+    /** Σ n_rows, None when any row predates row counts (legacy -1). */
+    def nRowsTotal: Option[Long] = {
+      val i = idx("n_rows")
+      val vs = rows.map(_.getLong(i))
+      if (vs.exists(_ < 0L)) None else Some(vs.sum)
+    }
+    def filterFiles(p: String => Boolean): LocalManifest =
+      LocalManifest(schema,
+        rows.filter(r => p(r.getString(idx("file")))))
+    /** LocalRelation view — joins/broadcasts build from driver memory,
+      * no parquet re-read. */
+    def df(s: SparkSession): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private[graft] def manifestLocal(s: SparkSession, root: String,
+      vName: String): LocalManifest = {
+    val d = manifestDf(s, root, vName)
+    LocalManifest(d.schema, d.collect().toIndexedSeq)
   }
 
   /** Open a version (or staging) dir by RESOLVING its manifest: each
@@ -428,22 +493,19 @@ object Sync {
     val fs = new Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(staging))) fs.mkdirs(new Path(staging))
-    val lens = fs.listStatus(new Path(staging)).toSeq
+    val statuses = fs.listStatus(new Path(staging)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => st.getPath.getName -> st.getLen).toMap
-    val newRows: Array[org.apache.spark.sql.Row] =
-      if (lens.isEmpty) Array.empty
-      else s.read.parquet(staging)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-          .as("file"))
-        .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-          count(lit(1)).as("n_rows"))
-        .collect()
-        .map(r => org.apache.spark.sql.Row(r.getString(0),
-          s"v$toVersion", r.get(1), r.get(2), r.getLong(3),
-          lens.getOrElse(r.getString(0), -1L)))
+    // footer-stats first (zero jobs; see FooterStats) with the pre-r13
+    // grouped-scan fallback when the key type isn't footer-exact — and
+    // the new rows must carry the CARRIED manifest's kmin/kmax type,
+    // or the union below would write a mixed-type column
     val carriedN = carried.select(ManifestCols.map(col): _*)
-    s.createDataFrame(s.sparkContext.parallelize(newRows.toIndexedSeq, 1),
+    val carriedKt = carriedN.schema("kmin").dataType
+    val (kt, newRows) = statRows(s, statuses, staging, key,
+      s"v$toVersion", _.getPath.getName)
+    require(newRows.isEmpty || kt == carriedKt,
+      s"writeStagedManifest: staged key type $kt != carried $carriedKt")
+    s.createDataFrame(java.util.Arrays.asList(newRows: _*),
         carriedN.schema)
       .unionByName(carriedN)
       .coalesce(1).write.mode("overwrite")
@@ -545,7 +607,10 @@ object Sync {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
     val fromDir = s"$root/v$fromVersion"
-    val stats = manifestDf(s, root, s"v$fromVersion")
+    // ONE manifest read; every further use is driver-local (the
+    // pre-r13 shape re-read the parquet sidecar 3x per mutation)
+    val statsL = manifestLocal(s, root, s"v$fromVersion")
+    val stats = statsL.df(s)
     val changeKeys = deletes.select(col(key))
       .unionByName(updates.select(col(key))).distinct()
     // (file, physical dir) pairs — a carried file may live several
@@ -556,8 +621,8 @@ object Sync {
       .collect().map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1).toSeq // bounded by file count
     val affected = affectedFD.map(_._1)
-    val untouched = stats.select("file").collect().map(_.getString(0))
-      .sorted.toSeq.diff(affected)
+    val affectedSet = affected.toSet
+    val untouched = statsL.files.sorted.diff(affected)
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
     if (affected.isEmpty) fs.mkdirs(staging)
@@ -581,9 +646,12 @@ object Sync {
     }
     // ZERO-COPY CARRY: untouched files are never copied — their
     // manifest rows (still naming the dirs they live in) ride into the
-    // staged manifest; only the rewritten files are new bytes
+    // staged manifest; only the rewritten files are new bytes. The
+    // carried set filters by the CHURN-sized affected list (an isin
+    // over "untouched" would be a million-literal expression at scale)
+    val carriedL = statsL.filterFiles(!affectedSet(_))
     val newStatsRows = writeStagedManifest(s, root, toVersion, key,
-      stats.filter(col("file").isin(untouched: _*)))
+      carriedL.df(s))
     // Y55 feed (staged while the dir holds ONLY rewritten files):
     // U = post-images of updated keys MINUS the deletion vector — an
     // update of a DV'd ghost is the SQL no-op, the logical row did NOT
@@ -625,10 +693,26 @@ object Sync {
         fs.exists(new Path(s"$fromDir/_deletes")))
       carrySidecar(s, fromDir, staging.toString, "_deletes")
     carrySidecar(s, fromDir, staging.toString, "_schema")
-    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    // non-emptiness is already known from the manifest rows the commit
+    // just assembled — Σ n_rows over new + carried answers the gate
+    // with ZERO reads (the old head(1) resolved and opened data files)
+    val ok = publishStagedDir(s, root, toVersion,
+      manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
   }
+
+  /** The cow-family publish gate: staged version non-empty, answered
+    * from the just-written manifest rows when row counts are complete
+    * (zero IO), else the reader-shaped head(1) probe. `stagedRows` =
+    * Σ n_rows over the NEW manifest rows (caller-computed — flat and
+    * partitioned manifests index n_rows differently). */
+  private[graft] def manifestValidate(stagedRows: Long,
+      carried: LocalManifest): DataFrame => Boolean =
+    carried.nRowsTotal match {
+      case Some(c) => _ => stagedRows + c > 0L
+      case None => _.head(1).nonEmpty
+    }
 
   /** Y38b: CDC-INTO-LAKE — apply a full I/U/D change log to a
     * published copy-on-write table. This is what [[cowApply]] cannot
@@ -658,7 +742,9 @@ object Sync {
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = manifestDf(s, root, s"v$fromVersion")
+    // ONE manifest read; further uses are driver-local (see cowApply)
+    val statsL = manifestLocal(s, root, s"v$fromVersion")
+    val stats = statsL.df(s)
     val wv = Window.partitionBy(key).orderBy(col("version").desc)
     val latest = changes.withColumn("__rn", row_number().over(wv))
       .filter(col("__rn") === 1).drop("__rn")
@@ -670,8 +756,8 @@ object Sync {
       .collect().map(r => (r.getString(0), r.getString(1)))
       .sortBy(_._1).toSeq
     val affected = affectedFD.map(_._1)
-    val untouched = stats.select("file").collect().map(_.getString(0))
-      .sorted.toSeq.diff(affected)
+    val affectedSet = affected.toSet
+    val untouched = statsL.files.sorted.diff(affected)
     // span routing: in-span upserts join the rewrite of the file whose
     // range owns their key; the rest are the append frontier
     val spanned = upserts.join(broadcast(stats),
@@ -705,8 +791,10 @@ object Sync {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(staging.toString)
     // zero-copy carry: untouched files ride as manifest references
-    writeStagedManifest(s, root, toVersion, key,
-      stats.filter(col("file").isin(untouched: _*)))
+    // (filtered by the churn-sized affected set, driver-local)
+    val carriedL = statsL.filterFiles(!affectedSet(_))
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      carriedL.df(s))
     // MOR interplay: an UPSERT re-asserts its key's existence (CDC
     // semantics — I/U means the row exists at the source NOW), so the
     // carried deletion vector drops every upserted key; D keys need no
@@ -725,7 +813,8 @@ object Sync {
       stageChanges(s, staging.toString, evolved,
         latest.drop("version"), toVersion)
     carrySidecar(s, fromDir, staging.toString, "_schema")
-    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val ok = publishStagedDir(s, root, toVersion,
+      manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
   }
@@ -762,17 +851,19 @@ object Sync {
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = manifestDf(s, root, s"v$fromVersion")
-    // metadata at million-file scale: names, PHYSICAL dirs, and sizes
-    // all come from the manifest (zero listing RPCs — `bytes` rides in
+    // metadata at million-file scale: names, PHYSICAL dirs, sizes and
+    // key order all come from ONE manifest read (`bytes` rides in
     // every r13+ manifest); a legacy unsized manifest falls back to
-    // one listing per distinct source dir. Key order comes from the
-    // engine (orderBy on the manifest, streamed to the driver with
-    // toLocalIterator) — the driver holds names and the running group,
-    // the same budget as Spark's own driver-side FileIndex
-    val fd: Map[String, (String, Long)] =
-      stats.select("file", "dir", "bytes").collect()
-        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // one listing per distinct source dir. The driver holds names and
+    // the running group — the same budget as Spark's own FileIndex.
+    val statsL = manifestLocal(s, root, s"v$fromVersion")
+    val iFile = statsL.schema.fieldIndex("file")
+    val iDir = statsL.schema.fieldIndex("dir")
+    val iKmin = statsL.schema.fieldIndex("kmin")
+    val iBytes = statsL.schema.fieldIndex("bytes")
+    val fd: Map[String, (String, Long)] = statsL.rows
+      .map(r => r.getString(iFile) ->
+        (r.getString(iDir), r.getLong(iBytes))).toMap
     val lens: Map[String, Long] =
       if (fd.values.forall(_._2 >= 0L)) fd.map { case (f, (_, b)) => f -> b }
       else fd.values.map(_._1).toSet.toSeq.flatMap { (d: String) =>
@@ -785,19 +876,23 @@ object Sync {
     var curBytes = 0L
     var nFiles = 0
     locally { // key order — groups stay span-adjacent
-      import scala.jdk.CollectionConverters._
-      stats.select(col("file")).orderBy(col("kmin"))
-        .toLocalIterator().asScala.foreach { r =>
-          val f = r.getString(0)
-          val len = lens(f)
-          nFiles += 1
-          if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
-            cur += f; curBytes += len
-          } else {
-            if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
-            if (len < targetBytes / 2) { cur += f; curBytes = len }
-          }
+      val ordered = statsL.rows.sortWith { (a, b) =>
+        val ka = a.get(iKmin); val kb = b.get(iKmin)
+        if (ka == null) kb != null // null kmin (all-null file) first
+        else if (kb == null) false
+        else ka.asInstanceOf[Comparable[Any]].compareTo(kb) < 0
+      }
+      ordered.foreach { r =>
+        val f = r.getString(iFile)
+        val len = lens(f)
+        nFiles += 1
+        if (len < targetBytes / 2 && curBytes + len <= targetBytes) {
+          cur += f; curBytes += len
+        } else {
+          if (cur.nonEmpty) { groups += cur.toSeq; cur.clear(); curBytes = 0L }
+          if (len < targetBytes / 2) { cur += f; curBytes = len }
         }
+      }
     }
     if (cur.nonEmpty) groups += cur.toSeq
     val rewriteGroups = groups.filter(_.length >= 2).toSeq
@@ -816,8 +911,9 @@ object Sync {
         .write.mode("append").parquet(staging.toString)
     }
     // zero-copy carry: adequately-sized files ride as manifest refs
-    writeStagedManifest(s, root, toVersion, key,
-      stats.filter(col("file").isin(untouched: _*)))
+    val carriedL = statsL.filterFiles(!rewrittenSet(_))
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      carriedL.df(s))
     // compaction is a PURE layout change: a MOR deletion vector on the
     // source version still subtracts the same keys from the new one —
     // dropping it here would resurrect every MOR-deleted row
@@ -827,7 +923,8 @@ object Sync {
       stageEmptyChanges(s, staging.toString,
         versionSchema(s, fromDir), toVersion)
     carrySidecar(s, fromDir, staging.toString, "_schema")
-    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val ok = publishStagedDir(s, root, toVersion,
+      manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
     CowReport(ok, nFiles, rewritten.length, rewritten, untouched)
   }
 
@@ -864,10 +961,10 @@ object Sync {
     // version's only bytes are the folded `_deletes` sidecar (plus the
     // feed): publish cost is truly O(|delete batch|) now, where the
     // pre-r13 stand-in still copied the table through the driver
-    val stats = manifestDf(s, root, s"v$fromVersion")
-    val files = stats.select("file").collect()
-      .map(_.getString(0)).sorted.toSeq
-    writeStagedManifest(s, root, toVersion, key, stats)
+    val statsL = manifestLocal(s, root, s"v$fromVersion")
+    val files = statsL.files.sorted
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      statsL.df(s))
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val prior =
       if (fs.exists(new Path(s"$fromDir/_deletes")))
@@ -885,7 +982,8 @@ object Sync {
           .join(broadcast(prior.select(col(key))), Seq(key), "left_anti")
           .withColumn("op", lit("D")),
         toVersion)
-    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val ok = publishStagedDir(s, root, toVersion,
+      manifestValidate(newStatsRows.map(_.getLong(4)).sum, statsL))
     CowReport(ok, files.length, 0, Nil, files)
   }
 
@@ -988,8 +1086,10 @@ object Sync {
     val fs = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val fromDir = s"$root/v$fromVersion"
-    val stats = manifestDf(s, root, s"v$fromVersion")
-    val nTotal = stats.count().toInt
+    // ONE manifest read; further uses are driver-local (see cowApply)
+    val statsL = manifestLocal(s, root, s"v$fromVersion")
+    val stats = statsL.df(s)
+    val nTotal = statsL.rows.length
     // SQL-standard cardinality gate: one source row per key, or refuse
     val dup = source.groupBy(key).count().filter(col("count") > 1)
       .head(1).nonEmpty
@@ -1025,8 +1125,8 @@ object Sync {
     }.getOrElse(Set.empty[(String, String)])
     val affectedFD = (bySrc ++ byNmbs).toSeq.sortBy(_._1)
     val affected = affectedFD.map(_._1)
-    val untouched = stats.select("file").collect().map(_.getString(0))
-      .sorted.toSeq.diff(affected)
+    val affectedSet = affected.toSet
+    val untouched = statsL.files.sorted.diff(affected)
     // The joined namespace all four clause conditions see. FULL OUTER
     // cannot broadcast (both sides produce unmatched rows), so this is
     // the one shuffle — of the PRUNED file subset + the delta-sized
@@ -1099,8 +1199,10 @@ object Sync {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(staging.toString)
     // zero-copy carry: untouched files ride as manifest references
-    writeStagedManifest(s, root, toVersion, key,
-      stats.filter(col("file").isin(untouched: _*)))
+    // (filtered by the churn-sized affected set, driver-local)
+    val carriedL = statsL.filterFiles(!affectedSet(_))
+    val newStatsRows = writeStagedManifest(s, root, toVersion, key,
+      carriedL.df(s))
     // the carried DV drops ONLY keys this merge physically re-asserted
     // (the inserted rows — a DV'd key can only be NOT MATCHED, so the
     // insert path is the one that can put a physical row back). A
@@ -1134,7 +1236,8 @@ object Sync {
         toVersion)
     }
     carrySidecar(s, fromDir, staging.toString, "_schema")
-    val ok = publishStagedDir(s, root, toVersion, _.head(1).nonEmpty)
+    val ok = publishStagedDir(s, root, toVersion,
+      manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
     MergeReport(ok, cardinalityOk = true,
       nTotal, affected.length,
       cnt.getLong(0), cnt.getLong(1), nIns, cnt.getLong(3))
@@ -1769,15 +1872,18 @@ object Sync {
         .cache()
       val collide = colliding.head(1).nonEmpty
       val statsPath = new Path(s"$fromDir/_file_stats")
+      // ONE manifest read; further uses driver-local (see cowApply)
       val oldStats =
         if (fs.exists(statsPath))
-          Some(manifestDf(s, root, s"v$cur"))
+          Some(manifestLocal(s, root, s"v$cur"))
         else None
       // (file, physical dir) — manifest-first; a manifest-less version
       // can only hold local files, so the listing fallback is exact
       val oldFD: Seq[(String, String)] = oldStats match {
-        case Some(st) => st.select("file", "dir").collect()
-          .map(r => (r.getString(0), r.getString(1))).toSeq
+        case Some(st) =>
+          val (fi, di) = (st.schema.fieldIndex("file"),
+            st.schema.fieldIndex("dir"))
+          st.rows.map(r => (r.getString(fi), r.getString(di)))
         case None => fs.listStatus(new Path(fromDir)).toSeq
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
           .map(st => (st.getPath.getName, s"v$cur"))
@@ -1785,7 +1891,7 @@ object Sync {
       val affectedFD: Seq[(String, String)] =
         if (!collide) Nil
         else oldStats match {
-          case Some(st) => st.join(colliding,
+          case Some(st) => st.df(s).join(colliding,
               col(key) >= col("kmin") && col(key) <= col("kmax"))
             .select("file", "dir").distinct().collect()
             .map(r => (r.getString(0), r.getString(1))).toSeq
@@ -1808,9 +1914,9 @@ object Sync {
           // zero-copy frontier: every untouched old file rides as a
           // manifest reference — append cost ∝ |increment| in BYTES
           // now, not just in rewrites
+          val affSet = affected.toSet
           writeStagedManifest(s, root, cur + 1, key,
-            if (affected.isEmpty) st
-            else st.filter(!col("file").isin(affected: _*)))
+            st.filterFiles(!affSet(_)).df(s))
         case None =>
           // manifest-less source: physically carry (legacy), then
           // mint a fresh manifest over the whole staged dir
