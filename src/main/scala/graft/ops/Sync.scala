@@ -413,15 +413,12 @@ object Sync {
 
   /** The normalized manifest of `root/$vName` — guaranteed to carry
     * `dir` and `bytes` (legacy manifests read as all-local, unsized).
-    * Extra columns (y49's `part`) ride through untouched. */
+    * Extra columns (y49's `part`) ride through untouched. Backed by
+    * [[manifestLocal]]'s signature-keyed cache: a LocalRelation over
+    * the collected rows, so repeat consumers launch no read jobs. */
   private[graft] def manifestDf(s: SparkSession, root: String,
-      vName: String): DataFrame = {
-    val raw = s.read.parquet(s"$root/$vName/_file_stats")
-    val d = if (raw.columns.contains("dir")) raw
-      else raw.withColumn("dir", lit(mintDirName(vName)))
-    if (d.columns.contains("bytes")) d
-    else d.withColumn("bytes", lit(-1L))
-  }
+      vName: String): DataFrame =
+    manifestLocal(s, root, vName).df(s)
 
   /** The normalized manifest collected ONCE to the driver — file-count
     * bounded, the same budget the compaction planner and Spark's own
@@ -431,7 +428,11 @@ object Sync {
     * sidecar as its own Spark job (2-3 redundant jobs per publish). */
   private[graft] final case class LocalManifest(
       schema: org.apache.spark.sql.types.StructType,
-      rows: Seq[org.apache.spark.sql.Row]) {
+      rows: Seq[org.apache.spark.sql.Row],
+      /** Did the RAW sidecar already carry dir+bytes (an r13+ writer),
+        * or did normalization add them? The connector keys its
+        * zero-listing fast path on the former. */
+      rawHasDirBytes: Boolean = true) {
     private def idx(c: String) = schema.fieldIndex(c)
     def files: Seq[String] = rows.map(_.getString(idx("file")))
     /** Σ n_rows, None when any row predates row counts (legacy -1). */
@@ -449,10 +450,49 @@ object Sync {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Manifest cache: a published version's `_file_stats` is IMMUTABLE
+    * once its version dir exists (staging manifests mutate, but only
+    * before the rename — the path then changes), so one (path, total
+    * length, newest mtime) signature identifies its content exactly.
+    * A hit costs one driver-side listing — no schema-inference job, no
+    * collect job; pre-r13 every consumer re-read the sidecar (a
+    * composite lifecycle paid ~25 redundant jobs per query on repeat
+    * manifest reads alone). Bounded: cleared wholesale past 4096
+    * entries (a manifest is file-count-sized — the cap bounds memory
+    * at a few hundred MB even with million-file manifests; a bench
+    * session holds ~10-row fixtures). */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, LocalManifest)]()
+
   private[graft] def manifestLocal(s: SparkSession, root: String,
       vName: String): LocalManifest = {
-    val d = manifestDf(s, root, vName)
-    LocalManifest(d.schema, d.collect().toIndexedSeq)
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(s"$root/$vName/_file_stats")
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig =
+      try {
+        val sts = fs.listStatus(dirP)
+        (sts.map(_.getLen).sum, sts.map(_.getModificationTime).max)
+      } catch { case _: java.io.IOException => (-1L, -1L) }
+    val key = dirP.toString
+    val hit = manifestCache.get(key)
+    if (hit != null && sig._1 >= 0 &&
+        hit._1 == sig._1 && hit._2 == sig._2) hit._3
+    else {
+      // missing path throws here exactly as the pre-cache read did
+      val raw = s.read.parquet(dirP.toString)
+      val d0 = if (raw.columns.contains("dir")) raw
+        else raw.withColumn("dir", lit(mintDirName(vName)))
+      val d = if (d0.columns.contains("bytes")) d0
+        else d0.withColumn("bytes", lit(-1L))
+      val lm = LocalManifest(d.schema, d.collect().toIndexedSeq,
+        raw.columns.contains("dir") && raw.columns.contains("bytes"))
+      if (sig._1 >= 0) {
+        if (manifestCache.size > 4096) manifestCache.clear()
+        manifestCache.put(key, (sig._1, sig._2, lm))
+      }
+      lm
+    }
   }
 
   /** Open a version (or staging) dir by RESOLVING its manifest: each
@@ -1647,7 +1687,35 @@ object Sync {
     * for fields they predate, so no byte of data moves at evolution
     * time (the Delta/Iceberg idiom, re-expressed through the publish
     * protocol's own version dirs). */
+  /** Schema cache: a version dir's schema is immutable once the dir
+    * exists (staging mutates, but any content change moves the dir's
+    * own mtime — the signature). A hit saves the 1-task
+    * schema-inference job `spark.read.parquet(dir).schema` launches;
+    * mutation lifecycles call this 3-5x per publish. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+
   private[graft] def versionSchema(s: SparkSession, dir: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(dir)
+    val dfs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sig =
+      try dfs.getFileStatus(dirP).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    val hit = schemaCache.get(dir)
+    if (hit != null && sig >= 0 && hit._1 == sig) hit._2
+    else {
+      val out = versionSchemaUncached(s, dir)
+      if (sig >= 0) {
+        if (schemaCache.size > 8192) schemaCache.clear()
+        schemaCache.put(dir, (sig, out))
+      }
+      out
+    }
+  }
+
+  private def versionSchemaUncached(s: SparkSession, dir: String)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/_schema")

@@ -156,10 +156,11 @@ object LakeRef {
       val statsPath = new Path(s"$dir/_file_stats")
       if (!fs.exists(statsPath)) None
       else {
-        val df = spark.read.parquet(statsPath.toString)
-        if (df.columns.contains("dir") && df.columns.contains("bytes"))
-          Some(df.collect())
-        else None
+        // signature-keyed cache (Sync.manifestLocal): repeat table
+        // loads — every SQL statement resolves the table — cost one
+        // listing, zero read jobs
+        val lm = graft.ops.Sync.manifestLocal(spark, root, vName)
+        if (lm.rawHasDirBytes) Some(lm.rows.toArray) else None
       }
     }
     // The key column — and the partition column, when present —
@@ -222,7 +223,7 @@ object LakeRef {
           // a LEGACY manifest still feeds spans/row counts
           val spans: Map[String, (Option[Any], Option[Any], Long)] =
             if (!fs.exists(new Path(s"$dir/_file_stats"))) Map.empty
-            else spark.read.parquet(s"$dir/_file_stats").collect()
+            else graft.ops.Sync.manifestLocal(spark, root, vName).rows
               .map { r =>
                 r.getAs[String]("file") ->
                   (Option(r.getAs[Any]("kmin")),
