@@ -2098,7 +2098,7 @@ object Sync {
       validate: DataFrame => Boolean): Boolean = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val landed = scala.collection.mutable.ArrayBuffer[String]()
+    val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def abort(): Boolean = {
       // NEVER delete a dir the COMMITTED group already references at
       // this version — the idempotent-retry branch "adopts" existing
@@ -2108,28 +2108,56 @@ object Sync {
       // committed generation. Only this attempt's own uncommitted work
       // is cleaned up.
       val committed = readGroupPointer(fs, root)
-      landed.filterNot(t => committed.get(t).contains(version))
+      import scala.jdk.CollectionConverters._
+      landed.asScala.toSeq.sorted
+        .filterNot(t => committed.get(t).contains(version))
         .foreach(t => fs.delete(new Path(s"$root/$t/v$version"), true))
       false
     }
-    tables.foreach { case (name, df) =>
+    // STAGE IN PARALLEL (r13, guide §2.6): member tables are
+    // independent until the pointer commit, and each staging is a
+    // small write job + a validation read — run serially, every
+    // member's scheduling/IO gaps leave the cluster idle. 2-3 jobs in
+    // flight back-fill each other's tails; Spark's scheduler handles
+    // concurrent actions natively. Atomicity is untouched: the
+    // transaction still commits at the single pointer write below,
+    // and a failed member aborts every non-committed dir.
+    def stageOne(name: String, df: DataFrame): Boolean = {
       val tRoot = s"$root/$name"
       val staging = new Path(s"$tRoot/_staging_v$version")
       val dst = new Path(s"$tRoot/v$version")
       if (fs.exists(dst)) {
         // idempotent retry: the prior attempt of THIS version landed it
-        landed += name
+        landed.add(name); true
       } else {
         fs.delete(staging, true)
         df.write.mode("overwrite").parquet(staging.toString)
         if (!validate(s.read.parquet(staging.toString))) {
-          fs.delete(staging, true)
-          return abort()
-        }
-        if (!fs.rename(staging, dst)) { fs.delete(staging, true); return abort() }
-        landed += name
+          fs.delete(staging, true); false
+        } else if (!fs.rename(staging, dst)) {
+          fs.delete(staging, true); false
+        } else { landed.add(name); true }
       }
     }
+    val allOk =
+      if (tables.size <= 1) tables.forall(t => stageOne(t._1, t._2))
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(tables.size, 3))
+        try {
+          val futs = tables.map { case (name, df) =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean = stageOne(name, df)
+            })
+          }
+          // drain EVERY future before judging — abort() deletes dirs,
+          // which must never race a still-staging member
+          val results = futs.map(f =>
+            try f.get() catch { case _: Exception => false })
+          results.forall(identity)
+        } finally pool.shutdown()
+      }
+    if (!allOk) return abort()
     // the transaction commits HERE: one pointer-file rename
     val next = readGroupPointer(fs, root) ++ tables.map(_._1 -> version)
     commitGroupPointer(fs, root, next)
