@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    EntryTuning.tuneEmbeddedDerby()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // No bench-only flags: every timed query is exactly the plan Verify
@@ -226,6 +227,30 @@ object Bench {
       s"""{"queries":$qs,"spread":$spread,"sentinel_sec":$sentinelsFull,"pass_healthy":$passHealth,"healthy_max":$hmax,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(s"""{"perquery":$qs}""")
+    // The one-line perquery map above is ~6 KB — larger than the
+    // driver's stdout tail-capture window, which is why PERF_r12/r13
+    // had per_query: {} (both tails begin mid-map). ADDITIONS-ONLY fix:
+    // re-emit the same entries as chunked <=1 KB lines a tail window
+    // can hold whole; the compact final line and bench_queries.json
+    // stay byte-compatible.
+    locally {
+      val entries = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      var len = 0
+      entries.foreach { e =>
+        if (len + e.length > 900 && cur.nonEmpty) {
+          chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String](); len = 0
+        }
+        cur += e; len += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"perquery_part":${i + 1},"of":${chunks.size},""" +
+          s""""queries":${c.mkString("{", ",", "}")}}""")
+      }
+    }
     println(s"""{"spread":$spread}""")
     spark.stop()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"sentinel_sec":$sentinels,"pass_healthy":$passHealth,"healthy_max":$hmax,"sf":"$sfDir"}""")

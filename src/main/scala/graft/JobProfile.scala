@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
+    EntryTuning.tuneEmbeddedDerby()
     val sfDir = args(0); val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,10 +24,27 @@ object JobProfile {
     spark.range(1000).selectExpr("sum(id)").collect()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    // SQL executions carry the user-level call site in their
+    // description; jobs launched from the SQL execution thread pool
+    // lose theirs (the stage name reads "withThreadLocalCaptured"), so
+    // map execution id -> description and attribute through it.
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId, s.description)
+        case _ => ()
+      }
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '+'))
-          .getOrElse("?").trim
+        val fromStage = j.stageInfos.lastOption
+          .map(_.name.takeWhile(_ != '+')).getOrElse("?").trim
+        val site =
+          if (!fromStage.contains("withThreadLocal")) fromStage
+          else Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(id => Option(execDesc.get(id.toLong)))
+            .getOrElse(fromStage)
         starts.put(j.jobId, (site, System.nanoTime()))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {

@@ -18,6 +18,7 @@ import java.nio.file.{Files, Paths}
   */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
+    EntryTuning.tuneEmbeddedDerby()
     val Array(sfDir, outDir, rest @ _*) = args
     val (suffix, names) = rest.headOption match {
       case Some(s) if s.startsWith("_") => (s, rest.drop(1).toSet)

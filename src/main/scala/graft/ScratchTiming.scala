@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ScratchTiming {
   def main(args: Array[String]): Unit = {
+    EntryTuning.tuneEmbeddedDerby()
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.codegen.cache.maxEntries", "10000")

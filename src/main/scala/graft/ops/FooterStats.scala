@@ -45,8 +45,14 @@ private[graft] object FooterStats {
   private def intReinterprets(
       lt: org.apache.parquet.schema.LogicalTypeAnnotation): Boolean =
     lt match {
+      // signed INT(8)/INT(16) re-interpret for OUR purposes: Spark
+      // scans them as Byte/ShortType while the physical chunk is
+      // INT32, so a footer-typed manifest (IntegerType) would mismatch
+      // a scan-typed carried manifest and crash the kt==carriedKt
+      // gate instead of falling back. Only full-width signed ints are
+      // identity-mapped.
       case i: org.apache.parquet.schema.LogicalTypeAnnotation
-        .IntLogicalTypeAnnotation => !i.isSigned
+        .IntLogicalTypeAnnotation => !i.isSigned || i.getBitWidth < 32
       case _ => true // DATE/DECIMAL/TIME/TIMESTAMP/... re-map the value
     }
 

@@ -33,14 +33,8 @@ object Sources {
     * isolate by TABLE NAME (their run counters make names unique across
     * passes); the application-scoped stage path keeps concurrent
     * sessions off each other's db. */
-  private[graft] lazy val sharedDerbyUrl: String = {
-    // see JdbcSync's durability note — must precede the engine boot;
-    // belt-and-braces here in case a caller reaches Derby without
-    // touching the JdbcSync module first
-    if (System.getProperty("derby.system.durability") == null)
-      System.setProperty("derby.system.durability", "test")
+  private[graft] lazy val sharedDerbyUrl: String =
     s"jdbc:derby:${stage("shared_derby/db")};create=true"
-  }
 
   private def resetDirs(s: org.apache.spark.sql.SparkSession,
                         dirs: String*): Unit = {

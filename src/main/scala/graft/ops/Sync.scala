@@ -381,18 +381,30 @@ object Sync {
       case Some((kt, stats)) =>
         (kt, stats.map(f => org.apache.spark.sql.Row(
           f.name, vName, f.kmin, f.kmax, f.nRows, f.bytes)).toArray)
-      case None =>
-        val lens = statuses.map(st => rel(st) -> st.getLen).toMap
-        val agg = s.read.parquet(dir)
-          .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
-            .as("file"))
-          .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
-            count(lit(1)).as("n_rows"))
-        (agg.schema("kmin").dataType, agg.collect().map { r =>
-          org.apache.spark.sql.Row(r.getString(0), vName, r.get(1),
-            r.get(2), r.getLong(3), lens.getOrElse(r.getString(0), -1L))
-        })
+      case None => statRowsScan(s, statuses, dir, key, vName, rel)
     }
+  }
+
+  /** The pre-r13 one-job grouped scan — the fallback whose min/max
+    * types match what a Spark read of the files produces by
+    * construction (footer sweep can disagree for logically-annotated
+    * ints, e.g. int8/int16). */
+  private def statRowsScan(s: SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus], dir: String,
+      key: String, vName: String,
+      rel: org.apache.hadoop.fs.FileStatus => String)
+      : (org.apache.spark.sql.types.DataType,
+         Array[org.apache.spark.sql.Row]) = {
+    val lens = statuses.map(st => rel(st) -> st.getLen).toMap
+    val agg = s.read.parquet(dir)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0)
+        .as("file"))
+      .agg(min(col(key)).as("kmin"), max(col(key)).as("kmax"),
+        count(lit(1)).as("n_rows"))
+    (agg.schema("kmin").dataType, agg.collect().map { r =>
+      org.apache.spark.sql.Row(r.getString(0), vName, r.get(1),
+        r.get(2), r.getLong(3), lens.getOrElse(r.getString(0), -1L))
+    })
   }
 
   private[graft] def writeFileStats(s: SparkSession, dir: String,
@@ -541,8 +553,17 @@ object Sync {
     // or the union below would write a mixed-type column
     val carriedN = carried.select(ManifestCols.map(col): _*)
     val carriedKt = carriedN.schema("kmin").dataType
-    val (kt, newRows) = statRows(s, statuses, staging, key,
+    val (kt0, rows0) = statRows(s, statuses, staging, key,
       s"v$toVersion", _.getPath.getName)
+    // a carried manifest written by a SCAN (pre-r13, or a non-footer-
+    // exact key) can disagree with the footer sweep's type; retry with
+    // the grouped scan — whose types match a Spark read by
+    // construction — before refusing (the partitioned path does the
+    // same via expectKt)
+    val (kt, newRows) =
+      if (rows0.isEmpty || kt0 == carriedKt) (kt0, rows0)
+      else statRowsScan(s, statuses, staging, key, s"v$toVersion",
+        _.getPath.getName)
     require(newRows.isEmpty || kt == carriedKt,
       s"writeStagedManifest: staged key type $kt != carried $carriedKt")
     s.createDataFrame(java.util.Arrays.asList(newRows: _*),
@@ -638,6 +659,23 @@ object Sync {
     *     for rollback/time-travel until y37 GC reaps it.
     *
     * GDPR-delete and CDC-into-lake both land exactly here. */
+  /** Broadcast a CHANGE-SET frame only while its planner estimate fits
+    * `spark.graft.cow.broadcastThreshold` (bytes, default 512 MB —
+    * far above any churn-sized batch, far below the 8 GB broadcast
+    * cap / driver OOM territory). The cow family's design assumption
+    * is delta-sized change sets, so the hint is normally right; the
+    * guard is for the unbounded-CDC-batch case at 100 TB, where a
+    * table-scale "change set" must fall back to a shuffle join (guide
+    * §3.1) instead of OOMing the driver. Production tunes the
+    * threshold to its real churn bound. */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.conf
+      .getOption("spark.graft.cow.broadcastThreshold")
+      .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= thr) broadcast(df) else df
+  }
+
   private[graft] def cowApply(s: SparkSession, root: String,
       fromVersion: Int, toVersion: Int, key: String,
       deletes: DataFrame, updates: DataFrame,
@@ -651,8 +689,15 @@ object Sync {
     // pre-r13 shape re-read the parquet sidecar 3x per mutation)
     val statsL = manifestLocal(s, root, s"v$fromVersion")
     val stats = statsL.df(s)
-    val changeKeys = deletes.select(col(key))
-      .unionByName(updates.select(col(key))).distinct()
+    // the change frames are consumed 2-3x each (prune keys, rewrite
+    // joins, CDF feed); each consumption re-derived them from their
+    // source scans pre-r14 — persist the churn-sized frames for the
+    // mutation's duration instead (guide §1.2: don't recompute what
+    // you already have; unpersisted before return)
+    val updP = updates.persist()
+    val delKeys = deletes.select(col(key)).persist()
+    val changeKeys = delKeys
+      .unionByName(updP.select(col(key))).distinct()
     // (file, physical dir) pairs — a carried file may live several
     // versions back; the manifest knows, the dir listing never would
     val affectedFD = changeKeys.join(broadcast(stats),
@@ -665,6 +710,11 @@ object Sync {
     val untouched = statsL.files.sorted.diff(affected)
     val staging = new Path(s"$root/_staging_v$toVersion")
     fs.delete(staging, true)
+    // CDF U post-images come from the REWRITE OUTPUT (cached), not a
+    // re-read of the staged files — one less churn-sized scan per
+    // CDF-enabled publish (r13 residual #2)
+    val wantCdf = cdfEnabled(fs, root)
+    var appliedCached: DataFrame = null
     if (affected.isEmpty) fs.mkdirs(staging)
     else {
       // the version's LOGICAL schema: post-evolution files and
@@ -672,16 +722,18 @@ object Sync {
       val base = s.read.schema(versionSchema(s, fromDir))
         .parquet(affectedFD.map { case (f, d) => s"$root/$d/$f" }: _*)
       val updCols = updates.columns.filterNot(_ == key).toSeq
-      val upd = updates.select(col(key) +:
+      val upd = updP.select(col(key) +:
         updCols.map(c => col(c).as(s"__upd_$c")): _*)
-      val applied0 = base.join(broadcast(upd), Seq(key), "left")
+      val applied0 = base.join(maybeBroadcast(upd), Seq(key), "left")
       val applied = updCols.foldLeft(applied0) { (df, c) =>
           df.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
         }.drop(updCols.map("__upd_" + _): _*)
-        .join(broadcast(deletes.select(col(key)).distinct()),
-          Seq(key), "left_anti")
+        .join(maybeBroadcast(delKeys.distinct()), Seq(key), "left_anti")
         .select(base.columns.map(col).toIndexedSeq: _*)
-      applied.sortWithinPartitions(key)
+      val toWrite =
+        if (wantCdf && logicalCdf) { appliedCached = applied.persist(); appliedCached }
+        else applied
+      toWrite.sortWithinPartitions(key)
         .write.mode("overwrite").parquet(staging.toString)
     }
     // ZERO-COPY CARRY: untouched files are never copied — their
@@ -699,7 +751,7 @@ object Sync {
     // (a D of an already-DV'd key replays as a no-op downstream).
     // dvFold passes logicalCdf=false: its rewrite changes no logical
     // row, so it states "no change" with an EMPTY feed.
-    if (cdfEnabled(fs, root)) {
+    if (wantCdf) {
       val logical = versionSchema(s, fromDir)
       if (!logicalCdf)
         stageEmptyChanges(s, staging.toString, logical, toVersion)
@@ -709,16 +761,17 @@ object Sync {
             s.read.parquet(s"$fromDir/_deletes").select(col(key))
           else deletes.select(col(key)).limit(0)
         val uRows =
-          if (newStatsRows.isEmpty)
+          if (appliedCached == null)
             s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-          else s.read.schema(logical).parquet(staging.toString)
-            .join(broadcast(updates.select(col(key)).distinct()),
+          else appliedCached
+            .select(logical.fieldNames.map(col).toIndexedSeq: _*)
+            .join(maybeBroadcast(updP.select(col(key)).distinct()),
               Seq(key), "left_semi")
-            .join(broadcast(dvKeys), Seq(key), "left_anti")
+            .join(maybeBroadcast(dvKeys), Seq(key), "left_anti")
         stageChanges(s, staging.toString, logical,
           uRows.withColumn("op", lit("U")).unionByName(
-            deletes.select(col(key)).withColumn("op", lit("D")),
+            delKeys.withColumn("op", lit("D")),
             allowMissingColumns = true),
           toVersion)
       }
@@ -738,6 +791,9 @@ object Sync {
     // with ZERO reads (the old head(1) resolved and opened data files)
     val ok = publishStagedDir(s, root, toVersion,
       manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
+    if (appliedCached != null) appliedCached.unpersist(blocking = false)
+    updP.unpersist(blocking = false)
+    delKeys.unpersist(blocking = false)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
   }
@@ -786,8 +842,13 @@ object Sync {
     val statsL = manifestLocal(s, root, s"v$fromVersion")
     val stats = statsL.df(s)
     val wv = Window.partitionBy(key).orderBy(col("version").desc)
+    // the resolved (latest-wins) batch is consumed 4-5x in one mutation
+    // (prune keys, span routing x2 subtrees, the CDF stage, the DV
+    // drop) — pre-r14 each consumption re-derived it from the caller's
+    // source scans plus the window shuffle; persist the churn-sized
+    // result for the mutation's duration instead (unpersisted below)
     val latest = changes.withColumn("__rn", row_number().over(wv))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn").persist()
     val upserts = latest.filter(col("op") =!= "D").drop("op", "version")
     val changeKeys = latest.select(col(key)).distinct()
     val affectedFD = changeKeys.join(broadcast(stats),
@@ -817,7 +878,7 @@ object Sync {
          s.read.schema(evolved)
            .parquet(affectedFD.map { case (f, d) =>
              s"$root/$d/$f" }: _*)
-           .join(broadcast(changeKeys), Seq(key), "left_anti")
+           .join(maybeBroadcast(changeKeys), Seq(key), "left_anti")
            .select(cols.map(col).toIndexedSeq: _*)
            .unionByName(inSpan.select(cols.map(col).toIndexedSeq: _*))
        else inSpan.select(cols.map(col).toIndexedSeq: _*))
@@ -842,7 +903,7 @@ object Sync {
     // change key lives in a rewritten file)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$fromDir/_deletes"))) {
       val oldDv = s.read.parquet(s"$fromDir/_deletes")
-      oldDv.join(broadcast(upserts.select(col(key)).distinct()),
+      oldDv.join(maybeBroadcast(upserts.select(col(key)).distinct()),
           Seq(key), "left_anti")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$staging/_deletes")
@@ -855,6 +916,7 @@ object Sync {
     carrySidecar(s, fromDir, staging.toString, "_schema")
     val ok = publishStagedDir(s, root, toVersion,
       manifestValidate(newStatsRows.map(_.getLong(4)).sum, carriedL))
+    latest.unpersist(blocking = false)
     CowReport(ok, affected.length + untouched.length, affected.length,
       affected, untouched)
   }
@@ -1350,11 +1412,12 @@ object Sync {
     // compare. A DV'd ghost row thus never reads as present (a key
     // deleted-then-upserted correctly surfaces as I, not U), and a fold
     // or compaction — pure physical moves — diffs to ZERO changes.
-    def dvOf(v: Int): DataFrame = {
-      val p = new Path(s"$root/v$v/_deletes")
-      if (fs.exists(p)) s.read.parquet(p.toString).select(col(key))
+    def hasDv(v: Int): Boolean =
+      fs.exists(new Path(s"$root/v$v/_deletes"))
+    def dvOf(v: Int): DataFrame =
+      if (hasDv(v))
+        s.read.parquet(s"$root/v$v/_deletes").select(col(key))
       else subset(toVersion, Nil).select(col(key))
-    }
     val fromDv = dvOf(fromVersion)
     val toDv = dvOf(toVersion)
     val l = subset(fromVersion, fromOnly)
@@ -1391,10 +1454,15 @@ object Sync {
     // hold a delta key (the y38 prune, delta-sized broadcast again).
     val deltaDv = toDv.join(broadcast(fromDv), Seq(key), "left_anti")
     val morDeletes =
-      if (deltaDv.isEmpty) images.limit(0)
+      // no DV on the to-side ⇒ deltaDv is empty BY CONSTRUCTION — skip
+      // the emptiness-probe job the common (DV-less) diff used to pay
+      if (!hasDv(toVersion) || deltaDv.isEmpty) images.limit(0)
       else {
-        val stats = s.read.parquet(s"$root/v$fromVersion/_file_stats")
-          .filter(col("file").isin(carried.toSeq: _*))
+        // carried-file manifest rows filtered DRIVER-side from the
+        // cached manifest (the old shape re-read the parquet sidecar
+        // and built a carried-sized isin expression)
+        val stats = manifestLocal(s, root, s"v$fromVersion")
+          .filterFiles(carried.contains).df(s)
         val hitFiles = deltaDv.join(broadcast(stats),
             col(key) >= col("kmin") && col(key) <= col("kmax"))
           .select("file").distinct()

@@ -15,21 +15,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object JdbcSync {
 
-  // Embedded-Derby stand-in tuning (r13, measured): Derby fsyncs its
-  // transaction log on EVERY commit; with the suite's batched MERGE
-  // ticks that means thousands of synchronous disk flushes that model
-  // nothing about the sync engine under test — against a real
-  // networked MS-SQL the flush happens server-side, off the wire
-  // latency being measured. `derby.system.durability=test` keeps
-  // Derby's transactional semantics inside the JVM (same visibility,
-  // same rollback) but skips the fsyncs; only crash-recovery of the
-  // embedded db files is forfeited, which no test relies on (crash
-  // tests simulate failure with exceptions inside one JVM). Must be
-  // set before the Derby engine boots; a pre-set value is respected.
-  locally {
-    if (System.getProperty("derby.system.durability") == null)
-      System.setProperty("derby.system.durability", "test")
-  }
+  // Embedded-Derby stand-in tuning lives in [[graft.EntryTuning]] and
+  // is applied by the BENCH/TEST entry points, never by this library's
+  // class load: a host application embedding this module must not have
+  // its own Derby databases' crash durability silently disabled by a
+  // static initializer (r13 shipped it here; r14 moved it out).
 
   final case class JdbcConfig(
       url: String,

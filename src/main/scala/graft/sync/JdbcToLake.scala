@@ -100,7 +100,11 @@ object JdbcToLake {
       val ok = validateAgainstSource(s, live, key, cfg, lakeName,
         jdbcName, readers)
       require(ok, "capture: bootstrap left drift vs the source")
-      CaptureReport("bootstrap", 1, live.count(), 0, 0, ok)
+      // bootstrap row count from the just-written manifest (exact by
+      // construction: fresh version, no DV) — saves one count job
+      CaptureReport("bootstrap", 1,
+        graft.ops.Sync.manifestRowCount(s, lakeRoot, 1)
+          .getOrElse(live.count()), 0, 0, ok)
     } else {
       val (vname, live) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
       val v = vname.stripPrefix("v").toInt
@@ -111,6 +115,12 @@ object JdbcToLake {
         dataCols.map(c => col(c).as(s"post_$c")): _*)
       val differs = dataCols.map(c =>
         !(col(s"pre_$c") <=> col(s"post_$c"))).reduce(_ || _)
+      // the snapshot-diff is the tick's one O(churn+table) join; it
+      // feeds the emptiness decision, the op counts AND the cow apply —
+      // pre-r14 each consumer re-ran it (two more source pulls over the
+      // wire per tick). Persist the churn-sized result; ONE groupBy
+      // action materializes it and answers the noop decision (the old
+      // separate isEmpty probe was a fourth evaluation).
       val batch = l.join(r, Seq(key), "full_outer")
         .withColumn("op",
           when(col("__l").isNull, lit("I"))
@@ -123,21 +133,24 @@ object JdbcToLake {
           when(col("op") === "D", col(s"pre_$c"))
             .otherwise(col(s"post_$c")).as(c)): _*)
         .withColumn("version", lit(v.toLong))
-      if (batch.isEmpty)
-        CaptureReport("noop", v, 0, 0, 0, validated = true)
-      else {
+        .persist()
+      try {
         val obs = batch.groupBy("op").count().collect()
           .map(row => row.getString(0) -> row.getLong(1)).toMap
-        require(graft.ops.Sync.cowApplyChanges(s, lakeRoot, v, v + 1,
-          key, batch).published,
-          s"capture: cow publish v$v→v${v + 1} refused")
-        val (_, newLive) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
-        val ok = validateAgainstSource(s, newLive, key, cfg, lakeName,
-          jdbcName, readers)
-        require(ok, s"capture: v${v + 1} left drift vs the source")
-        CaptureReport("incremental", v + 1, obs.getOrElse("I", 0L),
-          obs.getOrElse("U", 0L), obs.getOrElse("D", 0L), ok)
-      }
+        if (obs.isEmpty)
+          CaptureReport("noop", v, 0, 0, 0, validated = true)
+        else {
+          require(graft.ops.Sync.cowApplyChanges(s, lakeRoot, v, v + 1,
+            key, batch).published,
+            s"capture: cow publish v$v→v${v + 1} refused")
+          val (_, newLive) = graft.ops.Sync.readPublishedMor(s, lakeRoot, key)
+          val ok = validateAgainstSource(s, newLive, key, cfg, lakeName,
+            jdbcName, readers)
+          require(ok, s"capture: v${v + 1} left drift vs the source")
+          CaptureReport("incremental", v + 1, obs.getOrElse("I", 0L),
+            obs.getOrElse("U", 0L), obs.getOrElse("D", 0L), ok)
+        }
+      } finally batch.unpersist(blocking = false)
     }
   }
 

@@ -291,7 +291,11 @@ object LakeToJdbc {
       JdbcSync.idempotentAppend(
         up.repartitionByRange(writers, col(jdbcName(key))),
         cfg, jdbcName(key), dialect)
-    snap.count()
+    // the seeded row count: answered from the version MANIFEST when it
+    // is exact (no deletion vector, complete n_rows) — zero data IO;
+    // the pre-r14 shape always re-read the version for one count job
+    graft.ops.Sync.manifestRowCount(s, lakeRoot, version)
+      .getOrElse(snap.count())
   }
 
   /** One incremental step: extract the net CDF between two published
@@ -586,7 +590,7 @@ object LakeToJdbc {
           dialect)
       }
       // one churn-sized feed per changed member, reused by both phases
-      val feeds = changed.map { case (m, w, liveV, _) =>
+      val feeds0 = changed.map { case (m, w, liveV, _) =>
         val cdf = graft.ops.Sync.lakeChanges(s, s"$root/${m.table}",
           w.get, liveV, m.key)
         val feed = cdf.changes.select(
@@ -594,9 +598,36 @@ object LakeToJdbc {
               .map(c => col(c).as(jdbcName(c)))): _*)
           .repartitionByRange(writers, col(jdbcName(m.key)))
           .persist()
-        val ops = feed.groupBy("op").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        (m, w.get, liveV, feed, ops, cdf)
+        (m, w.get, liveV, feed, cdf)
+      }
+      // the member diffs are INDEPENDENT — materialize them (one
+      // op-count action each, caching the feed) concurrently so the
+      // next member's tasks back-fill the tail of the previous one's
+      // (guide §2.6); only the APPLY below is FK-ordered. Failures
+      // drain every future first, then rethrow — a staging error stays
+      // loud and no half-materialized feed is applied.
+      val opsList = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, math.max(feeds0.size, 1)))
+        try {
+          val fs2 = feeds0.map { case (_, _, _, feed, _) =>
+            pool.submit(new java.util.concurrent.Callable[Map[String, Long]] {
+              override def call(): Map[String, Long] =
+                feed.groupBy("op").count().collect()
+                  .map(r => r.getString(0) -> r.getLong(1)).toMap
+            })
+          }
+          val results = fs2.map(f =>
+            try Right(f.get())
+            catch { case e: java.util.concurrent.ExecutionException =>
+              Left(e.getCause) })
+          results.collectFirst { case Left(e) => e }.foreach(throw _)
+          results.collect { case Right(m) => m }
+        } finally pool.shutdown()
+      }
+      val feeds = feeds0.zip(opsList).map {
+        case ((m, w, liveV, feed, cdf), ops) =>
+          (m, w, liveV, feed, ops, cdf)
       }
       // upserts parent→child, then deletes child→parent
       feeds.foreach { case (m, _, _, feed, _, _) =>

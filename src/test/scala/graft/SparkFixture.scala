@@ -11,7 +11,9 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
 }
 
 object SparkFixture {
-  lazy val session: SparkSession = graft.ops.Tables.prepare(
+  lazy val session: SparkSession = {
+    EntryTuning.tuneEmbeddedDerby()
+    graft.ops.Tables.prepare(
     SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -26,4 +28,5 @@ object SparkFixture {
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=${java.nio.file.Files.createTempDirectory("graft_ms")}/metastore_db;create=true")
       .getOrCreate())
+  }
 }
