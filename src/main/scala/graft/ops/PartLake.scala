@@ -263,8 +263,11 @@ object PartLake {
     val statsL = Sync.manifestLocal(s, root, s"v$fromVersion")
     val stats = statsL.df(s)
     val wv = Window.partitionBy(part, key).orderBy(col("version").desc)
+    // persist the resolved batch for the mutation's duration — it is
+    // consumed 4x (prune ids, span routing x2 subtrees, the CDF stage)
+    // and each consumption re-derived it pre-r14 (see Sync.cowApplyChanges)
     val latest = changes.withColumn("__rn", row_number().over(wv))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn").persist()
     val upserts = latest.filter(col("op") =!= "D").drop("op", "version")
     val changeIds = latest.select(col(part), col(key)).distinct()
     // the prune: partition equality FIRST (kills every same-span file
@@ -333,6 +336,7 @@ object PartLake {
     // Σ n_rows, zero reads (see Sync.manifestValidate)
     val ok = Sync.publishStagedDir(s, root, toVersion,
       Sync.manifestValidate(newStatsRows.map(_.getLong(5)).sum, carriedL))
+    latest.unpersist(blocking = false)
     val partOf = allFiles.toMap
     val touchedParts = affected.flatMap(partOf.get).distinct
     PartCowReport(ok, allFiles.length, affected.length,

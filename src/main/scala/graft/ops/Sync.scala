@@ -212,6 +212,15 @@ object Sync {
     // feed here (v1 = the I bootstrap, later = T reseed sentinel + I);
     // incremental paths staged their exact deltas before calling in,
     // so a present `_changes` is never second-guessed.
+    // EVERY version commits with a `_schema` sidecar (evolution's own
+    // sidecar, carried forward by the cow paths, wins when present):
+    // a version's schema then costs one driver-side JSON read forever
+    // after, where inference from footers is a 1-task Spark job the
+    // mutation lifecycles paid 3-7x per composite (r14; guide §1.2 —
+    // the schema was known at write time, don't recompute it at read).
+    if (!fs.exists(new Path(s"$staging/_schema")))
+      writeSchemaSidecar(s, staging.toString,
+        versionSchema(s, staging.toString))
     if (cdfEnabled(fs, root) &&
         !fs.exists(new Path(s"$staging/_changes"))) {
       val logical = versionSchema(s, staging.toString)
@@ -481,13 +490,23 @@ object Sync {
     import org.apache.hadoop.fs.Path
     val dirP = new Path(s"$root/$vName/_file_stats")
     val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // STAGING manifests mutate IN PLACE (published ones never do) — a
+    // same-length rewrite within mtime granularity could serve stale
+    // rows, so staging paths bypass the cache entirely (r14 hardening;
+    // the per-file signature below additionally covers renames/count
+    // changes for the published case)
+    val cacheable = !vName.startsWith("_staging_")
     val sig =
       try {
         val sts = fs.listStatus(dirP)
-        (sts.map(_.getLen).sum, sts.map(_.getModificationTime).max)
+        (sts.map(_.getLen).sum,
+         sts.map(_.getModificationTime).max ^ (sts.length.toLong << 48) ^
+           sts.map(st => (st.getPath.getName, st.getLen,
+             st.getModificationTime).hashCode.toLong & 0xffffffffL)
+             .foldLeft(0L)(_ ^ _))
       } catch { case _: java.io.IOException => (-1L, -1L) }
     val key = dirP.toString
-    val hit = manifestCache.get(key)
+    val hit = if (cacheable) manifestCache.get(key) else null
     if (hit != null && sig._1 >= 0 &&
         hit._1 == sig._1 && hit._2 == sig._2) hit._3
     else {
@@ -499,7 +518,7 @@ object Sync {
         else d0.withColumn("bytes", lit(-1L))
       val lm = LocalManifest(d.schema, d.collect().toIndexedSeq,
         raw.columns.contains("dir") && raw.columns.contains("bytes"))
-      if (sig._1 >= 0) {
+      if (cacheable && sig._1 >= 0) {
         if (manifestCache.size > 4096) manifestCache.clear()
         manifestCache.put(key, (sig._1, sig._2, lm))
       }
@@ -1767,15 +1786,21 @@ object Sync {
       : org.apache.spark.sql.types.StructType = {
     import org.apache.hadoop.fs.Path
     val dirP = new Path(dir)
+    // staging dirs mutate in place — a `_schema` rewrite under a nested
+    // sidecar may not bump the parent dir's mtime, so staging paths
+    // bypass the cache (r14 hardening; published dirs are immutable)
+    val cacheable = !dirP.getName.startsWith("_staging_")
     val dfs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val sig =
-      try dfs.getFileStatus(dirP).getModificationTime
-      catch { case _: java.io.IOException => -1L }
-    val hit = schemaCache.get(dir)
+      if (!cacheable) -1L
+      else
+        try dfs.getFileStatus(dirP).getModificationTime
+        catch { case _: java.io.IOException => -1L }
+    val hit = if (cacheable) schemaCache.get(dir) else null
     if (hit != null && sig >= 0 && hit._1 == sig) hit._2
     else {
       val out = versionSchemaUncached(s, dir)
-      if (sig >= 0) {
+      if (cacheable && sig >= 0) {
         if (schemaCache.size > 8192) schemaCache.clear()
         schemaCache.put(dir, (sig, out))
       }
